@@ -1,0 +1,71 @@
+"""Shared fixtures: one SparkSession per test run, a DuckDB oracle
+connection with the fixture tables pre-registered as views (mirrors the
+driver's harness), and the differential-compare helper."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from cheetah_spark.catalog import TABLES  # noqa: E402
+from cheetah_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("CHEETAH_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="cheetah_spark_tests", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _canon(v):
+    """Canonicalize a cell for order-insensitive comparison."""
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<nan>"
+        return f"{v:.9g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    return str(v)
+
+
+def assert_matches_oracle(spark_df, duck_rel):
+    """Order-insensitive, column-name-sorted value comparison — a strict
+    local mirror of the driver's row-count + schema + value-hash gate."""
+    scols = sorted(spark_df.columns)
+    srows = spark_df.select(*scols).collect()
+    dcols = [d[0] for d in duck_rel.description]
+    assert sorted(dcols) == scols, f"column mismatch: spark={scols} duck={sorted(dcols)}"
+    drows = duck_rel.fetchall()
+    didx = [dcols.index(c) for c in scols]
+    sset = sorted(tuple(_canon(v) for v in row) for row in srows)
+    dset = sorted(tuple(_canon(row[i]) for i in didx) for row in drows)
+    assert len(sset) == len(dset), f"row count: spark={len(sset)} duck={len(dset)}"
+    if sset != dset:
+        diffs = [(a, b) for a, b in zip(sset, dset) if a != b][:5]
+        raise AssertionError(f"value mismatch, first diffs: {diffs}")
