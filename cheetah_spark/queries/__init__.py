@@ -1,3 +1,5 @@
 """Import all query modules for their @register side effects."""
 
 from cheetah_spark.queries import relational  # noqa: F401
+from cheetah_spark.queries import scalars  # noqa: F401
+from cheetah_spark.queries import windows  # noqa: F401

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cheetah_spark.catalog import load_table
-from cheetah_spark.queries._util import davg, dsum, oracle_davg, oracle_dsum, r2
+from cheetah_spark.queries._util import davg, dsum2, oracle_davg, oracle_dsum2
 from cheetah_spark.registry import register
 
 
@@ -120,8 +120,8 @@ def q_scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                COUNT(*) AS n_events,
                CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-               ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
-                     / COUNT(*), 2) AS avg_k
+               (CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
+                     / COUNT(*)) AS avg_k
         FROM events
         GROUP BY event_type
     """,
@@ -139,7 +139,7 @@ def q_deser_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.sum("k").cast("bigint").alias("sum_k"),
-            F.round(F.sum("k").cast("double") / F.count("*"), 2).alias("avg_k"),
+            (F.sum("k").cast("double") / F.count("*")).alias("avg_k"),
         )
     )
 
@@ -171,7 +171,7 @@ def q_flatmap_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_union_fanin",
     oracle=f"""
         SELECT src, o_orderstatus, COUNT(*) AS n,
-               ROUND({oracle_dsum("o_totalprice")}, 2) AS sum_price
+               {oracle_dsum2("o_totalprice")} AS sum_price
         FROM (
             SELECT 'high' AS src, * FROM orders WHERE o_totalprice > 150000
             UNION ALL
@@ -190,7 +190,7 @@ def q_union_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         high.unionByName(urgent)
         .groupBy("src", "o_orderstatus")
-        .agg(F.count("*").alias("n"), r2(dsum("o_totalprice")).alias("sum_price"))
+        .agg(F.count("*").alias("n"), dsum2(("o_totalprice")).alias("sum_price"))
     )
 
 
@@ -203,7 +203,7 @@ def q_union_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_hash_join_inner",
     oracle=f"""
         SELECT c_mktsegment, COUNT(*) AS n_orders,
-               ROUND({oracle_dsum("o_totalprice")}, 2) AS sum_price
+               {oracle_dsum2("o_totalprice")} AS sum_price
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
     """,
@@ -217,7 +217,7 @@ def q_hash_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(c, o.o_custkey == c.c_custkey, "inner")
         .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_orders"), r2(dsum("o_totalprice")).alias("sum_price"))
+        .agg(F.count("*").alias("n_orders"), dsum2(("o_totalprice")).alias("sum_price"))
     )
 
 
@@ -225,7 +225,7 @@ def q_hash_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_broadcast_join",
     oracle=f"""
         SELECT r_name, n_name, COUNT(*) AS n_cust,
-               ROUND({oracle_davg("c_acctbal")}, 2) AS avg_bal
+               {oracle_davg("c_acctbal")} AS avg_bal
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -244,7 +244,7 @@ def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(F.count("*").alias("n_cust"), r2(davg("c_acctbal")).alias("avg_bal"))
+        .agg(F.count("*").alias("n_cust"), davg(("c_acctbal")).alias("avg_bal"))
     )
 
 
@@ -253,7 +253,7 @@ def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH cust AS (
             SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust,
-                   ROUND({oracle_dsum("c_acctbal")}, 2) AS sum_bal
+                   {oracle_dsum2("c_acctbal")} AS sum_bal
             FROM customer WHERE c_mktsegment = 'BUILDING'
             GROUP BY c_nationkey
         ), supp AS (
@@ -277,7 +277,7 @@ def q_outer_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = (
         c.filter(F.col("c_mktsegment") == "BUILDING")
         .groupBy(F.col("c_nationkey").alias("c_nk"))
-        .agg(F.count("*").alias("n_cust"), r2(dsum("c_acctbal")).alias("sum_bal"))
+        .agg(F.count("*").alias("n_cust"), dsum2(("c_acctbal")).alias("sum_bal"))
     )
     supp = (
         s.filter(F.col("s_acctbal") > 5000)
@@ -332,7 +332,7 @@ def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_theta_range_join",
     oracle=f"""
         SELECT s_nationkey AS nationkey, COUNT(*) AS n_pairs,
-               ROUND({oracle_dsum("c_acctbal - s_acctbal")}, 2) AS sum_gap
+               {oracle_dsum2("c_acctbal - s_acctbal")} AS sum_gap
         FROM supplier JOIN customer
           ON c_nationkey = s_nationkey AND c_acctbal > s_acctbal
         GROUP BY s_nationkey
@@ -351,7 +351,7 @@ def q_theta_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("s_nationkey").alias("nationkey"))
         .agg(
             F.count("*").alias("n_pairs"),
-            r2(dsum(F.col("c_acctbal") - F.col("s_acctbal"))).alias("sum_gap"),
+            dsum2((F.col("c_acctbal") - F.col("s_acctbal"))).alias("sum_gap"),
         )
     )
 
@@ -360,7 +360,7 @@ def q_theta_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_multiway_join_tpch",
     oracle=f"""
         SELECT n_name,
-               ROUND({oracle_dsum("l_extendedprice * (1 - l_discount)")}, 2) AS revenue,
+               {oracle_dsum2("l_extendedprice * (1 - l_discount)")} AS revenue,
                COUNT(*) AS n_lines
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
@@ -399,7 +399,7 @@ def q_multiway_join_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            r2(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            dsum2((F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
@@ -415,13 +415,13 @@ def q_multiway_join_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_hash_agg",
     oracle=f"""
         SELECT l_returnflag, l_linestatus,
-               ROUND({oracle_dsum("l_quantity")}, 2) AS sum_qty,
-               ROUND({oracle_dsum("l_extendedprice")}, 2) AS sum_base_price,
-               ROUND({oracle_dsum("l_extendedprice * (1 - l_discount)")}, 2) AS sum_disc_price,
-               ROUND({oracle_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}, 2) AS sum_charge,
-               ROUND({oracle_davg("l_quantity")}, 2) AS avg_qty,
-               ROUND({oracle_davg("l_extendedprice")}, 2) AS avg_price,
-               ROUND({oracle_davg("l_discount")}, 2) AS avg_disc,
+               {oracle_dsum2("l_quantity")} AS sum_qty,
+               {oracle_dsum2("l_extendedprice")} AS sum_base_price,
+               {oracle_dsum2("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+               {oracle_dsum2("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+               {oracle_davg("l_quantity")} AS avg_qty,
+               {oracle_davg("l_extendedprice")} AS avg_price,
+               {oracle_davg("l_discount")} AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -438,13 +438,13 @@ def q_hash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return l.groupBy("l_returnflag", "l_linestatus").agg(
-        r2(dsum("l_quantity")).alias("sum_qty"),
-        r2(dsum("l_extendedprice")).alias("sum_base_price"),
-        r2(dsum(disc_price)).alias("sum_disc_price"),
-        r2(dsum(charge)).alias("sum_charge"),
-        r2(davg("l_quantity")).alias("avg_qty"),
-        r2(davg("l_extendedprice")).alias("avg_price"),
-        r2(davg("l_discount")).alias("avg_disc"),
+        dsum2(("l_quantity")).alias("sum_qty"),
+        dsum2(("l_extendedprice")).alias("sum_base_price"),
+        dsum2((disc_price)).alias("sum_disc_price"),
+        dsum2((charge)).alias("sum_charge"),
+        davg(("l_quantity")).alias("avg_qty"),
+        davg(("l_extendedprice")).alias("avg_price"),
+        davg(("l_discount")).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 
@@ -479,7 +479,7 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
                CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
                COUNT(*) AS n_rows,
-               ROUND({oracle_dsum("l_quantity")}, 2) AS sum_qty
+               {oracle_dsum2("l_quantity")} AS sum_qty
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
@@ -494,7 +494,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("l_returnflag").cast("int").alias("g_rf"),
             F.grouping("l_linestatus").cast("int").alias("g_ls"),
             F.count("*").alias("n_rows"),
-            r2(dsum("l_quantity")).alias("sum_qty"),
+            dsum2(("l_quantity")).alias("sum_qty"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
@@ -513,7 +513,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT COALESCE(o_orderstatus, 'ALL') AS status,
                COALESCE(o_orderpriority, 'ALL') AS priority,
                COUNT(*) AS n,
-               ROUND({oracle_dsum("o_totalprice")}, 2) AS sum_price
+               {oracle_dsum2("o_totalprice")} AS sum_price
         FROM orders
         GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
@@ -524,7 +524,7 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
         o.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n"), r2(dsum("o_totalprice")).alias("sum_price"))
+        .agg(F.count("*").alias("n"), dsum2(("o_totalprice")).alias("sum_price"))
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -538,7 +538,7 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_having_filter",
     oracle=f"""
         SELECT o_custkey, COUNT(*) AS n_orders,
-               ROUND({oracle_dsum("o_totalprice")}, 2) AS sum_price
+               {oracle_dsum2("o_totalprice")} AS sum_price
         FROM orders
         GROUP BY o_custkey
         HAVING COUNT(*) >= 12
@@ -550,7 +550,7 @@ def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
-        .agg(F.count("*").alias("n_orders"), r2(dsum("o_totalprice")).alias("sum_price"))
+        .agg(F.count("*").alias("n_orders"), dsum2(("o_totalprice")).alias("sum_price"))
         .filter(F.col("n_orders") >= 12)
     )
 

@@ -1,0 +1,176 @@
+"""Window functions: ranking, analytic (lag/lead/first/last), frames,
+and exact/approx percentiles.
+
+No reference equivalent (the framework's only compute hook is the
+stateless Handler, reference types.go:122-135) — this is §2B target
+surface. Determinism conventions: rank/dense_rank order by a
+potentially-tied key (their semantics absorb ties); row_number and
+every frame-dependent aggregate order by a composite key ending in a
+unique tiebreaker.
+
+Scale: a window partitioned by a key shuffles once on that key; the
+within-partition sort is per-partition, not global. Partition keys here
+(l_returnflag, o_custkey) are how this stays parallel at 100 TB — a
+window with no PARTITION BY would serialize onto one task and is
+deliberately absent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from cheetah_spark.catalog import load_table
+from cheetah_spark.queries._util import DEC, oracle_snap, snap
+from cheetah_spark.registry import register
+
+
+@register(
+    "q_window_rank",
+    oracle="""
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+               CAST(rnk AS INT) AS rnk, CAST(drnk AS INT) AS drnk,
+               CAST(rn AS INT) AS rn
+        FROM (
+            SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+                   RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rnk,
+                   DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS drnk,
+                   ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rn
+            FROM lineitem
+        )
+        WHERE rn <= 100
+    """,
+    tags=("window", "rank"),
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank; rank fns ordered by a tied key
+    (quantity) to exercise tie semantics, row_number fully tiebroken."""
+    l = load_table(spark, sf_dir, "lineitem")
+    by_qty = W.partitionBy("l_returnflag").orderBy(F.col("l_quantity").desc())
+    tiebroken = W.partitionBy("l_returnflag").orderBy(
+        F.col("l_quantity").desc(), "l_orderkey", "l_linenumber"
+    )
+    return (
+        l.select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.rank().over(by_qty).cast("int").alias("rnk"),
+            F.dense_rank().over(by_qty).cast("int").alias("drnk"),
+            F.row_number().over(tiebroken).cast("int").alias("rn"),
+        )
+        .filter(F.col("rn") <= 100)
+    )
+
+
+@register(
+    "q_window_analytic",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               LAG(o_totalprice) OVER w AS prev_price,
+               LEAD(o_totalprice) OVER w AS next_price,
+               FIRST_VALUE(o_totalprice) OVER
+                   (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+               LAST_VALUE(o_totalprice) OVER
+                   (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window", "analytic"),
+)
+def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead / first_value / last_value with explicit ROWS frames
+    (both engines' default frames differ for last_value — pin them)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("first_price"),
+        F.last("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("last_price"),
+    )
+
+
+@register(
+    "q_window_frame_running",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER
+                   (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+                   AS running_sum,
+               (CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER
+                   (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   / COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+                   AS moving_avg3
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window", "frame"),
+)
+def q_window_frame_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum (unbounded-preceding frame) + 3-row moving average,
+    via exact decimal accumulation for cross-engine determinism."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    last3 = w.rowsBetween(-2, W.currentRow)
+    dec_price = F.col("o_totalprice").cast(DEC)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.sum(dec_price).over(run), 2).cast("double").alias("running_sum"),
+        (F.sum(dec_price).over(last3).cast("double") / F.count("*").over(last3)).alias(
+            "moving_avg3"
+        ),
+    )
+
+
+@register(
+    "q_exact_percentile",
+    oracle=f"""
+        SELECT l_returnflag,
+               {oracle_snap("quantile_cont(l_extendedprice, 0.5)")} AS median_price,
+               {oracle_snap("quantile_cont(l_extendedprice, 0.9)")} AS p90_price,
+               MIN(l_extendedprice) AS min_price,
+               MAX(l_extendedprice) AS max_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def q_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``; results snapped at 3 decimals via decimal
+    cast since interpolated midpoints of 2-decimal data land exactly on
+    .xx5 round boundaries) plus raw min/max."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        snap(F.percentile("l_extendedprice", F.lit(0.5))).alias("median_price"),
+        snap(F.percentile("l_extendedprice", F.lit(0.9))).alias("p90_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@register(
+    "q_approx_quantile_cd",
+    oracle=None,  # approximate results are engine-specific → rows-only
+    tags=("agg", "approx", "rows-only"),
+)
+def q_approx_quantile_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct (HyperLogLog++) + approximate
+    percentiles (the scale path: one pass, bounded memory, no sort —
+    at 100 TB these replace their exact counterparts)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("approx_p90"),
+    )
