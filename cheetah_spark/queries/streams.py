@@ -1,0 +1,156 @@
+"""Streaming operators (rows-only checks): the reference's conformance
+property (no-loss/no-dup, test/suite_test.go:85-104) and micro-batcher
+behavior (x/batcher/batcher.go) re-run as real StreamingQueries over a
+bounded replay of the events fixture.
+
+Each query executes a genuine streaming plan (readStream → transform →
+sink, with checkpointing) to completion, then returns a bounded
+DataFrame of observations the driver can count. Oracle SQL is omitted
+where the semantics aren't batch-SQL-expressible; where a batch
+equivalent exists (identity, dedup) the returned observations encode
+the invariant directly (counts that must match).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cheetah_spark.catalog import load_table
+from cheetah_spark.registry import register
+from cheetah_spark.sinks import BatcherSink
+from cheetah_spark.sources import ParquetSource
+from cheetah_spark.streaming import FIXTURE_ROOT, _tag, events_stream_dir, run_stream_to_completion
+
+
+@register(
+    "s_stream_identity",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               COUNT(DISTINCT event_id) AS n_distinct,
+               MIN(event_id) AS min_id,
+               MAX(event_id) AS max_id
+        FROM events
+    """,
+    tags=("streaming", "conformance"),
+)
+def s_stream_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-loss / no-dup conformance (reference SuiteTest,
+    test/suite_test.go:85-104): replay events through
+    stream→identity→memory sink across multiple micro-batches; the
+    output's exact count/distinct/min/max must equal the batch table's
+    — which the SQL oracle checks directly."""
+    src_dir = events_stream_dir(spark, sf_dir)
+    stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=2).read(spark)
+    out = run_stream_to_completion(stream, lambda df: df)
+    return out.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("event_id").alias("n_distinct"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+@register(
+    "s_stream_dedup",
+    oracle="""
+        SELECT COUNT(*) AS n_out, COUNT(DISTINCT event_id) AS n_distinct
+        FROM events
+    """,
+    tags=("streaming", "dedup"),
+)
+def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup by key within the watermark window
+    (``dropDuplicatesWithinWatermark``): feed every event twice (two
+    interleaved file sets), assert output = one row per event_id —
+    equal to the batch distinct count the oracle computes."""
+    src_dir = events_stream_dir(spark, sf_dir)
+    dup_dir = f"{FIXTURE_ROOT}/{_tag(sf_dir)}/events_stream_dup"
+    ready = f"{dup_dir}/_FIXTURE_READY"
+    if not os.path.exists(ready):
+        os.makedirs(dup_dir, exist_ok=True)
+        base = spark.read.parquet(src_dir)
+        base.write.mode("overwrite").parquet(dup_dir)
+        # second copy of every row, appended as additional files
+        base.write.mode("append").parquet(dup_dir)
+        open(ready, "w").close()
+    stream = ParquetSource(dup_dir, streaming=True, max_files_per_trigger=4).read(spark)
+    out = run_stream_to_completion(
+        stream,
+        lambda df: df.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"]),
+    )
+    return out.agg(F.count("*").alias("n_out"), F.countDistinct("event_id").alias("n_distinct"))
+
+
+@register(
+    "s_stream_watermark_late",
+    oracle=None,  # emitted-window set depends on watermark progression → rows-only
+    tags=("streaming", "watermark"),
+)
+def s_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + append-mode windowed aggregation: 10-minute
+    watermark over the time-ordered replay; finalized 1-hour windows
+    emit exactly once. Returns the emitted windows (a suffix of
+    windows near max event-time is withheld as not-yet-final —
+    the at-most-a-suffix-missing property is the check)."""
+    src_dir = events_stream_dir(spark, sf_dir)
+    stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=2).read(spark)
+    out = run_stream_to_completion(
+        stream,
+        lambda df: (
+            df.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("win_start"), "n")
+        ),
+        output_mode="append",
+    )
+    return out.orderBy("win_start")
+
+
+@register(
+    "s_stream_batcher",
+    oracle=None,  # file-layout assertions → rows-only
+    tags=("streaming", "batcher", "sink"),
+)
+def s_stream_batcher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batcher parity (reference batcher D6 + s3 sink D2):
+    trigger-paced foreachBatch flushes each micro-batch as gzip NDJSON
+    files; observations prove (a) multiple flushes happened (epochs),
+    (b) no rows lost (read-back count), (c) the payload is really
+    gzip NDJSON (read back through the json reader)."""
+    import shutil
+
+    src_dir = events_stream_dir(spark, sf_dir)
+    out_dir = f"/tmp/cheetah_spark_out/batcher_{_tag(sf_dir)}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def flush(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        (
+            batch.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .option("compression", "gzip")
+            .json(f"{out_dir}/epoch={epoch_id}")
+        )
+
+    stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=2).read(spark)
+    sink = BatcherSink(flush=flush, checkpoint=f"{out_dir}/_ckpt")
+    query = sink.write(stream.select("event_id", "ts", "event_type", "value"))
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    written = spark.read.json(f"{out_dir}/epoch=*")
+    n_gz = len(glob.glob(f"{out_dir}/epoch=*/part-*.gz"))
+    return written.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("event_id").alias("n_distinct"),
+        F.countDistinct("epoch").alias("n_epochs"),
+        F.lit(n_gz).alias("n_gzip_files"),
+    )

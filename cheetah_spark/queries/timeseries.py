@@ -1,0 +1,118 @@
+"""Event-time windowing: tumbling / sliding / session windows.
+
+The reference has NO event-time processing (SURVEY.md §1.3 — time
+enters only as wall-clock flush timers, x/batcher/batcher.go:249);
+this is §2B target surface. All three run here in BATCH mode over the
+bounded events fixture — the unified API means the identical plan runs
+under readStream (see queries/streams.py for the streaming execution
+with watermarks).
+
+Scale: ``window()``/``session_window()`` compile to a projection +
+hash aggregation on (window, keys) — partial aggregation map-side,
+shuffle on the composite key. Session windows additionally sort within
+user partitions; the per-user key keeps state partitioned at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cheetah_spark.catalog import load_table
+from cheetah_spark.queries._util import dsum2, oracle_dsum2
+from cheetah_spark.registry import register
+
+
+@register(
+    "q_time_window_tumbling",
+    oracle=f"""
+        SELECT date_trunc('hour', ts) AS win_start,
+               COUNT(*) AS n,
+               {oracle_dsum2("value")} AS sum_value
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("window", "event-time"),
+)
+def q_time_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), dsum2("value").alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "n", "sum_value")
+    )
+
+
+@register(
+    "q_time_window_sliding",
+    oracle=f"""
+        SELECT win_start, COUNT(*) AS n, {oracle_dsum2("value")} AS sum_value
+        FROM (
+            SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000)
+                       AS win_start, value
+            FROM events
+            UNION ALL
+            SELECT make_timestamp((CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) - 1800) * 1000000)
+                       AS win_start, value
+            FROM events
+        )
+        GROUP BY win_start
+    """,
+    tags=("window", "event-time"),
+)
+def q_time_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h length, 30 min slide): every event lands in
+    exactly two windows; the oracle materializes both by construction."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), dsum2("value").alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "n", "sum_value")
+    )
+
+
+@register(
+    "q_session_window",
+    oracle=f"""
+        WITH marked AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), islands AS (
+            SELECT user_id, ts, value,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sess
+            FROM marked
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events,
+               {oracle_dsum2("value")} AS sum_value
+        FROM islands
+        GROUP BY user_id, sess
+    """,
+    tags=("window", "session"),
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user — Spark's native
+    ``session_window`` merges events closer than the gap; the oracle is
+    the classic gaps-and-islands rewrite (a new session starts exactly
+    when the gap is ≥ 30 min, matching the half-open [ts, ts+gap)
+    session interval)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum2("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,214 @@
+"""Sink adapters — the Spark-native re-expression of the reference's
+Destination surface (reference types.go:87-114: ``Send(ctx, ack,
+msgs...)`` with ack-after-durable-write).
+
+Delivery mapping: the reference fires each message's ack only after the
+destination confirms the write (at-least-once). Structured Streaming
+provides the same contract at micro-batch granularity — offsets commit
+to the checkpoint only after the sink completes — and upgrades it to
+exactly-once for idempotent file sinks. The reference's ref-counted
+``ackFn(ack, n)`` coalescing (x/batcher/batcher.go:385-400) IS the
+batch-level offset commit.
+
+Reference parity map:
+    ConsoleSink   ← x/printer/printer.go:10-43 (D1)
+    MemorySink    ← x/memory/memory.go:29-49 (D4)
+    NdjsonGzipSink← x/s3/s3.go:20-162 (D2: gzip NDJSON under
+                    wall-clock-partitioned keys prefix/YYYY/MM/DD/HH/)
+    MultiSink     ← x/multi/multidest.go:9-49 (D5, fan-out, ack after all)
+    BatcherSink   ← x/batcher/batcher.go:58-400 (D6, micro-batcher:
+                    FlushFrequency→trigger, FlushLength→input rate cap,
+                    ErrorHandler/ErrDontAck→foreachBatch error policy)
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class Sink:
+    def write(self, df: DataFrame):  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+def _start(writer, checkpoint: Optional[str], trigger: Optional[dict]):
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+@dataclass
+class ConsoleSink(Sink):
+    """Print rows (reference printer D1). Batch: show(); stream:
+    console format."""
+
+    num_rows: int = 20
+    truncate: bool = True
+    checkpoint: Optional[str] = None
+    trigger: Optional[dict] = None
+
+    def write(self, df: DataFrame):
+        if df.isStreaming:
+            w = df.writeStream.format("console").option("numRows", self.num_rows).option(
+                "truncate", self.truncate
+            )
+            return _start(w, self.checkpoint, self.trigger)
+        df.show(self.num_rows, truncate=self.truncate)
+        return None
+
+
+@dataclass
+class MemorySink(Sink):
+    """Queryable in-memory table (reference memory destination D4).
+    Stream: memory format; batch: temp view of a cached frame."""
+
+    name: str = "memory_sink"
+    checkpoint: Optional[str] = None
+    trigger: Optional[dict] = None
+
+    def write(self, df: DataFrame):
+        if df.isStreaming:
+            w = df.writeStream.format("memory").queryName(self.name).outputMode("append")
+            return _start(w, self.checkpoint, self.trigger)
+        df.cache().createOrReplaceTempView(self.name)
+        return None
+
+
+@dataclass
+class NdjsonGzipSink(Sink):
+    """Gzip NDJSON files under wall-clock-partitioned directories
+    (reference s3 D2: ``prefix/YYYY/MM/DD/HH/<ksuid>_<unix>.gz``,
+    x/s3/s3.go:143-148).
+
+    Spark-first translation: ``partitionBy(y,m,d,h)`` directories with
+    many part files per partition (the engine writes one file per task
+    — the ksuid uniqueness trick is replaced by the file-sink commit
+    protocol, which also upgrades at-least-once to exactly-once).
+    ``ts_col=None`` partitions by ingestion wall-clock like the
+    reference; a column name partitions by event time, which is what a
+    100 TB lake actually wants (partition pruning on read).
+    """
+
+    path: str
+    ts_col: Optional[str] = None
+    checkpoint: Optional[str] = None
+    trigger: Optional[dict] = None
+    mode: str = "append"
+
+    def _partitioned(self, df: DataFrame) -> DataFrame:
+        ts = F.col(self.ts_col) if self.ts_col else F.current_timestamp()
+        return (
+            df.withColumn("y", F.year(ts))
+            .withColumn("m", F.month(ts))
+            .withColumn("d", F.dayofmonth(ts))
+            .withColumn("h", F.hour(ts))
+        )
+
+    def write(self, df: DataFrame):
+        out = self._partitioned(df)
+        if df.isStreaming:
+            w = (
+                out.writeStream.format("json")
+                .option("compression", "gzip")
+                .option("path", self.path)
+                .partitionBy("y", "m", "d", "h")
+                .outputMode("append")
+            )
+            return _start(w, self.checkpoint or f"{self.path}/_checkpoint", self.trigger)
+        (
+            out.write.mode(self.mode)
+            .partitionBy("y", "m", "d", "h")
+            .option("compression", "gzip")
+            .json(self.path)
+        )
+        return None
+
+
+@dataclass
+class MultiSink(Sink):
+    """Fan-out to N sinks; the upstream offset commits only after every
+    sink's write returns (reference MultiDestination D5 ack-after-all,
+    x/multi/multidest.go:34-49). Streaming: one foreachBatch persists
+    the micro-batch once and writes it N times — batch-level analogue
+    of ``ackFn(ack, n)``."""
+
+    sinks: Sequence[Sink] = field(default_factory=list)
+    checkpoint: Optional[str] = None
+    trigger: Optional[dict] = None
+
+    def write(self, df: DataFrame):
+        if df.isStreaming:
+
+            def fanout(batch: DataFrame, epoch_id: int) -> None:
+                batch.persist()
+                try:
+                    for s in self.sinks:
+                        s.write(batch)
+                finally:
+                    batch.unpersist()
+
+            return _start(df.writeStream.foreachBatch(fanout), self.checkpoint, self.trigger)
+        df.persist()
+        try:
+            for s in self.sinks:
+                s.write(df)
+        finally:
+            df.unpersist()
+        return None
+
+
+class ErrDontAck(Exception):
+    """Error-handler signal: do NOT commit this batch's offsets — the
+    micro-batch replays on restart (reference batcher's ErrDontAck
+    sentinel, x/batcher/batcher.go:21, 364-374)."""
+
+
+@dataclass
+class BatcherSink(Sink):
+    """Micro-batching sink with pluggable flush + error policy — the
+    reference batcher (D6, x/batcher/batcher.go:58-400) re-expressed on
+    the micro-batch engine:
+
+    - ``flush_interval`` ≈ FlushFrequency (batcher.go:138): trigger
+      cadence.
+    - input-rate caps (``maxFilesPerTrigger``/``maxOffsetsPerTrigger``
+      on the source) ≈ FlushLength (batcher.go:137).
+    - ``FlushParallelism`` (batcher.go:139) is subsumed by task
+      parallelism within the batch write.
+    - error policy ≈ ErrorHandler (batcher.go:40-48): ``"raise"`` →
+      fatal query error (the reference's default fatal contract),
+      ``"discard"`` → swallow and commit (DiscardHandler),
+      ``"dont_ack"`` → fail the batch WITHOUT committing offsets so it
+      replays (ErrDontAck).
+    """
+
+    flush: Callable[[DataFrame, int], None] = lambda df, epoch: None
+    flush_interval: Optional[str] = None  # e.g. "1 second"; None → availableNow
+    on_error: str = "raise"
+    checkpoint: Optional[str] = None
+
+    def write(self, df: DataFrame):
+        def do_flush(batch: DataFrame, epoch_id: int) -> None:
+            try:
+                self.flush(batch, epoch_id)
+            except ErrDontAck:
+                raise  # fail the batch → offsets not committed → replay
+            except Exception:
+                if self.on_error == "discard":
+                    return  # swallow: batch acked without effect
+                raise  # fatal (reference default: any Send error kills the processor)
+
+        trigger = (
+            {"processingTime": self.flush_interval} if self.flush_interval else {"availableNow": True}
+        )
+        if not df.isStreaming:
+            do_flush(df, 0)
+            return None
+        return _start(df.writeStream.foreachBatch(do_flush), self.checkpoint, trigger)

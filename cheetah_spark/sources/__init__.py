@@ -1,0 +1,174 @@
+"""Source adapters — the Spark-native re-expression of the reference's
+Source surface (reference types.go:36-59: ``Recv(ctx) (Message[T],
+ack, error)``).
+
+Each source yields a DataFrame (bounded via ``spark.read`` or unbounded
+via ``spark.readStream`` — the unified API means the same downstream
+plan serves both, which is how the reference's "wire once, run
+forever" processor shape maps onto Spark). Acknowledgement semantics
+(at-least-once, ack-after-sink) are carried by Structured Streaming's
+checkpoint offset commit, not per-message closures — see
+streaming/conformance.py for the behavioral test.
+
+Reference parity map:
+    MemorySource      ← x/memory/memory.go:10-27 (S1)
+    TextScannerSource ← x/scanner/scanner.go:14-105 (S2, custom delim)
+    FileStreamSource  ← x/poller/poller.go:15-99 (S5, batch-pull →
+                        stream via maxFilesPerTrigger)
+    RateSource        ← the load-gen role of S1 in BenchmarkMem
+    MultiSource       ← x/multi/multisrc.go:15-81 (S6, fan-in)
+    JsonSource/CsvSource/ParquetSource ← DeserializationSource
+                        (types.go:159-195, S7): schema applied at scan
+    envelope()        ← Message[T] envelope (types.go:10-26)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Canonical envelope schema — the Message[T] shape (key/value/topic/
+# attributes, reference types.go:10-26), same layout Spark's Kafka
+# source exposes.
+ENVELOPE_SCHEMA = "key string, value binary, topic string, attributes map<string,string>"
+
+
+class Source:
+    """A bounded-or-unbounded scan producing a DataFrame."""
+
+    streaming: bool = False
+
+    def read(self, spark: SparkSession) -> DataFrame:  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+@dataclass
+class ParquetSource(Source):
+    path: str
+    streaming: bool = False
+    schema: Optional[str] = None
+    max_files_per_trigger: Optional[int] = None
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        if self.streaming:
+            reader = spark.readStream
+            if self.schema:
+                reader = reader.schema(self.schema)
+            else:
+                # streaming file sources need a schema: borrow from a batch scan
+                reader = reader.schema(spark.read.parquet(self.path).schema)
+            if self.max_files_per_trigger:
+                reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+            return reader.parquet(self.path)
+        return spark.read.parquet(self.path)
+
+
+@dataclass
+class TextScannerSource(Source):
+    """Delimiter-split text scan (reference scanner S2): every record
+    between ``line_sep`` occurrences becomes one row ``value: string``,
+    including multi-byte custom delimiters."""
+
+    path: str
+    line_sep: str = "\n"
+    streaming: bool = False
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        reader = spark.readStream if self.streaming else spark.read
+        if self.streaming:
+            reader = reader.schema("value string")
+        return reader.option("lineSep", self.line_sep).text(self.path)
+
+
+@dataclass
+class JsonSource(Source):
+    path: str
+    schema: Optional[str] = None
+    streaming: bool = False
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        reader = spark.readStream if self.streaming else spark.read
+        if self.schema:
+            reader = reader.schema(self.schema)
+        return reader.json(self.path)
+
+
+@dataclass
+class CsvSource(Source):
+    path: str
+    schema: Optional[str] = None
+    header: bool = True
+    streaming: bool = False
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        reader = spark.readStream if self.streaming else spark.read
+        if self.schema:
+            reader = reader.schema(self.schema)
+        return reader.option("header", self.header).csv(self.path)
+
+
+@dataclass
+class RateSource(Source):
+    """Unbounded load generator (``format("rate")``) — the streaming
+    analogue of the reference benchmark's synthetic message feed
+    (test/suite_test.go:106-155)."""
+
+    rows_per_second: int = 10000
+    num_partitions: int = 4
+    streaming: bool = True
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", self.rows_per_second)
+            .option("numPartitions", self.num_partitions)
+            .load()
+        )
+
+
+@dataclass
+class MemorySource(Source):
+    """Driver-provided rows (reference memory.MemorySource S1) — test
+    and embedding source; bounded."""
+
+    rows: Sequence
+    schema: Optional[str] = None
+    streaming: bool = False
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(self.rows, schema=self.schema)
+
+
+@dataclass
+class MultiSource(Source):
+    """Fan-in of N sources into one stream (reference MultiSource S6,
+    x/multi/multisrc.go:15-81). Spark unions streaming DataFrames
+    natively, so no competing-goroutine starvation caveat applies."""
+
+    sources: Sequence[Source] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        self.streaming = any(s.streaming for s in self.sources)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        dfs = [s.read(spark) for s in self.sources]
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df)
+        return out
+
+
+def envelope(df: DataFrame, key: str, topic: str) -> DataFrame:
+    """Wrap arbitrary rows into the canonical Message envelope
+    (key/value/topic/attributes, reference types.go:10-26): ``value``
+    is the JSON-serialized row as bytes, ``attributes`` carries source
+    metadata (the Attributes chain of types.go:28-30)."""
+    return df.select(
+        F.col(key).cast("string").alias("key"),
+        F.to_json(F.struct(*df.columns)).cast("binary").alias("value"),
+        F.col(topic).cast("string").alias("topic"),
+        F.create_map(F.lit("source"), F.lit("cheetah_spark")).alias("attributes"),
+    )

@@ -1,0 +1,194 @@
+"""Framework-parity behavior tests: Pipeline assembly, sink semantics,
+and the reference conformance property (no-loss/no-dup,
+reference test/suite_test.go:85-104) on Structured Streaming."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from cheetah_spark.pipeline import Pipeline, chain, pipe
+from cheetah_spark.sinks import BatcherSink, ErrDontAck, MemorySink, MultiSink, NdjsonGzipSink
+from cheetah_spark.sources import (
+    MemorySource,
+    MultiSource,
+    ParquetSource,
+    RateSource,
+    TextScannerSource,
+    envelope,
+)
+from cheetah_spark.streaming import events_stream_dir, run_stream_to_completion
+
+TMP = f"/tmp/cheetah_spark_test_{uuid.uuid4().hex[:8]}"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _cleanup():
+    yield
+    shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_conformance_no_loss_no_dup(spark, sf_dir):
+    """SuiteTest analogue: unique payloads, stream → identity → sink,
+    assert all observed exactly once (multi-batch replay)."""
+    src_dir = events_stream_dir(spark, sf_dir)
+    n_expected = spark.read.parquet(src_dir).count()
+    stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=1).read(spark)
+    out = run_stream_to_completion(stream, pipe)
+    got = out.agg(
+        F.count("*").alias("n"), F.countDistinct("event_id").alias("d")
+    ).first()
+    assert got["n"] == n_expected, "message loss"
+    assert got["d"] == n_expected, "duplicate delivery"
+
+
+def test_pipeline_batch_roundtrip(spark):
+    src = MemorySource([(i, f"payload_{i}") for i in range(100)], schema="id long, body string")
+    sink = MemorySink(name="pipe_out")
+    Pipeline(src, sink, transforms=[lambda df: df.filter(F.col("id") % 2 == 0)]).run(spark)
+    assert spark.table("pipe_out").count() == 50
+
+
+def test_pipeline_handler_drop_semantics(spark):
+    """Handler returning empty output = ack-and-skip (reference
+    processor.go:107-112): filtered rows vanish, pipeline completes."""
+    src = MemorySource([(i,) for i in range(10)], schema="id long")
+    sink = MemorySink(name="drop_out")
+    Pipeline(src, sink, transforms=[lambda df: df.filter(F.lit(False))]).run(spark)
+    assert spark.table("drop_out").count() == 0
+
+
+def test_multisource_fanin_streaming(spark, sf_dir):
+    src_dir = events_stream_dir(spark, sf_dir)
+    multi = MultiSource(
+        [
+            ParquetSource(src_dir, streaming=True, max_files_per_trigger=2),
+            ParquetSource(src_dir, streaming=True, max_files_per_trigger=2),
+        ]
+    )
+    assert multi.streaming
+    out = run_stream_to_completion(multi.read(spark), pipe)
+    n_single = spark.read.parquet(src_dir).count()
+    assert out.count() == 2 * n_single
+
+
+def test_text_scanner_custom_delim(spark):
+    """Reference stream_test.go:43-55: unusual multi-byte delimiter."""
+    os.makedirs(TMP, exist_ok=True)
+    path = f"{TMP}/scanner.txt"
+    records = [f"rec_{i}" for i in range(25)]
+    with open(path, "w") as f:
+        f.write("0x0x0x0x0".join(records))
+    df = TextScannerSource(path, line_sep="0x0x0x0x0").read(spark)
+    got = sorted(r["value"] for r in df.collect())
+    assert got == sorted(records)
+
+
+def test_envelope_schema(spark, sf_dir):
+    e = ParquetSource(f"{sf_dir}/orders.parquet").read(spark)
+    env = envelope(e, key="o_custkey", topic="o_orderstatus")
+    assert [f.name for f in env.schema.fields] == ["key", "value", "topic", "attributes"]
+    row = env.first()
+    payload = json.loads(bytes(row["value"]).decode())
+    assert str(payload["o_custkey"]) == row["key"]
+
+
+def test_ndjson_gzip_sink_layout(spark, sf_dir):
+    """Reference s3 sink D2: gzip NDJSON under y/m/d/h partitions."""
+    out = f"{TMP}/ndjson"
+    orders = ParquetSource(f"{sf_dir}/orders.parquet").read(spark).limit(500)
+    NdjsonGzipSink(out, ts_col="o_orderdate", mode="overwrite").write(orders)
+    files = glob.glob(f"{out}/y=*/m=*/d=*/h=*/part-*.gz")
+    assert files, "no time-partitioned gzip files written"
+    with gzip.open(files[0], "rt") as f:
+        first = json.loads(f.readline())
+    assert "o_orderkey" in first
+    assert spark.read.json(out).count() == 500
+
+
+def test_multisink_fanout(spark):
+    src = MemorySource([(i,) for i in range(10)], schema="id long")
+    a, b = MemorySink(name="fan_a"), MemorySink(name="fan_b")
+    Pipeline(src, MultiSink([a, b])).run(spark)
+    assert spark.table("fan_a").count() == 10
+    assert spark.table("fan_b").count() == 10
+
+
+def test_batcher_error_policies(spark, sf_dir):
+    """Reference batcher matrix (x/batcher/batcher_test.go:37-380):
+    fatal flush error kills the query; discard policy swallows it."""
+    src_dir = events_stream_dir(spark, sf_dir)
+
+    def boom(batch, epoch):
+        raise RuntimeError("flush failed")
+
+    stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=4).read(spark)
+    q = BatcherSink(flush=boom, checkpoint=f"{TMP}/ckpt_fatal").write(stream)
+    with pytest.raises(Exception):
+        q.processAllAvailable()
+    q.stop()
+
+    seen = []
+    def flaky(batch, epoch):
+        seen.append(epoch)
+        if epoch == 0:
+            raise RuntimeError("transient")
+
+    stream2 = ParquetSource(src_dir, streaming=True, max_files_per_trigger=4).read(spark)
+    q2 = BatcherSink(flush=flaky, on_error="discard", checkpoint=f"{TMP}/ckpt_discard").write(stream2)
+    q2.processAllAvailable()
+    q2.stop()
+    assert len(seen) >= 2  # survived the poisoned batch and kept flushing
+
+
+def test_batcher_dont_ack_replays(spark, sf_dir):
+    """ErrDontAck contract: batch fails WITHOUT offset commit → replay
+    delivers the same rows again (at-least-once)."""
+    src_dir = events_stream_dir(spark, sf_dir)
+    state = {"fails": 0, "rows": 0}
+
+    def flush(batch, epoch):
+        if epoch == 0 and state["fails"] == 0:
+            state["fails"] += 1
+            raise ErrDontAck("not acked")
+        state["rows"] += batch.count()
+
+    ckpt = f"{TMP}/ckpt_dontack"
+    stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=4).read(spark)
+    sink = BatcherSink(flush=flush, checkpoint=ckpt)
+    q = sink.write(stream)
+    with pytest.raises(Exception):
+        q.processAllAvailable()
+    q.stop()
+    # restart from the same checkpoint: epoch 0 replays (was never acked)
+    stream2 = ParquetSource(src_dir, streaming=True, max_files_per_trigger=4).read(spark)
+    q2 = sink.write(stream2)
+    q2.processAllAvailable()
+    q2.stop()
+    assert state["fails"] == 1
+    assert state["rows"] == spark.read.parquet(src_dir).count()
+
+
+def test_rate_source_smoke(spark):
+    df = RateSource(rows_per_second=100).read(spark)
+    assert df.isStreaming
+    out = run_stream_to_completion(df, pipe, trigger={"availableNow": True})
+    assert out.columns == ["timestamp", "value"]
+
+
+def test_chain_composition(spark):
+    src = MemorySource([(i,) for i in range(10)], schema="id long")
+    h = chain(
+        lambda df: df.withColumn("x", F.col("id") * 2),
+        lambda df: df.filter(F.col("x") >= 10),
+    )
+    assert Pipeline(src, MemorySink(name="chain_out"), transforms=[h]).dataframe(
+        spark
+    ).count() == 5
