@@ -1,0 +1,211 @@
+"""Text-analysis column expressions for the training-data pipeline.
+
+Everything here is a pure Column expression (JVM-side, whole-stage
+codegen) — no Python executes per row. The reference's only text
+operation is byte-level line splitting (reference x/scanner/scanner.go:90-105)
+and JSON/XML normalization (reference types.go:163-167,
+x/windows/windows_event.go:57-139); the tokenize / shingle / hash /
+quality surface below is the LLM-data-pipeline extension the north star
+requires, designed so every helper has an exact DuckDB SQL counterpart
+(used by the oracle gate).
+
+Cross-engine determinism: the only hash function both engines share
+bit-for-bit is MD5, so every hash here is a 56-bit integer derived from
+an MD5 hex prefix (:func:`hash56`) — deterministic across engines,
+partitionings, and cluster sizes. 56 bits keeps the value inside a
+signed 64-bit long (no overflow in either engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish pretokenizer: letter runs, digit runs, single non-space symbol.
+# Same regex runs in DuckDB's regexp_extract_all (RE2) and Spark (Java
+# util.regex) — only constructs valid in both are used.
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+# Plain word tokens (letters/digits runs) — the default for shingling.
+WORD_RE = "[a-z0-9]+"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def norm_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), "\\s+", " "))
+
+
+def tokens(col: Column | str, pattern: str = WORD_RE) -> Column:
+    """Lowercased token array via regexp scan (array<string>)."""
+    return F.regexp_extract_all(F.lower(_c(col)), F.lit(pattern), 0)
+
+
+def oracle_tokens(expr: str, pattern: str = WORD_RE) -> str:
+    return f"regexp_extract_all(lower({expr}), '{pattern}')"
+
+
+def shingles(toks: Column, k: int = 3) -> Column:
+    """Word k-gram shingles of a token array (array<string>).
+
+    Guarded so docs shorter than k yield an empty array (Spark's
+    ``sequence(1, n)`` would otherwise count *down* for n < 1).
+    """
+    n = F.size(toks)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        )
+    )
+
+
+def oracle_shingles(toks_expr: str, k: int = 3) -> str:
+    # generate_series(1, 0) is already [] in DuckDB — no guard needed.
+    return (
+        f"list_transform(generate_series(1, len({toks_expr}) - {k - 1}), "
+        f"i -> array_to_string(({toks_expr})[i:i+{k - 1}], ' '))"
+    )
+
+
+def hash56(col: Column, seed: Column | int | None = None) -> Column:
+    """Deterministic 56-bit hash shared bit-for-bit with DuckDB.
+
+    ``bigint(md5(seed || ':' || s)[:14 hex])`` — MD5 is the one hash both
+    engines implement identically; 14 hex chars = 56 bits < 2^63.
+    """
+    s = _c(col)
+    if seed is not None:
+        seedc = F.lit(seed) if isinstance(seed, int) else seed
+        s = F.concat(seedc.cast("string"), F.lit(":"), s)
+    return F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("bigint")
+
+
+def oracle_hash56(expr: str, seed: str | int | None = None) -> str:
+    s = expr if seed is None else f"CAST({seed} AS VARCHAR) || ':' || ({expr})"
+    return f"CAST('0x' || substr(md5({s}), 1, 14) AS BIGINT)"
+
+
+# MinHash permutation family: h_i(x) = (A[i] * h31(x) + B[i]) mod P over
+# a 31-bit md5-derived base hash — ONE md5 per shingle total, then cheap
+# integer ops per permutation. A[i]*h31 < 2^31 * 2^31 = 2^62, so no
+# signed-64 overflow in either engine. Constants come from a fixed seed
+# so Spark and the DuckDB oracle embed identical literals.
+MINHASH_P = 2147483659  # prime > 2^31
+_MINHASH_MOD = 1 << 31
+
+
+def minhash_params(num_hashes: int = 32) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(42)
+    return [
+        (rng.randrange(1, _MINHASH_MOD), rng.randrange(0, _MINHASH_MOD))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_base(col: Column) -> Column:
+    """31-bit base hash of a shingle (one md5, shared with DuckDB)."""
+    return hash56(col) % _MINHASH_MOD
+
+
+def oracle_minhash_base(expr: str) -> str:
+    return f"({oracle_hash56(expr)} % {_MINHASH_MOD})"
+
+
+def minhash_perm(h31: Column, a: int, b: int) -> Column:
+    return (F.lit(a).cast("bigint") * h31 + F.lit(b)) % F.lit(MINHASH_P)
+
+
+def oracle_minhash_perm(h31_expr: str, a: int, b: int) -> str:
+    return f"(({a}::BIGINT * {h31_expr} + {b}) % {MINHASH_P})"
+
+
+def _bit(h: Column, b: Column) -> Column:
+    """Bit ``b`` (column) of long ``h`` — shiftright via call_function
+    because the PySpark wrapper only takes a literal shift amount."""
+    return F.call_function("shiftright", h, b.cast("int")).bitwiseAND(F.lit(1))
+
+
+def simhash(toks: Column, bits: int = 56) -> Column:
+    """SimHash fingerprint (``bits``-bit, default 56 to stay cross-engine).
+
+    Classic Charikar simhash over the *distinct* token set: each token
+    votes +1/-1 per bit position of its hash56; the fingerprint sets the
+    bits with positive tally. Near-duplicate docs differ in few bits
+    (compare with :func:`hamming56`).
+    """
+    hashes = F.transform(F.array_distinct(toks), lambda t: hash56(t))
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc
+        + F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda a2, h: a2 + F.when(_bit(h, b) == 1, 1).otherwise(-1),
+            )
+            > 0,
+            F.call_function("shiftleft", F.lit(1).cast("bigint"), b.cast("int")),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+
+
+def oracle_simhash(toks_expr: str, bits: int = 56) -> str:
+    h = oracle_hash56("t")
+    return f"""list_sum(list_transform(generate_series(0, {bits - 1}),
+        b -> CASE WHEN list_sum(list_transform(list_distinct({toks_expr}),
+               t -> CASE WHEN (({h}) >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+             THEN (1::BIGINT << b) ELSE 0::BIGINT END))"""
+
+
+def hamming56(a: Column, b: Column) -> Column:
+    """Hamming distance between two 56-bit fingerprints (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on"),
+    "de": ("der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "de", "un", "une", "pour", "dans"),
+    "es": ("el", "la", "los", "y", "es", "de", "un", "una", "para", "en"),
+    "zh": ("de", "shi", "zai", "he", "le", "wo", "ni", "ta", "men", "zhe"),
+}
+
+
+def stopword_overlap(toks: Column, lang: str) -> Column:
+    """Count of tokens that are stopwords of ``lang`` (with multiplicity)."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def oracle_stopword_overlap(toks_expr: str, lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({toks_expr}, t -> list_contains([{lst}], t)))"
+
+
+def quality_features(text_col: Column | str) -> dict[str, Column]:
+    """Quality-scoring feature set (all exact-integer or exact-ratio).
+
+    Ratios are single IEEE divisions of identical integer operands in
+    both engines → bit-identical, no rounding needed.
+    """
+    t = _c(text_col)
+    toks = tokens(t)
+    n_char = F.length(t)
+    n_tok = F.size(toks)
+    return {
+        "n_char": n_char.cast("bigint"),
+        "n_tok": n_tok.cast("bigint"),
+        "n_uniq_tok": F.size(F.array_distinct(toks)).cast("bigint"),
+        "mean_tok_len": F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x))
+        / F.greatest(n_tok, F.lit(1)),
+        "digit_ratio": F.length(F.regexp_replace(t, "[^0-9]", "")) / F.greatest(n_char, F.lit(1)),
+        "punct_ratio": F.length(F.regexp_replace(t, "[a-zA-Z0-9\\s]", ""))
+        / F.greatest(n_char, F.lit(1)),
+        "uniq_ratio": F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1)),
+    }

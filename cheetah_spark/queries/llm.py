@@ -1,0 +1,730 @@
+"""LLM-training-data pipeline operators: dedup family, similarity
+search, text analysis, UDF surface.
+
+The reference framework has no analytics operators at all (SURVEY.md
+§2A: the only compute hook is the 1→N Handler, reference
+types.go:122-135); this module is the north-star extension surface,
+built Spark-first:
+
+- every hash is the cross-engine :func:`~cheetah_spark.functions.text.hash56`
+  (md5-prefix) so DuckDB oracles verify the FULL pipeline, not a proxy;
+- candidate generation is always hash-bucket shuffles (MinHash bands,
+  sign-LSH bands), never O(n²) cross joins — the exact-pair variants
+  here that do cross-join are fixture-scale oracle companions, each
+  paired with the banded scale path;
+- everything except the two declared Pandas-UDF operators is pure
+  Column expression → whole-stage codegen, zero Python in the hot loop.
+
+Scale notes per operator are inline.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cheetah_spark.catalog import load_table
+from cheetah_spark.functions import text as X
+from cheetah_spark.functions import vectors as V
+from cheetah_spark.queries._util import davg, oracle_davg
+from cheetah_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_llm_text_stats",
+    oracle=f"""
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               SUM(len({X.oracle_tokens("text", X.TOKEN_RE)})) AS total_tokens,
+               {oracle_davg("n_chars")} AS avg_chars,
+               MAX(n_chars) AS max_chars,
+               SUM(len(list_distinct({X.oracle_tokens("text")}))) AS total_uniq_words
+        FROM documents
+        GROUP BY lang, source
+    """,
+    tags=("llm", "text"),
+)
+def q_llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per (lang, source): doc counts, BPE-ish token
+    totals, char stats, vocabulary size. Pure map-side expressions +
+    one hash aggregate — at 100 TB this is a single shuffle of
+    (lang,source) partial aggregates."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(X.tokens(F.col("text"), X.TOKEN_RE))).alias("total_tokens"),
+        davg("n_chars").alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum(F.size(F.array_distinct(X.tokens(F.col("text"))))).alias("total_uniq_words"),
+    )
+
+
+@register(
+    "q_llm_token_count",
+    oracle=f"""
+        SELECT doc_id,
+               len(string_split_regex(text, '\\s+')) AS n_ws_tokens,
+               len({X.oracle_tokens("text", X.TOKEN_RE)}) AS n_bpe_tokens,
+               len({X.oracle_tokens("text")}) AS n_words,
+               n_chars::DOUBLE / greatest(len({X.oracle_tokens("text", X.TOKEN_RE)}), 1)
+                   AS chars_per_token
+        FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def q_llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, BPE-ish regex
+    pretokenizer, word tokens — plus chars/token (the standard
+    heuristic ratio for LLM data budgeting). Map-only, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    bpe = F.size(X.tokens(F.col("text"), X.TOKEN_RE))
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", r"\s+")).alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        F.size(X.tokens(F.col("text"))).alias("n_words"),
+        (F.col("n_chars").cast("double") / F.greatest(bpe, F.lit(1))).alias("chars_per_token"),
+    )
+
+
+def _lang_scores_spark(toks):
+    return {lang: X.stopword_overlap(toks, lang) for lang in X.STOPWORDS}
+
+
+@register(
+    "q_llm_lang_id",
+    oracle=(
+        lambda scores: f"""
+        WITH scored AS (
+            SELECT lang, {", ".join(f"{expr} AS s_{lang}" for lang, expr in scores.items())}
+            FROM documents
+        ), pred AS (
+            SELECT lang,
+                   CASE {" ".join(f"WHEN s_{lg} = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN '{lg}'" for lg in ("en", "de", "fr", "es", "zh"))}
+                   END AS pred_lang
+            FROM scored
+        )
+        SELECT lang, pred_lang, COUNT(*) AS n FROM pred GROUP BY lang, pred_lang
+    """
+    )({lang: X.oracle_stopword_overlap(X.oracle_tokens("text"), lang) for lang in X.STOPWORDS}),
+    tags=("llm", "text"),
+)
+def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-heuristic language ID: score each doc against per-language
+    stopword lists (token overlap with multiplicity), argmax with a
+    fixed preference order as the deterministic tiebreaker; output the
+    lang × predicted-lang confusion matrix. Map + one small shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    scores = _lang_scores_spark(toks)
+    scored = d.select("lang", *[c.alias(f"s_{lang}") for lang, c in scores.items()])
+    mx = F.greatest(*[F.col(f"s_{lang}") for lang in X.STOPWORDS])
+    pred = F.when(F.col("s_en") == mx, "en")
+    for lg in ("de", "fr", "es", "zh"):
+        pred = pred.when(F.col(f"s_{lg}") == mx, lg)
+    return scored.select("lang", pred.alias("pred_lang")).groupBy("lang", "pred_lang").agg(
+        F.count("*").alias("n")
+    )
+
+
+_QW = {"len": 0.3, "uniq": 0.4, "alpha": 0.3}  # quality score weights
+
+
+@register(
+    "q_llm_quality_score",
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   n_chars::BIGINT AS n_char,
+                   len({X.oracle_tokens("text")})::BIGINT AS n_tok,
+                   len(list_distinct({X.oracle_tokens("text")}))::BIGINT AS n_uniq_tok,
+                   length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+                       / greatest(n_chars, 1) AS digit_ratio,
+                   length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE
+                       / greatest(n_chars, 1) AS punct_ratio,
+                   len(list_distinct({X.oracle_tokens("text")}))::DOUBLE
+                       / greatest(len({X.oracle_tokens("text")}), 1) AS uniq_ratio
+            FROM documents
+        )
+        SELECT doc_id, n_char, n_tok, n_uniq_tok, digit_ratio, punct_ratio, uniq_ratio,
+               ({_QW["len"]} * least(n_tok, 200)::DOUBLE / 200
+                + {_QW["uniq"]} * uniq_ratio
+                + {_QW["alpha"]} * (1.0 - digit_ratio - punct_ratio)) AS quality,
+               (({_QW["len"]} * least(n_tok, 200)::DOUBLE / 200
+                + {_QW["uniq"]} * uniq_ratio
+                + {_QW["alpha"]} * (1.0 - digit_ratio - punct_ratio)) >= 0.5) AS keep
+        FROM feats
+    """,
+    tags=("llm", "text"),
+)
+def q_llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (Gopher/C4-style filters): length,
+    uniqueness and symbol ratios combined into a fixed-order weighted
+    score with a keep/drop flag. All ratios are single IEEE divisions
+    of identical integer operands → bit-identical across engines; the
+    score sums three doubles in a fixed order → also bit-identical.
+    Map-only: at 100 TB this is a pure scan-filter, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    ft = X.quality_features(F.col("text"))
+    quality = (
+        F.lit(_QW["len"]) * F.least(ft["n_tok"], F.lit(200)).cast("double") / 200
+        + F.lit(_QW["uniq"]) * ft["uniq_ratio"]
+        + F.lit(_QW["alpha"]) * (F.lit(1.0) - ft["digit_ratio"] - ft["punct_ratio"])
+    )
+    return d.select(
+        "doc_id",
+        ft["n_char"].alias("n_char"),
+        ft["n_tok"].alias("n_tok"),
+        ft["n_uniq_tok"].alias("n_uniq_tok"),
+        ft["digit_ratio"].alias("digit_ratio"),
+        ft["punct_ratio"].alias("punct_ratio"),
+        ft["uniq_ratio"].alias("uniq_ratio"),
+        quality.alias("quality"),
+        (quality >= 0.5).alias("keep"),
+    )
+
+
+@register(
+    "q_llm_fingerprint",
+    oracle=f"""
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_fp,
+               {X.oracle_hash56(f"array_to_string(({X.oracle_tokens('text')})[1:8], ' ')")}
+                   AS prefix_fp,
+               {X.oracle_simhash(X.oracle_tokens("text"))} AS simhash_fp
+        FROM documents
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting three ways: full-content md5 of
+    normalized text, 8-token-prefix rolling hash, and 56-bit SimHash.
+    Map-only expressions; fingerprints are the join/group keys for
+    every dedup strategy downstream."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.md5(X.norm_text(F.col("text"))).alias("content_fp"),
+        X.hash56(F.array_join(F.slice(toks, 1, 8), " ")).alias("prefix_fp"),
+        X.simhash(toks).alias("simhash_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_llm_exact_dedup",
+    oracle="""
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_fp,
+               MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    tags=("llm", "dedup"),
+)
+def q_llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint: hash-groupBy on md5 of
+    normalized text, keeping the lowest doc_id per group. One shuffle
+    on a uniformly-distributed 128-bit key — the canonical 100 TB
+    dedup plan (no sort, no window; partial-agg combines map-side)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(X.norm_text(F.col("text"))).alias("content_fp"), "doc_id")
+        .groupBy("content_fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+_MH_HASHES = 32
+_MH_BANDS = 8
+_MH_ROWS = _MH_HASHES // _MH_BANDS  # 4 rows per band
+
+
+_MH_PARAMS = X.minhash_params(_MH_HASHES)
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig array<bigint>[32]) via explode + 32 partial-agg mins.
+
+    One md5 per distinct shingle TOTAL (the permutations are integer
+    ops), aggregated map-side before the single doc_id shuffle — the
+    formulation that survives 100 TB (the naive
+    transform-of-transform expression recomputes md5 per permutation
+    and was 30× slower at fixture scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    ex = d.select(
+        "doc_id", F.explode(F.array_distinct(X.shingles(toks, 3))).alias("s")
+    ).select("doc_id", X.minhash_base(F.col("s")).alias("h"))
+    mins = [
+        F.min(X.minhash_perm(F.col("h"), a, b)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_MH_PARAMS)
+    ]
+    return (
+        ex.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[F.col(f"m{i}") for i in range(_MH_HASHES)]).alias("sig"))
+    )
+
+
+def _oracle_minhash_sigs() -> str:
+    sh = X.oracle_shingles(X.oracle_tokens("text"), 3)
+    perms = ", ".join(
+        f"MIN({X.oracle_minhash_perm('h', a, b)})" for a, b in _MH_PARAMS
+    )
+    return f"""
+        SELECT doc_id, [{perms}] AS sig
+        FROM (SELECT doc_id, {X.oracle_minhash_base("s")} AS h
+              FROM (SELECT doc_id, unnest(list_distinct({sh})) AS s FROM documents))
+        GROUP BY doc_id"""
+
+
+@register(
+    "q_llm_minhash_dedup",
+    oracle=f"""
+        WITH sigs AS ({_oracle_minhash_sigs()}),
+        bands AS (
+            SELECT doc_id,
+                   b,
+                   md5(array_to_string(sig[b * {_MH_ROWS} + 1 : b * {_MH_ROWS} + {_MH_ROWS}], ','))
+                       AS bucket
+            FROM sigs, (SELECT unnest(generate_series(0, {_MH_BANDS - 1})) AS b)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b
+            FROM bands a JOIN bands c ON a.b = c.b AND a.bucket = c.bucket
+            WHERE a.doc_id < c.doc_id
+        )
+        SELECT cand.doc_id_a, cand.doc_id_b,
+               list_sum(list_transform(generate_series(1, {_MH_HASHES}),
+                   i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))::DOUBLE
+                   / {_MH_HASHES} AS est_jaccard
+        FROM cand
+        JOIN sigs sa ON sa.doc_id = cand.doc_id_a
+        JOIN sigs sb ON sb.doc_id = cand.doc_id_b
+        WHERE list_sum(list_transform(generate_series(1, {_MH_HASHES}),
+                   i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))::DOUBLE
+                   / {_MH_HASHES} >= 0.5
+    """,
+    tags=("llm", "dedup"),
+)
+def q_llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate detection, the full scale path:
+
+    shingle(3-gram) → 32-hash MinHash signature (map-only codegen) →
+    8 bands × 4 rows, banded by md5 of the band slice → shuffle on
+    (band, bucket) self-join for candidates (NO cross join: cost is
+    O(sum of bucket sizes²), linear for non-adversarial data) →
+    signature-agreement estimate of Jaccard, keep pairs ≥ 0.5.
+
+    At 100 TB the band join is the only shuffle; the signature join
+    back is two hash joins on doc_id. Bucket keys are 128-bit md5 →
+    uniform; AQE skew-join splits any hot bucket."""
+    sigs = _minhash_sigs(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_MH_BANDS - 1))).alias("b"),
+        F.col("sig"),
+    ).select(
+        "doc_id",
+        "b",
+        F.md5(
+            F.array_join(
+                F.slice(F.col("sig"), F.col("b") * _MH_ROWS + 1, _MH_ROWS), ","
+            )
+        ).alias("bucket"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("c"), on=["b", "bucket"])
+        .where(F.col("a.doc_id") < F.col("c.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("c.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_id_b"), F.col("sig").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("double") / F.lit(_MH_HASHES)
+    return (
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= 0.5)
+    )
+
+
+@register(
+    "q_llm_ngram_jaccard",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   list_distinct({X.oracle_shingles(X.oracle_tokens("text"), 3)}) AS sh
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / greatest(len(list_distinct(a.sh || b.sh)), 1) AS jaccard
+        FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / greatest(len(list_distinct(a.sh || b.sh)), 1) >= 0.5
+    """,
+    tags=("llm", "dedup"),
+)
+def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity on distinct 3-shingle sets for
+    same-source candidate pairs (ratio of exact ints → bit-identical).
+
+    This is the exact companion to q_llm_minhash_dedup: the blocked
+    self-join on `source` bounds the pair space at fixture scale; the
+    production path for unblocked corpora is the MinHash-banded
+    candidate generation, rerank with this exact expression."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    t = d.select(
+        "doc_id", "source", F.array_distinct(X.shingles(toks, 3)).alias("sh")
+    )
+    a = t.select(F.col("doc_id").alias("doc_id_a"), "source", F.col("sh").alias("sh_a"))
+    b = t.select(F.col("doc_id").alias("doc_id_b"), "source", F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.greatest(
+        F.size(F.array_distinct(F.concat("sh_a", "sh_b"))), F.lit(1)
+    )
+    return (
+        a.join(b, "source")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+_SH_K = 3  # max hamming distance
+_SH_BLOCKS = _SH_K + 1  # pigeonhole: ≤k differing bits → ≥1 equal block
+_SH_BLOCK_BITS = 14  # 4 × 14 = 56 bits
+
+
+@register(
+    "q_llm_simhash_dedup",
+    oracle=f"""
+        WITH fp AS (
+            SELECT doc_id, {X.oracle_simhash(X.oracle_tokens("text"))} AS simh
+            FROM documents
+        ),
+        blocks AS (
+            SELECT doc_id, simh, blk,
+                   (simh >> (blk * {_SH_BLOCK_BITS})) & {(1 << _SH_BLOCK_BITS) - 1} AS bval
+            FROM fp, (SELECT unnest(generate_series(0, {_SH_BLOCKS - 1})) AS blk)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   a.simh AS simh_a, b.simh AS simh_b
+            FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.bval = b.bval
+            WHERE a.doc_id < b.doc_id
+        )
+        SELECT doc_id_a, doc_id_b, bit_count(xor(simh_a, simh_b)) AS hamming
+        FROM cand
+        WHERE bit_count(xor(simh_a, simh_b)) <= {_SH_K}
+    """,
+    tags=("llm", "dedup"),
+)
+def q_llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dedup at scale: 56-bit fingerprints, pairs within
+    Hamming distance 3 found by pigeonhole blocking — split the code
+    into k+1=4 blocks of 14 bits; any pair within distance k agrees on
+    ≥1 whole block, so candidates come from an equi-join on
+    (block, value) — the same bucket-shuffle shape as MinHash banding,
+    never an O(n²) cross join. Exact bit_count(xor) reranks candidates.
+    Guaranteed lossless for the distance bound (pigeonhole, not
+    probabilistic)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", X.simhash(X.tokens(F.col("text"))).alias("simh"))
+    mask = (1 << _SH_BLOCK_BITS) - 1
+    blocks = fp.select(
+        "doc_id",
+        "simh",
+        F.explode(F.sequence(F.lit(0), F.lit(_SH_BLOCKS - 1))).alias("blk"),
+    ).select(
+        "doc_id",
+        "simh",
+        "blk",
+        F.call_function("shiftright", F.col("simh"), (F.col("blk") * _SH_BLOCK_BITS).cast("int"))
+        .bitwiseAND(F.lit(mask))
+        .alias("bval"),
+    )
+    a = blocks.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("simh").alias("simh_a"), "blk", "bval"
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("simh").alias("simh_b"), "blk", "bval"
+    )
+    cand = (
+        a.join(b, on=["blk", "bval"])
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", "simh_a", "simh_b")
+        .distinct()
+    )
+    ham = X.hamming56(F.col("simh_a"), F.col("simh_b"))
+    return cand.select("doc_id_a", "doc_id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= _SH_K
+    )
+
+
+@register(
+    "q_llm_embed_dedup",
+    oracle=f"""
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+               {V.oracle_cosine("a.embedding", "b.embedding")} AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {V.oracle_cosine("a.embedding", "b.embedding")} >= 0.4
+    """,
+    tags=("llm", "dedup", "vector"),
+)
+def q_llm_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.4 on the
+    fixture distribution). Cosine accumulates doubles sequentially →
+    bit-identical with the DuckDB oracle, no rounding. Fixture-scale
+    exact pairing; the scale path is q_llm_ann_lsh's sign-LSH banding
+    with this exact cosine as the rerank."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b", V.cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_TOPK = 5
+_QUERY_MOD = 100  # vec_id % _QUERY_MOD == 0 → query set (~1% of corpus)
+
+
+@register(
+    "q_llm_similarity_topk",
+    oracle=f"""
+        WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % {_QUERY_MOD} = 0),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {V.oracle_cosine("q.embedding", "c.embedding")} AS cos_sim
+            FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= {_TOPK}
+    """,
+    tags=("llm", "vector"),
+)
+def q_llm_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the small query set against
+    the corpus scan (embarrassingly parallel, no corpus shuffle), rank
+    per query with a vec_id tiebreaker.
+
+    Scale: |Q|×|C| similarity rows are never materialized wide — the
+    window shuffles only (query_id) keys; for large |Q| use
+    q_llm_ann_bruteforce (vectorized partial top-k: shuffles k rows
+    per query per partition instead of |C|)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    joined = F.broadcast(q).crossJoin(
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "query_id", "neighbor_id", V.cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= _TOPK)
+
+
+def _topk_schema() -> str:
+    return "query_id long, neighbor_id long, cos_sim double"
+
+
+@register("q_llm_ann_bruteforce", tags=("llm", "vector", "rows-only"))
+def q_llm_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized brute-force ANN — the 100 TB exact path.
+
+    The query set (small by construction) ships to every partition
+    inside the Arrow-serialized closure; each mapInPandas batch does
+    one numpy matmul (queries × batch) and emits only its LOCAL top-k
+    per query, so the global shuffle carries k rows per (query,
+    partition) instead of |C| rows per query. A final window takes the
+    global top-k. Verified equal to q_llm_similarity_topk in
+    tests/test_llm.py (stronger than the rows-only driver check).
+    """
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        e.where(F.col("vec_id") % _QUERY_MOD == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # small query set: bounded by construction, broadcast via closure
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qm = np.array([r.embedding for r in qrows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    k = _TOPK + 1  # +1: the query row itself may be in-batch
+
+    def local_topk(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            vm = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            vm /= np.linalg.norm(vm, axis=1, keepdims=True)
+            sims = qm @ vm.T  # |Q| × batch
+            take = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            out = {
+                "query_id": np.repeat(qids, take),
+                "neighbor_id": ids[idx].ravel(),
+                "cos_sim": np.take_along_axis(sims, idx, axis=1).ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    local = e.select("vec_id", "embedding").mapInPandas(local_topk, schema=_topk_schema())
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        local.where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TOPK)
+    )
+
+
+_LSH_BANDS = 16
+_LSH_BITS = 4
+
+
+@register("q_llm_ann_lsh", tags=("llm", "vector", "rows-only"))
+def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via sign-LSH banding + exact rerank.
+
+    Each vector gets 16 band-bucket ids from 4-bit random-hyperplane
+    sketches (deterministic hash-derived hyperplanes — reproducible on
+    any cluster, no fitted model). Candidates = query/corpus pairs
+    sharing any (band, bucket); shuffle cost is linear in collisions,
+    never O(|Q|×|C|). Exact cosine reranks candidates; recall vs the
+    exact top-k is measured in tests/test_llm.py (0.92 at fixture
+    scale).
+
+    Band sizing note: the fixture embeddings are near-uniform (top-k
+    sims ≈ 0.3–0.5), the hardest case for LSH — 16×4 trades a wide
+    candidate set for recall. On real near-dup corpora (target sims
+    ≥ 0.8, e.g. the embed_dedup use case) fewer/wider bands (8×8)
+    collapse the candidate set to ~the true duplicates."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bands = [
+        V.sign_lsh_bucket(F.col("embedding"), band, _LSH_BITS).alias(f"bk_{band}")
+        for band in range(_LSH_BANDS)
+    ]
+    tagged = e.select("vec_id", "embedding", *bands)
+    melted = tagged.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(band).alias("band"), F.col(f"bk_{band}").alias("bucket"))
+                for band in range(_LSH_BANDS)
+            ])
+        ).alias("bb"),
+    ).select("vec_id", "embedding", "bb.band", "bb.bucket")
+    q = melted.where(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "band", "bucket"
+    )
+    cand = (
+        F.broadcast(q)
+        .join(
+            melted.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "band", "bucket"
+            ),
+            on=["band", "bucket"],
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", V.cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= _TOPK)
+
+
+# ---------------------------------------------------------------------------
+# UDF surface (Python / pandas / grouped-map parity)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_udf_surface",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, len({X.oracle_tokens("text", X.TOKEN_RE)})::BIGINT AS n_tok
+            FROM documents
+        )
+        SELECT doc_id, lang, n_tok,
+               SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id)::BIGINT AS cum_tok,
+               (SUM(n_tok) OVER (PARTITION BY lang))::DOUBLE
+                   / (COUNT(*) OVER (PARTITION BY lang)) AS lang_mean_tok
+        FROM t
+    """,
+    tags=("llm", "udf"),
+)
+def q_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF-surface parity: an Arrow-batched scalar pandas UDF (BPE-ish
+    token count, vectorized regex over each batch) feeding an
+    applyInPandas grouped-map (per-language running token budget +
+    group mean). All outputs are exact ints or single IEEE divisions,
+    so the SQL-window oracle hash-matches despite the Python path.
+
+    This is the declared slow path: everything else in this module is
+    pure Column expression; these two hooks exist because the reference
+    Handler surface (types.go:122-135) allows arbitrary user code."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    pat = re.compile(X.TOKEN_RE)
+
+    @pandas_udf("bigint")
+    def bpe_count(s: pd.Series) -> pd.Series:
+        return s.str.lower().map(lambda t: len(pat.findall(t)))
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", bpe_count(F.col("text")).alias("n_tok")
+    )
+
+    def per_lang(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        pdf["cum_tok"] = pdf["n_tok"].cumsum()
+        pdf["lang_mean_tok"] = float(pdf["n_tok"].sum()) / len(pdf)
+        return pdf
+
+    return d.groupBy("lang").applyInPandas(
+        per_lang, schema="doc_id long, lang string, n_tok long, cum_tok long, lang_mean_tok double"
+    )

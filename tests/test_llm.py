@@ -1,0 +1,45 @@
+"""LLM-operator tests beyond the oracle gate: the vectorized ANN path
+must EQUAL the exact expression path, and the LSH path must hit high
+recall on the fixture distribution (rows-only queries get only a smoke
+run from the driver, so the strong checks live here)."""
+
+from __future__ import annotations
+
+from cheetah_spark.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def _pairs(df, cols=("query_id", "neighbor_id")):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_ann_bruteforce_equals_exact(spark, sf_dir):
+    exact = REGISTRY["q_llm_similarity_topk"].fn(spark, sf_dir)
+    vec = REGISTRY["q_llm_ann_bruteforce"].fn(spark, sf_dir)
+    e = {(r.query_id, r.neighbor_id, r.rk, round(r.cos_sim, 9)) for r in exact.collect()}
+    v = {(r.query_id, r.neighbor_id, r.rk, round(r.cos_sim, 9)) for r in vec.collect()}
+    assert e == v
+
+
+def test_ann_lsh_recall(spark, sf_dir):
+    exact = _pairs(REGISTRY["q_llm_similarity_topk"].fn(spark, sf_dir))
+    approx = _pairs(REGISTRY["q_llm_ann_lsh"].fn(spark, sf_dir))
+    recall = len(exact & approx) / len(exact)
+    # sign-LSH with 8 bands × 8 bits on 64-dim uniform fixtures: most of
+    # the true top-k must surface; exact threshold is distribution-bound.
+    assert recall >= 0.6, f"LSH recall too low: {recall:.2f}"
+
+
+def test_minhash_finds_planted_near_dups(spark, sf_dir):
+    """The fixtures plant ~25 near-dup pairs (Jaccard ≥ 0.9); the banded
+    MinHash path must surface them all (est_jaccard ≥ 0.5 cut)."""
+    mh = REGISTRY["q_llm_minhash_dedup"].fn(spark, sf_dir)
+    got = {(r.doc_id_a, r.doc_id_b) for r in mh.collect()}
+    truth = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in REGISTRY["q_llm_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    # ngram_jaccard blocks by source; every truth pair it finds must be
+    # recovered by the unblocked banded path.
+    assert truth <= got, f"missed planted pairs: {truth - got}"
