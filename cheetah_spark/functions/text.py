@@ -124,43 +124,64 @@ def oracle_minhash_perm(h31_expr: str, a: int, b: int) -> str:
     return f"(({a}::BIGINT * {h31_expr} + {b}) % {MINHASH_P})"
 
 
-def _bit(h: Column, b: Column) -> Column:
-    """Bit ``b`` (column) of long ``h`` — shiftright via call_function
-    because the PySpark wrapper only takes a literal shift amount."""
-    return F.call_function("shiftright", h, b.cast("int")).bitwiseAND(F.lit(1))
+# SimHash (Charikar) over the distinct token set: each token votes
+# +1/-1 per bit position of its hash56; the fingerprint sets bits with
+# positive tally. Computed as explode → 56 partial-agg SUMs → bit
+# reassembly: one md5 per distinct token TOTAL, map-side combine, one
+# doc_id shuffle. (A nested higher-order-function formulation recomputes
+# the token hashes once per bit — 56× the md5 work — and was the top
+# bench hotspot before this shape.)
+
+SIMHASH_BITS = 56  # md5-prefix hash width; keeps values in signed 64-bit
 
 
-def simhash(toks: Column, bits: int = 56) -> Column:
-    """SimHash fingerprint (``bits``-bit, default 56 to stay cross-engine).
+def simhash_tally_aggs(h: str = "h", bits: int = SIMHASH_BITS) -> list[Column]:
+    """One SUM aggregate per bit over exploded (doc, token-hash) rows."""
+    return [
+        F.sum(
+            F.when(F.shiftright(F.col(h), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"sh_t{b}")
+        for b in range(bits)
+    ]
 
-    Classic Charikar simhash over the *distinct* token set: each token
-    votes +1/-1 per bit position of its hash56; the fingerprint sets the
-    bits with positive tally. Near-duplicate docs differ in few bits
-    (compare with :func:`hamming56`).
-    """
-    hashes = F.transform(F.array_distinct(toks), lambda t: hash56(t))
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0).cast("bigint"),
-        lambda acc, b: acc
-        + F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda a2, h: a2 + F.when(_bit(h, b) == 1, 1).otherwise(-1),
-            )
-            > 0,
-            F.call_function("shiftleft", F.lit(1).cast("bigint"), b.cast("int")),
-        ).otherwise(F.lit(0).cast("bigint")),
+
+def simhash_from_tallies(bits: int = SIMHASH_BITS) -> Column:
+    """Reassemble the fingerprint long from the per-bit tally columns."""
+    expr: Column | None = None
+    for b in range(bits):
+        term = F.when(F.col(f"sh_t{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        expr = term if expr is None else expr + term
+    assert expr is not None
+    return expr
+
+
+def simhash_df(docs, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS):
+    """(id, simh) DataFrame via the explode + tally-agg plan."""
+    ex = docs.select(
+        id_col, F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t")
+    ).select(id_col, hash56(F.col("t")).alias("h"))
+    return (
+        ex.groupBy(id_col)
+        .agg(*simhash_tally_aggs("h", bits))
+        .select(id_col, simhash_from_tallies(bits).alias("simh"))
     )
 
 
-def oracle_simhash(toks_expr: str, bits: int = 56) -> str:
+def oracle_simhash_per_doc(bits: int = SIMHASH_BITS, table: str = "documents") -> str:
+    """DuckDB mirror of :func:`simhash_df`: SELECT doc_id, simh."""
     h = oracle_hash56("t")
-    return f"""list_sum(list_transform(generate_series(0, {bits - 1}),
-        b -> CASE WHEN list_sum(list_transform(list_distinct({toks_expr}),
-               t -> CASE WHEN (({h}) >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-             THEN (1::BIGINT << b) ELSE 0::BIGINT END))"""
+    terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b in range(bits)
+    )
+    return f"""SELECT doc_id, {terms} AS simh
+        FROM (SELECT doc_id, {h} AS h
+              FROM (SELECT doc_id, unnest(list_distinct({oracle_tokens("text")})) AS t
+                    FROM {table}))
+        GROUP BY doc_id"""
 
 
 def hamming56(a: Column, b: Column) -> Column:

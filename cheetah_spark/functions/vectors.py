@@ -44,13 +44,24 @@ def oracle_cosine(a_expr: str, b_expr: str) -> str:
     return f"list_cosine_similarity(CAST({a_expr} AS DOUBLE[]), CAST({b_expr} AS DOUBLE[]))"
 
 
+def _lsh_sign(band: int, bit: int, i: int) -> float:
+    """±1 hyperplane component: parity of md5(f"{band}:{bit}:{i}") —
+    deterministic on any cluster, no random state, no stored model.
+    (Same derivation as text.hash56 & 1, but evaluated in Python at
+    plan-build time so NO hashing runs per row.)"""
+    import hashlib
+
+    h = int(hashlib.md5(f"{band}:{bit}:{i}".encode()).hexdigest()[:14], 16)
+    return 1.0 if h & 1 else -1.0
+
+
 def sign_lsh_bucket(vec: Column, band: int, bits_per_band: int = 8, dim: int = 64) -> Column:
     """Random-hyperplane (sign) LSH bucket id for one band.
 
-    Hyperplane h = (band, bit) has deterministic ±1 components derived
-    from hash56(band:bit:dim_index) — reproducible on any cluster with
-    no random state and no stored model. Bucket id packs the sign bits
-    of ``bits_per_band`` hyperplane projections.
+    Bucket id packs the sign bits of ``bits_per_band`` hyperplane
+    projections; the hyperplane ±1 components are md5-derived literals
+    embedded in the plan (plan-build-time constants → the per-row work
+    is ``bits_per_band`` literal-weighted dot products inside codegen).
 
     Cosine-similar vectors agree on most sign bits, so near-duplicates
     collide in at least one band with high probability; the band bucket
@@ -60,21 +71,11 @@ def sign_lsh_bucket(vec: Column, band: int, bits_per_band: int = 8, dim: int = 6
     v = _d(vec)
     acc = F.lit(0).cast("bigint")
     for bit in range(bits_per_band):
-        # projection = sum_i v[i] * sign(hash56(band:bit:i))
+        signs = F.array(*[F.lit(_lsh_sign(band, bit, i)) for i in range(dim)])
         proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, i: x
-                * F.when(
-                    hash56(F.concat_ws(":", F.lit(band), F.lit(bit), i.cast("string")))
-                    .bitwiseAND(F.lit(1))
-                    == 1,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
+            F.zip_with(v, signs, lambda x, s: x * s), F.lit(0.0), lambda a, x: a + x
         )
-        acc = acc + F.when(proj >= 0, F.lit(1 << bit).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        acc = acc + F.when(proj >= 0, F.lit(1 << bit).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
     return acc

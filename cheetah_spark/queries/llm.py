@@ -193,28 +193,30 @@ def q_llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_llm_fingerprint",
     oracle=f"""
-        SELECT doc_id,
-               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_fp,
-               {X.oracle_hash56(f"array_to_string(({X.oracle_tokens('text')})[1:8], ' ')")}
+        WITH sh AS ({X.oracle_simhash_per_doc()})
+        SELECT d.doc_id,
+               md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS content_fp,
+               {X.oracle_hash56(f"array_to_string(({X.oracle_tokens('d.text')})[1:8], ' ')")}
                    AS prefix_fp,
-               {X.oracle_simhash(X.oracle_tokens("text"))} AS simhash_fp
-        FROM documents
+               sh.simh AS simhash_fp
+        FROM documents d JOIN sh ON d.doc_id = sh.doc_id
     """,
     tags=("llm", "text", "dedup"),
 )
 def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting three ways: full-content md5 of
-    normalized text, 8-token-prefix rolling hash, and 56-bit SimHash.
-    Map-only expressions; fingerprints are the join/group keys for
-    every dedup strategy downstream."""
+    normalized text, 8-token-prefix rolling hash, and 56-bit SimHash
+    (explode/tally plan, joined back on doc_id). Fingerprints are the
+    join/group keys for every dedup strategy downstream."""
     d = load_table(spark, sf_dir, "documents")
     toks = X.tokens(F.col("text"))
-    return d.select(
+    base = d.select(
         "doc_id",
         F.md5(X.norm_text(F.col("text"))).alias("content_fp"),
         X.hash56(F.array_join(F.slice(toks, 1, 8), " ")).alias("prefix_fp"),
-        X.simhash(toks).alias("simhash_fp"),
     )
+    sh = X.simhash_df(d).withColumnRenamed("simh", "simhash_fp")
+    return base.join(sh, "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -372,21 +374,29 @@ def q_llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH t AS (
             SELECT doc_id, source,
-                   list_distinct({X.oracle_shingles(X.oracle_tokens("text"), 3)}) AS sh
+                   list_distinct({X.oracle_shingles(X.oracle_tokens("text"), 3)}) AS sh,
+                   len(list_distinct({X.oracle_shingles(X.oracle_tokens("text"), 3)})) AS n_sh
             FROM documents
         )
         SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
                len(list_intersect(a.sh, b.sh))::DOUBLE
-                   / greatest(len(list_distinct(a.sh || b.sh)), 1) AS jaccard
-        FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+                   / greatest(a.n_sh + b.n_sh - len(list_intersect(a.sh, b.sh)), 1) AS jaccard
+        FROM t a JOIN t b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+         AND a.n_sh <= 2 * b.n_sh AND b.n_sh <= 2 * a.n_sh
         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-                  / greatest(len(list_distinct(a.sh || b.sh)), 1) >= 0.5
+                  / greatest(a.n_sh + b.n_sh - len(list_intersect(a.sh, b.sh)), 1) >= 0.5
     """,
     tags=("llm", "dedup"),
 )
 def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity on distinct 3-shingle sets for
     same-source candidate pairs (ratio of exact ints → bit-identical).
+
+    Pairs are pre-pruned by the size bound jaccard ≤ min(|A|,|B|) /
+    max(|A|,|B|): a 0.5 cut implies set sizes within 2× of each other,
+    so the cheap integer predicate (mirrored in the oracle — it cannot
+    change the result) prunes before any array intersection runs.
 
     This is the exact companion to q_llm_minhash_dedup: the blocked
     self-join on `source` bounds the pair space at fixture scale; the
@@ -396,15 +406,29 @@ def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = X.tokens(F.col("text"))
     t = d.select(
         "doc_id", "source", F.array_distinct(X.shingles(toks, 3)).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    a = t.select(
+        F.col("doc_id").alias("doc_id_a"), "source",
+        F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_sh_a"),
     )
-    a = t.select(F.col("doc_id").alias("doc_id_a"), "source", F.col("sh").alias("sh_a"))
-    b = t.select(F.col("doc_id").alias("doc_id_b"), "source", F.col("sh").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.greatest(
-        F.size(F.array_distinct(F.concat("sh_a", "sh_b"))), F.lit(1)
+    b = t.select(
+        F.col("doc_id").alias("doc_id_b"), "source",
+        F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_sh_b"),
+    )
+    # |A∪B| = |A| + |B| − |A∩B| over distinct sets: ONE array intersect
+    # per pair instead of intersect + concat + distinct (mirrored in the
+    # oracle; identical integers).
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / F.greatest(
+        F.col("n_sh_a") + F.col("n_sh_b") - inter, F.lit(1)
     )
     return (
         a.join(b, "source")
-        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .where(
+            (F.col("doc_id_a") < F.col("doc_id_b"))
+            & (F.col("n_sh_a") <= 2 * F.col("n_sh_b"))
+            & (F.col("n_sh_b") <= 2 * F.col("n_sh_a"))
+        )
         .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= 0.5)
     )
@@ -418,10 +442,7 @@ _SH_BLOCK_BITS = 14  # 4 × 14 = 56 bits
 @register(
     "q_llm_simhash_dedup",
     oracle=f"""
-        WITH fp AS (
-            SELECT doc_id, {X.oracle_simhash(X.oracle_tokens("text"))} AS simh
-            FROM documents
-        ),
+        WITH fp AS ({X.oracle_simhash_per_doc()}),
         blocks AS (
             SELECT doc_id, simh, blk,
                    (simh >> (blk * {_SH_BLOCK_BITS})) & {(1 << _SH_BLOCK_BITS) - 1} AS bval
@@ -449,7 +470,7 @@ def q_llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Guaranteed lossless for the distance bound (pigeonhole, not
     probabilistic)."""
     d = load_table(spark, sf_dir, "documents")
-    fp = d.select("doc_id", X.simhash(X.tokens(F.col("text"))).alias("simh"))
+    fp = X.simhash_df(d)
     mask = (1 << _SH_BLOCK_BITS) - 1
     blocks = fp.select(
         "doc_id",
@@ -494,16 +515,29 @@ def q_llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.4 on the
     fixture distribution). Cosine accumulates doubles sequentially →
-    bit-identical with the DuckDB oracle, no rounding. Fixture-scale
-    exact pairing; the scale path is q_llm_ann_lsh's sign-LSH banding
-    with this exact cosine as the rerank."""
+    bit-identical with the DuckDB oracle, no rounding.
+
+    Squared norms are precomputed per ROW before the pairing (1 dot
+    per pair instead of 3 — dot(a,a)'s value is bit-deterministic, so
+    computing it once vs per-pair cannot change the result). Exact
+    all-pairs is the oracle companion; the scale path is
+    q_llm_ann_lsh's sign-LSH banding with this cosine as the rerank."""
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("vb"))
+    a = e.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("embedding").alias("va"),
+        V.l2_norm_sq(F.col("embedding")).alias("nsq_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("embedding").alias("vb"),
+        V.l2_norm_sq(F.col("embedding")).alias("nsq_b"),
+    )
+    cos = V.dot(F.col("va"), F.col("vb")) / (F.sqrt(F.col("nsq_a")) * F.sqrt(F.col("nsq_b")))
     return (
         a.crossJoin(b)
         .where(F.col("vec_id_a") < F.col("vec_id_b"))
-        .select("vec_id_a", "vec_id_b", V.cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .select("vec_id_a", "vec_id_b", cos.alias("cos_sim"))
         .where(F.col("cos_sim") >= 0.4)
     )
 
@@ -545,14 +579,19 @@ def q_llm_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query per partition instead of |C|)."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") % _QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        V.l2_norm_sq(F.col("embedding")).alias("nsq_q"),
     )
     joined = F.broadcast(q).crossJoin(
-        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+        e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+            V.l2_norm_sq(F.col("embedding")).alias("nsq_c"),
+        )
     ).where(F.col("query_id") != F.col("neighbor_id"))
-    scored = joined.select(
-        "query_id", "neighbor_id", V.cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
-    )
+    cos = V.dot(F.col("qv"), F.col("cv")) / (F.sqrt(F.col("nsq_q")) * F.sqrt(F.col("nsq_c")))
+    scored = joined.select("query_id", "neighbor_id", cos.alias("cos_sim"))
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
@@ -640,35 +679,45 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         V.sign_lsh_bucket(F.col("embedding"), band, _LSH_BITS).alias(f"bk_{band}")
         for band in range(_LSH_BANDS)
     ]
-    tagged = e.select("vec_id", "embedding", *bands)
+    tagged = e.select(
+        "vec_id", "embedding", V.l2_norm_sq(F.col("embedding")).alias("nsq"), *bands
+    )
     melted = tagged.select(
         "vec_id",
         "embedding",
+        "nsq",
         F.explode(
             F.array(*[
                 F.struct(F.lit(band).alias("band"), F.col(f"bk_{band}").alias("bucket"))
                 for band in range(_LSH_BANDS)
             ])
         ).alias("bb"),
-    ).select("vec_id", "embedding", "bb.band", "bb.bucket")
+    ).select("vec_id", "embedding", "nsq", "bb.band", "bb.bucket")
     q = melted.where(F.col("vec_id") % _QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "band", "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nsq").alias("nsq_q"),
+        "band",
+        "bucket",
     )
     cand = (
         F.broadcast(q)
         .join(
             melted.select(
-                F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "band", "bucket"
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("cv"),
+                F.col("nsq").alias("nsq_c"),
+                "band",
+                "bucket",
             ),
             on=["band", "bucket"],
         )
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select("query_id", "neighbor_id", "qv", "cv", "nsq_q", "nsq_c")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.select(
-        "query_id", "neighbor_id", V.cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
-    )
+    cos = V.dot(F.col("qv"), F.col("cv")) / (F.sqrt(F.col("nsq_q")) * F.sqrt(F.col("nsq_c")))
+    scored = cand.select("query_id", "neighbor_id", cos.alias("cos_sim"))
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
