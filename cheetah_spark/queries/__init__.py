@@ -1,6 +1,7 @@
 """Import all query modules for their @register side effects."""
 
 from cheetah_spark.queries import llm  # noqa: F401
+from cheetah_spark.queries import multimodal  # noqa: F401
 from cheetah_spark.queries import relational  # noqa: F401
 from cheetah_spark.queries import scalars  # noqa: F401
 from cheetah_spark.queries import streams  # noqa: F401

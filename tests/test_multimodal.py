@@ -1,0 +1,67 @@
+"""Multimodal plumbing tests: envelope determinism, magic-byte
+round-trip, the Arrow decode pipeline, and the stub contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cheetah_spark import multimodal as M
+from cheetah_spark.catalog import load_table
+
+
+def test_media_envelope_roundtrip(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    media = M.media_table(d)
+    rows = media.collect()
+    assert len(rows) == 50
+    for r in rows:
+        expected_type = list(M.MAGIC)[r.doc_id % 4]
+        assert r.media_type == expected_type
+        assert bytes(r.payload)[:4].hex() == M.MAGIC[expected_type]
+        assert r.n_bytes == len(bytes(r.payload))
+
+
+def test_decode_features_deterministic(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    feats = M.decode_features(M.media_table(d))
+    a = sorted(map(str, feats.collect()))
+    b = sorted(map(str, feats.collect()))
+    assert a == b
+    by_type = {r.media_type for r in feats.collect()}
+    assert by_type <= set(M.MAGIC) | {"unknown"}
+    # images have dims, wav has sample rate, mp4 has frames
+    for r in feats.collect():
+        if r.media_type in ("png", "jpeg"):
+            assert r.width > 0 and r.height > 0 and r.n_frames == 1
+        elif r.media_type == "wav":
+            assert r.sample_rate >= 8000
+        elif r.media_type == "mp4":
+            assert r.n_frames >= 1
+
+
+def test_decode_partitioning_invariance(spark, sf_dir):
+    """Feature output must not depend on partitioning/batch shape."""
+    d = load_table(spark, sf_dir, "documents").limit(64)
+    one = M.decode_features(M.media_table(d).repartition(1)).collect()
+    many = M.decode_features(M.media_table(d).repartition(13)).collect()
+    assert sorted(map(str, one)) == sorted(map(str, many))
+
+
+def test_real_decode_is_stubbed(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(1)
+    with pytest.raises(NotImplementedError, match="STUB"):
+        M.decode_features(M.media_table(d), real_decode=True)
+
+
+def test_payload_projected_away_before_wide_ops(spark, sf_dir):
+    """The decode aggregate must not carry payload bytes through the
+    shuffle — the pre-shuffle plan projects it away."""
+    from cheetah_spark.queries.multimodal import q_multimodal_decode
+
+    df = q_multimodal_decode(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the exchange's input schema must not mention payload
+    after_exchange = plan.split("Exchange")[0]
+    assert "payload" not in after_exchange
