@@ -1,5 +1,6 @@
 """Import all query modules for their @register side effects."""
 
+from cheetah_spark.queries import advanced  # noqa: F401
 from cheetah_spark.queries import llm  # noqa: F401
 from cheetah_spark.queries import multimodal  # noqa: F401
 from cheetah_spark.queries import relational  # noqa: F401

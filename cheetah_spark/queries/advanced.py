@@ -1,0 +1,177 @@
+"""Advanced relational operators: as-of join, pivot/unpivot, exact
+distributed moments (stddev/covar/corr), and the composite
+training-data dedup pipeline.
+
+The reference has none of these (SURVEY.md §2A: no joins, no
+aggregates); they are north-star surface. Every query here is
+oracle-checked; float determinism comes from the exact-decimal-sum
+convention (queries/_util.py): all statistics are derived from exact
+decimal sums with IDENTICAL double arithmetic in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cheetah_spark.catalog import load_table
+from cheetah_spark.operators.asof import asof_join
+from cheetah_spark.registry import register
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+        WITH c AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        p AS (
+            SELECT user_id, ts, MAX(event_id) AS purchase_id, MAX(value) AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, ts
+        )
+        SELECT c.user_id, c.event_id, c.ts,
+               p.purchase_id, p.purchase_value, p.ts AS purchase_ts
+        FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    tags=("advanced", "join", "timeseries"),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's most recent
+    purchase at-or-before the click. Spark lacks ASOF JOIN; the
+    operator (operators/asof.py) is union + LOCF window — one key
+    shuffle, no range explosion. DuckDB's native ASOF JOIN is the
+    oracle. Right side pre-aggregated to one row per (user, ts) so the
+    carried value is well-defined."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"), F.max("value").alias("purchase_value"))
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["purchase_id", "purchase_value"],
+        ts_out="purchase_ts",
+    )
+
+
+_PIVOT_ORACLE_COLS = ",\n               ".join(
+    f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END)::BIGINT AS {t}" for t in EVENT_TYPES
+)
+
+
+@register(
+    "q_pivot_events",
+    oracle=f"""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               {_PIVOT_ORACLE_COLS}
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("advanced", "pivot"),
+)
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): per-day event counts, one column per event
+    type. Explicit pivot value list (no discovery pass — on a 100 TB
+    table the implicit variant runs an extra distinct scan); empty
+    cells coalesced to 0 to match COUNT semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    return p.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in EVENT_TYPES]
+    )
+
+
+@register(
+    "q_unpivot_events",
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               event_type,
+               COUNT(*)::BIGINT AS n
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("advanced", "pivot"),
+)
+def q_unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): melt the pivoted per-day matrix back to
+    (day, event_type, n) rows — round-trips to the plain group-by the
+    oracle computes (zero cells dropped, matching COUNT group-by)."""
+    wide = q_pivot_events(spark, sf_dir)
+    long = wide.unpivot("day", list(EVENT_TYPES), "event_type", "n")
+    return long.where(F.col("n") > 0)
+
+
+# Exact decimal sums (value snapped to 6 decimals by the decimal cast —
+# identical double→decimal rounding in both engines), then IDENTICAL
+# double-space formulas. Spark's built-in stddev/corr/covar accumulate
+# doubles in partition order → not reproducible across engines or
+# cluster layouts; this derivation is exact until the final few double
+# ops, hence bit-stable anywhere.
+_VAR_X = "(sxx - (sx * sx) / n) / (n - 1)"
+_VAR_Y = "(syy - (sy * sy) / n) / (n - 1)"
+_COV = "(sxy - (sx * sy) / n) / (n - 1)"
+_MOM_EXPRS = [
+    f"{_VAR_X} AS var_value",
+    f"SQRT({_VAR_X}) AS std_value",
+    f"{_COV} AS cov_value_time",
+    f"({_COV}) / (SQRT({_VAR_X}) * SQRT({_VAR_Y})) AS corr_value_time",
+]
+_MOM = ",\n               ".join(_MOM_EXPRS)
+
+
+@register(
+    "q_stats_moments",
+    oracle=f"""
+        WITH s AS (
+            SELECT event_type,
+                   COUNT(*)::DOUBLE AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(epoch(date_trunc('second', ts)) AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(epoch(date_trunc('second', ts)) AS DECIMAL(19,0))
+                          * CAST(epoch(date_trunc('second', ts)) AS DECIMAL(19,0))) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))
+                          * CAST(epoch(date_trunc('second', ts)) AS DECIMAL(19,0))) AS DOUBLE) AS sxy
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n, sx / n AS mean_value, {_MOM}
+        FROM s
+    """,
+    tags=("advanced", "stats"),
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact moments: variance, stddev, covariance and
+    correlation of (value, event-time) per event type, derived from
+    exact decimal sums — order-independent on any partitioning (the
+    built-in stddev/corr are float-accumulation-order-dependent and
+    can't be oracle-checked or reproduced across cluster layouts)."""
+    ev = load_table(spark, sf_dir, "events")
+    xd = F.col("value").cast("decimal(18,6)")
+    yd = F.unix_timestamp("ts").cast("decimal(19,0)")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+    )
+    return s.selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n",
+        "sx / n AS mean_value",
+        *_MOM_EXPRS,
+    )

@@ -256,7 +256,7 @@ _MH_ROWS = _MH_HASHES // _MH_BANDS  # 4 rows per band
 _MH_PARAMS = X.minhash_params(_MH_HASHES)
 
 
-def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_sigs_of(d: DataFrame) -> DataFrame:
     """(doc_id, sig array<bigint>[32]) via explode + 32 partial-agg mins.
 
     One md5 per distinct shingle TOTAL (the permutations are integer
@@ -264,7 +264,6 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation that survives 100 TB (the naive
     transform-of-transform expression recomputes md5 per permutation
     and was 30× slower at fixture scale)."""
-    d = load_table(spark, sf_dir, "documents")
     toks = X.tokens(F.col("text"))
     ex = d.select(
         "doc_id", F.explode(F.array_distinct(X.shingles(toks, 3))).alias("s")
@@ -280,7 +279,7 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_minhash_sigs() -> str:
+def _oracle_minhash_sigs(table: str = "documents") -> str:
     sh = X.oracle_shingles(X.oracle_tokens("text"), 3)
     perms = ", ".join(
         f"MIN({X.oracle_minhash_perm('h', a, b)})" for a, b in _MH_PARAMS
@@ -288,7 +287,7 @@ def _oracle_minhash_sigs() -> str:
     return f"""
         SELECT doc_id, [{perms}] AS sig
         FROM (SELECT doc_id, {X.oracle_minhash_base("s")} AS h
-              FROM (SELECT doc_id, unnest(list_distinct({sh})) AS s FROM documents))
+              FROM (SELECT doc_id, unnest(list_distinct({sh})) AS s FROM {table}))
         GROUP BY doc_id"""
 
 
@@ -333,7 +332,12 @@ def q_llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the band join is the only shuffle; the signature join
     back is two hash joins on doc_id. Bucket keys are 128-bit md5 →
     uniform; AQE skew-join splits any hot bucket."""
-    sigs = _minhash_sigs(spark, sf_dir)
+    sigs = _minhash_sigs_of(load_table(spark, sf_dir, "documents"))
+    return _minhash_pairs(sigs)
+
+
+def _minhash_pairs(sigs: DataFrame) -> DataFrame:
+    """Banded candidate generation + signature-agreement estimate."""
     bands = sigs.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(_MH_BANDS - 1))).alias("b"),
@@ -776,4 +780,102 @@ def q_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return d.groupBy("lang").applyInPandas(
         per_lang, schema="doc_id long, lang string, n_tok long, cum_tok long, lang_mean_tok double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composite training-data pipeline
+# ---------------------------------------------------------------------------
+
+_PIPE_QUALITY = f"""
+        SELECT doc_id, lang, text,
+               ({_QW["len"]} * least(len({X.oracle_tokens("text")}), 200)::DOUBLE / 200
+                + {_QW["uniq"]} * (len(list_distinct({X.oracle_tokens("text")}))::DOUBLE
+                      / greatest(len({X.oracle_tokens("text")}), 1))
+                + {_QW["alpha"]} * (1.0
+                      - length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+                            / greatest(n_chars, 1)
+                      - length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE
+                            / greatest(n_chars, 1))) AS quality
+        FROM documents"""
+
+
+@register(
+    "q_llm_dedup_pipeline",
+    oracle=f"""
+        WITH scored AS ({_PIPE_QUALITY}),
+        s1 AS (SELECT doc_id, lang, text FROM scored WHERE quality >= 0.5),
+        fp AS (
+            SELECT doc_id, lang, text,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_fp
+            FROM s1
+        ),
+        keep AS (SELECT content_fp, MIN(doc_id) AS keep_id FROM fp GROUP BY 1),
+        s2 AS (
+            SELECT fp.doc_id, fp.lang, fp.text FROM fp
+            JOIN keep ON fp.content_fp = keep.content_fp AND fp.doc_id = keep.keep_id
+        ),
+        sigs AS ({_oracle_minhash_sigs("s2")}),
+        bands AS (
+            SELECT doc_id, b,
+                   md5(array_to_string(sig[b * {_MH_ROWS} + 1 : b * {_MH_ROWS} + {_MH_ROWS}], ','))
+                       AS bucket
+            FROM sigs, (SELECT unnest(generate_series(0, {_MH_BANDS - 1})) AS b)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b
+            FROM bands a JOIN bands c ON a.b = c.b AND a.bucket = c.bucket
+            WHERE a.doc_id < c.doc_id
+        ),
+        near AS (
+            SELECT cand.doc_id_b
+            FROM cand
+            JOIN sigs sa ON sa.doc_id = cand.doc_id_a
+            JOIN sigs sb ON sb.doc_id = cand.doc_id_b
+            WHERE list_sum(list_transform(generate_series(1, {_MH_HASHES}),
+                       i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))::DOUBLE
+                       / {_MH_HASHES} >= 0.5
+        ),
+        s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id_b FROM near))
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(len({X.oracle_tokens("text", X.TOKEN_RE)})) AS total_tokens
+        FROM s3 GROUP BY lang
+    """,
+    tags=("llm", "dedup", "pipeline"),
+)
+def q_llm_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data curation pipeline, end to end:
+
+    quality filter (Gopher-style score ≥ 0.5) → exact dedup (md5
+    content fingerprint, keep lowest doc_id) → MinHash-LSH near-dedup
+    (banded candidates, drop the higher doc_id of every pair with
+    est. Jaccard ≥ 0.5) → per-language corpus budget (docs + BPE-ish
+    tokens).
+
+    Plan shape at 100 TB: scan → map-side scoring/fingerprinting →
+    one groupBy(fingerprint) shuffle → banded-bucket shuffle over
+    survivors → two doc_id hash joins → broadcast anti-join of the
+    (tiny) drop list → final partial-agg rollup. No window over the
+    full corpus, no cross join, nothing driver-side."""
+    d = load_table(spark, sf_dir, "documents")
+    ft = X.quality_features(F.col("text"))
+    quality = (
+        F.lit(_QW["len"]) * F.least(ft["n_tok"], F.lit(200)).cast("double") / 200
+        + F.lit(_QW["uniq"]) * ft["uniq_ratio"]
+        + F.lit(_QW["alpha"]) * (F.lit(1.0) - ft["digit_ratio"] - ft["punct_ratio"])
+    )
+    s1 = d.where(quality >= 0.5).select("doc_id", "lang", "text")
+    fp = s1.withColumn("content_fp", F.md5(X.norm_text(F.col("text"))))
+    keep = fp.groupBy("content_fp").agg(F.min("doc_id").alias("doc_id"))
+    s2 = fp.join(keep, ["content_fp", "doc_id"]).select("doc_id", "lang", "text")
+    near = (
+        _minhash_pairs(_minhash_sigs_of(s2))
+        .select(F.col("doc_id_b").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(near, "doc_id", "left_anti")
+    return s3.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(X.tokens(F.col("text"), X.TOKEN_RE))).alias("total_tokens"),
     )

@@ -154,3 +154,53 @@ def s_stream_batcher(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("epoch").alias("n_epochs"),
         F.lit(n_gz).alias("n_gzip_files"),
     )
+
+
+@register(
+    "s_stream_stateful_counter",
+    oracle="""
+        SELECT user_id, COUNT(*)::BIGINT AS n_events
+        FROM events
+        GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def s_stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): a
+    per-user running event counter carried across micro-batches in the
+    state store — the general hook the reference's Handler surface
+    (types.go:122-135) would need for stateful logic.
+
+    Each batch emits the key's running total (update mode); the LAST
+    emission per key must equal the batch-mode per-user count — which
+    is the SQL oracle. Arbitrary batch slicing must not change the
+    final state (the conformance property, reference
+    test/suite_test.go:85-104)."""
+    import pandas as pd  # local: shipped by value into the state closure
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src_dir = events_stream_dir(spark, sf_dir)
+    stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=2).read(spark)
+
+    def update(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "running": [n]})
+
+    out = run_stream_to_completion(
+        stream,
+        lambda df: df.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType="user_id long, running long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        ),
+        output_mode="update",
+    )
+    # memory sink in update mode appends every emission; the final
+    # running value per key is the max (counts only grow)
+    return out.groupBy("user_id").agg(F.max("running").alias("n_events"))
