@@ -1,0 +1,102 @@
+"""Physical-plan audits: the properties that make these plans survive
+100 TB, asserted as tests so a regression in pushdown / pruning /
+broadcast / join strategy fails CI rather than surfacing as a slow
+cluster job.
+
+Checks run on the pre-execution plan text (`explain`), i.e. what
+Catalyst committed to before AQE runtime re-planning — broadcast hints
+and pushdowns must already be present there.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from cheetah_spark.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def _q(name, spark, sf_dir):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_scan_project_prunes_columns(spark, sf_dir):
+    p = plan(_q("q_scan_project", spark, sf_dir))
+    # the parquet scan must read only the projected columns
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read_schema, p
+    assert "l_comment" not in read_schema[0], read_schema[0]
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    p = plan(_q("q_filter_pred", spark, sf_dir))
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert pushed and "PushedFilters: []" not in pushed[0], pushed
+
+
+def test_flagship_join_broadcasts_dimensions(spark, sf_dir):
+    p = plan(_q("q_multiway_join_tpch", spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_topk_uses_limit_pushdown(spark, sf_dir):
+    p = plan(_q("q_sort_limit_topk", spark, sf_dir))
+    # top-k must be TakeOrderedAndProject (per-partition heap + merge),
+    # not a global sort followed by limit
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_hash_agg_has_partial_aggregation(spark, sf_dir):
+    p = plan(_q("q_hash_agg", spark, sf_dir))
+    # map-side combine: two HashAggregate levels around the exchange
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_minhash_dedup_has_no_cross_join(spark, sf_dir):
+    p = plan(_q("q_llm_minhash_dedup", spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_simhash_dedup_has_no_cross_join(spark, sf_dir):
+    p = plan(_q("q_llm_simhash_dedup", spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_similarity_topk_broadcasts_queries(spark, sf_dir):
+    p = plan(_q("q_llm_similarity_topk", spark, sf_dir))
+    # the small query set must be the broadcast side; the corpus scan
+    # must not shuffle before scoring
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_broadcast_join_hint_respected(spark, sf_dir):
+    p = plan(_q("q_broadcast_join", spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_asof_join_is_single_window_not_range_join(spark, sf_dir):
+    p = plan(_q("q_asof_join", spark, sf_dir))
+    assert "Window" in p, p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_wholestage_codegen_covers_llm_scoring(spark, sf_dir):
+    # quality scoring is pure expressions → must be inside codegen
+    # ("*(n)" marks whole-stage-codegen stages in simple explain mode)
+    p = plan(_q("q_llm_quality_score", spark, sf_dir), "simple")
+    assert "*(1)" in p, p
+    assert "BatchEvalPython" not in p  # no row-at-a-time Python
