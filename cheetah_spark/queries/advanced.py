@@ -175,3 +175,36 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sx / n AS mean_value",
         *_MOM_EXPRS,
     )
+
+
+_SQL_FLAGSHIP = """
+    SELECT n.n_name AS nation,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))), 2)
+               AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+"""
+
+
+@register(
+    "q_sql_interface",
+    oracle=_SQL_FLAGSHIP,
+    tags=("advanced", "sql"),
+)
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point: the engine's tables registered as views and
+    queried through ``spark.sql`` with the *identical* SQL text DuckDB
+    runs as the oracle — proof the operator surface is reachable from
+    both the DataFrame API and plain ANSI SQL (the reference has no
+    query language at all; this is pure north-star surface). Catalyst
+    plans it like any DataFrame query: pushdown, broadcast dims, AQE."""
+    from cheetah_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "orders", "customer", "nation", "region"))
+    return spark.sql(_SQL_FLAGSHIP)
