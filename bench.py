@@ -33,6 +33,14 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def drop_stream_sinks(spark) -> None:
+    """Release memory-sink tables left by streaming queries — they pin
+    their rows in driver memory and skew later measurements."""
+    for t in spark.catalog.listTables():
+        if t.name.startswith("sink_"):
+            spark.catalog.dropTempView(t.name)
+
+
 def bench_identity(spark) -> float:
     """Rows/sec for 1e6 rows × 20-byte payload through source →
     identity → sink (reference BenchmarkMem ≈ 2.1 M msg/s on 10
@@ -66,7 +74,7 @@ def main() -> None:
         try:
             force(spec.fn(spark, SF_DIR))
             t1 = time.time() - t0
-            if t1 < 15.0:  # re-run cheap queries: first run carries codegen/JIT noise
+            if t1 < 30.0:  # re-run cheap queries: first run carries codegen/JIT noise
                 t0 = time.time()
                 force(spec.fn(spark, SF_DIR))
                 t1 = min(t1, time.time() - t0)
@@ -74,6 +82,7 @@ def main() -> None:
         except Exception as e:  # a failing query gets a sentinel, not a crash
             timings[name] = -1.0
             print(f"BENCH-FAIL {name}: {str(e)[:200]}", file=sys.stderr)
+        drop_stream_sinks(spark)
 
     rps = bench_identity(spark)
 

@@ -63,6 +63,11 @@ def run_stream_to_completion(
     spark = df.sparkSession
     name = f"sink_{uuid.uuid4().hex[:12]}"
     ckpt = f"/tmp/cheetah_spark_ckpt/{name}"
+    # bounded conformance runs finish in seconds: push the state-store
+    # maintenance cadence out of the way (its snapshot/cleanup passes
+    # over providers of already-stopped queries stall later queries
+    # sharing the session)
+    spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
     writer = (
         transform(df)
         .writeStream.format("memory")
@@ -77,5 +82,11 @@ def run_stream_to_completion(
         query.processAllAvailable()
     finally:
         query.stop()
+        try:
+            # unload this query's state-store providers from the local
+            # JVM so they don't accumulate across a long session
+            spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        except Exception:
+            pass  # hygiene only; never fail the query over it
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
