@@ -63,10 +63,12 @@ def shingles(toks: Column, k: int = 3) -> Column:
 
 
 def oracle_shingles(toks_expr: str, k: int = 3) -> str:
-    # generate_series(1, 0) is already [] in DuckDB — no guard needed.
+    # COALESCE guard: generate_series(1, 0) is [] but (1, <0) is NULL in
+    # DuckDB — texts with fewer than k tokens must yield [] to match
+    # Spark (caught by tests/test_text_fuzz.py).
     return (
-        f"list_transform(generate_series(1, len({toks_expr}) - {k - 1}), "
-        f"i -> array_to_string(({toks_expr})[i:i+{k - 1}], ' '))"
+        f"coalesce(list_transform(generate_series(1, len({toks_expr}) - {k - 1}), "
+        f"i -> array_to_string(({toks_expr})[i:i+{k - 1}], ' ')), []::VARCHAR[])"
     )
 
 
