@@ -116,3 +116,69 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "q_hypertable_rollup",
+    oracle="""
+        WITH m AS (
+            SELECT date_trunc('minute', ts) AS bucket, event_type,
+                   COUNT(*) AS n,
+                   SUM(CAST(value AS DECIMAL(38,6))) AS sv
+            FROM events GROUP BY 1, 2
+        )
+        SELECT 'minute' AS resolution, bucket, event_type, n,
+               CAST(ROUND(sv, 2) AS DOUBLE) AS sum_value
+        FROM m
+        UNION ALL
+        SELECT 'hour', date_trunc('hour', bucket), event_type,
+               SUM(n), CAST(ROUND(SUM(sv), 2) AS DOUBLE)
+        FROM m GROUP BY 2, 3
+        UNION ALL
+        SELECT 'day', date_trunc('day', bucket), event_type,
+               SUM(n), CAST(ROUND(SUM(sv), 2) AS DOUBLE)
+        FROM m GROUP BY 2, 3
+    """,
+    tags=("timeseries", "rollup"),
+)
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: minute buckets
+    aggregated ONCE from raw events, then hour and day resolutions
+    re-aggregated FROM the minute partials (exact decimal sums make
+    hierarchical reaggregation lossless).
+
+    Scale shape: one shuffle over (minute, type) — the raw table is
+    touched once; coarser resolutions reduce ~60× smaller inputs each
+    step, the continuous-aggregate pattern of time-series stores. The
+    minute partial is cached for the in-plan reuse."""
+    e = load_table(spark, sf_dir, "events")
+    minute = (
+        e.groupBy(
+            F.date_trunc("minute", "ts").alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("sv"),
+        )
+        .persist()
+    )
+
+    def _tag(df: DataFrame, res: str) -> DataFrame:
+        return df.select(
+            F.lit(res).alias("resolution"),
+            "bucket",
+            "event_type",
+            "n",
+            F.round("sv", 2).cast("double").alias("sum_value"),
+        )
+
+    hour = (
+        minute.groupBy(F.date_trunc("hour", "bucket").alias("bucket"), "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    )
+    day = (
+        minute.groupBy(F.date_trunc("day", "bucket").alias("bucket"), "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    )
+    return _tag(minute, "minute").unionByName(_tag(hour, "hour")).unionByName(_tag(day, "day"))

@@ -43,3 +43,14 @@ def test_minhash_finds_planted_near_dups(spark, sf_dir):
     # ngram_jaccard blocks by source; every truth pair it finds must be
     # recovered by the unblocked banded path.
     assert truth <= got, f"missed planted pairs: {truth - got}"
+
+
+def test_ann_ivf_recall(spark, sf_dir):
+    exact = _pairs(REGISTRY["q_llm_similarity_topk"].fn(spark, sf_dir))
+    approx = _pairs(REGISTRY["q_llm_ann_ivf"].fn(spark, sf_dir))
+    recall = len(exact & approx) / len(exact)
+    # nprobe/nlists = 25% scan fraction; the near-uniform fixture is the
+    # worst case for any partition-based index (no cluster structure to
+    # exploit) — measured 0.48 at sf0.01; floor set with margin. On
+    # clustered corpora the same index approaches 1.0.
+    assert recall >= 0.3, f"IVF recall too low: {recall:.2f}"
