@@ -114,20 +114,31 @@ def q_unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.where(F.col("n") > 0)
 
 
-# Exact decimal sums (value snapped to 6 decimals by the decimal cast —
-# identical double→decimal rounding in both engines), then IDENTICAL
-# double-space formulas. Spark's built-in stddev/corr/covar accumulate
-# doubles in partition order → not reproducible across engines or
-# cluster layouts; this derivation is exact until the final few double
-# ops, hence bit-stable anywhere.
-_VAR_X = "(sxx - (sx * sx) / n) / (n - 1)"
-_VAR_Y = "(syy - (sy * sy) / n) / (n - 1)"
-_COV = "(sxy - (sx * sy) / n) / (n - 1)"
+# Two-pass centered moments. The one-pass formula (sxy − sx·sy/n)
+# cancels ~1e14-magnitude sums down to ~1e6, so a single-ulp
+# decimal→double conversion difference between engines (DuckDB converts
+# int128-scaled decimals via a double divide; Spark's BigDecimal
+# conversion is correctly rounded) blows up 8 orders of magnitude —
+# caught by the round-1 driver hash. Centering first removes the
+# cancellation: per-row centered products are single IEEE ops on
+# identical operands (bit-identical), snapped to 6 decimals per row
+# BEFORE the exact decimal sum (_util convention #3), so every
+# remaining cross-engine ulp stays *relative* and the 6-decimal output
+# snap absorbs it.
+_VAR_X = "sxx / (n - 1)"
+_VAR_Y = "syy / (n - 1)"
+_COV = "sxy / (n - 1)"
+
+
+def _snap6(expr: str) -> str:
+    return f"CAST(CAST(({expr}) AS DECIMAL(38,6)) AS DOUBLE)"
+
+
 _MOM_EXPRS = [
-    f"{_VAR_X} AS var_value",
-    f"SQRT({_VAR_X}) AS std_value",
-    f"{_COV} AS cov_value_time",
-    f"({_COV}) / (SQRT({_VAR_X}) * SQRT({_VAR_Y})) AS corr_value_time",
+    f"{_snap6(_VAR_X)} AS var_value",
+    f"{_snap6(f'SQRT({_VAR_X})')} AS std_value",
+    f"{_snap6(_COV)} AS cov_value_time",
+    f"{_snap6(f'({_COV}) / (SQRT({_VAR_X}) * SQRT({_VAR_Y}))')} AS corr_value_time",
 ]
 _MOM = ",\n               ".join(_MOM_EXPRS)
 
@@ -135,44 +146,64 @@ _MOM = ",\n               ".join(_MOM_EXPRS)
 @register(
     "q_stats_moments",
     oracle=f"""
-        WITH s AS (
+        WITH m AS (
             SELECT event_type,
-                   COUNT(*)::DOUBLE AS n,
-                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-                   CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
-                   CAST(SUM(CAST(epoch(date_trunc('second', ts)) AS DECIMAL(19,0))) AS DOUBLE) AS sy,
-                   CAST(SUM(CAST(epoch(date_trunc('second', ts)) AS DECIMAL(19,0))
-                          * CAST(epoch(date_trunc('second', ts)) AS DECIMAL(19,0))) AS DOUBLE) AS syy,
-                   CAST(SUM(CAST(value AS DECIMAL(18,6))
-                          * CAST(epoch(date_trunc('second', ts)) AS DECIMAL(19,0))) AS DOUBLE) AS sxy
+                   COUNT(*)::BIGINT AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mx,
+                   CAST(SUM(CAST(epoch(date_trunc('second', ts)) AS DECIMAL(19,0))) AS DOUBLE)
+                       / COUNT(*) AS my
             FROM events GROUP BY event_type
+        ), c AS (
+            SELECT e.event_type, m.n, m.mx,
+                   CAST(SUM(CAST((e.value - m.mx) * (e.value - m.mx)
+                                 AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST((epoch(date_trunc('second', e.ts))::DOUBLE - m.my)
+                               * (epoch(date_trunc('second', e.ts))::DOUBLE - m.my)
+                                 AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST((e.value - m.mx)
+                               * (epoch(date_trunc('second', e.ts))::DOUBLE - m.my)
+                                 AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+            FROM events e JOIN m ON e.event_type = m.event_type
+            GROUP BY e.event_type, m.n, m.mx
         )
-        SELECT event_type, CAST(n AS BIGINT) AS n, sx / n AS mean_value, {_MOM}
-        FROM s
+        SELECT event_type, n, {_snap6("mx")} AS mean_value, {_MOM}
+        FROM c
     """,
     tags=("advanced", "stats"),
 )
 def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed exact moments: variance, stddev, covariance and
-    correlation of (value, event-time) per event type, derived from
-    exact decimal sums — order-independent on any partitioning (the
+    correlation of (value, event-time) per event type, via the two-pass
+    centered-sum plan — order-independent on any partitioning (the
     built-in stddev/corr are float-accumulation-order-dependent and
-    can't be oracle-checked or reproduced across cluster layouts)."""
+    can't be oracle-checked or reproduced across cluster layouts).
+
+    Scale shape: two scans of events with a broadcast join of the tiny
+    per-type means between them — no giant-magnitude partial sums, no
+    catastrophic cancellation, partial aggregation map-side both
+    passes."""
     ev = load_table(spark, sf_dir, "events")
-    xd = F.col("value").cast("decimal(18,6)")
-    yd = F.unix_timestamp("ts").cast("decimal(19,0)")
-    s = ev.groupBy("event_type").agg(
-        F.count("*").cast("double").alias("n"),
-        F.sum(xd).cast("double").alias("sx"),
-        F.sum(xd * xd).cast("double").alias("sxx"),
-        F.sum(yd).cast("double").alias("sy"),
-        F.sum(yd * yd).cast("double").alias("syy"),
-        F.sum(xd * yd).cast("double").alias("sxy"),
+    ep = F.unix_timestamp("ts").cast("double")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("*")).alias("mx"),
+        (F.sum(F.unix_timestamp("ts").cast("decimal(19,0)")).cast("double") / F.count("*")).alias("my"),
     )
-    return s.selectExpr(
+    dx = F.col("value") - F.col("mx")
+    dy = ep - F.col("my")
+    c = (
+        ev.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "n", "mx")
+        .agg(
+            F.sum((dx * dx).cast("decimal(38,6)")).cast("double").alias("sxx"),
+            F.sum((dy * dy).cast("decimal(38,6)")).cast("double").alias("syy"),
+            F.sum((dx * dy).cast("decimal(38,6)")).cast("double").alias("sxy"),
+        )
+    )
+    return c.selectExpr(
         "event_type",
-        "CAST(n AS BIGINT) AS n",
-        "sx / n AS mean_value",
+        "n",
+        f"{_snap6('mx')} AS mean_value",
         *_MOM_EXPRS,
     )
 

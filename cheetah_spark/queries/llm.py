@@ -41,10 +41,10 @@ from cheetah_spark.registry import register
     oracle=f"""
         SELECT lang, source,
                COUNT(*) AS n_docs,
-               SUM(len({X.oracle_tokens("text", X.TOKEN_RE)})) AS total_tokens,
+               CAST(SUM(len({X.oracle_tokens("text", X.TOKEN_RE)})) AS BIGINT) AS total_tokens,
                {oracle_davg("n_chars")} AS avg_chars,
                MAX(n_chars) AS max_chars,
-               SUM(len(list_distinct({X.oracle_tokens("text")}))) AS total_uniq_words
+               CAST(SUM(len(list_distinct({X.oracle_tokens("text")}))) AS BIGINT) AS total_uniq_words
         FROM documents
         GROUP BY lang, source
     """,
@@ -839,7 +839,7 @@ _PIPE_QUALITY = f"""
         s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id_b FROM near))
         SELECT lang,
                COUNT(*) AS n_docs,
-               SUM(len({X.oracle_tokens("text", X.TOKEN_RE)})) AS total_tokens
+               CAST(SUM(len({X.oracle_tokens("text", X.TOKEN_RE)})) AS BIGINT) AS total_tokens
         FROM s3 GROUP BY lang
     """,
     tags=("llm", "dedup", "pipeline"),

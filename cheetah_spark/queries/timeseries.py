@@ -132,11 +132,11 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM m
         UNION ALL
         SELECT 'hour', date_trunc('hour', bucket), event_type,
-               SUM(n), CAST(ROUND(SUM(sv), 2) AS DOUBLE)
+               CAST(SUM(n) AS BIGINT), CAST(ROUND(SUM(sv), 2) AS DOUBLE)
         FROM m GROUP BY 2, 3
         UNION ALL
         SELECT 'day', date_trunc('day', bucket), event_type,
-               SUM(n), CAST(ROUND(SUM(sv), 2) AS DOUBLE)
+               CAST(SUM(n) AS BIGINT), CAST(ROUND(SUM(sv), 2) AS DOUBLE)
         FROM m GROUP BY 2, 3
     """,
     tags=("timeseries", "rollup"),

@@ -42,16 +42,28 @@ def duck():
 
 
 def _canon(v):
-    """Canonicalize a cell for order-insensitive comparison."""
+    """Canonicalize a cell for order-insensitive comparison.
+
+    Floats use full-precision ``repr`` — the driver's value hash is
+    bit-exact, so any rounding here would make pytest a false-green
+    predictor of CORRECTNESS (round-1 lesson: three driver hash fails
+    were invisible at the old ``%.9g`` precision)."""
     if v is None:
         return "<null>"
     if isinstance(v, float):
         if math.isnan(v):
             return "<nan>"
-        return f"{v:.9g}"
+        return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon(x) for x in v) + "]"
     return str(v)
+
+
+# DuckDB result types that have no Spark equivalent: their presence in
+# an oracle result means an uncast aggregate (e.g. SUM over BIGINT →
+# HUGEINT) that the driver's representation-level hash will reject even
+# when the values are numerically equal.
+_FORBIDDEN_DUCK_TYPES = ("HUGEINT", "UHUGEINT")
 
 
 def assert_matches_oracle(spark_df, duck_rel):
@@ -61,6 +73,9 @@ def assert_matches_oracle(spark_df, duck_rel):
     srows = spark_df.select(*scols).collect()
     dcols = [d[0] for d in duck_rel.description]
     assert sorted(dcols) == scols, f"column mismatch: spark={scols} duck={sorted(dcols)}"
+    dtypes = [str(t) for t in duck_rel.types]
+    bad = [(c, t) for c, t in zip(dcols, dtypes) if t.upper() in _FORBIDDEN_DUCK_TYPES]
+    assert not bad, f"oracle emits driver-incomparable types (add CAST): {bad}"
     drows = duck_rel.fetchall()
     didx = [dcols.index(c) for c in scols]
     sset = sorted(tuple(_canon(v) for v in row) for row in srows)
