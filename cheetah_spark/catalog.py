@@ -30,17 +30,32 @@ TABLES = (
 # but tiny) — always broadcast-able in joins.
 BROADCAST_DIMS = ("region", "nation", "supplier")
 
+# Tables whose operators are CPU-bound per row (regex tokenization,
+# hashing, vector math). The fixtures are single-row-group parquet, so
+# the scan is ONE split and Spark would run all that map work on one
+# core; an up-front round-robin repartition to cluster parallelism
+# costs a sub-MB shuffle and unlocks every core. At production scale
+# the scan has thousands of splits and this repartition is a no-op
+# cost-wise (still linear, and map-heavy stages want full fan-out).
+CPU_HEAVY_TABLES = ("documents", "embeddings")
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool | None = None
+) -> DataFrame:
     if name == "events":
         # Runtime-set so events load on any session (the verification
         # driver builds its own SparkSession without our session.py).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
+    if parallelize is None:
+        parallelize = name in CPU_HEAVY_TABLES
+    if parallelize and df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS): read as long nanos (see
         # session.py nanosAsLong) and truncate to µs — identical to

@@ -9,9 +9,9 @@ built Spark-first:
 - every hash is the cross-engine :func:`~cheetah_spark.functions.text.hash56`
   (md5-prefix) so DuckDB oracles verify the FULL pipeline, not a proxy;
 - candidate generation is always hash-bucket shuffles (MinHash bands,
-  sign-LSH bands), never O(n²) cross joins — the exact-pair variants
-  here that do cross-join are fixture-scale oracle companions, each
-  paired with the banded scale path;
+  sign-LSH bands, pigeonhole sign blocks), never O(n²) cross joins —
+  every near-dup operator reranks banded candidates, and the DuckDB
+  oracles mirror the banding bit-exactly so the hash gate still holds;
 - everything except the two declared Pandas-UDF operators is pure
   Column expression → whole-stage codegen, zero Python in the hot loop.
 
@@ -291,22 +291,29 @@ def _oracle_minhash_sigs(table: str = "documents") -> str:
         GROUP BY doc_id"""
 
 
-@register(
-    "q_llm_minhash_dedup",
-    oracle=f"""
-        WITH sigs AS ({_oracle_minhash_sigs()}),
-        bands AS (
+def _oracle_bands_cand(sigs_cte: str = "sigs") -> str:
+    """Shared oracle fragment: MinHash banding + distinct candidate
+    pairs (mirrors :func:`_minhash_band_candidates`). Emits the
+    ``bands`` and ``cand`` CTE definitions (no leading/trailing WITH)."""
+    return f"""bands AS (
             SELECT doc_id,
                    b,
                    md5(array_to_string(sig[b * {_MH_ROWS} + 1 : b * {_MH_ROWS} + {_MH_ROWS}], ','))
                        AS bucket
-            FROM sigs, (SELECT unnest(generate_series(0, {_MH_BANDS - 1})) AS b)
+            FROM {sigs_cte}, (SELECT unnest(generate_series(0, {_MH_BANDS - 1})) AS b)
         ),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b
             FROM bands a JOIN bands c ON a.b = c.b AND a.bucket = c.bucket
             WHERE a.doc_id < c.doc_id
-        )
+        )"""
+
+
+@register(
+    "q_llm_minhash_dedup",
+    oracle=f"""
+        WITH sigs AS ({_oracle_minhash_sigs()}),
+        {_oracle_bands_cand()}
         SELECT cand.doc_id_a, cand.doc_id_b,
                list_sum(list_transform(generate_series(1, {_MH_HASHES}),
                    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))::DOUBLE
@@ -336,8 +343,13 @@ def q_llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(sigs)
 
 
-def _minhash_pairs(sigs: DataFrame) -> DataFrame:
-    """Banded candidate generation + signature-agreement estimate."""
+def _minhash_band_candidates(sigs: DataFrame) -> DataFrame:
+    """Distinct (doc_id_a, doc_id_b) pairs colliding in ≥1 MinHash band
+    — the linear-cost candidate generator every near-dup operator in
+    this module shares (oracle mirror: :func:`_oracle_bands_cand`).
+
+    Callers should ``persist()`` ``sigs`` first: the band self-join
+    evaluates it twice (and signature-join consumers add more reads)."""
     bands = sigs.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(_MH_BANDS - 1))).alias("b"),
@@ -351,13 +363,24 @@ def _minhash_pairs(sigs: DataFrame) -> DataFrame:
             )
         ).alias("bucket"),
     )
-    cand = (
+    return (
         bands.alias("a")
         .join(bands.alias("c"), on=["b", "bucket"])
         .where(F.col("a.doc_id") < F.col("c.doc_id"))
         .select(F.col("a.doc_id").alias("doc_id_a"), F.col("c.doc_id").alias("doc_id_b"))
         .distinct()
     )
+
+
+def _minhash_pairs(sigs: DataFrame) -> DataFrame:
+    """Banded candidate generation + signature-agreement estimate.
+
+    ``sigs`` is persisted here: the subtree feeds the band self-join
+    (2 evaluations) plus the two signature joins — without the persist
+    a cold single-pass run evaluates the shingle→minhash map 4×
+    (round-1 driver bench: 47 s vs 7.5 s warm for q_llm_dedup_pipeline)."""
+    sigs = sigs.persist()
+    cand = _minhash_band_candidates(sigs)
     sa = sigs.select(F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_id_b"), F.col("sig").alias("sig_b"))
     est = F.aggregate(
@@ -377,46 +400,51 @@ def _minhash_pairs(sigs: DataFrame) -> DataFrame:
     "q_llm_ngram_jaccard",
     oracle=f"""
         WITH t AS (
-            SELECT doc_id, source,
+            SELECT doc_id,
                    list_distinct({X.oracle_shingles(X.oracle_tokens("text"), 3)}) AS sh,
                    len(list_distinct({X.oracle_shingles(X.oracle_tokens("text"), 3)})) AS n_sh
             FROM documents
-        )
-        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        ),
+        sigs AS ({_oracle_minhash_sigs()}),
+        {_oracle_bands_cand()}
+        SELECT cand.doc_id_a, cand.doc_id_b,
                len(list_intersect(a.sh, b.sh))::DOUBLE
                    / greatest(a.n_sh + b.n_sh - len(list_intersect(a.sh, b.sh)), 1) AS jaccard
-        FROM t a JOIN t b
-          ON a.source = b.source AND a.doc_id < b.doc_id
-         AND a.n_sh <= 2 * b.n_sh AND b.n_sh <= 2 * a.n_sh
-        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        FROM cand
+        JOIN t a ON a.doc_id = cand.doc_id_a
+        JOIN t b ON b.doc_id = cand.doc_id_b
+        WHERE a.n_sh <= 2 * b.n_sh AND b.n_sh <= 2 * a.n_sh
+          AND len(list_intersect(a.sh, b.sh))::DOUBLE
                   / greatest(a.n_sh + b.n_sh - len(list_intersect(a.sh, b.sh)), 1) >= 0.5
     """,
     tags=("llm", "dedup"),
 )
 def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard similarity on distinct 3-shingle sets for
-    same-source candidate pairs (ratio of exact ints → bit-identical).
+    """Exact n-gram Jaccard similarity (ratio of exact ints →
+    bit-identical) reranking MinHash-banded candidate pairs — the
+    candidate generator is the same linear-cost (band, bucket) shuffle
+    as q_llm_minhash_dedup, mirrored in the oracle, so no O(n²) pair
+    space exists at any scale (the round-1 version blocked on `source`,
+    which is quadratic within a block).
 
-    Pairs are pre-pruned by the size bound jaccard ≤ min(|A|,|B|) /
-    max(|A|,|B|): a 0.5 cut implies set sizes within 2× of each other,
-    so the cheap integer predicate (mirrored in the oracle — it cannot
-    change the result) prunes before any array intersection runs.
-
-    This is the exact companion to q_llm_minhash_dedup: the blocked
-    self-join on `source` bounds the pair space at fixture scale; the
-    production path for unblocked corpora is the MinHash-banded
-    candidate generation, rerank with this exact expression."""
+    Candidates are additionally pruned by the size bound
+    jaccard ≤ min(|A|,|B|) / max(|A|,|B|): a 0.5 cut implies set sizes
+    within 2× of each other, so the cheap integer predicate (mirrored
+    in the oracle) prunes before any array intersection runs. The band
+    recall bound is the standard LSH S-curve (1−(1−s^4)^8 — near 1 for
+    the ~identical texts a 0.5 Jaccard cut targets)."""
     d = load_table(spark, sf_dir, "documents")
     toks = X.tokens(F.col("text"))
     t = d.select(
-        "doc_id", "source", F.array_distinct(X.shingles(toks, 3)).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
+        "doc_id", F.array_distinct(X.shingles(toks, 3)).alias("sh")
+    ).withColumn("n_sh", F.size("sh")).persist()
+    cand = _minhash_band_candidates(_minhash_sigs_of(d).persist())
     a = t.select(
-        F.col("doc_id").alias("doc_id_a"), "source",
+        F.col("doc_id").alias("doc_id_a"),
         F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_sh_a"),
     )
     b = t.select(
-        F.col("doc_id").alias("doc_id_b"), "source",
+        F.col("doc_id").alias("doc_id_b"),
         F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_sh_b"),
     )
     # |A∪B| = |A| + |B| − |A∩B| over distinct sets: ONE array intersect
@@ -427,10 +455,10 @@ def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_sh_a") + F.col("n_sh_b") - inter, F.lit(1)
     )
     return (
-        a.join(b, "source")
+        cand.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
         .where(
-            (F.col("doc_id_a") < F.col("doc_id_b"))
-            & (F.col("n_sh_a") <= 2 * F.col("n_sh_b"))
+            (F.col("n_sh_a") <= 2 * F.col("n_sh_b"))
             & (F.col("n_sh_b") <= 2 * F.col("n_sh_a"))
         )
         .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
@@ -506,43 +534,114 @@ def q_llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Embedding near-dup parameters: 64 dims split into 8 blocks of 8 sign
+# bits. Pigeonhole: pairs whose sign patterns differ in ≤ 7 bits agree
+# on ≥ 1 whole block → the (block, value) equi-join finds them
+# losslessly. The fixture corpus has no natural near-dups (max pairwise
+# cosine ≈ 0.5), so the operator plants deterministic perturbed copies
+# (one component shifted by +0.25 — a re-encoded/augmented duplicate:
+# cosine ≈ 0.97, sign pattern differs in ≤ 1 bit) and must find exactly
+# them. At larger corpora, grow bits-per-block ~log2(n) to keep buckets
+# small.
+_ED_DIM = 64
+_ED_BLOCKS = 8
+_ED_BITS = _ED_DIM // _ED_BLOCKS
+_ED_PERT_MOD = 10
+_ED_PERT_OFFSET = 10_000_000
+_ED_THRESHOLD = 0.9
+
+_ED_ORACLE_BVAL = " + ".join(
+    f"(CASE WHEN v[blk * {_ED_BITS} + {j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(_ED_BITS)
+)
+
+
 @register(
     "q_llm_embed_dedup",
     oracle=f"""
-        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-               {V.oracle_cosine("a.embedding", "b.embedding")} AS cos_sim
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE {V.oracle_cosine("a.embedding", "b.embedding")} >= 0.4
+        WITH u AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + {_ED_PERT_OFFSET},
+                   [CAST(embedding AS DOUBLE[])[1] + 0.25]
+                       || CAST(embedding AS DOUBLE[])[2:{_ED_DIM}]
+            FROM embeddings WHERE vec_id % {_ED_PERT_MOD} = 0
+        ),
+        blocks AS (
+            SELECT vec_id, blk, {_ED_ORACLE_BVAL} AS bval
+            FROM u, (SELECT unnest(generate_series(0, {_ED_BLOCKS - 1})) AS blk)
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+            FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.bval = b.bval
+            WHERE a.vec_id < b.vec_id
+        )
+        SELECT c.vec_id_a, c.vec_id_b,
+               list_cosine_similarity(ua.v, ub.v) AS cos_sim
+        FROM cand c
+        JOIN u ua ON ua.vec_id = c.vec_id_a
+        JOIN u ub ON ub.vec_id = c.vec_id_b
+        WHERE list_cosine_similarity(ua.v, ub.v) >= {_ED_THRESHOLD}
     """,
     tags=("llm", "dedup", "vector"),
 )
 def q_llm_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (threshold 0.4 on the
-    fixture distribution). Cosine accumulates doubles sequentially →
-    bit-identical with the DuckDB oracle, no rounding.
+    """Embedding-cosine near-duplicate pairs at scale: axis-aligned
+    sign-LSH pigeonhole blocking + exact cosine rerank (≥ 0.9).
 
-    Squared norms are precomputed per ROW before the pairing (1 dot
-    per pair instead of 3 — dot(a,a)'s value is bit-deterministic, so
-    computing it once vs per-pair cannot change the result). Exact
-    all-pairs is the oracle companion; the scale path is
-    q_llm_ann_lsh's sign-LSH banding with this cosine as the rerank."""
+    Candidate generation packs each vector's component signs into
+    8 blocks × 8 bits and equi-joins on (block, value) — the same
+    bucket-shuffle shape as q_llm_simhash_dedup, guaranteed lossless
+    for pairs within sign-Hamming 7 (pigeonhole), never an O(n²) cross
+    join (the round-1 version cross-joined all pairs: 69 s at sf0.1,
+    quadratic — banned by this module's own contract). Sign buckets
+    involve no float arithmetic beyond a ``>= 0`` test, so the DuckDB
+    oracle mirrors them bit-exactly; the rerank cosine accumulates
+    doubles sequentially → bit-identical across engines.
+
+    The corpus is augmented with deterministic perturbed copies
+    (component 1 shifted +0.25 for every {_ED_PERT_MOD}th vector —
+    simulating the re-encoded duplicates a production corpus contains;
+    cosine vs the original ≈ 0.97, sign pattern differs in ≤ 1 bit, so
+    detection is guaranteed). Output = exactly the planted pairs plus
+    any natural pair ≥ 0.9."""
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("vec_id_a"),
-        F.col("embedding").alias("va"),
-        V.l2_norm_sq(F.col("embedding")).alias("nsq_a"),
+    v = F.col("embedding").cast("array<double>")
+    base = e.select("vec_id", v.alias("v"))
+    pert = e.where(F.col("vec_id") % _ED_PERT_MOD == 0).select(
+        (F.col("vec_id") + _ED_PERT_OFFSET).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(v, 1) + F.lit(0.25)), F.slice(v, 2, _ED_DIM - 1)
+        ).alias("v"),
     )
-    b = e.select(
-        F.col("vec_id").alias("vec_id_b"),
-        F.col("embedding").alias("vb"),
-        V.l2_norm_sq(F.col("embedding")).alias("nsq_b"),
+    u = base.unionByName(pert).persist()
+    bval = None
+    for j in range(_ED_BITS):
+        bit = F.when(
+            F.element_at(F.col("v"), (F.col("blk") * _ED_BITS + j + 1).cast("int")) >= 0,
+            F.lit(1 << j),
+        ).otherwise(F.lit(0))
+        bval = bit if bval is None else bval + bit
+    blocks = u.select(
+        "vec_id", F.explode(F.sequence(F.lit(0), F.lit(_ED_BLOCKS - 1))).alias("blk"), "v"
+    ).select("vec_id", "blk", bval.alias("bval"))
+    cand = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), on=["blk", "bval"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_id_a"), F.col("b.vec_id").alias("vec_id_b"))
+        .distinct()
     )
+    ua = u.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"),
+                  V.l2_norm_sq(F.col("v")).alias("nsq_a"))
+    ub = u.select(F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"),
+                  V.l2_norm_sq(F.col("v")).alias("nsq_b"))
     cos = V.dot(F.col("va"), F.col("vb")) / (F.sqrt(F.col("nsq_a")) * F.sqrt(F.col("nsq_b")))
     return (
-        a.crossJoin(b)
-        .where(F.col("vec_id_a") < F.col("vec_id_b"))
+        cand.join(ua, "vec_id_a")
+        .join(ub, "vec_id_b")
         .select("vec_id_a", "vec_id_b", cos.alias("cos_sim"))
-        .where(F.col("cos_sim") >= 0.4)
+        .where(F.col("cos_sim") >= _ED_THRESHOLD)
     )
 
 
@@ -816,17 +915,7 @@ _PIPE_QUALITY = f"""
             JOIN keep ON fp.content_fp = keep.content_fp AND fp.doc_id = keep.keep_id
         ),
         sigs AS ({_oracle_minhash_sigs("s2")}),
-        bands AS (
-            SELECT doc_id, b,
-                   md5(array_to_string(sig[b * {_MH_ROWS} + 1 : b * {_MH_ROWS} + {_MH_ROWS}], ','))
-                       AS bucket
-            FROM sigs, (SELECT unnest(generate_series(0, {_MH_BANDS - 1})) AS b)
-        ),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b
-            FROM bands a JOIN bands c ON a.b = c.b AND a.bucket = c.bucket
-            WHERE a.doc_id < c.doc_id
-        ),
+        {_oracle_bands_cand()},
         near AS (
             SELECT cand.doc_id_b
             FROM cand
@@ -868,7 +957,9 @@ def q_llm_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = d.where(quality >= 0.5).select("doc_id", "lang", "text")
     fp = s1.withColumn("content_fp", F.md5(X.norm_text(F.col("text"))))
     keep = fp.groupBy("content_fp").agg(F.min("doc_id").alias("doc_id"))
-    s2 = fp.join(keep, ["content_fp", "doc_id"]).select("doc_id", "lang", "text")
+    # persisted: s2 feeds both the minhash-sig subtree (itself persisted
+    # in _minhash_pairs) and the final anti-join/rollup
+    s2 = fp.join(keep, ["content_fp", "doc_id"]).select("doc_id", "lang", "text").persist()
     near = (
         _minhash_pairs(_minhash_sigs_of(s2))
         .select(F.col("doc_id_b").alias("doc_id"))
