@@ -3,13 +3,27 @@ $SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS], plus
 the identity-pipeline throughput mirror of the reference's
 BenchmarkMem (1e6 × 20-byte messages, reference test/stream_test.go:29-41).
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (kept short — the driver records a
+bounded tail of stdout, and a long line gets front-truncated into
+unparseable JSON, round-1 lesson):
   {"metric": "suite_total", "value": <sec>, "unit": "sec",
    "queries": {...}, "sf": <sf>, "identity_rows_per_sec": <rows/s>}
 
 Each query is forced end-to-end with a noop sink (computes every row,
 writes nothing, no driver materialization) — .count() would let
 Catalyst prune the projections being measured.
+
+Measurement hygiene (round-1 lessons):
+- a real warm-up (scan + pandas-UDF + one streaming micro-run) pays
+  JVM JIT, Python-worker and state-store spin-up before the first
+  measured query — the driver's single-pass run otherwise lands those
+  one-time costs on arbitrary queries (q_scalar_math drew a 70 s
+  first-run spike in round 1);
+- min-of-2 for queries under 60 s so one GC/compile spike can't
+  define a query's number;
+- the cache is cleared after each query: persisted subtrees from one
+  operator otherwise skew every later measurement (observed: +2× on
+  unrelated queries late in the suite).
 """
 
 from __future__ import annotations
@@ -27,6 +41,7 @@ from cheetah_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+WARM_SF_DIR = "/root/testdata/sf0.001"  # tiny: warm-up work, not load
 
 
 def force(df) -> None:
@@ -39,6 +54,23 @@ def drop_stream_sinks(spark) -> None:
     for t in spark.catalog.listTables():
         if t.name.startswith("sink_"):
             spark.catalog.dropTempView(t.name)
+
+
+def warm_up(spark) -> None:
+    """Pay every one-time cost before measurement starts: JVM JIT and
+    codegen (scan + agg), Python worker pool (pandas UDF), streaming
+    machinery + state store (one micro-batched stream run at sf0.001)."""
+    from pyspark.sql import functions as F
+
+    spark.range(100_000).agg(F.sum("id")).collect()
+    try:
+        force(REGISTRY["q_scan_project"].fn(spark, SF_DIR))
+        force(REGISTRY["q_udf_surface"].fn(spark, WARM_SF_DIR))
+        force(REGISTRY["s_stream_identity"].fn(spark, WARM_SF_DIR))
+    except Exception as e:  # warm-up must never sink the bench
+        print(f"WARMUP-FAIL: {str(e)[:200]}", file=sys.stderr)
+    drop_stream_sinks(spark)
+    spark.catalog.clearCache()
 
 
 def bench_identity(spark) -> float:
@@ -65,8 +97,7 @@ def bench_identity(spark) -> float:
 def main() -> None:
     _ensure_loaded()
     spark = get_spark(app_name="cheetah_bench", cpus=CPUS)
-    # warm the JVM/session so the first measured query isn't paying spin-up
-    spark.range(1000).count()
+    warm_up(spark)
 
     timings: dict[str, float] = {}
     for name, spec in sorted(REGISTRY.items()):
@@ -74,28 +105,29 @@ def main() -> None:
         try:
             force(spec.fn(spark, SF_DIR))
             t1 = time.time() - t0
-            if t1 < 30.0:  # re-run cheap queries: first run carries codegen/JIT noise
+            if t1 < 60.0:  # re-run: first run carries codegen/GC noise
                 t0 = time.time()
                 force(spec.fn(spark, SF_DIR))
                 t1 = min(t1, time.time() - t0)
-            timings[name] = round(t1, 3)
+            timings[name] = round(t1, 2)
         except Exception as e:  # a failing query gets a sentinel, not a crash
             timings[name] = -1.0
             print(f"BENCH-FAIL {name}: {str(e)[:200]}", file=sys.stderr)
         drop_stream_sinks(spark)
+        spark.catalog.clearCache()
 
     rps = bench_identity(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "suite_total",
-        "value": round(sum(t for t in timings.values() if t > 0), 3),
+        "value": round(sum(t for t in timings.values() if t > 0), 2),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "identity_rows_per_sec": round(rps),
     }
-    print(json.dumps(out))
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,143 @@
+"""Declarative pipeline configuration — the daemon entry point.
+
+The reference's primary user surface is a JSON config of type-tagged
+source/destination blocks wired into a processor by the kawad daemon
+(reference README.md:164-299, cmd/kawad). This module is that surface
+re-expressed Spark-first: ``pipeline_from_config`` turns
+
+    {"source":     {"type": "parquet", "path": ..., "streaming": true},
+     "transforms": [{"type": "filter", "expr": "value > 0"},
+                    {"type": "sql", "query": "SELECT ... FROM __input__"}],
+     "sink":       {"type": "ndjson_gzip", "path": ...}}
+
+into a :class:`~cheetah_spark.pipeline.Pipeline`. The ``type`` tag
+selects the adapter class; every other key is passed through as the
+adapter's constructor field (the reference marshals config blocks into
+typed option structs the same way).
+
+Transforms are the Handler chain (reference types.go:122-135): filter,
+projection (map), explode (1→N) and an escape-hatch ``sql`` transform
+that registers the input as a temp view — which makes the whole SQL
+operator surface reachable from config, something the reference (no
+query language) cannot do.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cheetah_spark.pipeline import Handler, Pipeline
+from cheetah_spark.sinks import (
+    BatcherSink,
+    ConsoleSink,
+    MemorySink,
+    MultiSink,
+    NdjsonGzipSink,
+    Sink,
+)
+from cheetah_spark.sources import (
+    CsvSource,
+    JsonSource,
+    MemorySource,
+    MultiSource,
+    ParquetSource,
+    RateSource,
+    Source,
+    TextScannerSource,
+)
+
+_SOURCE_TYPES = {
+    "parquet": ParquetSource,
+    "json": JsonSource,
+    "csv": CsvSource,
+    "text": TextScannerSource,
+    "rate": RateSource,
+    "memory": MemorySource,
+}
+
+_SINK_TYPES = {
+    "console": ConsoleSink,
+    "memory": MemorySink,
+    "ndjson_gzip": NdjsonGzipSink,
+}
+
+
+def build_source(cfg: Mapping[str, Any]) -> Source:
+    cfg = dict(cfg)
+    kind = cfg.pop("type")
+    if kind == "multi":  # fan-in (reference MultiSource S6)
+        return MultiSource(sources=[build_source(c) for c in cfg.pop("sources")])
+    try:
+        cls = _SOURCE_TYPES[kind]
+    except KeyError:
+        raise ValueError(f"unknown source type: {kind!r}") from None
+    return cls(**cfg)
+
+
+def build_sink(cfg: Mapping[str, Any]) -> Sink:
+    cfg = dict(cfg)
+    kind = cfg.pop("type")
+    if kind == "multi":  # fan-out (reference MultiDestination D5)
+        return MultiSink(sinks=[build_sink(c) for c in cfg.pop("sinks")], **cfg)
+    if kind == "batcher":
+        # the reference batcher WRAPS a destination (batcher.go:58-96):
+        # config nests the inner sink under "flush"
+        inner = build_sink(cfg.pop("flush"))
+        return BatcherSink(flush=lambda batch, epoch: inner.write(batch), **cfg)
+    try:
+        cls = _SINK_TYPES[kind]
+    except KeyError:
+        raise ValueError(f"unknown sink type: {kind!r}") from None
+    return cls(**cfg)
+
+
+def build_transform(cfg: Mapping[str, Any]) -> Handler:
+    kind = cfg["type"]
+    if kind == "filter":
+        expr = cfg["expr"]
+        return lambda df: df.filter(expr)
+    if kind == "select":
+        cols = list(cfg["columns"])
+        return lambda df: df.selectExpr(*cols)
+    if kind == "with_column":
+        name, expr = cfg["name"], cfg["expr"]
+        return lambda df: df.withColumn(name, F.expr(expr))
+    if kind == "drop":
+        cols = list(cfg["columns"])
+        return lambda df: df.drop(*cols)
+    if kind == "explode":  # 1→N (reference Handler fan-out)
+        col = cfg["column"]
+        alias = cfg.get("alias", col)
+        return lambda df: df.withColumn(alias, F.explode(F.col(col)))
+    if kind == "sql":
+        query = cfg["query"]
+        view = cfg.get("view", "__input__")
+
+        def run_sql(df: DataFrame) -> DataFrame:
+            df.createOrReplaceTempView(view)
+            return df.sparkSession.sql(query)
+
+        return run_sql
+    raise ValueError(f"unknown transform type: {kind!r}")
+
+
+def pipeline_from_config(cfg: Mapping[str, Any] | str) -> Pipeline:
+    """Config (dict or JSON string) → :class:`Pipeline`."""
+    if isinstance(cfg, str):
+        cfg = json.loads(cfg)
+    return Pipeline(
+        source=build_source(cfg["source"]),
+        sink=build_sink(cfg.get("sink", {"type": "console"})),
+        transforms=tuple(build_transform(t) for t in cfg.get("transforms", ())),
+    )
+
+
+def load_pipeline(path: str) -> Pipeline:
+    """Read a JSON config file → :class:`Pipeline` (the kawad CLI shape:
+    ``kawad --config pipeline.json``)."""
+    with open(path) as fh:
+        return pipeline_from_config(json.load(fh))

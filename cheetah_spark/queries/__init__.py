@@ -12,6 +12,7 @@ listed keep registration order after the listed ones.
 """
 
 from cheetah_spark.queries import advanced  # noqa: F401
+from cheetah_spark.queries import declarative  # noqa: F401
 from cheetah_spark.queries import llm  # noqa: F401
 from cheetah_spark.queries import multimodal  # noqa: F401
 from cheetah_spark.queries import relational  # noqa: F401
@@ -20,6 +21,7 @@ from cheetah_spark.queries import streams  # noqa: F401
 from cheetah_spark.queries import surface  # noqa: F401
 from cheetah_spark.queries import timeseries  # noqa: F401
 from cheetah_spark.queries import windows  # noqa: F401
+from cheetah_spark.queries import xmlio  # noqa: F401
 
 # Round-2 window: 20 operators with no round-1 driver row, then the 3
 # round-1 hash-fails (fixed), then the de-quadratified rewrites, then

@@ -181,7 +181,10 @@ def s_stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     src_dir = events_stream_dir(spark, sf_dir)
-    stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=2).read(spark)
+    # 4 files/trigger over the 8-file replay = 2 micro-batches: still
+    # exercises cross-batch state carry-over, at half the per-batch
+    # Python-state round-trip overhead of the round-1 4-batch version
+    stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=4).read(spark)
 
     def update(key, pdfs, state):
         n = state.get[0] if state.exists else 0

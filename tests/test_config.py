@@ -1,0 +1,133 @@
+"""Declarative config loader (cheetah_spark/config.py) and streaming
+metrics listener (streaming/metrics.py): the kawad daemon surface
+(reference README.md:164-299) and the OTel-counter parity
+(processor.go:91-120), driven end-to-end."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+
+import pytest
+
+from cheetah_spark.config import build_sink, build_source, load_pipeline, pipeline_from_config
+from cheetah_spark.sinks import BatcherSink, MemorySink, NdjsonGzipSink
+from cheetah_spark.sources import MultiSource, ParquetSource
+from cheetah_spark.streaming import events_stream_dir
+from cheetah_spark.streaming.metrics import PipelineMetrics
+
+
+def test_batch_config_roundtrip(spark, sf_dir):
+    """Config → Pipeline → memory sink; result queryable as a view."""
+    cfg = {
+        "source": {"type": "parquet", "path": f"{sf_dir}/nation.parquet"},
+        "transforms": [
+            {"type": "filter", "expr": "n_regionkey = 1"},
+            {"type": "select", "columns": ["n_nationkey", "n_name"]},
+        ],
+        "sink": {"type": "memory", "name": "cfg_nations"},
+    }
+    p = pipeline_from_config(cfg)
+    p.run(spark)
+    got = spark.table("cfg_nations")
+    direct = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .filter("n_regionkey = 1")
+        .select("n_nationkey", "n_name")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_config_json_string_and_file(tmp_path, spark, sf_dir):
+    cfg = {
+        "source": {"type": "parquet", "path": f"{sf_dir}/region.parquet"},
+        "sink": {"type": "memory", "name": "cfg_regions"},
+    }
+    p1 = pipeline_from_config(json.dumps(cfg))
+    assert isinstance(p1.source, ParquetSource)
+    f = tmp_path / "pipe.json"
+    f.write_text(json.dumps(cfg))
+    p2 = load_pipeline(str(f))
+    assert isinstance(p2.sink, MemorySink)
+    assert p2.dataframe(spark).count() == p1.dataframe(spark).count()
+
+
+def test_nested_multi_and_batcher_blocks(sf_dir):
+    src = build_source(
+        {
+            "type": "multi",
+            "sources": [
+                {"type": "parquet", "path": f"{sf_dir}/region.parquet"},
+                {"type": "parquet", "path": f"{sf_dir}/region.parquet"},
+            ],
+        }
+    )
+    assert isinstance(src, MultiSource) and len(src.sources) == 2
+    sink = build_sink(
+        {
+            "type": "batcher",
+            "flush": {"type": "ndjson_gzip", "path": "/tmp/cheetah_cfg_out/x"},
+        }
+    )
+    assert isinstance(sink, BatcherSink)
+
+
+def test_unknown_types_rejected():
+    with pytest.raises(ValueError, match="unknown source type"):
+        build_source({"type": "mqtt3"})
+    with pytest.raises(ValueError, match="unknown sink type"):
+        build_sink({"type": "s4"})
+
+
+def test_streaming_config_topology_with_metrics(spark, sf_dir):
+    """The s_stream_batcher topology declared as config (streaming
+    parquet replay → batcher-wrapped gzip-NDJSON sink), with the
+    metrics listener attached: no rows lost, >1 micro-batch observed
+    by the listener, gzip files on disk."""
+    out_dir = "/tmp/cheetah_cfg_out/stream_batcher"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    src_dir = events_stream_dir(spark, sf_dir)
+    n_expected = spark.read.parquet(src_dir).count()
+
+    metrics = PipelineMetrics()
+    spark.streams.addListener(metrics)
+    try:
+        cfg = {
+            "source": {
+                "type": "parquet",
+                "path": src_dir,
+                "streaming": True,
+                "max_files_per_trigger": 4,
+            },
+            "transforms": [
+                {"type": "select", "columns": ["event_id", "event_type", "value"]},
+            ],
+            "sink": {
+                "type": "batcher",
+                "checkpoint": f"{out_dir}/_ckpt",
+                "flush": {"type": "ndjson_gzip", "path": f"{out_dir}/data"},
+            },
+        }
+        query = pipeline_from_config(cfg).run(spark)
+        assert query is not None
+        query.processAllAvailable()
+        query.stop()
+
+        written = spark.read.json(f"{out_dir}/data")
+        assert written.count() == n_expected  # no loss through config path
+        assert glob.glob(f"{out_dir}/data/**/part-*.gz", recursive=True)
+
+        # listener events are async: poll until the counter catches up
+        qid = str(query.id)
+        deadline = time.time() + 30
+        while time.time() < deadline and metrics.rows_processed(qid) < n_expected:
+            time.sleep(0.2)
+        assert metrics.rows_processed(qid) == n_expected
+        assert metrics.n_batches(qid) >= 2  # really micro-batched
+        assert qid in metrics.started
+    finally:
+        spark.streams.removeListener(metrics)
+        shutil.rmtree(out_dir, ignore_errors=True)
