@@ -35,6 +35,7 @@ from cheetah_spark.sinks import (
     BatcherSink,
     ConsoleSink,
     MemorySink,
+    MqttReplaySink,
     MultiSink,
     NdjsonGzipSink,
     Sink,
@@ -43,6 +44,7 @@ from cheetah_spark.sources import (
     CsvSource,
     JsonSource,
     MemorySource,
+    MqttReplaySource,
     MultiSource,
     ParquetSource,
     RateSource,
@@ -57,12 +59,14 @@ _SOURCE_TYPES = {
     "text": TextScannerSource,
     "rate": RateSource,
     "memory": MemorySource,
+    "mqtt_replay": MqttReplaySource,
 }
 
 _SINK_TYPES = {
     "console": ConsoleSink,
     "memory": MemorySink,
     "ndjson_gzip": NdjsonGzipSink,
+    "mqtt_replay": MqttReplaySink,
 }
 
 

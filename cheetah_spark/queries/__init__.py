@@ -12,7 +12,9 @@ listed keep registration order after the listed ones.
 """
 
 from cheetah_spark.queries import advanced  # noqa: F401
+from cheetah_spark.queries import curation  # noqa: F401
 from cheetah_spark.queries import declarative  # noqa: F401
+from cheetah_spark.queries import mqtt  # noqa: F401
 from cheetah_spark.queries import llm  # noqa: F401
 from cheetah_spark.queries import multimodal  # noqa: F401
 from cheetah_spark.queries import relational  # noqa: F401
@@ -60,4 +62,8 @@ CHECK_FIRST = [
     # new this round
     "q_deser_xml",
     "q_config_pipeline",
+    "q_mqtt_envelope",
+    "q_llm_sample_stratified",
+    "q_llm_pack_sequences",
+    "q_llm_embed_quantize",
 ]

@@ -164,6 +164,40 @@ class MultiSink(Sink):
         return None
 
 
+@dataclass
+class MqttReplaySink(Sink):
+    """MQTT publish semantics (reference mqtt.Destination D3,
+    x/mqtt/mqtt.go:105-176): every payload goes to ONE fixed topic with
+    the sink's QoS/retained flags (mqtt.go:34-48). Connector half is an
+    NDJSON capture directory (same schema MqttReplaySource reads, so
+    source↔sink round-trips); the blocking token wait (mqtt.go:160-168)
+    maps to the micro-batch completing before its offsets commit."""
+
+    path: str = ""
+    topic: str = "out"
+    qos: int = 1
+    retained: bool = False
+    payload_col: str = "value"
+    checkpoint: Optional[str] = None
+    trigger: Optional[dict] = None
+
+    def _capture(self, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(self.topic).alias("topic"),
+            F.col(self.payload_col).cast("string").alias("payload"),
+            F.lit(self.qos).alias("qos"),
+            F.lit(self.retained).alias("retained"),
+        )
+
+    def write(self, df: DataFrame):
+        out = self._capture(df)
+        if df.isStreaming:
+            w = out.writeStream.format("json").option("path", self.path).outputMode("append")
+            return _start(w, self.checkpoint or f"{self.path}/_checkpoint", self.trigger)
+        out.write.mode("append").json(self.path)
+        return None
+
+
 class ErrDontAck(Exception):
     """Error-handler signal: do NOT commit this batch's offsets — the
     micro-batch replays on restart (reference batcher's ErrDontAck
@@ -187,15 +221,26 @@ class BatcherSink(Sink):
       ``"discard"`` → swallow and commit (DiscardHandler),
       ``"dont_ack"`` → fail the batch WITHOUT committing offsets so it
       replays (ErrDontAck).
+    - ``flush_timeout`` ≈ the per-flush timeout + watchdog
+      (batcher.go:230-242, 351-356): a flush exceeding the bound fails
+      the query fatally instead of wedging the pipeline silently.
+    - ``stop_timeout`` ≈ graceful-stop draining (batcher.go:283-304):
+      bounds how long ``query.stop()`` waits for in-flight work
+      (``spark.sql.streaming.stopTimeout``).
     """
 
     flush: Callable[[DataFrame, int], None] = lambda df, epoch: None
     flush_interval: Optional[str] = None  # e.g. "1 second"; None → availableNow
     on_error: str = "raise"
     checkpoint: Optional[str] = None
+    flush_timeout: Optional[float] = None  # seconds; None → unbounded
+    stop_timeout: Optional[str] = None  # e.g. "5s" (reference StopTimeout default)
 
     def write(self, df: DataFrame):
+        import time as _time
+
         def do_flush(batch: DataFrame, epoch_id: int) -> None:
+            t0 = _time.monotonic()
             try:
                 self.flush(batch, epoch_id)
             except ErrDontAck:
@@ -204,6 +249,15 @@ class BatcherSink(Sink):
                 if self.on_error == "discard":
                     return  # swallow: batch acked without effect
                 raise  # fatal (reference default: any Send error kills the processor)
+            if self.flush_timeout is not None:
+                elapsed = _time.monotonic() - t0
+                if elapsed > self.flush_timeout:
+                    # watchdog contract: a wedged/overlong flush is fatal,
+                    # and the batch does NOT ack (error before commit)
+                    raise TimeoutError(
+                        f"flush of epoch {epoch_id} took {elapsed:.1f}s"
+                        f" > flush_timeout={self.flush_timeout}s"
+                    )
 
         trigger = (
             {"processingTime": self.flush_interval} if self.flush_interval else {"availableNow": True}
@@ -211,4 +265,6 @@ class BatcherSink(Sink):
         if not df.isStreaming:
             do_flush(df, 0)
             return None
+        if self.stop_timeout is not None:
+            df.sparkSession.conf.set("spark.sql.streaming.stopTimeout", self.stop_timeout)
         return _start(df.writeStream.foreachBatch(do_flush), self.checkpoint, trigger)

@@ -161,6 +161,71 @@ class MultiSource(Source):
         return out
 
 
+def mqtt_filter_regex(topic_filter: str) -> str:
+    """MQTT subscription filter → anchored regex (valid in both Java
+    regex and RE2, so Spark ``rlike`` and DuckDB ``regexp_matches``
+    evaluate it identically).
+
+    MQTT-3.1.1 §4.7 semantics: ``+`` matches exactly one topic level,
+    ``#`` (last level only) matches the remaining zero-or-more levels.
+    """
+    import re as _re
+
+    parts = topic_filter.split("/")
+    regs: list[str] = []
+    for i, p in enumerate(parts):
+        if p == "#":
+            if i != len(parts) - 1:
+                raise ValueError(f"'#' must be the last level: {topic_filter!r}")
+            head = "/".join(regs)
+            return f"^{head}(/.*)?$" if head else "^.*$"
+        regs.append("[^/]+" if p == "+" else _re.escape(p))
+    return "^" + "/".join(regs) + "$"
+
+
+@dataclass
+class MqttReplaySource(Source):
+    """MQTT subscribe semantics over a recorded broker capture
+    (reference mqtt.Source S3, x/mqtt/mqtt.go:178-251; opts 14-103).
+
+    No broker exists in this environment, so the *connector* half is an
+    NDJSON capture directory (schema: ``topic, payload, qos,
+    retained``) and this adapter re-expresses the *semantics*:
+
+    - subscription topic filter with MQTT wildcards (``+``/``#``,
+      mqtt.go:89-94 default ``#``) → a pushed-down ``rlike`` predicate;
+    - effective QoS = min(publish QoS, subscription QoS)
+      (MQTT-3.1.1 §3.8.4 downgrade rule; mqtt.go:95-98);
+    - at-least-once delivery (QoS ≥ 1) → checkpoint offset commit, the
+      same mapping every source here uses;
+    - rows surface as the canonical Message envelope (key=topic tail,
+      value=payload bytes, attributes carry qos/retained — reference
+      types.go:10-26).
+    """
+
+    path: str = ""
+    topic_filter: str = "#"
+    qos: int = 1
+    streaming: bool = False
+
+    CAPTURE_SCHEMA = "topic string, payload string, qos int, retained boolean"
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        reader = spark.readStream if self.streaming else spark.read
+        df = reader.schema(self.CAPTURE_SCHEMA).json(self.path)
+        matched = df.where(F.col("topic").rlike(mqtt_filter_regex(self.topic_filter)))
+        eff_qos = F.least(F.col("qos"), F.lit(self.qos))
+        return matched.select(
+            F.element_at(F.split("topic", "/"), -1).alias("key"),
+            F.col("payload").cast("binary").alias("value"),
+            "topic",
+            F.create_map(
+                F.lit("qos"), eff_qos.cast("string"),
+                F.lit("retained"), F.col("retained").cast("string"),
+            ).alias("attributes"),
+        )
+
+
 def envelope(df: DataFrame, key: str, topic: str) -> DataFrame:
     """Wrap arbitrary rows into the canonical Message envelope
     (key/value/topic/attributes, reference types.go:10-26): ``value``
