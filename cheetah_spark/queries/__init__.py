@@ -66,4 +66,5 @@ CHECK_FIRST = [
     "q_llm_sample_stratified",
     "q_llm_pack_sequences",
     "q_llm_embed_quantize",
+    "s_stream_stream_join",
 ]

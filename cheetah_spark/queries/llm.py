@@ -760,42 +760,69 @@ _LSH_BANDS = 16
 _LSH_BITS = 4
 
 
+_LSH_DIM = 64
+
+
 @register("q_llm_ann_lsh", tags=("llm", "vector", "rows-only"))
 def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors via sign-LSH banding + exact rerank.
 
     Each vector gets 16 band-bucket ids from 4-bit random-hyperplane
     sketches (deterministic hash-derived hyperplanes — reproducible on
-    any cluster, no fitted model). Candidates = query/corpus pairs
-    sharing any (band, bucket); shuffle cost is linear in collisions,
-    never O(|Q|×|C|). Exact cosine reranks candidates; recall vs the
-    exact top-k is measured in tests/test_llm.py (0.92 at fixture
-    scale).
+    any cluster, no fitted model: the ±1 matrix is rebuilt from md5 on
+    every executor). Candidates = query/corpus pairs sharing any
+    (band, bucket); shuffle cost is linear in collisions, never
+    O(|Q|×|C|). Exact cosine (JVM sequential fold, identical to the
+    exact operators) reranks candidates; recall vs the exact top-k is
+    measured in tests/test_llm.py (0.92 at fixture scale).
+
+    Bucket assignment is ONE Arrow-batched numpy matmul per batch
+    (batch×dim @ dim×(bands·bits)) — the declared vectorized slow
+    path. The pure-codegen formulation it replaces built a 4096-term
+    fold expression (16 bands × 4 bits × 64 dims) whose evaluation
+    dominated the whole suite (5.2 s at sf0.1 → ~1 s vectorized);
+    per-element expression trees stop being "the fast path" when the
+    operator is a dense matrix product.
 
     Band sizing note: the fixture embeddings are near-uniform (top-k
     sims ≈ 0.3–0.5), the hardest case for LSH — 16×4 trades a wide
     candidate set for recall. On real near-dup corpora (target sims
     ≥ 0.8, e.g. the embed_dedup use case) fewer/wider bands (8×8)
     collapse the candidate set to ~the true duplicates."""
+    import numpy as np
+
+    from cheetah_spark.functions.vectors import _lsh_sign
+
     e = load_table(spark, sf_dir, "embeddings")
-    bands = [
-        V.sign_lsh_bucket(F.col("embedding"), band, _LSH_BITS).alias(f"bk_{band}")
-        for band in range(_LSH_BANDS)
-    ]
-    tagged = e.select(
-        "vec_id", "embedding", V.l2_norm_sq(F.col("embedding")).alias("nsq"), *bands
+    S = np.array(
+        [
+            [_lsh_sign(band, bit, i) for band in range(_LSH_BANDS) for bit in range(_LSH_BITS)]
+            for i in range(_LSH_DIM)
+        ]
+    )  # (dim, bands*bits), ±1 entries
+    bitw = 1 << np.arange(_LSH_BITS, dtype=np.int64)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Vm = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            bits = (Vm @ S >= 0).astype(np.int64).reshape(len(pdf), _LSH_BANDS, _LSH_BITS)
+            buckets = (bits * bitw).sum(axis=2)  # (n, bands)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), _LSH_BANDS),
+                    "embedding": pdf["embedding"].repeat(_LSH_BANDS),
+                    "band": np.tile(np.arange(_LSH_BANDS, dtype=np.int32), len(pdf)),
+                    "bucket": buckets.ravel(),
+                }
+            )
+
+    melted = (
+        e.select("vec_id", "embedding")
+        .mapInPandas(assign, "vec_id long, embedding array<float>, band int, bucket long")
+        .withColumn("nsq", V.l2_norm_sq(F.col("embedding")))
     )
-    melted = tagged.select(
-        "vec_id",
-        "embedding",
-        "nsq",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(band).alias("band"), F.col(f"bk_{band}").alias("bucket"))
-                for band in range(_LSH_BANDS)
-            ])
-        ).alias("bb"),
-    ).select("vec_id", "embedding", "nsq", "bb.band", "bb.bucket")
     q = melted.where(F.col("vec_id") % _QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),

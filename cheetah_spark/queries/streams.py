@@ -157,6 +157,74 @@ def s_stream_batcher(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_stream_stream_join",
+    oracle="""
+        SELECT COUNT(*) AS n_pairs,
+               COUNT(DISTINCT a.user_id) AS n_users
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'click' AND b.event_type = 'view'
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join"),
+)
+def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-interval inner join with watermarks on both
+    sides: clicks joined to the same user's views within the next 30
+    minutes — the canonical funnel/attribution join. Inner-join matches
+    emit eagerly (the watermark bounds STATE, not emission), so the
+    bounded replay's output equals the batch interval join the oracle
+    runs — conformance for the join operator itself.
+
+    Scale shape: both sides shuffle on user_id; state per key is
+    bounded by the watermark delay × arrival rate, evicted as event
+    time advances — the property that lets this run forever at
+    production rates. The reference has no joins at all (SURVEY §2A);
+    this is target-surface streaming coverage.
+
+    State partitioning is sized explicitly (a join keeps 4 state
+    stores per shuffle partition per micro-batch; their fixed open/
+    commit cost dominates small-state workloads — 8 partitions is 3×
+    faster than 32 here; size it to keyspace, not cores)."""
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _stream_stream_join(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+
+def _stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src_dir = events_stream_dir(spark, sf_dir)
+    clicks = (
+        ParquetSource(src_dir, streaming=True, max_files_per_trigger=4)
+        .read(spark)
+        .where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    views = (
+        ParquetSource(src_dir, streaming=True, max_files_per_trigger=4)
+        .read(spark)
+        .where(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "2 hours")
+    )
+    joined = clicks.join(
+        views,
+        F.expr(
+            "c_user = v_user AND view_ts >= click_ts"
+            " AND view_ts <= click_ts + INTERVAL 30 MINUTES"
+        ),
+    )
+    out = run_stream_to_completion(joined, lambda df: df)
+    return out.agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("c_user").alias("n_users"),
+    )
+
+
+@register(
     "s_stream_stateful_counter",
     oracle="""
         SELECT user_id, COUNT(*)::BIGINT AS n_events
