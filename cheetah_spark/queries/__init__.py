@@ -67,4 +67,9 @@ CHECK_FIRST = [
     "q_llm_pack_sequences",
     "q_llm_embed_quantize",
     "s_stream_stream_join",
+    "q_llm_dup_clusters",
+    "q_llm_decontaminate",
+    "q_llm_tfidf_topterms",
+    "q_llm_repetition",
+    "q_llm_chunk_windows",
 ]

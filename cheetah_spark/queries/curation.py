@@ -19,7 +19,12 @@ from pyspark.sql.window import Window
 
 from cheetah_spark.catalog import load_table
 from cheetah_spark.functions import text as X
-from cheetah_spark.registry import register
+from cheetah_spark.operators.graph import connected_components
+from cheetah_spark.registry import REGISTRY, register
+
+# importing llm first guarantees its registrations (and oracle SQL
+# fragments) exist before this module reuses them
+from cheetah_spark.queries import llm as _llm  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # Stratified sampling
@@ -153,6 +158,80 @@ def q_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Duplicate clustering (connected components)
+# ---------------------------------------------------------------------------
+
+_CC_MAX_ITERS = 50
+
+
+@register(
+    "q_llm_dup_clusters",
+    oracle=f"""
+        WITH RECURSIVE pairs AS ({REGISTRY["q_llm_simhash_dedup"].oracle}),
+        edges AS (
+            SELECT doc_id_a AS s, doc_id_b AS t FROM pairs
+            UNION ALL
+            SELECT doc_id_b, doc_id_a FROM pairs
+        ),
+        reach(s, t) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+        ),
+        labeled AS (SELECT s AS doc_id, MIN(t) AS comp_id FROM reach GROUP BY s)
+        SELECT comp_id,
+               COUNT(*) AS n_docs,
+               MAX(doc_id) AS max_doc_id
+        FROM labeled
+        GROUP BY comp_id
+        HAVING COUNT(*) > 1
+    """,
+    tags=("llm", "dedup", "iterative"),
+)
+def q_llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS, not just pairs: connected components over the
+    SimHash near-dup pair graph via iterative min-label propagation —
+    the step a real curation pipeline needs between pairwise similarity
+    and "keep one doc per duplicate group" (pairs alone over-delete:
+    A~B, B~C must collapse to ONE cluster {{A,B,C}}).
+
+    The iteration (factored out as
+    :func:`cheetah_spark.operators.graph.connected_components`, where
+    the iterative-Spark mechanics — per-round ``localCheckpoint``
+    lineage truncation, edge-node-only label set, monotone-sum
+    convergence, small loop shuffle partitions — are documented and
+    unit-tested on hand-built graphs) is the textbook distributed CC:
+    every node adopts the minimum label in its neighborhood until
+    fixpoint, O(diameter) rounds of one join + one min-aggregate. This
+    is deliberately NOT a driver-side algorithm: each round is a
+    distributed shuffle; the driver only checks the converged flag.
+
+    The DuckDB oracle computes the same components with a recursive
+    transitive-closure CTE and the IDENTICAL pair set (the simhash
+    oracle is reused verbatim as a CTE), so component ids (= min doc_id
+    per component) hash-match exactly. Output: multi-doc clusters only."""
+    pairs = REGISTRY["q_llm_simhash_dedup"].fn(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    # symmetrize with ONE explode, not a self-union: a union's two
+    # branches would each re-evaluate the whole simhash pair plan
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_id_a").alias("s"), F.col("doc_id_b").alias("t")),
+                F.struct(F.col("doc_id_b").alias("s"), F.col("doc_id_a").alias("t")),
+            )
+        ).alias("e")
+    ).select("e.s", "e.t")
+    labels = connected_components(spark, sym, max_iters=_CC_MAX_ITERS).select(
+        F.col("node_id").alias("doc_id"), "comp_id"
+    )
+    return (
+        labels.groupBy("comp_id")
+        .agg(F.count("*").alias("n_docs"), F.max("doc_id").alias("max_doc_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding quantization
 # ---------------------------------------------------------------------------
 
@@ -206,4 +285,341 @@ def q_llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_abs.alias("max_abs"),
         F.aggregate(q, F.lit(0).cast("bigint"), lambda acc, v: acc + v).alias("checksum"),
         F.size(F.filter(q, lambda v: F.abs(v) == 127)).cast("bigint").alias("n_saturated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_DECON_SEED = "bench:"
+_EVAL_PERMIL = 20  # ~2% of docs stand in for the held-out benchmark set
+_DECON_K = 3  # shingle width shared with the dedup family
+_DECON_FLAG_DEN = 8  # flag a doc when >= 1/8 of its shingles hit the eval set
+
+
+@register(
+    "q_llm_decontaminate",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT doc_id, lang, text,
+                   ({X.oracle_hash56(f"'{_DECON_SEED}' || CAST(doc_id AS VARCHAR)")} % 1000)
+                       < {_EVAL_PERMIL} AS is_eval
+            FROM documents
+        ),
+        eval_sh AS (
+            SELECT DISTINCT unnest(list_distinct(
+                {X.oracle_shingles(X.oracle_tokens("text"), _DECON_K)})) AS s
+            FROM tagged WHERE is_eval
+        ),
+        ex AS (
+            SELECT doc_id, lang,
+                   len(list_distinct(
+                       {X.oracle_shingles(X.oracle_tokens("text"), _DECON_K)}))::BIGINT AS n_sh,
+                   unnest(list_distinct(
+                       {X.oracle_shingles(X.oracle_tokens("text"), _DECON_K)})) AS s
+            FROM tagged WHERE NOT is_eval
+        ),
+        hits AS (
+            SELECT e.doc_id, e.lang, e.n_sh, COUNT(v.s)::BIGINT AS n_contam
+            FROM ex e LEFT JOIN eval_sh v ON e.s = v.s
+            GROUP BY e.doc_id, e.lang, e.n_sh
+        )
+        SELECT lang,
+               COUNT(*) AS n_train_docs,
+               CAST(SUM(CASE WHEN n_contam * {_DECON_FLAG_DEN} >= n_sh THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_flagged,
+               CAST(SUM(n_contam) AS BIGINT) AS total_hits,
+               MIN(CASE WHEN n_contam * {_DECON_FLAG_DEN} >= n_sh THEN doc_id END)
+                   AS min_flagged_id
+        FROM hits
+        GROUP BY lang
+    """,
+    tags=("llm", "dedup", "decontamination"),
+)
+def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing
+    3-gram shingles with a held-out eval set (the step every serious
+    pretraining pipeline runs so test benchmarks don't leak into
+    training data). The fixture has no separate benchmark table, so a
+    deterministic ~2% hash-slice of `documents` stands in as the eval
+    set — the same trick as q_llm_sample_stratified, reproducible on
+    any engine.
+
+    Scale shape: the eval side of the join is tiny by construction
+    (real benchmark suites are megabytes against a 100 TB corpus), so
+    it is explicitly `broadcast()` — the contamination check is then a
+    map-side hash probe on each train shingle with NO shuffle of the
+    corpus; the only shuffle is the per-doc count aggregation, keyed by
+    uniformly-distributed doc_id. A doc is flagged when >= 1/8 of its
+    distinct shingles hit the eval set (exact integer cross-multiply,
+    no float threshold)."""
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = (
+        X.hash56(F.concat(F.lit(_DECON_SEED), F.col("doc_id").cast("string"))) % 1000
+        < _EVAL_PERMIL
+    )
+    shl = F.array_distinct(X.shingles(X.tokens(F.col("text")), _DECON_K))
+    tagged = d.select("doc_id", "lang", "text", is_eval.alias("is_eval"))
+    eval_sh = (
+        tagged.where(F.col("is_eval"))
+        .select(F.explode(shl).alias("s"))
+        .distinct()
+        .select("s", F.lit(1).alias("hit"))
+    )
+    ex = tagged.where(~F.col("is_eval")).select(
+        "doc_id", "lang",
+        F.size(shl).cast("bigint").alias("n_sh"),
+        F.explode(shl).alias("s"),
+    )
+    hits = (
+        ex.join(F.broadcast(eval_sh), "s", "left")
+        .groupBy("doc_id", "lang", "n_sh")
+        .agg(F.count("hit").alias("n_contam"))
+    )
+    flagged = F.col("n_contam") * _DECON_FLAG_DEN >= F.col("n_sh")
+    return hits.groupBy("lang").agg(
+        F.count("*").alias("n_train_docs"),
+        F.sum(F.when(flagged, 1).otherwise(0)).cast("bigint").alias("n_flagged"),
+        F.sum("n_contam").cast("bigint").alias("total_hits"),
+        F.min(F.when(flagged, F.col("doc_id"))).alias("min_flagged_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+_IDF_SCALE = 1_000_000
+
+
+@register(
+    "q_llm_tfidf_topterms",
+    oracle=f"""
+        WITH tf AS (
+            SELECT doc_id, lang, term, COUNT(*)::BIGINT AS tf
+            FROM (SELECT doc_id, lang, unnest({X.oracle_tokens("text")}) AS term
+                  FROM documents)
+            GROUP BY doc_id, lang, term
+        ),
+        dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.lang, tf.term,
+                   tf.tf * ((n.n_docs * {_IDF_SCALE}) // dfreq.df) AS score
+            FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+        ),
+        top AS (
+            SELECT lang, term, score,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, term ASC) AS rn
+            FROM scored
+        )
+        SELECT lang, term AS top_term,
+               COUNT(*) AS n_docs_top,
+               CAST(MAX(score) AS BIGINT) AS max_score
+        FROM top WHERE rn = 1
+        GROUP BY lang, term
+    """,
+    tags=("llm", "text"),
+)
+def q_llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction with an EXACT integer weighting:
+    score = tf * floor(N_docs * 1e6 / df). The floor-scaled idf ratio
+    keeps the whole computation in BIGINT arithmetic — monotone in the
+    classic tf·log(N/df) for fixed tf, and bit-identical across
+    engines (a float log differs by ulps between libm implementations
+    and is exactly the kind of cross-engine hash breaker this repo
+    bans). Output: for each lang, how many documents have each term as
+    their top-scored keyword, with a (score DESC, term ASC)
+    deterministic tie-break.
+
+    Scale shape: tf is one shuffle keyed by (doc_id, term); df is a
+    vocabulary-sized aggregate of the tf table (map-side combined);
+    the tf⋈df join is left to AQE — vocabulary follows a Zipf
+    law, so at 100 TB the hot head of the vocab is exactly what AQE's
+    broadcast/skew handling is for. N_docs is a single bounded scalar
+    (same class as the documented centroid collects). The per-doc
+    top-1 is NOT a row_number window (sort + full shuffle of the
+    doc×term table): it is ``min(struct(-score, term))`` — an ordinary
+    aggregate with map-side partials, picking max score with the same
+    (score DESC, term ASC) tie-break the oracle's ROW_NUMBER spells
+    out."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    terms = d.select("doc_id", "lang", F.explode(X.tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "lang", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id", "lang", "term",
+        F.expr(f"tf * (CAST({n_docs * _IDF_SCALE} AS BIGINT) div df)").alias("score"),
+    )
+    top = (
+        scored.groupBy("doc_id", "lang")
+        .agg(F.min(F.struct((-F.col("score")).alias("ns"), F.col("term").alias("t"))).alias("m"))
+        .select("lang", F.col("m.t").alias("top_term"), (-F.col("m.ns")).alias("score"))
+    )
+    return top.groupBy("lang", "top_term").agg(
+        F.count("*").alias("n_docs_top"), F.max("score").alias("max_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style)
+# ---------------------------------------------------------------------------
+
+_REP_TOP_NUM, _REP_TOP_DEN = 1, 5  # flag when top 2-gram >= 20% of 2-grams
+_REP_DUP_NUM, _REP_DUP_DEN = 1, 2  # flag when duplicated 2-grams >= 50%
+
+
+@register(
+    "q_llm_repetition",
+    oracle=f"""
+        WITH ex AS (
+            SELECT doc_id, lang,
+                   unnest({X.oracle_shingles(X.oracle_tokens("text"), 2)}) AS g
+            FROM documents
+        ),
+        cnt AS (
+            SELECT doc_id, lang, g, COUNT(*)::BIGINT AS c
+            FROM ex GROUP BY doc_id, lang, g
+        ),
+        per_doc AS (
+            SELECT doc_id, lang,
+                   CAST(SUM(c) AS BIGINT) AS n_2g,
+                   COUNT(*)::BIGINT AS n_uniq_2g,
+                   CAST(MAX(c) AS BIGINT) AS top_c,
+                   CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_2g
+            FROM cnt GROUP BY doc_id, lang
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN top_c * {_REP_TOP_DEN} >= n_2g * {_REP_TOP_NUM}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_top_heavy,
+               CAST(SUM(CASE WHEN dup_2g * {_REP_DUP_DEN} >= n_2g * {_REP_DUP_NUM}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_heavy,
+               CAST(SUM(dup_2g) AS BIGINT) AS total_dup_2g,
+               CAST(SUM(n_2g) AS BIGINT) AS total_2g
+        FROM per_doc
+        GROUP BY lang
+    """,
+    tags=("llm", "quality"),
+)
+def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: the fraction of a document made
+    of its single most-frequent 2-gram, and the fraction covered by any
+    repeated 2-gram — the quality filters that catch boilerplate /
+    template spam which per-token stats (q_llm_quality_score) miss.
+    Thresholds are exact integer cross-multiplies (top 2-gram >= 1/5,
+    duplicated 2-grams >= 1/2), never float ratios.
+
+    Scale shape: explode to (doc, 2-gram) then two hash aggregations,
+    both map-side combinable, keyed first by the uniformly-distributed
+    (doc_id, gram) then by doc_id — no joins, no windows, no skew
+    (a hot gram is still spread across docs). At 100 TB this is the
+    same two-level-agg plan as q_hash_agg, linear in corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id", "lang",
+        F.explode(X.shingles(X.tokens(F.col("text")), 2)).alias("g"),
+    )
+    cnt = ex.groupBy("doc_id", "lang", "g").agg(F.count("*").alias("c"))
+    per_doc = cnt.groupBy("doc_id", "lang").agg(
+        F.sum("c").cast("bigint").alias("n_2g"),
+        F.count("*").alias("n_uniq_2g"),
+        F.max("c").cast("bigint").alias("top_c"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).cast("bigint").alias("dup_2g"),
+    )
+    top_heavy = F.col("top_c") * _REP_TOP_DEN >= F.col("n_2g") * _REP_TOP_NUM
+    dup_heavy = F.col("dup_2g") * _REP_DUP_DEN >= F.col("n_2g") * _REP_DUP_NUM
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(top_heavy, 1).otherwise(0)).cast("bigint").alias("n_top_heavy"),
+        F.sum(F.when(dup_heavy, 1).otherwise(0)).cast("bigint").alias("n_dup_heavy"),
+        F.sum("dup_2g").cast("bigint").alias("total_dup_2g"),
+        F.sum("n_2g").cast("bigint").alias("total_2g"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 32  # tokens per training chunk
+_CHUNK_S = 24  # stride (8-token overlap)
+_CHUNK_FP_MOD = 1_000_000_007  # keeps the checksum sum far under int64
+
+
+@register(
+    "q_llm_chunk_windows",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, {X.oracle_tokens("text")} AS toks,
+                   len({X.oracle_tokens("text")})::BIGINT AS n_tok
+            FROM documents
+        ),
+        ch AS (
+            SELECT doc_id, lang, toks, n_tok,
+                   unnest(generate_series(0,
+                       (greatest(n_tok - {_CHUNK_W}, 0) + {_CHUNK_S - 1}) // {_CHUNK_S})) AS ci
+            FROM t
+        ),
+        chunk AS (
+            SELECT doc_id, lang, ci,
+                   least({_CHUNK_W}, n_tok - ci * {_CHUNK_S}) AS clen,
+                   {X.oracle_hash56(
+                       f"array_to_string(toks[ci * {_CHUNK_S} + 1 : "
+                       f"ci * {_CHUNK_S} + least({_CHUNK_W}, n_tok - ci * {_CHUNK_S})], ' ')"
+                   )} AS fp
+            FROM ch
+        )
+        SELECT lang,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(clen) AS BIGINT) AS sum_chunk_tokens,
+               CAST(SUM(fp % {_CHUNK_FP_MOD}) AS BIGINT) AS fp_checksum,
+               CAST(MAX(ci) + 1 AS BIGINT) AS max_chunks_per_doc
+        FROM chunk
+        GROUP BY lang
+    """,
+    tags=("llm", "chunking"),
+)
+def q_llm_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: split each document into overlapping
+    32-token windows at stride 24 (the step that turns variable-length
+    cleaned documents into fixed training contexts; window/stride are
+    fixture-scaled — production uses e.g. 2048/1920, same plan). The
+    per-chunk 56-bit content fingerprint makes the output verify chunk
+    CONTENT, not just counts, and its modulo-sum checksum stays exact
+    in BIGINT.
+
+    Scale shape: map-only — tokenize, compute the chunk count
+    arithmetically, explode a `sequence`, slice; no shuffle anywhere
+    except the final per-lang aggregate. The chunk count per doc is
+    ceil(max(n_tok - W, 0) / S) + 1, all integer ops, so Spark and
+    DuckDB enumerate identical chunks and hash identical slices."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", X.tokens(F.col("text")).alias("toks")
+    ).select(
+        "doc_id", "lang", "toks", F.size("toks").cast("bigint").alias("n_tok")
+    )
+    n_chunks_m1 = F.expr(
+        f"(greatest(n_tok - {_CHUNK_W}, CAST(0 AS BIGINT)) + {_CHUNK_S - 1}) div {_CHUNK_S}"
+    )
+    ch = t.select(
+        "doc_id", "lang", "toks", "n_tok",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks_m1)).alias("ci"),
+    )
+    clen = F.least(F.lit(_CHUNK_W).cast("bigint"), F.col("n_tok") - F.col("ci") * _CHUNK_S)
+    fp = X.hash56(
+        F.array_join(F.slice(F.col("toks"), (F.col("ci") * _CHUNK_S + 1).cast("int"), clen.cast("int")), " ")
+    )
+    chunk = ch.select("doc_id", "lang", "ci", clen.alias("clen"), fp.alias("fp"))
+    return chunk.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_chunks"),
+        F.sum("clen").cast("bigint").alias("sum_chunk_tokens"),
+        F.sum(F.col("fp") % _CHUNK_FP_MOD).cast("bigint").alias("fp_checksum"),
+        (F.max("ci") + 1).cast("bigint").alias("max_chunks_per_doc"),
     )

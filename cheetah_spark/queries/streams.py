@@ -13,6 +13,7 @@ the invariant directly (counts that must match).
 
 from __future__ import annotations
 
+import contextlib
 import glob
 import os
 
@@ -24,6 +25,27 @@ from cheetah_spark.registry import register
 from cheetah_spark.sinks import BatcherSink
 from cheetah_spark.sources import ParquetSource
 from cheetah_spark.streaming import FIXTURE_ROOT, _tag, events_stream_dir, run_stream_to_completion
+
+
+@contextlib.contextmanager
+def scoped_state_partitions(spark: SparkSession, n: int = 8):
+    """Run a stateful streaming query with ``n`` shuffle partitions.
+
+    Every stateful operator keeps one state store PER shuffle partition
+    PER micro-batch; the fixed open/commit cost of each store dominates
+    small-state workloads (measured: a 200-partition vanilla session
+    paid 129 s on s_stream_watermark_late vs ~4 s at 8 — and the
+    stream-stream join dropped 82 s → 4 s the same way). Size state
+    partitioning to the KEYSPACE, not the core count — on a production
+    cluster with large state this number rises with key cardinality
+    (it is fixed at the first checkpoint, so it's a per-query knob,
+    not a session default)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @register(
@@ -78,10 +100,13 @@ def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.write.mode("append").parquet(dup_dir)
         open(ready, "w").close()
     stream = ParquetSource(dup_dir, streaming=True, max_files_per_trigger=4).read(spark)
-    out = run_stream_to_completion(
-        stream,
-        lambda df: df.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"]),
-    )
+    with scoped_state_partitions(spark):
+        out = run_stream_to_completion(
+            stream,
+            lambda df: df.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+                ["event_id"]
+            ),
+        )
     return out.agg(F.count("*").alias("n_out"), F.countDistinct("event_id").alias("n_distinct"))
 
 
@@ -98,16 +123,17 @@ def s_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     the at-most-a-suffix-missing property is the check)."""
     src_dir = events_stream_dir(spark, sf_dir)
     stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=2).read(spark)
-    out = run_stream_to_completion(
-        stream,
-        lambda df: (
-            df.withWatermark("ts", "10 minutes")
-            .groupBy(F.window("ts", "1 hour").alias("w"))
-            .agg(F.count("*").alias("n"))
-            .select(F.col("w.start").alias("win_start"), "n")
-        ),
-        output_mode="append",
-    )
+    with scoped_state_partitions(spark):
+        out = run_stream_to_completion(
+            stream,
+            lambda df: (
+                df.withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "1 hour").alias("w"))
+                .agg(F.count("*").alias("n"))
+                .select(F.col("w.start").alias("win_start"), "n")
+            ),
+            output_mode="append",
+        )
     return out.orderBy("win_start")
 
 
@@ -185,13 +211,9 @@ def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     State partitioning is sized explicitly (a join keeps 4 state
     stores per shuffle partition per micro-batch; their fixed open/
     commit cost dominates small-state workloads — 8 partitions is 3×
-    faster than 32 here; size it to keyspace, not cores)."""
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    faster than 32 here; see :func:`scoped_state_partitions`)."""
+    with scoped_state_partitions(spark):
         return _stream_stream_join(spark, sf_dir)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
 
 def _stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,17 +283,18 @@ def s_stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         state.update((n,))
         yield pd.DataFrame({"user_id": [key[0]], "running": [n]})
 
-    out = run_stream_to_completion(
-        stream,
-        lambda df: df.groupBy("user_id").applyInPandasWithState(
-            update,
-            outputStructType="user_id long, running long",
-            stateStructType="n long",
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        ),
-        output_mode="update",
-    )
+    with scoped_state_partitions(spark):
+        out = run_stream_to_completion(
+            stream,
+            lambda df: df.groupBy("user_id").applyInPandasWithState(
+                update,
+                outputStructType="user_id long, running long",
+                stateStructType="n long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ),
+            output_mode="update",
+        )
     # memory sink in update mode appends every emission; the final
     # running value per key is the max (counts only grow)
     return out.groupBy("user_id").agg(F.max("running").alias("n_events"))

@@ -1,0 +1,74 @@
+"""Curation-operator tests: connected-components semantics on
+hand-built graphs, and physical-plan audits for the new decontamination
+/ TF-IDF operators (scale posture: broadcast where intended, never a
+cross join)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from cheetah_spark.operators.graph import connected_components
+from cheetah_spark.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def _sym(spark, pairs):
+    df = spark.createDataFrame(pairs, "s long, t long")
+    return df.unionByName(df.select(F.col("t").alias("s"), F.col("s").alias("t")))
+
+
+def test_cc_transitive_chain_is_one_component(spark):
+    # path graph 1-2-3-4 (diameter 3) plus isolated pair 10-11:
+    # transitivity must collapse the chain into ONE component labeled
+    # by its minimum node id
+    edges = _sym(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    got = {(r.node_id, r.comp_id) for r in connected_components(spark, edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_cc_excludes_isolated_nodes(spark):
+    # nodes appear in the output iff they appear in the edge set
+    edges = _sym(spark, [(5, 7)])
+    got = {(r.node_id, r.comp_id) for r in connected_components(spark, edges).collect()}
+    assert got == {(5, 5), (7, 5)}
+
+
+def test_cc_clique_converges_fast(spark):
+    # a 4-clique converges in 2 rounds (1 propagate + 1 confirm);
+    # max_iters=3 both proves convergence speed and bounds the test
+    pairs = [(a, b) for a in range(20, 24) for b in range(20, 24) if a < b]
+    edges = _sym(spark, pairs)
+    got = {(r.node_id, r.comp_id) for r in connected_components(spark, edges, max_iters=3).collect()}
+    assert got == {(n, 20) for n in range(20, 24)}
+
+
+def test_cc_restores_shuffle_partitions(spark):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    connected_components(spark, _sym(spark, [(1, 2)])).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_decontaminate_broadcasts_eval_set(spark, sf_dir):
+    p = _plan(REGISTRY["q_llm_decontaminate"].fn(spark, sf_dir))
+    # the eval-shingle side must be a broadcast probe, and the corpus
+    # must never be cross-joined
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_tfidf_no_cross_join_and_partial_agg(spark, sf_dir):
+    p = _plan(REGISTRY["q_llm_tfidf_topterms"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # tf/df aggregations must partial-aggregate map-side
+    assert "partial_count" in p or "HashAggregate" in p, p
