@@ -20,7 +20,11 @@ Measurement hygiene (round-1 lessons):
   one-time costs on arbitrary queries (q_scalar_math drew a 70 s
   first-run spike in round 1);
 - min-of-2 for queries under 60 s so one GC/compile spike can't
-  define a query's number;
+  define a query's number — plus a third run when the first two
+  disagree by >2.5× (this host is a shared microVM: intermittent
+  hypervisor contention bursts showed 10-17× inflation on single
+  runs with ~97% kernel time; two samples can BOTH land in one
+  burst);
 - the cache is cleared after each query: persisted subtrees from one
   operator otherwise skew every later measurement (observed: +2× on
   unrelated queries late in the suite).
@@ -108,7 +112,14 @@ def main() -> None:
             if t1 < 60.0:  # re-run: first run carries codegen/GC noise
                 t0 = time.time()
                 force(spec.fn(spark, SF_DIR))
-                t1 = min(t1, time.time() - t0)
+                t2 = time.time() - t0
+                # wildly-disagreeing samples mean a host-contention
+                # burst hit one of them — take a tiebreaker run
+                if max(t1, t2) > 2.5 * min(t1, t2) and min(t1, t2) < 60.0:
+                    t0 = time.time()
+                    force(spec.fn(spark, SF_DIR))
+                    t2 = min(t2, time.time() - t0)
+                t1 = min(t1, t2)
             timings[name] = round(t1, 2)
         except Exception as e:  # a failing query gets a sentinel, not a crash
             timings[name] = -1.0

@@ -72,4 +72,5 @@ CHECK_FIRST = [
     "q_llm_tfidf_topterms",
     "q_llm_repetition",
     "q_llm_chunk_windows",
+    "q_timeseries_gapfill",
 ]

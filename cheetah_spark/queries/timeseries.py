@@ -182,3 +182,74 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
     )
     return _tag(minute, "minute").unionByName(_tag(hour, "hour")).unionByName(_tag(day, "day"))
+
+
+@register(
+    "q_timeseries_gapfill",
+    oracle=f"""
+        WITH actual AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   COUNT(*)::BIGINT AS n_actual, {oracle_dsum2("value")} AS sum_value
+            FROM events GROUP BY 1, 2
+        ),
+        rng AS (
+            SELECT event_type, date_trunc('hour', MIN(ts)) AS h0,
+                   date_trunc('hour', MAX(ts)) AS h1
+            FROM events GROUP BY 1
+        ),
+        spine AS (
+            SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+            FROM rng
+        )
+        SELECT s.event_type, s.h AS win_start,
+               COALESCE(a.n_actual, 0) AS n,
+               a.n_actual IS NULL AS is_gap,
+               last_value(a.sum_value IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_sum
+        FROM spine s LEFT JOIN actual a ON s.event_type = a.event_type AND s.h = a.h
+    """,
+    tags=("window", "event-time", "gapfill"),
+)
+def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap filling: densify each event_type's hourly
+    series over its own observed [min, max] range, marking empty hours
+    and carrying the last observed hourly sum forward (LOCF) — the
+    time_bucket_gapfill + locf() pair of time-series stores, built
+    from relational primitives.
+
+    Scale shape: the raw table collapses FIRST to (type, hour)
+    aggregates (map-side combined — at 100 TB this is the only pass
+    over the data); the spine is generated arithmetically per key from
+    a tiny per-key min/max aggregate (series_length × n_keys rows, no
+    cross join with the corpus) and left-joins the actuals; LOCF is
+    one `last(ignorenulls)` running window per key, so fill state
+    never crosses series boundaries. All values are exact ints or
+    decimal-snapped sums → bit-identical LOCF in both engines."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", F.col("ts"))
+    actual = e.groupBy("event_type", hr.alias("h")).agg(
+        F.count("*").alias("n_actual"), dsum2("value").alias("sum_value")
+    )
+    rng = e.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = rng.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(actual, ["event_type", "h"], "left").select(
+        "event_type",
+        F.col("h").alias("win_start"),
+        F.coalesce(F.col("n_actual"), F.lit(0).cast("bigint")).alias("n"),
+        F.col("n_actual").isNull().alias("is_gap"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("locf_sum"),
+    )
