@@ -12,6 +12,7 @@ listed keep registration order after the listed ones.
 """
 
 from cheetah_spark.queries import advanced  # noqa: F401
+from cheetah_spark.queries import analytics  # noqa: F401
 from cheetah_spark.queries import curation  # noqa: F401
 from cheetah_spark.queries import declarative  # noqa: F401
 from cheetah_spark.queries import mqtt  # noqa: F401
@@ -73,4 +74,10 @@ CHECK_FIRST = [
     "q_llm_repetition",
     "q_llm_chunk_windows",
     "q_timeseries_gapfill",
+    "q_timeseries_m4",
+    "q_latest_by_key",
+    "q_events_funnel",
+    "q_llm_pii_redact",
+    "q_events_retention",
+    "q_timeseries_rate",
 ]

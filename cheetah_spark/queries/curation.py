@@ -623,3 +623,118 @@ def q_llm_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("fp") % _CHUNK_FP_MOD).cast("bigint").alias("fp_checksum"),
         (F.max("ci") + 1).cast("bigint").alias("max_chunks_per_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# The fixture text is synthetic word-salad with no natural PII, so a
+# deterministic hash-selected ~30% of documents get PII-shaped spans
+# APPENDED (derived from doc_id — identical injection in both engines,
+# same stance as q_llm_embed_dedup's planted duplicates): the operator
+# under test is the redaction, and zero-match redaction would verify
+# nothing.
+_PII_SEED = "pii:"
+_PII_PERMIL = 300
+# Only regex constructs valid in BOTH Java regex (Spark) and RE2
+# (DuckDB): char classes, bounded repeats, \b ASCII word boundary.
+_PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE_RE = r"\b555-[0-9]{4}\b"
+_PII_IP_RE = r"\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PII_FP_MOD = 1_000_003
+
+
+@register(
+    "q_llm_pii_redact",
+    oracle=f"""
+        WITH planted AS (
+            SELECT doc_id, lang,
+                   CASE WHEN ({X.oracle_hash56(f"'{_PII_SEED}' || CAST(doc_id AS VARCHAR)")}
+                              % 1000) < {_PII_PERMIL}
+                        THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@mail.example.com call 555-'
+                             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                             || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                             || '.' || CAST((doc_id // 7) % 256 AS VARCHAR)
+                             || '.' || CAST((doc_id // 11) % 256 AS VARCHAR)
+                        ELSE text END AS t,
+                   ({X.oracle_hash56(f"'{_PII_SEED}' || CAST(doc_id AS VARCHAR)")}
+                    % 1000) < {_PII_PERMIL} AS is_planted
+            FROM documents
+        ),
+        red AS (
+            SELECT doc_id, lang, is_planted,
+                   len(regexp_extract_all(t, '{_PII_EMAIL_RE}'))::BIGINT AS n_email,
+                   len(regexp_extract_all(t, '{_PII_PHONE_RE}'))::BIGINT AS n_phone,
+                   len(regexp_extract_all(t, '{_PII_IP_RE}'))::BIGINT AS n_ip,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                       '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_PII_PHONE_RE}', '<PHONE>', 'g'),
+                       '{_PII_IP_RE}', '<IP>', 'g') AS rt
+            FROM planted
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN is_planted THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+               CAST(SUM(n_email) AS BIGINT) AS n_emails,
+               CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+               CAST(SUM(n_ip) AS BIGINT) AS n_ips,
+               CAST(SUM({X.oracle_hash56("rt")} % {_PII_FP_MOD}) AS BIGINT) AS fp_checksum
+        FROM red
+        GROUP BY lang
+    """,
+    tags=("llm", "pii", "redaction"),
+)
+def q_llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the scrub every training-data pipeline runs
+    before a corpus ships: emails, phone numbers, and private-range
+    IPv4 addresses are replaced with typed placeholders, and the
+    redacted text is content-fingerprinted so the check verifies the
+    OUTPUT text, not just match counts.
+
+    Scale shape: map-only — three sequential ``regexp_replace`` passes
+    plus three ``regexp_count``s, all whole-stage-codegen JVM
+    expressions (regex per row, no Python); the only shuffle is the
+    per-lang summary. At 100 TB this is a pure scan-transform, the
+    same linear shape as q_llm_fingerprint. Patterns use only the
+    regex subset with identical semantics in Java and RE2 (classes,
+    bounded repeats, ASCII ``\\b``), so both engines match identical
+    spans."""
+    d = load_table(spark, sf_dir, "documents")
+    is_planted = (
+        X.hash56(F.concat(F.lit(_PII_SEED), F.col("doc_id").cast("string"))) % 1000
+        < _PII_PERMIL
+    )
+    suffix = F.concat(
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), F.expr("(doc_id div 7) % 256").cast("string"),
+        F.lit("."), F.expr("(doc_id div 11) % 256").cast("string"),
+    )
+    t = F.when(is_planted, F.concat(F.col("text"), suffix)).otherwise(F.col("text"))
+    rt = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _PII_EMAIL_RE, "<EMAIL>"),
+            _PII_PHONE_RE, "<PHONE>",
+        ),
+        _PII_IP_RE, "<IP>",
+    )
+    red = d.select(
+        "lang",
+        is_planted.alias("is_planted"),
+        F.regexp_count(t, F.lit(_PII_EMAIL_RE)).cast("bigint").alias("n_email"),
+        F.regexp_count(t, F.lit(_PII_PHONE_RE)).cast("bigint").alias("n_phone"),
+        F.regexp_count(t, F.lit(_PII_IP_RE)).cast("bigint").alias("n_ip"),
+        rt.alias("rt"),
+    )
+    return red.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("is_planted"), 1).otherwise(0)).cast("bigint").alias("n_planted"),
+        F.sum("n_email").cast("bigint").alias("n_emails"),
+        F.sum("n_phone").cast("bigint").alias("n_phones"),
+        F.sum("n_ip").cast("bigint").alias("n_ips"),
+        F.sum(X.hash56(F.col("rt")) % _PII_FP_MOD).cast("bigint").alias("fp_checksum"),
+    )

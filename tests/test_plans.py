@@ -123,3 +123,32 @@ def test_wholestage_codegen_covers_llm_scoring(spark, sf_dir):
     assert "BatchEvalPython" not in p  # no row-at-a-time Python
     assert "ArrowEvalPython" not in p  # not even a vectorized UDF here
     assert "regexp_extract_all" in p, p  # scoring is a JVM expression
+
+
+def test_m4_is_aggregate_not_window_sort(spark, sf_dir):
+    # first/last must be arg-extremum aggregates (map-side partials),
+    # not a ROW_NUMBER window: a window would sort every bucket's rows
+    p = plan(_q("q_timeseries_m4", spark, sf_dir))
+    assert "Window" not in p, p
+    assert p.count("HashAggregate") >= 2 or "SortAggregate" in p, p
+
+
+def test_latest_by_key_is_aggregate_not_window_sort(spark, sf_dir):
+    # CDC compaction must not sort each key's full history
+    p = plan(_q("q_latest_by_key", spark, sf_dir))
+    assert "Window" not in p, p
+
+
+def test_pii_redact_stays_in_codegen(spark, sf_dir):
+    # regex scrub must be JVM expressions, never Python rows (codegen
+    # "*(n)" markers hide under AdaptiveSparkPlan — assert the property)
+    p = plan(_q("q_llm_pii_redact", spark, sf_dir), "simple")
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    assert "regexp_replace" in p, p  # the scrub is a JVM expression
+
+
+def test_funnel_has_no_cross_join(spark, sf_dir):
+    p = plan(_q("q_events_funnel", spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
