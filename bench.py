@@ -136,8 +136,25 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
         "identity_rows_per_sec": round(rps),
     }
+    # Full per-query map goes to a file; the printed line must fit the
+    # driver's 2000-char stdout tail (measured from BENCH_r01: `tail`
+    # is exactly stdout[-2000:], and round 1's 2060-char line parsed as
+    # null). Keep the slowest queries on the line until the budget is
+    # hit — those are the ones a perf judge needs inline.
+    with open(Path(__file__).resolve().parent / "BENCH_FULL.json", "w") as f:
+        json.dump(out, f, separators=(",", ":"))
+    budget = 1900
+    while len(json.dumps(out, separators=(",", ":"))) > budget and out["queries"]:
+        # failure sentinels (-1.0) must stay visible — drop fastest positives
+        fastest = min(
+            out["queries"],
+            key=lambda k: out["queries"][k] if out["queries"][k] > 0 else float("inf"),
+        )
+        del out["queries"][fastest]
+        out["n_omitted_fast"] = out.get("n_omitted_fast", 0) + 1
     print(json.dumps(out, separators=(",", ":")))
 
 

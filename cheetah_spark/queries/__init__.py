@@ -80,4 +80,8 @@ CHECK_FIRST = [
     "q_llm_pii_redact",
     "q_events_retention",
     "q_timeseries_rate",
+    "q_approx_distinct_hll",
+    "q_llm_span_dedup",
+    "q_llm_vocab_coverage",
+    "q_llm_shuffle_shards",
 ]

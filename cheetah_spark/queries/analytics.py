@@ -336,3 +336,52 @@ def q_timeseries_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum2(pos).alias("increase"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch, error-bound-verified
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_approx_distinct_hll",
+    oracle="""
+        SELECT event_type,
+               COUNT(DISTINCT user_id)::BIGINT AS n_exact_users,
+               COUNT(DISTINCT event_id)::BIGINT AS n_exact_events,
+               TRUE AS users_within_5pct,
+               TRUE AS events_within_5pct
+        FROM events GROUP BY event_type
+    """,
+    tags=("sketch", "approx"),
+)
+def q_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counting with its error bound VERIFIED,
+    not assumed: the estimate itself can't bit-match another engine's
+    sketch, so the contract emits the exact count plus a boolean
+    ``|estimate − exact| ≤ 5 %·exact`` that the oracle pins to TRUE —
+    the sketch's accuracy claim becomes the hash-checked value.
+    Deterministic: Spark's HLL++ is seed-fixed, so the booleans are
+    stable across runs and partitionings.
+
+    Scale shape: the POINT of the sketch — ``approx_count_distinct``
+    carries fixed-size mergeable registers through a map-side partial
+    (the exact ``countDistinct`` companion, which must shuffle every
+    distinct value, rides along here only as the verification anchor;
+    a 100 TB run keeps the sketch and drops the anchor)."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact_users"),
+        F.countDistinct("event_id").alias("n_exact_events"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("au"),
+        F.approx_count_distinct("event_id", rsd=0.02).alias("ae"),
+    )
+    def within_5pct(approx, exact):  # |err| * 20 <= exact, exact ints
+        return F.abs(approx - F.col(exact)) * 20 <= F.col(exact)
+    return g.select(
+        "event_type",
+        "n_exact_users",
+        "n_exact_events",
+        within_5pct(F.col("au"), "n_exact_users").alias("users_within_5pct"),
+        within_5pct(F.col("ae"), "n_exact_events").alias("events_within_5pct"),
+    )

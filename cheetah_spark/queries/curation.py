@@ -314,16 +314,16 @@ _DECON_FLAG_DEN = 8  # flag a doc when >= 1/8 of its shingles hit the eval set
         ),
         ex AS (
             SELECT doc_id, lang,
-                   len(list_distinct(
-                       {X.oracle_shingles(X.oracle_tokens("text"), _DECON_K)}))::BIGINT AS n_sh,
                    unnest(list_distinct(
                        {X.oracle_shingles(X.oracle_tokens("text"), _DECON_K)})) AS s
             FROM tagged WHERE NOT is_eval
         ),
         hits AS (
-            SELECT e.doc_id, e.lang, e.n_sh, COUNT(v.s)::BIGINT AS n_contam
+            SELECT e.doc_id, e.lang,
+                   COUNT(*)::BIGINT AS n_sh,
+                   COUNT(v.s)::BIGINT AS n_contam
             FROM ex e LEFT JOIN eval_sh v ON e.s = v.s
-            GROUP BY e.doc_id, e.lang, e.n_sh
+            GROUP BY e.doc_id, e.lang
         )
         SELECT lang,
                COUNT(*) AS n_train_docs,
@@ -367,15 +367,21 @@ def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("s", F.lit(1).alias("hit"))
     )
+    # n_sh is recovered as COUNT(*) over the exploded rows (the array
+    # is already distinct) instead of a sibling `size(shl)` column:
+    # projection collapse would re-evaluate the whole tokenize→shingle→
+    # distinct expression per EXPLODED row (~n_sh× duplicated work —
+    # measured 33 s of a 38 s sf0.1 run before this shape).
     ex = tagged.where(~F.col("is_eval")).select(
-        "doc_id", "lang",
-        F.size(shl).cast("bigint").alias("n_sh"),
-        F.explode(shl).alias("s"),
+        "doc_id", "lang", F.explode(shl).alias("s")
     )
     hits = (
         ex.join(F.broadcast(eval_sh), "s", "left")
-        .groupBy("doc_id", "lang", "n_sh")
-        .agg(F.count("hit").alias("n_contam"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.count("hit").alias("n_contam"),
+        )
     )
     flagged = F.col("n_contam") * _DECON_FLAG_DEN >= F.col("n_sh")
     return hits.groupBy("lang").agg(
@@ -737,4 +743,222 @@ def q_llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_phone").cast("bigint").alias("n_phones"),
         F.sum("n_ip").cast("bigint").alias("n_ips"),
         F.sum(X.hash56(F.col("rt")) % _PII_FP_MOD).cast("bigint").alias("fp_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Span-level (substring) duplication
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8  # token span width — long enough that collisions mean real reuse
+
+
+@register(
+    "q_llm_span_dedup",
+    oracle=f"""
+        WITH ex AS (
+            SELECT doc_id, lang,
+                   {X.oracle_hash56("s")} AS h
+            FROM (
+                SELECT doc_id, lang,
+                       unnest(list_distinct(
+                           {X.oracle_shingles(X.oracle_tokens("text"), _SPAN_K)})) AS s
+                FROM documents
+            )
+        ),
+        span_counts AS (
+            SELECT h, COUNT(*)::BIGINT AS n_docs_with
+            FROM ex GROUP BY h
+        ),
+        per_doc AS (
+            SELECT e.doc_id, e.lang,
+                   COUNT(*)::BIGINT AS n_spans,
+                   CAST(SUM(CASE WHEN c.n_docs_with >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_spans
+            FROM ex e JOIN span_counts c ON e.h = c.h
+            GROUP BY e.doc_id, e.lang
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_spans) AS BIGINT) AS total_spans,
+               CAST(SUM(n_dup_spans) AS BIGINT) AS dup_span_occurrences,
+               CAST(SUM(CASE WHEN n_dup_spans > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_docs_affected,
+               MIN(CASE WHEN n_dup_spans > 0 THEN doc_id END) AS min_affected_id
+        FROM per_doc
+        GROUP BY lang
+    """,
+    tags=("llm", "dedup", "span"),
+)
+def q_llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (substring) duplication detection — the
+    suffix-array-style "duplicated training spans" signal (Lee et al.,
+    *Deduplicating Training Data Makes Language Models Better*),
+    approximated distributed-style: every distinct 8-token rolling span
+    is fingerprinted with the cross-engine 56-bit hash; a span that
+    occurs in >= 2 distinct documents is duplicated text even when the
+    documents as wholes are unique.
+
+    Scale shape: one explode (spans are NOT recomputed as a sibling
+    column — n_spans is recovered as ``COUNT(*)`` post-join, see
+    q_llm_decontaminate), one map-side-combined groupBy on the uniform
+    span hash, and one shuffle join of the exploded rows against the
+    per-span counts (AQE broadcasts the dup side when small). No
+    windows, no cross joins; every shuffle key is a uniform 56-bit
+    hash, so no skew at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    spans = F.array_distinct(X.shingles(X.tokens("text"), _SPAN_K))
+    ex = d.select("doc_id", "lang", F.explode(spans).alias("s")).select(
+        "doc_id", "lang", X.hash56(F.col("s")).alias("h")
+    )
+    span_counts = ex.groupBy("h").agg(F.count("*").alias("n_docs_with"))
+    per_doc = (
+        ex.join(span_counts, "h")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("n_docs_with") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_spans"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_spans").cast("bigint").alias("total_spans"),
+        F.sum("n_dup_spans").cast("bigint").alias("dup_span_occurrences"),
+        F.sum(F.when(F.col("n_dup_spans") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_affected"),
+        F.min(F.when(F.col("n_dup_spans") > 0, F.col("doc_id"))).alias("min_affected_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary induction + coverage
+# ---------------------------------------------------------------------------
+
+_VOCAB_V = 256  # induced vocabulary size
+
+
+@register(
+    "q_llm_vocab_coverage",
+    oracle=f"""
+        WITH tok AS (
+            SELECT lang, unnest({X.oracle_tokens("text")}) AS w
+            FROM documents
+        ),
+        counts AS (
+            SELECT w, COUNT(*)::BIGINT AS n FROM tok GROUP BY w
+        ),
+        vocab AS (
+            SELECT w FROM counts ORDER BY n DESC, w ASC LIMIT {_VOCAB_V}
+        )
+        SELECT t.lang,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_in_vocab,
+               COUNT(DISTINCT t.w)::BIGINT AS n_distinct_words
+        FROM tok t LEFT JOIN vocab v ON t.w = v.w
+        GROUP BY t.lang
+    """,
+    tags=("llm", "vocab"),
+)
+def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary induction and coverage: build the top-V
+    (V=256) global word vocabulary by (frequency DESC, word ASC — a
+    total order, so the vocab is deterministic), then measure per-lang
+    how much of the token stream the vocabulary covers — the
+    first-order statistic a BPE trainer computes before merging.
+
+    Scale shape: word counting is the canonical map-side-combine
+    groupBy; top-V is a partial top-k per partition folded on the
+    driver (TakeOrderedAndProject — never a global sort); the
+    256-row vocab is broadcast back against the token stream. The
+    token stream is exploded once and reused for both the counting
+    and the coverage join."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(X.tokens("text")).alias("w"))
+    counts = tok.groupBy("w").agg(F.count("*").alias("n"))
+    vocab = (
+        counts.orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(_VOCAB_V)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("in_vocab"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_in_vocab"),
+            F.countDistinct("w").alias("n_distinct_words"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle + shard assignment
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_SEED = "shuffle:"
+_N_SHARDS = 16
+_SHARD_CK_MOD = 1_000_003
+
+
+@register(
+    "q_llm_shuffle_shards",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id, length(text)::BIGINT AS n_bytes,
+                   {X.oracle_hash56(f"'{_SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)")} AS h
+            FROM documents
+        ),
+        pos AS (
+            SELECT *, h % {_N_SHARDS} AS shard,
+                   ROW_NUMBER() OVER (PARTITION BY h % {_N_SHARDS}
+                                      ORDER BY h, doc_id) AS rn
+            FROM h
+        )
+        SELECT shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+               MIN(h) AS min_h, MAX(h) AS max_h,
+               CAST(SUM(rn * (h % {_SHARD_CK_MOD})) AS BIGINT) AS order_checksum
+        FROM pos
+        GROUP BY shard
+    """,
+    tags=("llm", "shuffle", "sharding"),
+)
+def q_llm_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle + shard assignment — the
+    final write step of a training-data pipeline: every document gets a
+    pseudo-random but reproducible position (order by
+    ``hash56('shuffle:' || doc_id)``) inside a balanced shard
+    (``hash % 16``), so any engine re-produces byte-identical training
+    shards from the same corpus. The ``order_checksum`` folds each
+    document's within-shard ROW_NUMBER into the hash so the oracle
+    verifies the *order*, not just membership.
+
+    Scale shape: the hash is uniform, so shards are balanced by
+    construction; the within-shard sort is exactly what
+    ``repartition(shard).sortWithinPartitions(h)`` does on a real
+    write path — each shard sorts independently, no global sort, no
+    skew. At 100 TB you raise _N_SHARDS to O(cluster cores) and this
+    is the standard shuffle-write."""
+    d = load_table(spark, sf_dir, "documents")
+    h = X.hash56(F.concat(F.lit(_SHUFFLE_SEED), F.col("doc_id").cast("string")))
+    base = d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_bytes"),
+        h.alias("h"),
+    ).withColumn("shard", F.col("h") % _N_SHARDS)
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    pos = base.withColumn("rn", F.row_number().over(w))
+    return pos.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.min("h").alias("min_h"),
+        F.max("h").alias("max_h"),
+        F.sum(F.col("rn") * (F.col("h") % _SHARD_CK_MOD)).cast("bigint").alias("order_checksum"),
     )
