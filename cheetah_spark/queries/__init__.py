@@ -84,4 +84,6 @@ CHECK_FIRST = [
     "q_llm_span_dedup",
     "q_llm_vocab_coverage",
     "q_llm_shuffle_shards",
+    "q_sec_cidr_match",
+    "q_sec_anomaly_zscore",
 ]

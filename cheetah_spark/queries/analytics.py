@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cheetah_spark.catalog import load_table
+from cheetah_spark.functions import text as X
 from cheetah_spark.queries._util import dsum2, oracle_dsum2
 from cheetah_spark.registry import register
 
@@ -384,4 +385,193 @@ def q_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact_events",
         within_5pct(F.col("au"), "n_exact_users").alias("users_within_5pct"),
         within_5pct(F.col("ae"), "n_exact_events").alias("events_within_5pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Threat-intel CIDR matching (security analytics)
+# ---------------------------------------------------------------------------
+
+_IP_SEED = "ip:"
+_IP_SPACE = 1 << 32
+_CIDR_BUCKET_SHIFT = 24  # join on the /8 bucket (top byte) of the IP
+
+# name → CIDR block. Deliberately spans /4 … /24 so wide blocks match
+# plenty of the uniform synthetic IP space and narrow ones match ~none
+# (zero-match blocks must still appear in the output).
+_THREAT_BLOCKS = {
+    "bogon-low": "0.0.0.0/4",
+    "tor-exit": "32.0.0.0/6",
+    "botnet-a": "77.0.0.0/8",
+    "scanner": "96.0.0.0/10",
+    "spam-relay": "112.0.0.0/12",
+    "c2-beacon": "128.14.0.0/16",
+    "cryptominer": "203.0.113.0/24",
+    "phishkit": "198.51.100.0/24",
+}
+
+
+def _cidr_rows() -> list[tuple[str, int, int, int]]:
+    """(block, bucket, lo, hi) rows, one per /8 bucket a block covers."""
+    import ipaddress
+
+    rows = []
+    for name, cidr in _THREAT_BLOCKS.items():
+        net = ipaddress.ip_network(cidr)
+        lo, hi = int(net.network_address), int(net.broadcast_address)
+        for bucket in range(lo >> _CIDR_BUCKET_SHIFT, (hi >> _CIDR_BUCKET_SHIFT) + 1):
+            rows.append((name, bucket, lo, hi))
+    return rows
+
+
+def _oracle_cidr_values() -> str:
+    return ", ".join(f"('{n}', {b}, {lo}, {hi})" for n, b, lo, hi in _cidr_rows())
+
+
+@register(
+    "q_sec_cidr_match",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_id, user_id,
+                   {X.oracle_hash56(f"'{_IP_SEED}' || CAST(event_id AS VARCHAR)")}
+                       % {_IP_SPACE} AS ip
+            FROM events
+        ),
+        b(block, bucket, lo, hi) AS (VALUES {_oracle_cidr_values()}),
+        m AS (
+            SELECT b.block, e.event_id, e.user_id
+            FROM e JOIN b ON (e.ip // {1 << _CIDR_BUCKET_SHIFT}) = b.bucket
+                         AND e.ip BETWEEN b.lo AND b.hi
+        ),
+        agg AS (
+            SELECT block, COUNT(*)::BIGINT AS n_events,
+                   COUNT(DISTINCT user_id)::BIGINT AS n_users,
+                   MIN(event_id) AS min_event_id
+            FROM m GROUP BY block
+        )
+        SELECT d.block,
+               COALESCE(agg.n_events, 0)::BIGINT AS n_events,
+               COALESCE(agg.n_users, 0)::BIGINT AS n_users,
+               agg.min_event_id
+        FROM (SELECT DISTINCT block FROM b) d
+        LEFT JOIN agg ON d.block = agg.block
+    """,
+    tags=("security", "cidr", "enrich"),
+)
+def q_sec_cidr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threat-intel CIDR matching — the reference's users run security
+    event pipelines (SURVEY.md §1), and "which events came from a bad
+    netblock" is the canonical enrichment. Synthetic source IPs are
+    derived from the cross-engine hash (the fixture has no IP column),
+    matched against an 8-block threat feed spanning /4 … /24; blocks
+    with zero matches still appear (a feed row silently vanishing is a
+    detection gap).
+
+    Scale shape: a range predicate (``lo <= ip <= hi``) naively forces
+    a broadcast *nested-loop* join — O(events × blocks) probes. Instead
+    each block is expanded to the /8 buckets it covers (a /4 block is
+    16 rows; the whole feed is 43 rows) and the join is an *equi*-join
+    on the event's top byte with the range check as a residual filter:
+    a broadcast hash probe per event, O(events). This is the standard
+    prefix-bucket trick for IP-range joins at 100 TB; for feeds with
+    millions of blocks the bucket simply narrows to /16."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(
+        "event_id",
+        "user_id",
+        (
+            X.hash56(F.concat(F.lit(_IP_SEED), F.col("event_id").cast("string")))
+            % _IP_SPACE
+        ).alias("ip"),
+    ).withColumn("bucket", F.expr(f"ip div {1 << _CIDR_BUCKET_SHIFT}"))
+    b = spark.createDataFrame(_cidr_rows(), "block string, bucket long, lo long, hi long")
+    m = ev.join(F.broadcast(b), "bucket").where(
+        (F.col("ip") >= F.col("lo")) & (F.col("ip") <= F.col("hi"))
+    )
+    agg = m.groupBy("block").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("event_id").alias("min_event_id"),
+    )
+    dim = b.select("block").distinct()
+    return dim.join(agg, "block", "left").select(
+        "block",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce("n_users", F.lit(0)).cast("bigint").alias("n_users"),
+        "min_event_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Volume-anomaly detection (integer-exact z-score)
+# ---------------------------------------------------------------------------
+
+_ZSCORE_SQ_THRESHOLD = 9  # flag |z| >= 3, compared as z² in integers
+
+
+@register(
+    "q_sec_anomaly_zscore",
+    oracle=f"""
+        WITH c AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*)::BIGINT AS n
+            FROM events GROUP BY event_type, hr
+        ),
+        s AS (
+            SELECT event_type, COUNT(*)::BIGINT AS t,
+                   CAST(SUM(n) AS BIGINT) AS s,
+                   CAST(SUM(n * n) AS BIGINT) AS ss
+            FROM c GROUP BY event_type
+        ),
+        f AS (
+            SELECT c.event_type, c.hr, c.n, s.t,
+                   (c.n * s.t - s.s) * (c.n * s.t - s.s)
+                       >= {_ZSCORE_SQ_THRESHOLD} * (s.t * s.ss - s.s * s.s)
+                       AS anomalous
+            FROM c JOIN s ON c.event_type = s.event_type
+        )
+        SELECT event_type,
+               MAX(t) AS n_hours,
+               CAST(SUM(CASE WHEN anomalous THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_anomalous,
+               MAX(n) AS max_count,
+               MIN(CASE WHEN anomalous THEN hr END) AS first_anomalous_hr
+        FROM f
+        GROUP BY event_type
+    """,
+    tags=("security", "anomaly"),
+)
+def q_sec_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-volume anomaly detection: flag hours whose event count is
+    >= 3 population standard deviations from that event type's hourly
+    mean — the spike/drop alert every security pipeline hangs off its
+    ingest stream.
+
+    Determinism: the z-score test is evaluated ENTIRELY in integers —
+    ``z² >= 9`` rearranged as ``(n·T − S)² >= 9·(T·SS − S²)`` over the
+    count sum S and sum-of-squares SS, so no division, no sqrt, no
+    float ever exists and the flags hash-match any engine bit-for-bit.
+
+    Scale shape: hourly counts are a map-side-combined groupBy; the
+    per-type stats table is tiny (one row per series) and broadcast
+    back; flags are a map-only expression. Nothing here is a window —
+    the 100 TB version is two hash aggs and a broadcast join."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count("*").alias("n"))
+    s = c.groupBy("event_type").agg(
+        F.count("*").alias("t"),
+        F.sum("n").cast("bigint").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("ss"),
+    )
+    dev = F.col("n") * F.col("t") - F.col("s")
+    anomalous = dev * dev >= F.lit(_ZSCORE_SQ_THRESHOLD) * (
+        F.col("t") * F.col("ss") - F.col("s") * F.col("s")
+    )
+    f = c.join(F.broadcast(s), "event_type").withColumn("anomalous", anomalous)
+    return f.groupBy("event_type").agg(
+        F.max("t").alias("n_hours"),
+        F.sum(F.when(F.col("anomalous"), 1).otherwise(0)).cast("bigint").alias("n_anomalous"),
+        F.max("n").alias("max_count"),
+        F.min(F.when(F.col("anomalous"), F.col("hr"))).alias("first_anomalous_hr"),
     )

@@ -152,3 +152,31 @@ def test_funnel_has_no_cross_join(spark, sf_dir):
     p = plan(_q("q_events_funnel", spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_cidr_match_is_hash_join_not_nested_loop(spark, sf_dir):
+    # the prefix-bucket trick exists precisely so the range predicate
+    # does NOT become a broadcast nested-loop join
+    p = plan(_q("q_sec_cidr_match", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_span_dedup_has_no_cross_join(spark, sf_dir):
+    p = plan(_q("q_llm_span_dedup", spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_vocab_topv_is_partial_topk_and_broadcast(spark, sf_dir):
+    p = plan(_q("q_llm_vocab_coverage", spark, sf_dir))
+    # top-V must be a per-partition heap, and the vocab must broadcast
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_anomaly_zscore_broadcasts_stats(spark, sf_dir):
+    p = plan(_q("q_sec_anomaly_zscore", spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "Window" not in p, p  # two hash aggs + broadcast, no window
