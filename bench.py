@@ -130,22 +130,36 @@ def main() -> None:
     rps = bench_identity(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    failed = sorted(k for k, v in timings.items() if v < 0)
     out = {
         "metric": "suite_total",
+        # suite_total covers PASSING queries only (sentinels excluded);
+        # failures are surfaced explicitly — a total that silently
+        # absorbs or omits broken queries misreports the round
         "value": round(sum(t for t in timings.values() if t > 0), 2),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
+        "n_failed": len(failed),
         "identity_rows_per_sec": round(rps),
     }
+    if failed:
+        out["failed"] = failed
     # Full per-query map goes to a file; the printed line must fit the
     # driver's 2000-char stdout tail (measured from BENCH_r01: `tail`
     # is exactly stdout[-2000:], and round 1's 2060-char line parsed as
     # null). Keep the slowest queries on the line until the budget is
     # hit — those are the ones a perf judge needs inline.
+    full = dict(out)
+    full["provenance"] = {
+        "source": "bench.py single full local run (same run as the printed line)",
+        "sf_dir": SF_DIR,
+        "cpus": CPUS,
+        "wall_clock_unix": round(time.time()),
+    }
     with open(Path(__file__).resolve().parent / "BENCH_FULL.json", "w") as f:
-        json.dump(out, f, separators=(",", ":"))
+        json.dump(full, f, separators=(",", ":"))
     budget = 1900
     while len(json.dumps(out, separators=(",", ":"))) > budget and out["queries"]:
         # failure sentinels (-1.0) must stay visible — drop fastest positives

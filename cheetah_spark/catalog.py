@@ -44,13 +44,34 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def ensure_instant_reads(spark: SparkSession) -> None:
+    """Force naive parquet timestamps to load as UTC *instants*.
+
+    The fixture parquet stores ``timestamp[us]`` with
+    ``isAdjustedToUTC=false``; Spark 4 reads that as TIMESTAMP_NTZ by
+    default, which (a) ``withWatermark`` rejects outright
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and (b) cannot be cast to an
+    epoch BIGINT. DuckDB reads the same column as a naive timestamp and
+    treats it as UTC in ``epoch()``, so the cross-engine contract is
+    "stored wall-clock IS UTC". Disabling NTZ inference makes Spark read
+    the stored micros as UTC-epoch micros directly — byte-identical to
+    DuckDB's interpretation — and pinning the session timezone to UTC
+    keeps every wall-clock function (date_trunc/hour/...) aligned.
+
+    Runtime-set (not only in session.py) so every load works on ANY
+    session, including the verification driver's vanilla one.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # older fixture generations used parquet TIMESTAMP(NANOS), which
+    # Spark rejects unless read as long (converted in load_table below)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, parallelize: bool | None = None
 ) -> DataFrame:
-    if name == "events":
-        # Runtime-set so events load on any session (the verification
-        # driver builds its own SparkSession without our session.py).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_instant_reads(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if parallelize is None:
         parallelize = name in CPU_HEAVY_TABLES
@@ -67,6 +88,15 @@ def load_table(
             # integer DIV, not /: ns since epoch exceeds 2^53, double
             # division would round the microsecond
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Defensive: if the scan was planned before ensure_instant_reads took
+    # effect (cached reader state), convert any residual NTZ column to an
+    # instant under the UTC session timezone set above.
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -20,11 +20,17 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cheetah_spark.catalog import load_table
+from cheetah_spark.catalog import ensure_instant_reads, load_table
 from cheetah_spark.registry import register
 from cheetah_spark.sinks import BatcherSink
 from cheetah_spark.sources import ParquetSource
-from cheetah_spark.streaming import FIXTURE_ROOT, _tag, events_stream_dir, run_stream_to_completion
+from cheetah_spark.streaming import (
+    FIXTURE_ROOT,
+    _tag,
+    events_stream_dir,
+    fixture_stale,
+    run_stream_to_completion,
+)
 
 
 @contextlib.contextmanager
@@ -92,8 +98,13 @@ def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = events_stream_dir(spark, sf_dir)
     dup_dir = f"{FIXTURE_ROOT}/{_tag(sf_dir)}/events_stream_dup"
     ready = f"{dup_dir}/_FIXTURE_READY"
+    if os.path.exists(ready) and fixture_stale(spark, dup_dir):
+        import shutil
+
+        shutil.rmtree(dup_dir, ignore_errors=True)
     if not os.path.exists(ready):
         os.makedirs(dup_dir, exist_ok=True)
+        ensure_instant_reads(spark)
         base = spark.read.parquet(src_dir)
         base.write.mode("overwrite").parquet(dup_dir)
         # second copy of every row, appended as additional files

@@ -58,6 +58,11 @@ def get_spark(
         # default; read as long and convert in catalog.load_table (same
         # ns→µs truncation DuckDB applies when casting).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # naive parquet timestamps (isAdjustedToUTC=false) load as UTC
+        # instants, not TIMESTAMP_NTZ — matches DuckDB's epoch()
+        # interpretation and keeps withWatermark legal (see
+        # catalog.ensure_instant_reads)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

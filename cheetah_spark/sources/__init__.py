@@ -53,13 +53,32 @@ class ParquetSource(Source):
     max_files_per_trigger: Optional[int] = None
 
     def read(self, spark: SparkSession) -> DataFrame:
+        from cheetah_spark.catalog import ensure_instant_reads
+
+        # naive parquet timestamps must load as instants (TIMESTAMP) —
+        # withWatermark rejects TIMESTAMP_NTZ event-time columns
+        ensure_instant_reads(spark)
         if self.streaming:
             reader = spark.readStream
             if self.schema:
                 reader = reader.schema(self.schema)
             else:
-                # streaming file sources need a schema: borrow from a batch scan
-                reader = reader.schema(spark.read.parquet(self.path).schema)
+                # streaming file sources need a schema: borrow from a batch
+                # scan. Files Spark itself wrote from an NTZ frame carry
+                # TimestampNTZType in their footer Spark-schema metadata
+                # (which overrides inferTimestampNTZ=false); patch those to
+                # instants — stored micros are read as UTC-epoch micros,
+                # and withWatermark requires TIMESTAMP.
+                from pyspark.sql import types as T
+
+                borrowed = spark.read.parquet(self.path).schema
+                fields = [
+                    T.StructField(f.name, T.TimestampType(), f.nullable, f.metadata)
+                    if isinstance(f.dataType, T.TimestampNTZType)
+                    else f
+                    for f in borrowed.fields
+                ]
+                reader = reader.schema(T.StructType(fields))
             if self.max_files_per_trigger:
                 reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
             return reader.parquet(self.path)

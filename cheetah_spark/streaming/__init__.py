@@ -24,6 +24,20 @@ def _tag(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir))
 
 
+def fixture_stale(spark: SparkSession, path: str) -> bool:
+    """True if a cached fixture predates the instant-timestamp contract
+    (its footer Spark-schema says TIMESTAMP_NTZ) and must be rebuilt —
+    batch re-reads of such files re-infer NTZ from the footer metadata
+    no matter what ``inferTimestampNTZ`` says."""
+    from pyspark.sql import types as T
+
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception:
+        return True
+    return any(isinstance(f.dataType, T.TimestampNTZType) for f in schema.fields)
+
+
 def events_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
     """Split the events table into n ordered parquet files (cached) —
     the bounded replay feed. File k holds the k-th time-slice so
@@ -31,10 +45,14 @@ def events_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
+    from cheetah_spark.catalog import ensure_instant_reads, load_table
+
+    ensure_instant_reads(spark)
     out = f"{FIXTURE_ROOT}/{_tag(sf_dir)}/events_stream_{n_files}"
     done = f"{out}/_FIXTURE_READY"
+    if os.path.exists(done) and fixture_stale(spark, out):
+        shutil.rmtree(out, ignore_errors=True)
     if not os.path.exists(done):
-        from cheetah_spark.catalog import load_table
 
         e = load_table(spark, sf_dir, "events")
         (
