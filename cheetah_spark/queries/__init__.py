@@ -15,6 +15,7 @@ from cheetah_spark.queries import advanced  # noqa: F401
 from cheetah_spark.queries import analytics  # noqa: F401
 from cheetah_spark.queries import curation  # noqa: F401
 from cheetah_spark.queries import declarative  # noqa: F401
+from cheetah_spark.queries import formats  # noqa: F401
 from cheetah_spark.queries import mqtt  # noqa: F401
 from cheetah_spark.queries import llm  # noqa: F401
 from cheetah_spark.queries import multimodal  # noqa: F401
@@ -26,64 +27,66 @@ from cheetah_spark.queries import timeseries  # noqa: F401
 from cheetah_spark.queries import windows  # noqa: F401
 from cheetah_spark.queries import xmlio  # noqa: F401
 
-# Round-2 window: 20 operators with no round-1 driver row, then the 3
-# round-1 hash-fails (fixed), then the de-quadratified rewrites, then
-# operators new this round, then round-1-green entries to re-confirm.
-# Round-1-green relational/scalar basics rotate into the tail (they
-# keep their r01 rows); flip this list next round to cover them again.
+# Round-3 window: the four queries the TIMESTAMP_NTZ fixture regression
+# broke in round 2 (repaired via catalog.ensure_instant_reads), then the
+# operators new this round, then every query whose timestamp semantics
+# flipped NTZ→instant this round (r2-green rows were recorded under NTZ
+# reads; re-confirm under the instant contract), then the round-1-only
+# entries unchecked since r1. r2-green hash-only queries (llm/curation
+# families) rotate to the tail and keep their r02 rows.
 CHECK_FIRST = [
-    # never driver-checked in round 1 (registered past the 50-cap)
-    "q_window_rank",
-    "q_window_analytic",
-    "q_window_frame_running",
-    "q_exact_percentile",
-    "q_approx_quantile_cd",
-    "q_scan_csv",
-    "q_scan_ndjson",
-    "q_window_range_frame",
-    "q_window_ntile",
-    "q_null_semantics",
-    "q_conditional_agg",
-    "q_sql_subqueries",
+    # broken by the r2 TIMESTAMP_NTZ fixtures, fixed this round
+    "q_events_retention",
+    "s_stream_dedup",
+    "s_stream_watermark_late",
+    "s_stream_stream_join",
+    # new this round
+    "q_scan_orc",
+    "q_sink_partition_prune",
+    "q_llm_bloom_decontaminate",
+    "q_llm_unigram_logprob",
+    "q_events_path_topk",
+    # timestamp-reading queries: re-confirm under instant (LTZ) reads
     "q_time_window_tumbling",
     "q_time_window_sliding",
     "q_session_window",
     "q_hypertable_rollup",
-    "s_stream_dedup",
-    "s_stream_watermark_late",
-    "s_stream_batcher",
-    "s_stream_stateful_counter",
-    # round-1 hash fails, fixed this round
-    "q_stats_moments",
-    "q_llm_text_stats",
-    "q_llm_dedup_pipeline",
-    # rewritten this round (banded candidate generation)
-    "q_llm_embed_dedup",
-    "q_llm_ngram_jaccard",
-    # new this round
-    "q_deser_xml",
-    "q_config_pipeline",
-    "q_mqtt_envelope",
-    "q_llm_sample_stratified",
-    "q_llm_pack_sequences",
-    "q_llm_embed_quantize",
-    "s_stream_stream_join",
-    "q_llm_dup_clusters",
-    "q_llm_decontaminate",
-    "q_llm_tfidf_topterms",
-    "q_llm_repetition",
-    "q_llm_chunk_windows",
     "q_timeseries_gapfill",
     "q_timeseries_m4",
+    "q_timeseries_rate",
     "q_latest_by_key",
     "q_events_funnel",
-    "q_llm_pii_redact",
-    "q_events_retention",
-    "q_timeseries_rate",
-    "q_approx_distinct_hll",
-    "q_llm_span_dedup",
-    "q_llm_vocab_coverage",
-    "q_llm_shuffle_shards",
-    "q_sec_cidr_match",
+    "q_scalar_datetime",
+    "q_asof_join",
+    "q_window_range_frame",
     "q_sec_anomaly_zscore",
+    "s_stream_identity",
+    "s_stream_batcher",
+    "s_stream_stateful_counter",
+    # round-1-only rows: unchecked since r1, refresh
+    "q_scan_project",
+    "q_filter_pred",
+    "q_scan_text_lines",
+    "q_deser_json",
+    "q_flatmap_explode",
+    "q_union_fanin",
+    "q_hash_join_inner",
+    "q_broadcast_join",
+    "q_outer_joins",
+    "q_semi_anti_join",
+    "q_theta_range_join",
+    "q_multiway_join_tpch",
+    "q_hash_agg",
+    "q_agg_distinct",
+    "q_grouping_sets",
+    "q_cube_agg",
+    "q_having_filter",
+    "q_sort_limit_topk",
+    "q_set_ops",
+    "q_distinct_dedup",
+    "q_scalar_string",
+    "q_scalar_math",
+    "q_scalar_conditional",
+    "q_array_map_ops",
+    "q_json_ops",
 ]

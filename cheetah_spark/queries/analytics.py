@@ -575,3 +575,112 @@ def q_sec_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("max_count"),
         F.min(F.when(F.col("anomalous"), F.col("hr"))).alias("first_anomalous_hr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session path mining (top event-type sequences)
+# ---------------------------------------------------------------------------
+
+_PATH_GAP_S = 30 * 60  # session gap, seconds (shared with q_session_window)
+_PATH_STEPS = 3
+_PATH_TOP = 10
+
+
+@register(
+    "q_events_path_topk",
+    oracle=f"""
+        WITH o AS (
+            SELECT user_id, event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                   event_id,
+                   CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                             OR CAST(floor(epoch(ts)) AS BIGINT)
+                                - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w
+                                >= {_PATH_GAP_S}
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+        ),
+        s AS (
+            SELECT user_id, event_type, sec, event_id,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sess
+            FROM o
+        ),
+        r AS (
+            SELECT user_id, sess, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, sess
+                                      ORDER BY sec, event_id) AS rn
+            FROM s
+        ),
+        paths AS (
+            SELECT user_id, sess,
+                   concat_ws('>',
+                       MAX(CASE WHEN rn = 1 THEN event_type END),
+                       MAX(CASE WHEN rn = 2 THEN event_type END),
+                       MAX(CASE WHEN rn = 3 THEN event_type END)) AS path
+            FROM r WHERE rn <= {_PATH_STEPS}
+            GROUP BY user_id, sess
+        )
+        SELECT path, COUNT(*) AS n_sessions
+        FROM paths
+        GROUP BY path
+        ORDER BY n_sessions DESC, path
+        LIMIT {_PATH_TOP}
+    """,
+    tags=("analytics", "sessionize", "sequence"),
+)
+def q_events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey paths: sessionize each user's events with a
+    30-minute inactivity gap (gaps-and-islands — the batch mirror of
+    q_session_window's semantics), take the first three event types of
+    every session in time order, and rank the most common paths — the
+    "what do users actually do" query of product analytics.
+
+    Determinism: gaps are computed on floor-second epochs (exact
+    integers, both engines), every window is ordered by the unique
+    (ts, event_id), paths are distinct strings so the top-10 has a
+    total order. Scale shape: sessionization is ONE window shuffle
+    keyed by user_id (state never crosses users); the path rollup
+    shuffles tiny (user, session) aggregates; the final top-k is a
+    TakeOrderedAndProject over path counts — no global sort of the
+    event stream anywhere."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    wu = W.partitionBy("user_id").orderBy("sec", "event_id")
+    o = e.select(
+        "user_id", "event_type", "event_id", sec.alias("sec")
+    ).withColumn(
+        "new_sess",
+        F.when(
+            F.lag("sec").over(wu).isNull()
+            | (F.col("sec") - F.lag("sec").over(wu) >= _PATH_GAP_S),
+            1,
+        ).otherwise(0),
+    )
+    s = o.withColumn(
+        "sess",
+        F.sum("new_sess").over(
+            W.partitionBy("user_id").orderBy("sec", "event_id").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    r = s.withColumn(
+        "rn", F.row_number().over(W.partitionBy("user_id", "sess").orderBy("sec", "event_id"))
+    ).where(F.col("rn") <= _PATH_STEPS)
+    paths = r.groupBy("user_id", "sess").agg(
+        F.concat_ws(
+            ">",
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 2, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 3, F.col("event_type"))),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(_PATH_TOP)
+    )

@@ -20,6 +20,7 @@ from pyspark.sql.window import Window
 from cheetah_spark.catalog import load_table
 from cheetah_spark.functions import text as X
 from cheetah_spark.operators.graph import connected_components
+from cheetah_spark.queries._util import dsum, dsum2, oracle_dsum, oracle_dsum2, oracle_snap, snap
 from cheetah_spark.registry import REGISTRY, register
 
 # importing llm first guarantees its registrations (and oracle SQL
@@ -961,4 +962,203 @@ def q_llm_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h").alias("min_h"),
         F.max("h").alias("max_h"),
         F.sum(F.col("rn") * (F.col("h") % _SHARD_CK_MOD)).cast("bigint").alias("order_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (constant-memory membership at scale)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 18  # bits in the filter (2^18 = 32 KiB — fixture-sized;
+# production sizes m to the eval-shingle count for the target FP rate)
+_BLOOM_WORDS = _BLOOM_M // 32  # 32-bit words: shift stays < 63 (DuckDB checks shift overflow)
+_BLOOM_K = 3  # hash functions per element
+_BLOOM_SEEDS = tuple(f"bloom{i}:" for i in range(_BLOOM_K))
+
+
+def _bloom_positions_spark(s: "F.Column") -> list:
+    """k bit positions of a shingle: hash56 under k seeds, mod m."""
+    return [X.hash56(s, seed=F.lit(seed)) % _BLOOM_M for seed in _BLOOM_SEEDS]
+
+
+def _oracle_bloom_positions(expr: str) -> list[str]:
+    return [f"({X.oracle_hash56(expr, seed=repr(seed))} % {_BLOOM_M})" for seed in _BLOOM_SEEDS]
+
+
+_BLOOM_ORACLE_POS = _oracle_bloom_positions("s")
+
+_BLOOM_ORACLE = f"""
+    WITH tagged AS (
+        SELECT doc_id, lang, text,
+               ({X.oracle_hash56(f"'{_DECON_SEED}' || CAST(doc_id AS VARCHAR)")} % 1000)
+                   < {_EVAL_PERMIL} AS is_eval
+        FROM documents
+    ),
+    eval_sh AS (
+        SELECT DISTINCT unnest(list_distinct(
+            {X.oracle_shingles(X.oracle_tokens("text"), _DECON_K)})) AS s
+        FROM tagged WHERE is_eval
+    ),
+    eval_pos AS (
+        {" UNION ALL ".join(f"SELECT {p} AS pos FROM eval_sh" for p in _BLOOM_ORACLE_POS)}
+    ),
+    bloom AS (
+        SELECT pos // 32 AS word_idx,
+               bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS word
+        FROM eval_pos GROUP BY word_idx
+    ),
+    train_sh AS (
+        SELECT doc_id, lang,
+               unnest(list_distinct(
+                   {X.oracle_shingles(X.oracle_tokens("text"), _DECON_K)})) AS s
+        FROM tagged WHERE NOT is_eval
+    ),
+    probed AS (
+        SELECT t.doc_id, t.lang,
+               {" AND ".join(
+                   f"COALESCE((SELECT word FROM bloom b WHERE b.word_idx = {p} // 32)"
+                   f" & (1::BIGINT << CAST({p} % 32 AS INTEGER)), 0) != 0"
+                   for p in _BLOOM_ORACLE_POS)} AS hit
+        FROM train_sh t
+    )
+    SELECT lang,
+           COUNT(DISTINCT doc_id) AS n_train_docs,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_shingles,
+           COUNT(DISTINCT CASE WHEN hit THEN doc_id END) AS n_flagged_docs,
+           MIN(CASE WHEN hit THEN doc_id END) AS min_flagged_id
+    FROM probed
+    GROUP BY lang
+"""
+
+
+@register("q_llm_bloom_decontaminate", oracle=_BLOOM_ORACLE, tags=("llm", "decontamination", "bloom"))
+def q_llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via an explicit Bloom filter: eval-set shingles
+    are folded into an m-bit filter (k seeded hash56 positions each,
+    OR-aggregated into m/32 32-bit words), and every train shingle is
+    probed against it — a shingle "hits" iff all k bits are set. False
+    positives are inherent to a Bloom filter, but because both engines
+    compute the identical integer hash/bit math, the flagged set is
+    bit-for-bit reproducible and the oracle hash-matches exactly.
+
+    Scale shape (the reason this exists next to the exact-join
+    q_llm_decontaminate): the filter is CONSTANT memory (m bits)
+    regardless of eval-set size, built with one tiny groupBy over eval
+    shingle positions, and the probe side is a broadcast hash join of
+    each train shingle's k word-slots against an m/32-row table — the
+    100 TB corpus is never shuffled; membership costs k broadcast
+    probes per shingle. This is the standard production trade: an
+    exact semi-join re-checks only the Bloom survivors.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = (
+        X.hash56(F.concat(F.lit(_DECON_SEED), F.col("doc_id").cast("string"))) % 1000
+        < _EVAL_PERMIL
+    )
+    shl = F.array_distinct(X.shingles(X.tokens(F.col("text")), _DECON_K))
+    tagged = d.select("doc_id", "lang", "text", is_eval.alias("is_eval"))
+
+    # --- build: eval shingles -> k positions -> OR-agg into words ---
+    eval_sh = tagged.where(F.col("is_eval")).select(F.explode(shl).alias("s")).distinct()
+    pos = eval_sh.select(
+        F.explode(F.array(*_bloom_positions_spark(F.col("s")))).alias("pos")
+    )
+    bloom = pos.groupBy((F.col("pos") / 32).cast("bigint").alias("word_idx")).agg(
+        # SQL shiftleft: the bit count is a per-row column (the python
+        # F.shiftleft wrapper only takes a literal int)
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")).alias("word")
+    )
+
+    # --- probe: each train shingle joins its k word slots (broadcast) ---
+    train = tagged.where(~F.col("is_eval")).select("doc_id", "lang", F.explode(shl).alias("s"))
+    probed = train
+    hit = F.lit(True)
+    for i, p in enumerate(_bloom_positions_spark(F.col("s"))):
+        b = F.broadcast(bloom.select(F.col("word_idx").alias(f"wi{i}"), F.col("word").alias(f"w{i}")))
+        probed = probed.withColumn(f"pos{i}", p).join(
+            b, (F.col(f"pos{i}") / 32).cast("bigint") == F.col(f"wi{i}"), "left"
+        )
+        bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos{i} % 32 AS INT))")
+        hit = hit & (F.coalesce(F.col(f"w{i}"), F.lit(0)).bitwiseAND(bit) != 0)
+    probed = probed.withColumn("hit", hit)
+    return probed.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_train_docs"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("bigint").alias("n_hit_shingles"),
+        F.countDistinct(F.when(F.col("hit"), F.col("doc_id"))).alias("n_flagged_docs"),
+        F.min(F.when(F.col("hit"), F.col("doc_id"))).alias("min_flagged_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model scoring (corpus-level perplexity signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_llm_unigram_logprob",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, lang, unnest({X.oracle_tokens("text")}) AS tok
+            FROM documents
+        ),
+        vocab AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+        scored AS (
+            SELECT tok, {oracle_snap('ln(cnt / total)', 6)} AS logp
+            FROM vocab, tot
+        ),
+        per_doc AS (
+            SELECT t.doc_id, t.lang,
+                   COUNT(*) AS n_tok,
+                   {oracle_dsum("s.logp")} AS sum_logp
+            FROM tok t JOIN scored s ON t.tok = s.tok
+            GROUP BY t.doc_id, t.lang
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               {oracle_dsum2("sum_logp / n_tok", 4)} AS sum_mean_logp,
+               {oracle_snap('MIN(sum_logp / n_tok)', 6)} AS min_mean_logp
+        FROM per_doc
+        GROUP BY lang
+    """,
+    tags=("llm", "quality", "language-model"),
+)
+def q_llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM scoring: train token frequencies over the corpus,
+    then score each document by its mean token log-probability — the
+    cheapest corpus-level perplexity signal (documents far below the
+    per-lang mean are boilerplate/garbage candidates; far above are
+    degenerate repetition).
+
+    Determinism: p(tok) = cnt/total is one IEEE division of identical
+    integers in both engines; ln() may differ by 1 ulp across libms, so
+    each token's logp is snapped to 6 decimals (decimal-cast, the
+    module convention for transcendentals) BEFORE the exact-decimal
+    per-doc sum; the per-doc mean is a raw division of identical
+    operands.
+
+    Scale shape: one token-keyed aggregate builds the vocab (map-side
+    combinable), one token-keyed join scores the corpus — the join key
+    is Zipf-skewed ("the" is a heavy hitter), which is exactly what AQE
+    skew-join splitting handles; with a bounded vocab the scored table
+    broadcast-joins instead and the corpus is never shuffled. Either
+    way the per-doc rollup shuffles on uniformly-distributed doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(X.tokens(F.col("text"))).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("bigint").alias("total"))
+    scored = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", snap(F.log(F.col("cnt") / F.col("total")), 6).alias("logp")
+    )
+    per_doc = (
+        tok.join(scored, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_tok"), dsum("logp").alias("sum_logp"))
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        dsum2(F.col("sum_logp") / F.col("n_tok"), 4).alias("sum_mean_logp"),
+        snap(F.min(F.col("sum_logp") / F.col("n_tok")), 6).alias("min_mean_logp"),
     )

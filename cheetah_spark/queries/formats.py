@@ -1,0 +1,121 @@
+"""Columnar-format and partitioned-layout surface: ORC round-trip and
+hive-partitioned parquet sink with partition-pruned read-back.
+
+Reference parity: the reference's only file sink is the wall-clock
+partitioned gzip-NDJSON S3 layout (x/s3/s3.go:143-148 —
+``prefix/YYYY/MM/DD/HH/...``); the Spark-native translation of that
+idea is a hive-partitioned columnar sink whose *reads* then prune
+partitions declaratively. ORC is the second columnar format a reference
+user migrating feeds would expect alongside parquet (both are built
+into Spark's DataSource V2 with pushdown + pruning).
+
+Scale notes (100 TB): a partitioned layout turns the dominant cost of
+every downstream query — the scan — into an O(selected-partitions)
+operation. The q_sink_partition_prune plan is audited in
+tests/test_plans.py: the parquet scan must carry PartitionFilters (the
+non-selected partitions are never opened) and the ORC scan must carry
+PushedFilters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cheetah_spark.catalog import ensure_instant_reads, load_table
+from cheetah_spark.queries._util import dsum2, oracle_dsum2
+from cheetah_spark.registry import register
+from cheetah_spark.streaming import FIXTURE_ROOT, _tag, fixture_stale
+
+
+def _events_format_fixture(spark: SparkSession, sf_dir: str, fmt: str, partition_by: str | None = None) -> str:
+    """Materialize events once in the target format/layout (cached;
+    rebuilt if a stale pre-instant-contract fixture is found)."""
+    ensure_instant_reads(spark)
+    suffix = f"events_{fmt}" + (f"_by_{partition_by}" if partition_by else "")
+    out = f"{FIXTURE_ROOT}/{_tag(sf_dir)}/{suffix}"
+    done = f"{out}/_FIXTURE_READY"
+    if os.path.exists(done) and fixture_stale(spark, out):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+    if not os.path.exists(done):
+        writer = load_table(spark, sf_dir, "events").write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        getattr(writer, "orc" if fmt == "orc" else "parquet")(out)
+        open(done, "w").close()
+    return out
+
+
+@register(
+    "q_scan_orc",
+    oracle=f"""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(user_id) AS BIGINT) AS sum_users,
+               {oracle_dsum2("value")} AS sum_value,
+               CAST(floor(MIN(epoch(ts))) AS BIGINT) AS min_epoch,
+               CAST(floor(MAX(epoch(ts))) AS BIGINT) AS max_epoch
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("scan", "source", "orc"),
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan round-trip: events written once as ORC, read back, and
+    aggregated; the result must equal the same aggregate over the
+    parquet source view — proving a lossless columnar round-trip
+    including timestamps-as-instants (epoch bounds are part of the
+    hash) and doubles (decimal-sum convention).
+
+    Scale: ORC inherits the same DSv2 treatment as parquet — column
+    pruning and predicate pushdown reach the reader (plan-audited),
+    so feeds landed in either format query identically."""
+    path = _events_format_fixture(spark, sf_dir, "orc")
+    ensure_instant_reads(spark)
+    df = spark.read.orc(path)
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("user_id").cast("bigint").alias("sum_users"),
+        dsum2("value").alias("sum_value"),
+        F.min(F.col("ts").cast("long")).alias("min_epoch"),
+        F.max(F.col("ts").cast("long")).alias("max_epoch"),
+    )
+
+
+@register(
+    "q_sink_partition_prune",
+    oracle=f"""
+        SELECT date_trunc('hour', ts) AS win_start,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               {oracle_dsum2("value")} AS sum_value
+        FROM events
+        WHERE event_type = 'click'
+        GROUP BY win_start
+    """,
+    tags=("sink", "partitioning", "pruning"),
+)
+def q_sink_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink + partition-pruned scan (the Spark-native
+    form of the reference's partitioned S3 key layout,
+    x/s3/s3.go:143-148): events written once partitioned by
+    event_type, then a single-partition query reads ONLY the 'click'
+    directory — Catalyst turns the predicate into a PartitionFilter,
+    so the other partitions' files are never listed into the scan.
+
+    At 100 TB the partition column is the first-order knob: a
+    by-type/by-day layout makes this hourly rollup touch 1/N of the
+    corpus. The pruning (not just the filter) is asserted in
+    tests/test_plans.py."""
+    path = _events_format_fixture(spark, sf_dir, "parquet", partition_by="event_type")
+    ensure_instant_reads(spark)
+    df = spark.read.parquet(path).where(F.col("event_type") == "click")
+    return df.groupBy(F.date_trunc("hour", "ts").alias("win_start")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum2("value").alias("sum_value"),
+    )

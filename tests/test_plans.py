@@ -180,3 +180,36 @@ def test_anomaly_zscore_broadcasts_stats(spark, sf_dir):
     p = plan(_q("q_sec_anomaly_zscore", spark, sf_dir))
     assert "BroadcastHashJoin" in p, p
     assert "Window" not in p, p  # two hash aggs + broadcast, no window
+
+
+def test_sink_partition_prune_has_partition_filters(spark, sf_dir):
+    # the event_type predicate must prune PARTITIONS (directory-level),
+    # not just filter rows after a full scan
+    p = plan(_q("q_sink_partition_prune", spark, sf_dir))
+    pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert pf, p
+    assert any("event_type" in ln for ln in pf), pf
+
+
+def test_scan_orc_pushes_column_pruning(spark, sf_dir):
+    p = plan(_q("q_scan_orc", spark, sf_dir))
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read_schema, p
+    # props is never referenced — the ORC reader must not materialize it
+    assert "props" not in read_schema[0], read_schema[0]
+
+
+def test_bloom_decontaminate_probe_is_broadcast(spark, sf_dir):
+    # the corpus side must never shuffle: all k probe joins broadcast
+    # the m/32-word filter table; no cross join anywhere
+    p = plan(_q("q_llm_bloom_decontaminate", spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_path_topk_is_take_ordered(spark, sf_dir):
+    # the final top-10 must be a per-partition heap, not a global sort
+    p = plan(_q("q_events_path_topk", spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p
