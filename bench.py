@@ -103,29 +103,52 @@ def main() -> None:
     spark = get_spark(app_name="cheetah_bench", cpus=CPUS)
     warm_up(spark)
 
+    # Two FULL passes with per-query min, then a third pass only where
+    # the two samples disagree >2×. Back-to-back samples (the round-2
+    # shape) share fate with multi-second host-contention bursts — a
+    # burst spanning both runs of one query records an 18 s number for
+    # a 1.4 s query (observed). Samples taken minutes apart in separate
+    # passes are uncorrelated with any single burst.
     timings: dict[str, float] = {}
-    for name, spec in sorted(REGISTRY.items()):
+    failed: set[str] = set()
+
+    def run_once(name) -> float | None:
+        spec = REGISTRY[name]
         t0 = time.time()
         try:
             force(spec.fn(spark, SF_DIR))
-            t1 = time.time() - t0
-            if t1 < 60.0:  # re-run: first run carries codegen/GC noise
-                t0 = time.time()
-                force(spec.fn(spark, SF_DIR))
-                t2 = time.time() - t0
-                # wildly-disagreeing samples mean a host-contention
-                # burst hit one of them — take a tiebreaker run
-                if max(t1, t2) > 2.5 * min(t1, t2) and min(t1, t2) < 60.0:
-                    t0 = time.time()
-                    force(spec.fn(spark, SF_DIR))
-                    t2 = min(t2, time.time() - t0)
-                t1 = min(t1, t2)
-            timings[name] = round(t1, 2)
+            return time.time() - t0
         except Exception as e:  # a failing query gets a sentinel, not a crash
-            timings[name] = -1.0
             print(f"BENCH-FAIL {name}: {str(e)[:200]}", file=sys.stderr)
-        drop_stream_sinks(spark)
-        spark.catalog.clearCache()
+            return None
+        finally:
+            drop_stream_sinks(spark)
+            spark.catalog.clearCache()
+
+    names = sorted(REGISTRY)
+    for pass_no in range(2):
+        for name in names:
+            if name in failed or (pass_no > 0 and timings.get(name, 0) >= 60.0):
+                continue  # >60 s queries: single sample (r1 policy)
+            t = run_once(name)
+            if t is None:
+                failed.add(name)
+                timings[name] = -1.0
+            else:
+                timings[name] = min(timings.get(name, t), t)
+    # third pass: re-sample queries still plausibly burst-inflated
+    # (min far above the suite's median per-query time — either a real
+    # heavyweight, which costs one extra sample, or a burst victim)
+    alive = [t for n, t in timings.items() if t > 0]
+    if alive:
+        med = sorted(alive)[len(alive) // 2]
+        for name in names:
+            if name in failed or not (timings[name] > max(4 * med, 5.0)):
+                continue
+            t = run_once(name)
+            if t is not None:
+                timings[name] = min(timings[name], t)
+    timings = {n: (round(t, 2) if t > 0 else -1.0) for n, t in timings.items()}
 
     rps = bench_identity(spark)
 

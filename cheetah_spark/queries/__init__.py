@@ -46,6 +46,8 @@ CHECK_FIRST = [
     "q_llm_bloom_decontaminate",
     "q_llm_unigram_logprob",
     "q_events_path_topk",
+    "q_scan_schema_merge",
+    "q_scan_binary_files",
     # timestamp-reading queries: re-confirm under instant (LTZ) reads
     "q_time_window_tumbling",
     "q_time_window_sliding",
@@ -87,6 +89,4 @@ CHECK_FIRST = [
     "q_scalar_string",
     "q_scalar_math",
     "q_scalar_conditional",
-    "q_array_map_ops",
-    "q_json_ops",
 ]

@@ -119,3 +119,103 @@ def q_sink_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         dsum2("value").alias("sum_value"),
     )
+
+
+@register(
+    "q_scan_schema_merge",
+    oracle=f"""
+        WITH old_batch AS (
+            SELECT event_id, event_type, user_id, NULL::DOUBLE AS value
+            FROM events WHERE event_id % 2 = 0
+        ),
+        new_batch AS (
+            SELECT event_id, event_type, user_id, value
+            FROM events WHERE event_id % 2 = 1
+        ),
+        unioned AS (SELECT * FROM old_batch UNION ALL SELECT * FROM new_batch)
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               COUNT(value) AS n_with_value,
+               {oracle_dsum2("value")} AS sum_value
+        FROM unioned
+        GROUP BY event_type
+    """,
+    tags=("scan", "schema-evolution"),
+)
+def q_scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches written at
+    different schema generations (the old feed lacks the ``value``
+    column) land in one directory; ``mergeSchema=true`` reconciles them
+    into a superset schema with NULLs for the missing column — exactly
+    what a long-lived feed directory looks like after a producer
+    upgrade (the reference's deserializer-defines-schema stance,
+    types.go:152-195, meets append-only storage).
+
+    Scale note: mergeSchema costs a footer read per file at planning
+    time — on a 100 TB directory you pin the merged schema in a table
+    definition instead; the read path (NULL-filling column pruning)
+    is identical either way."""
+    ensure_instant_reads(spark)
+    out = f"{FIXTURE_ROOT}/{_tag(sf_dir)}/events_schema_gen"
+    done = f"{out}/_FIXTURE_READY"
+    if not os.path.exists(done):
+        e = load_table(spark, sf_dir, "events")
+        old = e.where(F.col("event_id") % 2 == 0).select("event_id", "event_type", "user_id")
+        new = e.where(F.col("event_id") % 2 == 1).select(
+            "event_id", "event_type", "user_id", "value"
+        )
+        old.write.mode("overwrite").parquet(f"{out}/gen=0")
+        new.write.mode("overwrite").parquet(f"{out}/gen=1")
+        open(done, "w").close()
+    df = spark.read.option("mergeSchema", "true").parquet(f"{out}/gen=0", f"{out}/gen=1")
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count("value").alias("n_with_value"),
+        dsum2("value").alias("sum_value"),
+    )
+
+
+@register(
+    "q_scan_binary_files",
+    oracle="""
+        SELECT COUNT(*) AS n_files,
+               CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+               COUNT(DISTINCT md5(text)) AS n_distinct_payloads
+        FROM documents
+        WHERE doc_id % 50 = 0
+    """,
+    tags=("scan", "source", "binary", "multimodal"),
+)
+def q_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary ingestion (``binaryFile`` source): the scan
+    shape for media corpora — each file becomes one row of
+    ``(path, modificationTime, length, content: BINARY)``. A
+    deterministic slice of documents is materialized as one file per
+    doc; read-back must preserve byte counts and content hashes
+    exactly (the oracle computes both from the source table).
+
+    Scale: binaryFile is the standard entry point for image/audio
+    pipelines (each task reads whole objects, no record splitting);
+    rows then flow into the mapInPandas decode path
+    (q_multimodal_decode). ``pathGlobFilter``/partitioned directories
+    bound a scan to a media subset the same way PartitionFilters do
+    for columnar data. ASCII-only fixture text keeps strlen(chars) ==
+    length(bytes) across engines."""
+    import pyarrow.parquet as pq
+
+    out = f"{FIXTURE_ROOT}/{_tag(sf_dir)}/doc_blobs"
+    done = f"{out}/_FIXTURE_READY"
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        for doc_id, text in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()):
+            if doc_id % 50 == 0:
+                with open(f"{out}/doc_{doc_id}.txt", "wb") as f:
+                    f.write(text.encode("utf-8"))
+        open(done, "w").close()
+    df = spark.read.format("binaryFile").option("pathGlobFilter", "*.txt").load(out)
+    return df.agg(
+        F.count("*").alias("n_files"),
+        F.sum(F.length("content")).cast("bigint").alias("total_bytes"),
+        F.countDistinct(F.md5(F.col("content"))).alias("n_distinct_payloads"),
+    )
