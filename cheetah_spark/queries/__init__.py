@@ -48,6 +48,9 @@ CHECK_FIRST = [
     "q_events_path_topk",
     "q_scan_schema_merge",
     "q_scan_binary_files",
+    "q_udtf_surface",
+    "q_events_histogram",
+    "s_stream_rate",
     # timestamp-reading queries: re-confirm under instant (LTZ) reads
     "q_time_window_tumbling",
     "q_time_window_sliding",
@@ -86,7 +89,4 @@ CHECK_FIRST = [
     "q_sort_limit_topk",
     "q_set_ops",
     "q_distinct_dedup",
-    "q_scalar_string",
-    "q_scalar_math",
-    "q_scalar_conditional",
 ]

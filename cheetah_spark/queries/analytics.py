@@ -684,3 +684,41 @@ def q_events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(_PATH_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width value histogram
+# ---------------------------------------------------------------------------
+
+_HIST_W = 25.0  # bucket width over the value domain [0, 500)
+_HIST_MAX_BUCKET = 19
+
+
+@register(
+    "q_events_histogram",
+    oracle=f"""
+        SELECT event_type,
+               LEAST(CAST(floor(value / {_HIST_W}) AS BIGINT), {_HIST_MAX_BUCKET}) AS bucket,
+               COUNT(*) AS n_events,
+               {oracle_dsum2("value")} AS sum_value
+        FROM events
+        GROUP BY event_type, bucket
+    """,
+    tags=("analytics", "histogram"),
+)
+def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the value distribution per event type
+    (the monitoring-dashboard bucket chart): bucket = floor(value/25)
+    clamped to a final overflow bucket. One IEEE division + floor per
+    row — bit-identical in both engines — then a plain two-level hash
+    aggregate on the tiny (type, bucket) key space; at 100 TB this is
+    the cheapest possible shape (map-side combine collapses everything
+    before the shuffle)."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.floor(F.col("value") / _HIST_W).cast("bigint"), F.lit(_HIST_MAX_BUCKET)
+    ).alias("bucket")
+    return e.groupBy("event_type", bucket).agg(
+        F.count("*").alias("n_events"),
+        dsum2("value").alias("sum_value"),
+    )

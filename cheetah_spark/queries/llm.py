@@ -1072,3 +1072,74 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= _TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF surface (table functions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_udtf_surface",
+    oracle="""
+        WITH parts AS (
+            SELECT doc_id, lang,
+                   unnest(string_split(text, '.')) AS raw,
+                   generate_subscripts(string_split(text, '.'), 1) - 1 AS pos
+            FROM documents
+        ),
+        sentences AS (
+            SELECT doc_id, lang, pos, trim(raw) AS sentence
+            FROM parts WHERE trim(raw) <> ''
+        )
+        SELECT lang,
+               COUNT(*) AS n_sentences,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               CAST(SUM(strlen(sentence)) AS BIGINT) AS total_chars,
+               CAST(MAX(pos) AS BIGINT) AS max_pos
+        FROM sentences
+        GROUP BY lang
+    """,
+    tags=("llm", "udtf", "udf-surface"),
+)
+def q_udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) surface — the fourth quadrant of
+    the UDF API next to q_udf_surface's scalar/pandas/grouped-map
+    trio: a user class whose ``eval`` yields 0..N ROWS per input row,
+    applied per-document via LATERAL join (the declarative form of the
+    reference's 1→N Handler contract, types.go:122-135).
+
+    The UDTF splits text into trimmed sentences with their raw split
+    positions; the DuckDB oracle mirrors the exact same logic with
+    unnest + generate_subscripts, so counts/char-sums hash-match.
+
+    Scale: UDTFs execute per-partition in the Python worker pool
+    (Arrow-batched rows in, rows out) — same distribution contract as
+    mapInPandas; the lateral join never shuffles the input (it is a
+    generator projection), and the rollup shuffles only (lang) keys."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, lang string, pos int, sentence string")
+    class SplitSentences:
+        def eval(self, doc_id, lang, text):
+            for i, part in enumerate((text or "").split(".")):
+                s = part.strip()
+                if s:
+                    yield doc_id, lang, i, s
+
+    d = load_table(spark, sf_dir, "documents")
+    spark.udtf.register("cheetah_split_sentences", SplitSentences)
+    d.createOrReplaceTempView("docs_for_udtf")
+    out = spark.sql(
+        """
+        SELECT s.lang,
+               COUNT(*) AS n_sentences,
+               COUNT(DISTINCT s.doc_id) AS n_docs,
+               CAST(SUM(length(s.sentence)) AS BIGINT) AS total_chars,
+               CAST(MAX(s.pos) AS BIGINT) AS max_pos
+        FROM docs_for_udtf d,
+             LATERAL cheetah_split_sentences(d.doc_id, d.lang, d.text) s
+        GROUP BY s.lang
+        """
+    )
+    return out

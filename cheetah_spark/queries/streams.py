@@ -309,3 +309,45 @@ def s_stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memory sink in update mode appends every emission; the final
     # running value per key is the max (counts only grow)
     return out.groupBy("user_id").agg(F.max("running").alias("n_events"))
+
+
+@register(
+    "s_stream_rate",
+    oracle=None,  # unbounded load-gen: invariants, not a value oracle
+    tags=("streaming", "source", "load-gen"),
+)
+def s_stream_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-source load generation (reference S1's synthetic message
+    feed, test/suite_test.go:106-155, as a streaming source): run the
+    unbounded ``rate`` source for a short fixed wall-clock window, stop,
+    and assert the committed prefix is exactly the no-loss/no-dup
+    contract — values form a contiguous dup-free range (count ==
+    max-min+1 == distinct). A timing-dependent ROW COUNT is inherent to
+    load-gen, so this is a rows-only check returning one invariant row.
+    """
+    import time
+    import uuid
+
+    from cheetah_spark.sources import RateSource
+
+    stream = RateSource(rows_per_second=50_000, num_partitions=4).read(spark)
+    name = f"sink_rate_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"/tmp/cheetah_spark_ckpt/{name}")
+        .start()
+    )
+    try:
+        deadline = time.time() + 3.0
+        while time.time() < deadline:
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    out = spark.table(name)
+    return out.agg(
+        (F.count("*") > 0).alias("produced"),
+        (F.count("*") == F.countDistinct("value")).alias("no_dups"),
+        (F.count("*") == (F.max("value") - F.min("value") + 1)).alias("contiguous"),
+    )
