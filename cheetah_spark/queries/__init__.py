@@ -51,6 +51,7 @@ CHECK_FIRST = [
     "q_udtf_surface",
     "q_events_histogram",
     "s_stream_rate",
+    "q_llm_ann_pq",
     # timestamp-reading queries: re-confirm under instant (LTZ) reads
     "q_time_window_tumbling",
     "q_time_window_sliding",
@@ -88,5 +89,4 @@ CHECK_FIRST = [
     "q_having_filter",
     "q_sort_limit_topk",
     "q_set_ops",
-    "q_distinct_dedup",
 ]

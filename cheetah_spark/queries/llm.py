@@ -1143,3 +1143,115 @@ def q_udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (ADC scoring + exact rerank)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces (64-dim fixture → 8 dims each)
+_PQ_K = 16  # centroids per subspace codebook
+_PQ_RERANK = 4  # rerank pool = _PQ_RERANK * _TOPK ADC candidates
+
+
+@register("q_llm_ann_pq", tags=("llm", "vector", "rows-only"))
+def q_llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., PAMI 2011 — public
+    method): each normalized vector is cut into M=8 subvectors, each
+    encoded as its nearest of K=16 deterministic per-subspace codebook
+    centroids (lowest vec_ids as codewords — reproducible on any
+    cluster, same stance as q_llm_ann_ivf). A query scores the whole
+    corpus by ADC: one M×K table of subspace dot products per query,
+    approx cosine = sum of M table lookups per code — then the top
+    ADC pool is reranked with exact cosine.
+
+    Scale shape: codes compress the corpus 16× (8 bytes vs 64 floats
+    here; 32× at production 128-dim/float32), so the scan that scores
+    100 TB of raw vectors touches ~6 TB of codes. Scoring is one
+    vectorized mapInPandas pass emitting a bounded per-partition
+    partial top-k per query (the q_llm_ann_bruteforce shuffle shape —
+    k rows per partition per query, never the corpus); only the
+    |Q|-bounded rerank pool touches raw vectors again via an equi-join
+    on neighbor_id. Recall vs the exact top-k is measured in
+    tests/test_llm.py."""
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    seed_rows = e.orderBy("vec_id").limit(_PQ_K).collect()
+    S = np.array([r.embedding for r in seed_rows], dtype=np.float64)
+    S /= np.linalg.norm(S, axis=1, keepdims=True)
+    d_sub = S.shape[1] // _PQ_M
+    # codebooks[m]: K × d_sub — subspace slices of the seed vectors
+    books = [S[:, m * d_sub : (m + 1) * d_sub].copy() for m in range(_PQ_M)]
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            V /= np.linalg.norm(V, axis=1, keepdims=True)
+            codes = np.empty((len(V), _PQ_M), dtype="int32")
+            for m in range(_PQ_M):
+                sub = V[:, m * d_sub : (m + 1) * d_sub]
+                # nearest codeword by L2 within the subspace
+                d2 = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(), "code": list(codes)})
+
+    encoded = e.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id long, code array<int>"
+    )
+
+    qrows = e.where(F.col("vec_id") % _QUERY_MOD == 0).select("vec_id", "embedding").collect()
+    Q = np.array([r.embedding for r in qrows], dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = np.array([r.vec_id for r in qrows])
+    # ADC tables: per query, M × K subspace dot products
+    tables = np.stack(
+        [np.stack([Q[:, m * d_sub : (m + 1) * d_sub] @ books[m].T for m in range(_PQ_M)], axis=1)]
+    )[0]  # |Q| × M × K
+    pool = _PQ_RERANK * _TOPK
+
+    def adc_score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(pdf["code"].tolist(), dtype="int64")  # n × M
+            ids = pdf["vec_id"].to_numpy()
+            # approx cos for all queries × batch rows: sum of table lookups
+            approx = np.stack(
+                [tables[:, m, C[:, m]] for m in range(_PQ_M)]
+            ).sum(axis=0)  # |Q| × n
+            k = min(pool, approx.shape[1])
+            top = np.argpartition(-approx, k - 1, axis=1)[:, :k]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, k),
+                    "neighbor_id": ids[top].ravel(),
+                    "adc": np.take_along_axis(approx, top, axis=1).ravel(),
+                }
+            )
+
+    partials = encoded.mapInPandas(adc_score, "query_id long, neighbor_id long, adc double")
+    w_pool = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id"))
+    cand = (
+        partials.where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("prk", F.row_number().over(w_pool))
+        .where(F.col("prk") <= pool)
+        .drop("prk", "adc")
+    )
+    # exact rerank of the bounded pool: join back the raw vectors
+    qdf = F.broadcast(
+        e.where(F.col("vec_id") % _QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+    )
+    scored = (
+        cand.join(e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")), "neighbor_id")
+        .join(qdf, "query_id")
+        .select("query_id", "neighbor_id", V.cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= _TOPK)

@@ -54,3 +54,13 @@ def test_ann_ivf_recall(spark, sf_dir):
     # exploit) — measured 0.48 at sf0.01; floor set with margin. On
     # clustered corpora the same index approaches 1.0.
     assert recall >= 0.3, f"IVF recall too low: {recall:.2f}"
+
+
+def test_ann_pq_recall(spark, sf_dir):
+    exact = _pairs(REGISTRY["q_llm_similarity_topk"].fn(spark, sf_dir))
+    approx = _pairs(REGISTRY["q_llm_ann_pq"].fn(spark, sf_dir))
+    recall = len(exact & approx) / len(exact)
+    # 8×16 codebooks on near-uniform 64-dim fixtures with a 4k-deep
+    # exact rerank; distribution-bound floor with margin (measured
+    # above 0.5 at sf0.01)
+    assert recall >= 0.3, f"PQ recall too low: {recall:.2f}"
