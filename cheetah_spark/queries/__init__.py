@@ -52,6 +52,7 @@ CHECK_FIRST = [
     "q_events_histogram",
     "s_stream_rate",
     "q_llm_ann_pq",
+    "q_llm_kmeans",
     # timestamp-reading queries: re-confirm under instant (LTZ) reads
     "q_time_window_tumbling",
     "q_time_window_sliding",
@@ -88,5 +89,4 @@ CHECK_FIRST = [
     "q_cube_agg",
     "q_having_filter",
     "q_sort_limit_topk",
-    "q_set_ops",
 ]

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from cheetah_spark.catalog import load_table
 from cheetah_spark.functions import text as X
 from cheetah_spark.functions import vectors as V
-from cheetah_spark.queries._util import davg, oracle_davg
+from cheetah_spark.queries._util import DEC as _util_DEC, davg, oracle_davg
 from cheetah_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -1255,3 +1255,113 @@ def q_llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= _TOPK)
+
+
+# ---------------------------------------------------------------------------
+# K-means corpus clustering (semantic grouping / SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+_KM_K = 16
+_KM_ITERS = 5
+
+
+def _kmeans_centroids(spark: SparkSession, sf_dir: str, iters: int):
+    """Lloyd's iterations with bounded driver state: centroids live on
+    the driver as a K×d array (broadcast into each assignment pass);
+    the per-iteration update is a DISTRIBUTED per-(cluster, dim)
+    exact-decimal sum — the driver only ever collects K×d partial rows
+    (1024 here), never vectors. Deterministic: seeded with the K lowest
+    vec_ids, ties broken by lowest cluster id, decimal sums are
+    partitioning-independent."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    seed = e.orderBy("vec_id").limit(_KM_K).collect()
+    C = np.array([r.embedding for r in seed], dtype=np.float64)
+
+    def make_assign(Cb):
+        def assign(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                d2 = ((V[:, None, :] - Cb[None, :, :]) ** 2).sum(axis=2)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "cid": np.argmin(d2, axis=1).astype("int32"),
+                        "embedding": pdf["embedding"],
+                    }
+                )
+
+        return assign
+
+    for _ in range(iters):
+        assigned = e.select("vec_id", "embedding").mapInPandas(
+            make_assign(C.copy()), "vec_id long, cid int, embedding array<float>"
+        )
+        # distributed mean: exact decimal per-(cid, dim) sums, K*d rows
+        sums = (
+            assigned.select("cid", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.sum(F.col("x").cast(_util_DEC)).alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        newC = C.copy()
+        counts = {}
+        for r in sums:
+            counts[r.cid] = r.n
+            newC[r.cid, r.dim] = float(r.s) / r.n
+        C = newC  # empty clusters keep their previous centroid
+    return e, C
+
+
+def _kmeans_result(spark: SparkSession, sf_dir: str, iters: int) -> DataFrame:
+    import numpy as np
+
+    e, C = _kmeans_centroids(spark, sf_dir, iters)
+
+    def final_assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cid = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "cid": cid.astype("int32"),
+                    "sq_dist": d2[np.arange(len(V)), cid],
+                }
+            )
+
+    out = e.select("vec_id", "embedding").mapInPandas(final_assign, "cid int, sq_dist double")
+    return (
+        out.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.sum(F.col("sq_dist").cast(_util_DEC)), 3).cast("double").alias("wcss"),
+        )
+        .orderBy("cid")
+    )
+
+
+@register("q_llm_kmeans", tags=("llm", "vector", "clustering", "rows-only"))
+def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means over the embedding corpus (Lloyd's, K=16,
+    5 iterations) — the clustering primitive behind semantic dedup
+    (SemDeDup, Abbas et al. 2023: near-dups are removed WITHIN
+    clusters), domain discovery, and diversity-balanced sampling.
+
+    Fully deterministic (seeded init, decimal-exact centroid means,
+    lowest-id tie-breaks) so cluster sizes and within-cluster squared
+    error reproduce bit-for-bit on any partitioning; iterative
+    convergence (monotone WCSS) is asserted in tests/test_llm.py.
+
+    Scale shape: each iteration is one vectorized assignment scan
+    (numpy matmul per Arrow batch, centroids broadcast by closure) plus
+    one (K×d)-bounded aggregate — driver state is K×d floats, never
+    corpus rows; at 100 TB this is the canonical mini-batch-free
+    distributed k-means with shuffle volume K×d×partitions, not
+    corpus-sized."""
+    return _kmeans_result(spark, sf_dir, _KM_ITERS)

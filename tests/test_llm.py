@@ -64,3 +64,24 @@ def test_ann_pq_recall(spark, sf_dir):
     # exact rerank; distribution-bound floor with margin (measured
     # above 0.5 at sf0.01)
     assert recall >= 0.3, f"PQ recall too low: {recall:.2f}"
+
+
+def test_kmeans_wcss_monotone(spark, sf_dir):
+    """Lloyd's must not increase total within-cluster squared error."""
+    from cheetah_spark.queries.llm import _kmeans_result
+
+    w1 = sum(r.wcss for r in _kmeans_result(spark, sf_dir, 1).collect())
+    w5 = sum(r.wcss for r in _kmeans_result(spark, sf_dir, 5).collect())
+    assert w5 <= w1 + 1e-6, (w1, w5)
+
+
+def test_kmeans_covers_corpus(spark, sf_dir):
+    from cheetah_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_llm_kmeans"].fn(spark, sf_dir).collect()
+    import duckdb
+
+    n = duckdb.sql(
+        f"select count(*) from read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchone()[0]
+    assert sum(r.n_vectors for r in rows) == n
