@@ -53,6 +53,8 @@ CHECK_FIRST = [
     "s_stream_rate",
     "q_llm_ann_pq",
     "q_llm_kmeans",
+    "q_approx_heavy_cmsketch",
+    "q_sec_beacon_detect",
     # timestamp-reading queries: re-confirm under instant (LTZ) reads
     "q_time_window_tumbling",
     "q_time_window_sliding",
@@ -87,6 +89,4 @@ CHECK_FIRST = [
     "q_agg_distinct",
     "q_grouping_sets",
     "q_cube_agg",
-    "q_having_filter",
-    "q_sort_limit_topk",
 ]

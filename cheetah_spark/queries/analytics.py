@@ -722,3 +722,190 @@ def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         dsum2("value").alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+_CM_D = 3  # hash rows
+_CM_W = 512  # counters per row
+_CM_TOP = 10
+_CM_SEEDS = tuple(f"cm{i}" for i in range(_CM_D))
+
+
+_CM_ORACLE = f"""
+    WITH keys AS (SELECT user_id FROM events),
+    hashed AS (
+        {" UNION ALL ".join(
+            f"SELECT {i} AS row_i, user_id, "
+            f"({X.oracle_hash56('CAST(user_id AS VARCHAR)', seed=repr(s))} % {_CM_W}) AS bucket "
+            "FROM keys"
+            for i, s in enumerate(_CM_SEEDS))}
+    ),
+    sketch AS (
+        SELECT row_i, bucket, COUNT(*) AS counter
+        FROM hashed GROUP BY row_i, bucket
+    ),
+    exact AS (
+        SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id
+        ORDER BY exact_n DESC, user_id LIMIT {_CM_TOP}
+    ),
+    probes AS (
+        SELECT e.user_id, e.exact_n, s.counter
+        FROM exact e
+        JOIN (SELECT DISTINCT row_i, user_id, bucket FROM hashed) h
+          ON h.user_id = e.user_id
+        JOIN sketch s ON s.row_i = h.row_i AND s.bucket = h.bucket
+    )
+    SELECT user_id,
+           CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(MIN(counter) AS BIGINT) AS cm_estimate,
+           MIN(counter) >= exact_n AS never_underestimates
+    FROM probes
+    GROUP BY user_id, exact_n
+"""
+
+
+@register("q_approx_heavy_cmsketch", oracle=_CM_ORACLE, tags=("analytics", "sketch", "heavy-hitters"))
+def q_approx_heavy_cmsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) heavy-hitter
+    estimation: a d×w counter grid (3×512 ints — constant memory at
+    any corpus size) built with one aggregate per seeded hash row;
+    each key's frequency estimate is the MIN of its d counters, which
+    can only OVER-estimate — the sketch's one-sided error theorem is
+    pinned into the result (`never_underestimates`). The exact top-10
+    keys anchor the comparison, and because both engines run identical
+    md5-derived integer hashing, estimates hash-match bit-for-bit
+    (same stance as q_approx_distinct_hll's pinned error bound).
+
+    Scale shape: the sketch build is a map-side-combinable aggregate
+    onto d×w cells — the 100 TB stream collapses to 1536 integers; the
+    probe side touches only the candidate keys. This is the
+    constant-memory complement to the exact q_sort_limit_topk."""
+    e = load_table(spark, sf_dir, "events")
+    keys = e.select("user_id")
+    hashed = keys.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        (X.hash56(F.col("user_id").cast("string"), seed=F.lit(s)) % _CM_W).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i, s in enumerate(_CM_SEEDS)
+                ]
+            )
+        ).alias("h"),
+    ).select("user_id", F.col("h.row_i").alias("row_i"), F.col("h.bucket").alias("bucket"))
+    sketch = hashed.groupBy("row_i", "bucket").agg(F.count("*").alias("counter"))
+    exact = (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(_CM_TOP)
+    )
+    probes = (
+        exact.join(hashed.distinct(), "user_id")
+        .join(F.broadcast(sketch), ["row_i", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("counter").alias("cm_estimate"))
+    )
+    return probes.select(
+        "user_id",
+        F.col("exact_n").cast("bigint").alias("exact_n"),
+        F.col("cm_estimate").cast("bigint").alias("cm_estimate"),
+        (F.col("cm_estimate") >= F.col("exact_n")).alias("never_underestimates"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Beaconing detection (regular-interval series)
+# ---------------------------------------------------------------------------
+
+_BEACON_MIN_N = 5  # minimum deltas before a series can be judged
+_BEACON_CV2_DEN = 25  # flag when var * DEN <= mean^2, i.e. cv <= 1/5
+
+
+@register(
+    "q_sec_beacon_detect",
+    oracle=f"""
+        WITH d AS (
+            SELECT user_id, event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                         PARTITION BY user_id, event_type
+                         ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS delta
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, event_type,
+                   COUNT(delta) AS n,
+                   CAST(SUM(delta) AS BIGINT) AS sd,
+                   CAST(SUM(delta * delta) AS BIGINT) AS sd2
+            FROM d WHERE delta IS NOT NULL
+            GROUP BY user_id, event_type
+            HAVING COUNT(delta) >= {_BEACON_MIN_N}
+        ),
+        j AS (
+            SELECT user_id, event_type, n,
+                   -- integer cross-multiplied cv^2 test:
+                   -- var*DEN <= mean^2  <=>  (n*sd2 - sd*sd)*DEN <= sd*sd
+                   ((n * sd2 - sd * sd) * {_BEACON_CV2_DEN} <= sd * sd) AS beacon
+            FROM s
+        )
+        SELECT event_type,
+               COUNT(*) AS n_series,
+               CAST(SUM(CASE WHEN beacon THEN 1 ELSE 0 END) AS BIGINT) AS n_beacons,
+               MIN(CASE WHEN beacon THEN user_id END) AS min_beacon_user
+        FROM j
+        GROUP BY event_type
+    """,
+    tags=("security", "beaconing", "timeseries"),
+)
+def q_sec_beacon_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beaconing detection — the security-analytics staple the
+    reference's users (a security pipeline) run downstream: a series
+    that fires at suspiciously REGULAR intervals (malware check-ins)
+    has a low coefficient of variation over its inter-arrival deltas.
+    Flag (user, event_type) series where cv <= 1/5.
+
+    Every quantity is an exact integer: floor-second deltas, n·Σd² −
+    (Σd)² variance, and the cv² threshold as one cross-multiplication —
+    no float ever exists, so the oracle hash-matches bit-for-bit.
+
+    Scale shape: one LAG window per series (state never crosses the
+    (user, type) key), one aggregate per series, one rollup on the tiny
+    event_type key — the same per-series window shape as
+    q_timeseries_rate, linear at any corpus size."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    w = W.partitionBy("user_id", "event_type").orderBy("sec", "event_id")
+    d = e.select("user_id", "event_type", "event_id", sec.alias("sec")).withColumn(
+        "delta", F.col("sec") - F.lag("sec").over(w)
+    )
+    s = (
+        d.where(F.col("delta").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count("delta").alias("n"),
+            F.sum("delta").cast("bigint").alias("sd"),
+            F.sum(F.col("delta") * F.col("delta")).cast("bigint").alias("sd2"),
+        )
+        .where(F.col("n") >= _BEACON_MIN_N)
+    )
+    j = s.withColumn(
+        "beacon",
+        (F.col("n") * F.col("sd2") - F.col("sd") * F.col("sd")) * _BEACON_CV2_DEN
+        <= F.col("sd") * F.col("sd"),
+    )
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_series"),
+        F.sum(F.when(F.col("beacon"), 1).otherwise(0)).cast("bigint").alias("n_beacons"),
+        F.min(F.when(F.col("beacon"), F.col("user_id"))).alias("min_beacon_user"),
+    )
