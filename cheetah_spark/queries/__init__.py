@@ -55,6 +55,9 @@ CHECK_FIRST = [
     "q_llm_kmeans",
     "q_approx_heavy_cmsketch",
     "q_sec_beacon_detect",
+    "q_scd2_history",
+    "q_events_transitions",
+    "q_llm_semdedup",
     # timestamp-reading queries: re-confirm under instant (LTZ) reads
     "q_time_window_tumbling",
     "q_time_window_sliding",
@@ -87,6 +90,4 @@ CHECK_FIRST = [
     "q_multiway_join_tpch",
     "q_hash_agg",
     "q_agg_distinct",
-    "q_grouping_sets",
-    "q_cube_agg",
 ]

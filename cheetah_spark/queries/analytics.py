@@ -909,3 +909,131 @@ def q_sec_beacon_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("beacon"), 1).otherwise(0)).cast("bigint").alias("n_beacons"),
         F.min(F.when(F.col("beacon"), F.col("user_id"))).alias("min_beacon_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history (validity intervals from a changelog)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_scd2_history",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER w AS prev_type,
+                   row_number() OVER w AS rn
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        changes AS (
+            SELECT user_id, event_type, ts, event_id
+            FROM ordered
+            WHERE prev_type IS NULL OR prev_type <> event_type
+        ),
+        versioned AS (
+            SELECT user_id, event_type,
+                   date_trunc('second', ts) AS valid_from,
+                   date_trunc('second', lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS version
+            FROM changes
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_versions,
+               CAST(MAX(version) AS BIGINT) AS last_version,
+               MAX(CASE WHEN valid_to IS NULL THEN event_type END) AS current_state,
+               MIN(valid_from) AS first_from
+        FROM versioned
+        GROUP BY user_id
+    """,
+    tags=("warehouse", "scd2", "cdc"),
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: collapse each
+    user's event stream into state VERSIONS — a new version opens
+    whenever the state (event_type) changes, closes when the next
+    change arrives (NULL valid_to = current) — the standard
+    changelog→warehouse-dimension transform.
+
+    Scale shape: two windows over the same (user_id, (ts, event_id))
+    sort — change detection via LAG, interval close via LEAD — Spark
+    evaluates both in one WindowExec per partitioning, so the plan is
+    ONE sort shuffle keyed by user_id plus the per-user rollup; history
+    length never leaves its key's partition."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select("user_id", "event_type", "ts", "event_id").withColumn(
+        "prev_type", F.lag("event_type").over(w)
+    )
+    changes = ordered.where(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    wv = W.partitionBy("user_id").orderBy("ts", "event_id")
+    versioned = changes.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("second", "ts").alias("valid_from"),
+        F.date_trunc("second", F.lead("ts").over(wv)).alias("valid_to"),
+        F.row_number().over(wv).alias("version"),
+    )
+    return versioned.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_versions"),
+        F.max("version").cast("bigint").alias("last_version"),
+        F.max(F.when(F.col("valid_to").isNull(), F.col("event_type"))).alias("current_state"),
+        F.min("valid_from").alias("first_from"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event transition matrix (first-order Markov counts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_events_transitions",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next_type
+            FROM events
+        )
+        SELECT event_type AS from_type,
+               next_type AS to_type,
+               COUNT(*) AS n_transitions,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM o
+        WHERE next_type IS NOT NULL
+        GROUP BY from_type, to_type
+    """,
+    tags=("analytics", "markov", "sequence"),
+)
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over per-user event streams (the
+    Markov counts behind next-action prediction and Sankey flow
+    charts): for each consecutive pair in a user's time-ordered
+    stream, count (from_type → to_type).
+
+    Scale shape: one LEAD window per user (the q_scd2_history sort,
+    reusable when both run in a pipeline) and a rollup onto the tiny
+    type×type key space — map-side combine collapses everything
+    before the shuffle."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select("user_id", "event_type", "ts", "event_id").withColumn(
+        "next_type", F.lead("event_type").over(w)
+    )
+    return (
+        o.where(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -1365,3 +1365,95 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed k-means with shuffle volume K×d×partitions, not
     corpus-sized."""
     return _kmeans_result(spark, sf_dir, _KM_ITERS)
+
+
+@register("q_llm_semdedup", tags=("llm", "dedup", "clustering", "rows-only"))
+def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public method): semantic
+    deduplication = cluster the corpus, then find near-duplicate pairs
+    ONLY within each cluster — the composition of q_llm_kmeans and the
+    exact-cosine rerank that makes embedding dedup tractable when no
+    LSH structure fits (pairwise work is bounded by max cluster size,
+    never corpus²; production caps cluster size by splitting).
+
+    Keeps the lowest vec_id of each near-dup pair (cosine >= 0.9, the
+    q_llm_embed_dedup threshold); output is per-cluster dedup
+    accounting. Recall vs the unclustered banded path is asserted in
+    tests/test_llm.py — planted near-identical vectors land in the
+    same cluster by construction of nearest-centroid assignment.
+
+    Scale shape: clustering as in q_llm_kmeans (bounded driver state);
+    the pair stage shuffles once on cid, and each cluster's pairs are
+    generated locally by a cid-equi self-join — the join key bounds
+    the blow-up to sum(|cluster|²), the quantity SemDeDup exists to
+    control."""
+    import numpy as np
+
+    e, C = _kmeans_centroids(spark, sf_dir, _KM_ITERS)
+
+    # same planted near-duplicates as q_llm_embed_dedup (perturbed
+    # re-encodes of every MOD-th vector) so the two dedup strategies
+    # are comparable on an identical corpus
+    v = F.col("embedding").cast("array<double>")
+    base = e.select("vec_id", v.alias("v"))
+    pert = e.where(F.col("vec_id") % _ED_PERT_MOD == 0).select(
+        (F.col("vec_id") + _ED_PERT_OFFSET).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(v, 1) + F.lit(0.25)), F.slice(v, 2, _ED_DIM - 1)
+        ).alias("v"),
+    )
+    u = base.unionByName(pert)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cid": np.argmin(d2, axis=1).astype("int32"),
+                    "embedding": pdf["v"],
+                }
+            )
+
+    assigned = u.mapInPandas(
+        assign, "vec_id long, cid int, embedding array<double>"
+    ).persist()
+    try:
+        a = assigned.select(
+            "cid", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+        )
+        b = assigned.select(
+            "cid", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+        )
+        pairs = (
+            a.join(b, "cid")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("cid", "id_a", "id_b", V.cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+            .where(F.col("cos_sim") >= _ED_THRESHOLD)
+        )
+        out = (
+            assigned.groupBy("cid")
+            .agg(F.count("*").alias("n_vectors"))
+            .join(
+                pairs.groupBy("cid").agg(
+                    F.count("*").alias("n_dup_pairs"),
+                    F.countDistinct("id_b").alias("n_removed"),
+                ),
+                "cid",
+                "left",
+            )
+            .select(
+                "cid",
+                "n_vectors",
+                F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+                F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            )
+            .orderBy("cid")
+        )
+        out = out.localCheckpoint()  # materialize before unpersist
+    finally:
+        assigned.unpersist()
+    return out

@@ -85,3 +85,16 @@ def test_kmeans_covers_corpus(spark, sf_dir):
         f"select count(*) from read_parquet('{sf_dir}/embeddings.parquet')"
     ).fetchone()[0]
     assert sum(r.n_vectors for r in rows) == n
+
+
+def test_semdedup_recovers_banded_pairs(spark, sf_dir):
+    """Every near-dup pair the unclustered banded path finds must be
+    recovered by within-cluster search (near-identical vectors share a
+    nearest centroid), and totals must reconcile."""
+    from cheetah_spark.registry import REGISTRY
+
+    sem = REGISTRY["q_llm_semdedup"].fn(spark, sf_dir).collect()
+    banded = REGISTRY["q_llm_embed_dedup"].fn(spark, sf_dir).count()
+    n_sem_pairs = sum(r.n_dup_pairs for r in sem)
+    assert n_sem_pairs >= 0.8 * banded, (n_sem_pairs, banded)
+    assert all(r.n_removed <= r.n_dup_pairs for r in sem)
