@@ -125,11 +125,19 @@ def main() -> None:
             drop_stream_sinks(spark)
             spark.catalog.clearCache()
 
+    # Wall-clock budget: the driver records bench output only if the
+    # process finishes — degrade to fewer samples rather than risk a
+    # kill with no JSON line emitted at all.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
+    bench_t0 = time.time()
     names = sorted(REGISTRY)
     for pass_no in range(2):
         for name in names:
             if name in failed or (pass_no > 0 and timings.get(name, 0) >= 60.0):
                 continue  # >60 s queries: single sample (r1 policy)
+            if pass_no > 0 and time.time() - bench_t0 > budget_s:
+                print("BENCH-BUDGET: pass 2 truncated", file=sys.stderr)
+                break
             t = run_once(name)
             if t is None:
                 failed.add(name)
@@ -145,6 +153,9 @@ def main() -> None:
         for name in names:
             if name in failed or not (timings[name] > max(4 * med, 5.0)):
                 continue
+            if time.time() - bench_t0 > budget_s * 1.2:
+                print("BENCH-BUDGET: outlier pass truncated", file=sys.stderr)
+                break
             t = run_once(name)
             if t is not None:
                 timings[name] = min(timings[name], t)
