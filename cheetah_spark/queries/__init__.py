@@ -58,6 +58,8 @@ CHECK_FIRST = [
     "q_scd2_history",
     "q_events_transitions",
     "q_llm_semdedup",
+    "q_bucketed_join",
+    "s_stream_static_join",
     # timestamp-reading queries: re-confirm under instant (LTZ) reads
     "q_time_window_tumbling",
     "q_time_window_sliding",
@@ -88,6 +90,4 @@ CHECK_FIRST = [
     "q_semi_anti_join",
     "q_theta_range_join",
     "q_multiway_join_tpch",
-    "q_hash_agg",
-    "q_agg_distinct",
 ]

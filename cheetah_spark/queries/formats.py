@@ -219,3 +219,65 @@ def q_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("content")).cast("bigint").alias("total_bytes"),
         F.countDistinct(F.md5(F.col("content"))).alias("n_distinct_payloads"),
     )
+
+
+@register(
+    "q_bucketed_join",
+    oracle=f"""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_orders,
+               COUNT(DISTINCT o.o_custkey) AS n_customers,
+               {oracle_dsum2("o_totalprice")} AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c_mktsegment
+    """,
+    tags=("join", "bucketing", "layout"),
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucketed join: orders and customer are written ONCE
+    as bucketed tables (8 buckets on the join key, sorted within
+    buckets); joining them then needs NO shuffle on either side — the
+    scan itself delivers co-partitioned, pre-sorted inputs and the
+    plan is a SortMergeJoin with zero Exchange (asserted in
+    tests/test_plans.py).
+
+    This is the decisive 100 TB layout lever the partitioned sink
+    can't give: repeated big-to-big joins on a stable key (fact-to-
+    dimension-history, fact-to-fact) amortize ONE bucketing write into
+    every subsequent shuffle-free join; at 1000 executors the shuffle
+    this avoids is the job's dominant network cost. Values are the
+    plain SQL join the oracle runs on the source views."""
+    ensure_instant_reads(spark)
+    tag = _tag(sf_dir).replace(".", "_")
+    to, tc = f"cheetah_bkt_orders_{tag}", f"cheetah_bkt_customer_{tag}"
+    for tbl, src, key in ((to, "orders", "o_custkey"), (tc, "customer", "c_custkey")):
+        if not spark.catalog.tableExists(tbl):
+            # the in-memory catalog resets per session but the managed
+            # location on disk persists — clear a stale location so
+            # saveAsTable can register the bucketed table fresh
+            import shutil
+            from urllib.parse import urlparse
+
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+            shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+            (
+                load_table(spark, sf_dir, src)
+                .write.mode("overwrite")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .saveAsTable(tbl)
+            )
+    o, c = spark.table(to), spark.table(tc)
+    return (
+        # merge hint: at fixture scale Catalyst would broadcast the
+        # small dimension, hiding the property under test; at
+        # production scale (both sides large) SortMergeJoin is the
+        # natural choice and the hint is a no-op
+        o.hint("merge").join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            dsum2("o_totalprice").alias("revenue"),
+        )
+    )

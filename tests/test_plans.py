@@ -213,3 +213,12 @@ def test_path_topk_is_take_ordered(spark, sf_dir):
     p = plan(_q("q_events_path_topk", spark, sf_dir))
     assert "TakeOrderedAndProject" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    # bucketed co-located tables: the join must consume bucketed scans
+    # directly — zero shuffle on either side
+    p = plan(_q("q_bucketed_join", spark, sf_dir))
+    assert "SortMergeJoin" in p, p
+    join_part = p.split("HashAggregate")[0]  # the scan+join subtree
+    assert "Exchange" not in join_part.split("SortMergeJoin")[0], p
