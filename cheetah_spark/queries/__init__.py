@@ -80,7 +80,6 @@ CHECK_FIRST = [
     # round-1-only rows: unchecked since r1, refresh
     "q_scan_project",
     "q_filter_pred",
-    "q_scan_text_lines",
     "q_deser_json",
     "q_flatmap_explode",
     "q_union_fanin",
