@@ -252,17 +252,19 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     to, tc = f"cheetah_bkt_orders_{tag}", f"cheetah_bkt_customer_{tag}"
     for tbl, src, key in ((to, "orders", "o_custkey"), (tc, "customer", "c_custkey")):
         if not spark.catalog.tableExists(tbl):
-            # the in-memory catalog resets per session but the managed
-            # location on disk persists — clear a stale location so
-            # saveAsTable can register the bucketed table fresh
+            # external table with an explicit location: the session's
+            # default warehouse is cwd-relative (driver cwd unknown /
+            # possibly read-only), and the in-memory catalog resets per
+            # session while old locations persist — a fixed /tmp path
+            # cleared up front avoids both failure modes
             import shutil
-            from urllib.parse import urlparse
 
-            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-            shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+            loc = f"{FIXTURE_ROOT}/bucketed/{tbl}"
+            shutil.rmtree(loc, ignore_errors=True)
             (
                 load_table(spark, sf_dir, src)
                 .write.mode("overwrite")
+                .option("path", loc)
                 .bucketBy(8, key)
                 .sortBy(key)
                 .saveAsTable(tbl)
