@@ -60,6 +60,7 @@ CHECK_FIRST = [
     "q_llm_semdedup",
     "q_bucketed_join",
     "s_stream_static_join",
+    "q_arrow_surface",
     # timestamp-reading queries: re-confirm under instant (LTZ) reads
     "q_time_window_tumbling",
     "q_time_window_sliding",
@@ -82,7 +83,6 @@ CHECK_FIRST = [
     "q_filter_pred",
     "q_deser_json",
     "q_flatmap_explode",
-    "q_union_fanin",
     "q_hash_join_inner",
     "q_broadcast_join",
     "q_outer_joins",

@@ -1457,3 +1457,57 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         assigned.unpersist()
     return out
+
+
+@register(
+    "q_arrow_surface",
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(strlen(text) + CAST(doc_id % 7 AS BIGINT)) AS BIGINT) AS mix_sum,
+               CAST(MAX(strlen(text)) AS BIGINT) AS max_len
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("llm", "udf-surface", "arrow"),
+)
+def q_arrow_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow surface — the zero-copy end of the Python UDF
+    spectrum (scalar udf → pandas_udf → applyInPandas/mapInPandas →
+    mapInArrow): the transform receives raw ``pyarrow.RecordBatch``es,
+    computes with Arrow compute kernels (no pandas materialization),
+    and yields batches back. The arithmetic (per-doc byte length plus
+    a doc_id residue) is mirrored exactly in the oracle, proving the
+    Arrow path is lossless.
+
+    Scale: identical distribution contract to mapInPandas but without
+    the pandas conversion tax — the right hot path for byte-heavy
+    media/token work where columnar buffers should stay columnar.
+    ASCII-only fixture text keeps char length == byte length across
+    engines."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def arrow_mix(batches):
+        for batch in batches:
+            n = pc.utf8_length(batch.column("text"))
+            did = pc.cast(batch.column("doc_id"), pa.int64())
+            # doc_id % 7 via divide/multiply/subtract — Arrow ships no
+            # modulo kernel (integer divide truncates; doc_id >= 0)
+            residue = pc.subtract(did, pc.multiply(pc.divide(did, 7), 7))
+            mix = pc.add(pc.cast(n, pa.int64()), residue)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("lang"), pc.cast(n, pa.int64()), mix],
+                names=["lang", "n_chars", "mix"],
+            )
+
+    out = d.select("doc_id", "lang", "text").mapInArrow(
+        arrow_mix, "lang string, n_chars bigint, mix bigint"
+    )
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("mix").cast("bigint").alias("mix_sum"),
+        F.max("n_chars").cast("bigint").alias("max_len"),
+    )
