@@ -127,23 +127,55 @@ def main() -> None:
 
     # Wall-clock budget: the driver records bench output only if the
     # process finishes — degrade to fewer samples rather than risk a
-    # kill with no JSON line emitted at all.
+    # kill with no JSON line emitted at all. Round-3 lesson: truncating
+    # pass 2 MID-SUITE leaves some queries min-of-2 and others
+    # single-sample, which read as a uniform ~1.5× "regression" across
+    # the single-sample tail — so pass 2 is now all-or-nothing, decided
+    # up front from pass 1's measured cost. And pass 1 itself checks
+    # the budget (against a higher ceiling) so a pathological pass 1
+    # still emits a partial JSON line instead of dying with none.
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
     bench_t0 = time.time()
     names = sorted(REGISTRY)
-    for pass_no in range(2):
+    samples: dict[str, int] = {}
+    unmeasured: list[str] = []
+    for i, name in enumerate(names):
+        if time.time() - bench_t0 > budget_s * 1.5:
+            unmeasured = [n for n in names[i:]]
+            print(
+                f"BENCH-BUDGET: pass 1 truncated, {len(unmeasured)} unmeasured",
+                file=sys.stderr,
+            )
+            break
+        t = run_once(name)
+        if t is None:
+            failed.add(name)
+            timings[name] = -1.0
+            samples[name] = 0
+        else:
+            timings[name] = t
+            samples[name] = 1
+    # pass 2 (min-of-2): run it in full or not at all — cost estimate
+    # is pass 1's own per-query sum over the <60 s queries (r1 policy:
+    # heavyweights get a single sample)
+    est_pass2 = sum(t for t in timings.values() if 0 < t < 60.0)
+    pass2_ran = False
+    if not unmeasured and time.time() - bench_t0 + est_pass2 <= budget_s:
+        pass2_ran = True
         for name in names:
-            if name in failed or (pass_no > 0 and timings.get(name, 0) >= 60.0):
-                continue  # >60 s queries: single sample (r1 policy)
-            if pass_no > 0 and time.time() - bench_t0 > budget_s:
-                print("BENCH-BUDGET: pass 2 truncated", file=sys.stderr)
+            if name in failed or timings.get(name, 0) >= 60.0:
+                continue
+            if time.time() - bench_t0 > budget_s * 1.5:
+                # emergency brake only (estimate blown by a host burst)
+                print("BENCH-BUDGET: pass 2 emergency stop", file=sys.stderr)
                 break
             t = run_once(name)
-            if t is None:
-                failed.add(name)
-                timings[name] = -1.0
-            else:
-                timings[name] = min(timings.get(name, t), t)
+            if t is not None:
+                timings[name] = min(timings[name], t)
+                samples[name] += 1
+    else:
+        if not unmeasured:
+            print("BENCH-BUDGET: pass 2 skipped globally", file=sys.stderr)
     # third pass: re-sample queries still plausibly burst-inflated
     # (min far above the suite's median per-query time — either a real
     # heavyweight, which costs one extra sample, or a burst victim)
@@ -151,14 +183,17 @@ def main() -> None:
     if alive:
         med = sorted(alive)[len(alive) // 2]
         for name in names:
-            if name in failed or not (timings[name] > max(4 * med, 5.0)):
+            if name in failed or name in unmeasured or name not in timings:
                 continue
-            if time.time() - bench_t0 > budget_s * 1.2:
+            if not (timings[name] > max(4 * med, 5.0)):
+                continue
+            if time.time() - bench_t0 > budget_s * 1.6:
                 print("BENCH-BUDGET: outlier pass truncated", file=sys.stderr)
                 break
             t = run_once(name)
             if t is not None:
                 timings[name] = min(timings[name], t)
+                samples[name] += 1
     timings = {n: (round(t, 2) if t > 0 else -1.0) for n, t in timings.items()}
 
     rps = bench_identity(spark)
@@ -177,7 +212,17 @@ def main() -> None:
         "n_queries": len(timings),
         "n_failed": len(failed),
         "identity_rows_per_sec": round(rps),
+        # sample-count histogram {n_samples: n_queries} — a judge can
+        # see at a glance whether every query got min-of-2 or the
+        # budget degraded the run (and if so, uniformly or not)
+        "n_samples": {
+            str(k): sum(1 for v in samples.values() if v == k)
+            for k in sorted(set(samples.values()))
+        },
+        "pass2": pass2_ran,
     }
+    if unmeasured:
+        out["n_unmeasured"] = len(unmeasured)
     if failed:
         out["failed"] = failed
     # Full per-query map goes to a file; the printed line must fit the
@@ -186,6 +231,9 @@ def main() -> None:
     # null). Keep the slowest queries on the line until the budget is
     # hit — those are the ones a perf judge needs inline.
     full = dict(out)
+    full["samples_per_query"] = samples
+    if unmeasured:
+        full["unmeasured"] = unmeasured
     full["provenance"] = {
         "source": "bench.py single full local run (same run as the printed line)",
         "sf_dir": SF_DIR,

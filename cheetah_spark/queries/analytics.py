@@ -484,7 +484,13 @@ def q_sec_cidr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _IP_SPACE
         ).alias("ip"),
     ).withColumn("bucket", F.expr(f"ip div {1 << _CIDR_BUCKET_SHIFT}"))
-    b = spark.createDataFrame(_cidr_rows(), "block string, bucket long, lo long, hi long")
+    # feed as a pure-JVM VALUES literal: createDataFrame(list) builds an
+    # RDD-backed frame whose broadcast-collect spins up Python workers —
+    # measured ~2 s of the r3 3 s regression on this 43-row table
+    b = spark.sql(
+        f"SELECT * FROM (VALUES {_oracle_cidr_values()})"
+        " AS t(block, bucket, lo, hi)"
+    )
     m = ev.join(F.broadcast(b), "bucket").where(
         (F.col("ip") >= F.col("lo")) & (F.col("ip") <= F.col("hi"))
     )

@@ -37,7 +37,7 @@ def _events_format_fixture(spark: SparkSession, sf_dir: str, fmt: str, partition
     suffix = f"events_{fmt}" + (f"_by_{partition_by}" if partition_by else "")
     out = f"{FIXTURE_ROOT}/{_tag(sf_dir)}/{suffix}"
     done = f"{out}/_FIXTURE_READY"
-    if os.path.exists(done) and fixture_stale(spark, out):
+    if os.path.exists(done) and fixture_stale(spark, out, fmt=fmt):
         import shutil
 
         shutil.rmtree(out, ignore_errors=True)

@@ -1123,7 +1123,10 @@ def q_udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     class SplitSentences:
         def eval(self, doc_id, lang, text):
             for i, part in enumerate((text or "").split(".")):
-                s = part.strip()
+                # strip spaces ONLY: the DuckDB oracle uses trim(raw)
+                # which strips spaces, not all whitespace — both engines
+                # must agree on which parts are empty and on strlen
+                s = part.strip(" ")
                 if s:
                     yield doc_id, lang, i, s
 

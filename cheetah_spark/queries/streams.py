@@ -325,6 +325,7 @@ def s_stream_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     max-min+1 == distinct). A timing-dependent ROW COUNT is inherent to
     load-gen, so this is a rows-only check returning one invariant row.
     """
+    import shutil
     import time
     import uuid
 
@@ -332,19 +333,29 @@ def s_stream_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = RateSource(rows_per_second=50_000, num_partitions=4).read(spark)
     name = f"sink_rate_{uuid.uuid4().hex[:8]}"
+    ckpt = f"/tmp/cheetah_spark_ckpt/{name}"
     q = (
         stream.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", f"/tmp/cheetah_spark_ckpt/{name}")
+        .option("checkpointLocation", ckpt)
         .start()
     )
     try:
-        deadline = time.time() + 3.0
+        # poll until at least one micro-batch has COMMITTED rows (a
+        # fixed wall-clock window can commit zero batches on a
+        # contended host → produced=false flake); generous timeout,
+        # then a short extra beat so the range spans >1 batch
+        deadline = time.time() + 30.0
         while time.time() < deadline:
+            p = q.lastProgress
+            if p and (p.get("sink", {}).get("numOutputRows") or 0) > 0:
+                break
             time.sleep(0.2)
+        time.sleep(0.5)
     finally:
         q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
     out = spark.table(name)
     return out.agg(
         (F.count("*") > 0).alias("produced"),

@@ -24,13 +24,20 @@ def _tag(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir))
 
 
-def fixture_stale(spark: SparkSession, path: str) -> bool:
+def fixture_stale(spark: SparkSession, path: str, fmt: str = "parquet") -> bool:
     """True if a cached fixture predates the instant-timestamp contract
     (its footer Spark-schema says TIMESTAMP_NTZ) and must be rebuilt —
     batch re-reads of such files re-infer NTZ from the footer metadata
-    no matter what ``inferTimestampNTZ`` says."""
+    no matter what ``inferTimestampNTZ`` says.
+
+    Only parquet carries the Spark-schema footer metadata that causes
+    the NTZ override; other formats (ORC) never go stale this way, so
+    they short-circuit to False — reading an ORC directory as parquet
+    would throw and spuriously mark the fixture stale on every call."""
     from pyspark.sql import types as T
 
+    if fmt != "parquet":
+        return False
     try:
         schema = spark.read.parquet(path).schema
     except Exception:
