@@ -27,66 +27,65 @@ from cheetah_spark.queries import timeseries  # noqa: F401
 from cheetah_spark.queries import windows  # noqa: F401
 from cheetah_spark.queries import xmlio  # noqa: F401
 
-# Round-3 window: the four queries the TIMESTAMP_NTZ fixture regression
-# broke in round 2 (repaired via catalog.ensure_instant_reads), then the
-# operators new this round, then every query whose timestamp semantics
-# flipped NTZ→instant this round (r2-green rows were recorded under NTZ
-# reads; re-confirm under the instant contract), then the round-1-only
-# entries unchecked since r1. r2-green hash-only queries (llm/curation
-# families) rotate to the tail and keep their r02 rows.
+# Round-4 window: the 32 queries whose only green row is from round 1
+# (recorded BEFORE the NTZ→instant timestamp migration and the
+# ensure_instant_reads rewiring — their code paths changed under their
+# evidence, VERDICT r3 item 1), then every query whose semantics or
+# implementation changed this round, then the oldest r2 rows as filler.
+# Queries with green r3 rows rotate to the tail.
 CHECK_FIRST = [
-    # broken by the r2 TIMESTAMP_NTZ fixtures, fixed this round
-    "q_events_retention",
-    "s_stream_dedup",
-    "s_stream_watermark_late",
-    "s_stream_stream_join",
-    # new this round
-    "q_scan_orc",
-    "q_sink_partition_prune",
-    "q_llm_bloom_decontaminate",
-    "q_llm_unigram_logprob",
-    "q_events_path_topk",
-    "q_scan_schema_merge",
-    "q_scan_binary_files",
+    # r1-stale: unchecked since round 1, refresh all 32
+    "q_agg_distinct",
+    "q_array_map_ops",
+    "q_cube_agg",
+    "q_distinct_dedup",
+    "q_grouping_sets",
+    "q_hash_agg",
+    "q_having_filter",
+    "q_json_ops",
+    "q_llm_ann_bruteforce",
+    "q_llm_ann_ivf",
+    "q_llm_ann_lsh",
+    "q_llm_exact_dedup",
+    "q_llm_fingerprint",
+    "q_llm_lang_id",
+    "q_llm_minhash_dedup",
+    "q_llm_quality_score",
+    "q_llm_simhash_dedup",
+    "q_llm_similarity_topk",
+    "q_llm_token_count",
+    "q_multimodal_decode",
+    "q_multimodal_meta",
+    "q_pivot_events",
+    "q_scalar_conditional",
+    "q_scalar_math",
+    "q_scalar_string",
+    "q_scan_text_lines",
+    "q_set_ops",
+    "q_sort_limit_topk",
+    "q_sql_interface",
+    "q_udf_surface",
+    "q_union_fanin",
+    "q_unpivot_events",
+    # changed this round (fixes / new oracles / rewrites / the replay
+    # admission-order fix touches every streaming query)
     "q_udtf_surface",
-    "q_events_histogram",
     "s_stream_rate",
-    "q_llm_ann_pq",
+    "q_sec_cidr_match",
+    "q_scan_orc",
     "q_llm_kmeans",
-    "q_approx_heavy_cmsketch",
-    "q_sec_beacon_detect",
-    "q_scd2_history",
-    "q_events_transitions",
-    "q_llm_semdedup",
-    "q_bucketed_join",
-    "s_stream_static_join",
-    "q_arrow_surface",
-    # timestamp-reading queries: re-confirm under instant (LTZ) reads
-    "q_time_window_tumbling",
-    "q_time_window_sliding",
-    "q_session_window",
-    "q_hypertable_rollup",
-    "q_timeseries_gapfill",
-    "q_timeseries_m4",
-    "q_timeseries_rate",
-    "q_latest_by_key",
-    "q_events_funnel",
-    "q_scalar_datetime",
-    "q_asof_join",
-    "q_window_range_frame",
-    "q_sec_anomaly_zscore",
-    "s_stream_identity",
     "s_stream_batcher",
+    "q_llm_dup_clusters",
+    "q_config_pipeline",
+    "q_approx_quantile_cd",
+    "s_stream_watermark_late",
+    "s_stream_dedup",
+    "s_stream_identity",
+    "s_stream_stream_join",
     "s_stream_stateful_counter",
-    # round-1-only rows: unchecked since r1, refresh
-    "q_scan_project",
-    "q_filter_pred",
-    "q_deser_json",
-    "q_flatmap_explode",
-    "q_hash_join_inner",
-    "q_broadcast_join",
-    "q_outer_joins",
-    "q_semi_anti_join",
-    "q_theta_range_join",
-    "q_multiway_join_tpch",
+    "s_stream_static_join",
+    # oldest r2 rows as filler to the 50-slot window
+    "q_approx_distinct_hll",
+    "q_deser_xml",
+    "q_llm_embed_dedup",
 ]

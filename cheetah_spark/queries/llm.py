@@ -705,7 +705,24 @@ def _topk_schema() -> str:
     return "query_id long, neighbor_id long, cos_sim double"
 
 
-@register("q_llm_ann_bruteforce", tags=("llm", "vector", "rows-only"))
+@register(
+    "q_llm_ann_bruteforce",
+    oracle=f"""
+        WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % {_QUERY_MOD} = 0),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {V.oracle_cosine("q.embedding", "c.embedding")} AS cos_sim
+            FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= {_TOPK}
+    """,
+    tags=("llm", "vector"),
+)
 def q_llm_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized brute-force ANN — the 100 TB exact path.
 
@@ -714,9 +731,13 @@ def q_llm_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     one numpy matmul (queries × batch) and emits only its LOCAL top-k
     per query, so the global shuffle carries k rows per (query,
     partition) instead of |C| rows per query. A final window takes the
-    global top-k. Verified equal to q_llm_similarity_topk in
-    tests/test_llm.py (stronger than the rows-only driver check).
-    """
+    global top-k; the k selected pairs then get their cosine recomputed
+    with the cross-engine expression convention (V.cosine — numpy's
+    normalized matmul agrees to ~1e-15 but not bit-for-bit, and the
+    driver's value hash is bit-exact), which is what makes this
+    hash-verifiable against the same exact-top-k oracle as
+    q_llm_similarity_topk. Also asserted equal to that query in
+    tests/test_llm.py."""
     import numpy as np
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -749,10 +770,25 @@ def q_llm_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
-    return (
+    sel = (
         local.where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= _TOPK)
+        .select("query_id", "neighbor_id", "rk")
+    )
+    # bit-exact cosine for the k selected pairs (tiny: |Q|×k rows)
+    qv = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    cv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    return (
+        F.broadcast(sel)
+        .join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            V.cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+            "rk",
+        )
     )
 
 
@@ -1299,16 +1335,29 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str, iters: int):
 
         return assign
 
+    wcss_per_iter: list[float] = []
     for _ in range(iters):
         assigned = e.select("vec_id", "embedding").mapInPandas(
             make_assign(C.copy()), "vec_id long, cid int, embedding array<float>"
         )
         # distributed mean: exact decimal per-(cid, dim) sums, K*d rows
+        # (sum of squares rides along so the WCSS w.r.t. the ASSIGNING
+        # centroids — Σ(x−c)² = Σx² − 2cΣx + nc² — costs no extra pass)
         sums = (
             assigned.select("cid", F.posexplode("embedding").alias("dim", "x"))
             .groupBy("cid", "dim")
-            .agg(F.sum(F.col("x").cast(_util_DEC)).alias("s"), F.count("*").alias("n"))
+            .agg(
+                F.sum(F.col("x").cast(_util_DEC)).alias("s"),
+                F.sum((F.col("x") * F.col("x")).cast(_util_DEC)).alias("s2"),
+                F.count("*").alias("n"),
+            )
             .collect()
+        )
+        wcss_per_iter.append(
+            sum(
+                float(r.s2) - 2.0 * C[r.cid, r.dim] * float(r.s) + r.n * C[r.cid, r.dim] ** 2
+                for r in sums
+            )
         )
         newC = C.copy()
         counts = {}
@@ -1316,13 +1365,16 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str, iters: int):
             counts[r.cid] = r.n
             newC[r.cid, r.dim] = float(r.s) / r.n
         C = newC  # empty clusters keep their previous centroid
-    return e, C
+    return e, C, wcss_per_iter
 
 
 def _kmeans_result(spark: SparkSession, sf_dir: str, iters: int) -> DataFrame:
-    import numpy as np
+    e, C, _ = _kmeans_centroids(spark, sf_dir, iters)
+    return _kmeans_per_cluster(e, C)
 
-    e, C = _kmeans_centroids(spark, sf_dir, iters)
+
+def _kmeans_per_cluster(e: DataFrame, C) -> DataFrame:
+    import numpy as np
 
     def final_assign(batches):
         for pdf in batches:
@@ -1349,17 +1401,34 @@ def _kmeans_result(spark: SparkSession, sf_dir: str, iters: int) -> DataFrame:
     )
 
 
-@register("q_llm_kmeans", tags=("llm", "vector", "clustering", "rows-only"))
+@register(
+    "q_llm_kmeans",
+    oracle=f"""
+        SELECT {_KM_K} AS k,
+               COUNT(*)::BIGINT AS n_vectors,
+               TRUE AS all_assigned,
+               TRUE AS n_clusters_le_k,
+               TRUE AS wcss_monotone,
+               TRUE AS wcss_improved
+        FROM embeddings
+    """,
+    tags=("llm", "vector", "clustering"),
+)
 def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means over the embedding corpus (Lloyd's, K=16,
     5 iterations) — the clustering primitive behind semantic dedup
     (SemDeDup, Abbas et al. 2023: near-dups are removed WITHIN
     clusters), domain discovery, and diversity-balanced sampling.
 
-    Fully deterministic (seeded init, decimal-exact centroid means,
-    lowest-id tie-breaks) so cluster sizes and within-cluster squared
-    error reproduce bit-for-bit on any partitioning; iterative
-    convergence (monotone WCSS) is asserted in tests/test_llm.py.
+    The iterative result can't be re-derived in one SQL statement, so —
+    the q_approx_distinct_hll pattern — the contract row pins the
+    algorithm's GUARANTEES as hash-checked values: full corpus coverage
+    (every vector assigned exactly once; the count is the oracle's
+    exact COUNT(*)), at most K clusters, and Lloyd's monotone
+    non-increasing WCSS across all 5 iterations (both steps of Lloyd's
+    are non-increasing — a FALSE here means the implementation broke,
+    not the data). Per-cluster sizes/WCSS stay asserted in
+    tests/test_llm.py via :func:`_kmeans_result`.
 
     Scale shape: each iteration is one vectorized assignment scan
     (numpy matmul per Arrow batch, centroids broadcast by closure) plus
@@ -1367,7 +1436,19 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus rows; at 100 TB this is the canonical mini-batch-free
     distributed k-means with shuffle volume K×d×partitions, not
     corpus-sized."""
-    return _kmeans_result(spark, sf_dir, _KM_ITERS)
+    e, C, wcss = _kmeans_centroids(spark, sf_dir, _KM_ITERS)
+    per_cluster = _kmeans_per_cluster(e, C)
+    n_corpus = e.count()
+    monotone = all(b <= a * (1 + 1e-12) + 1e-9 for a, b in zip(wcss, wcss[1:]))
+    improved = wcss[-1] <= wcss[0] * (1 + 1e-12) + 1e-9
+    return per_cluster.agg(
+        F.lit(_KM_K).alias("k"),
+        F.sum("n_vectors").cast("bigint").alias("n_vectors"),
+        (F.sum("n_vectors") == F.lit(n_corpus)).alias("all_assigned"),
+        (F.countDistinct("cid") <= _KM_K).alias("n_clusters_le_k"),
+        F.lit(bool(monotone)).alias("wcss_monotone"),
+        F.lit(bool(improved)).alias("wcss_improved"),
+    )
 
 
 @register("q_llm_semdedup", tags=("llm", "dedup", "clustering", "rows-only"))
@@ -1392,7 +1473,7 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     control."""
     import numpy as np
 
-    e, C = _kmeans_centroids(spark, sf_dir, _KM_ITERS)
+    e, C, _wcss = _kmeans_centroids(spark, sf_dir, _KM_ITERS)
 
     # same planted near-duplicates as q_llm_embed_dedup (perturbed
     # re-encodes of every MOD-th vector) so the two dedup strategies

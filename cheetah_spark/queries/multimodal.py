@@ -40,13 +40,45 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.media_table(d).drop("payload")
 
 
-@register("q_multimodal_decode", tags=("multimodal", "udf", "rows-only"))
+@register(
+    "q_multimodal_decode",
+    oracle="""
+        WITH f AS (
+            SELECT doc_id,
+                   CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                        WHEN 2 THEN 'wav' ELSE 'mp4' END AS media_type,
+                   4 + octet_length(encode(text)) AS n_bytes
+            FROM documents
+        )
+        SELECT media_type,
+               COUNT(*)::BIGINT AS n_media,
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+               CAST(MAX(CASE WHEN media_type IN ('png','jpeg','mp4')
+                    THEN 64 + (doc_id * 31) % 1024 ELSE 0 END) AS INTEGER) AS max_width,
+               CAST(MAX(CASE WHEN media_type IN ('png','jpeg','mp4')
+                    THEN 64 + (doc_id * 17) % 768 ELSE 0 END) AS INTEGER) AS max_height,
+               CAST(MAX(CASE WHEN media_type IN ('png','jpeg') THEN 1
+                    WHEN media_type = 'mp4' THEN 1 + n_bytes % 240
+                    ELSE 0 END) AS INTEGER) AS max_frames,
+               CAST(MAX(CASE WHEN media_type = 'wav'
+                    THEN 8000 + (n_bytes % 8) * 4000 ELSE 0 END) AS INTEGER) AS max_sample_rate
+        FROM f GROUP BY media_type
+    """,
+    tags=("multimodal", "udf"),
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stubbed media decode through the real Arrow/mapInPandas pipeline:
     binary payloads cross into pandas batches, a (deterministic fake)
     decoder emits a typed feature frame per batch — the exact plumbing
     a PIL/ffmpeg decoder plugs into (see multimodal.decode_features).
-    Aggregated per media_type so the output is compact and stable."""
+    Aggregated per media_type so the output is compact and stable.
+
+    Because the stub decoder is a pure integer function of
+    (doc_id, media_type, n_bytes), the DuckDB oracle mirrors it exactly
+    — so the whole binary→Arrow→pandas→features round trip is
+    hash-verified, not just row-counted. A real codec swap would move
+    this back to invariant checks (decoded features aren't
+    SQL-expressible)."""
     d = load_table(spark, sf_dir, "documents")
     feats = M.decode_features(M.media_table(d))
     return feats.groupBy("media_type").agg(

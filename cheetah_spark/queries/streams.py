@@ -96,19 +96,30 @@ def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     interleaved file sets), assert output = one row per event_id —
     equal to the batch distinct count the oracle computes."""
     src_dir = events_stream_dir(spark, sf_dir)
-    dup_dir = f"{FIXTURE_ROOT}/{_tag(sf_dir)}/events_stream_dup"
+    dup_dir = f"{FIXTURE_ROOT}/{_tag(sf_dir)}/events_stream_dup_o2"
     ready = f"{dup_dir}/_FIXTURE_READY"
     if os.path.exists(ready) and fixture_stale(spark, dup_dir):
         import shutil
 
         shutil.rmtree(dup_dir, ignore_errors=True)
     if not os.path.exists(ready):
+        import shutil
+
+        # drop the pre-fix cache generation (unordered mtimes; see
+        # events_stream_dir on admission order)
+        shutil.rmtree(f"{FIXTURE_ROOT}/{_tag(sf_dir)}/events_stream_dup", ignore_errors=True)
         os.makedirs(dup_dir, exist_ok=True)
-        ensure_instant_reads(spark)
-        base = spark.read.parquet(src_dir)
-        base.write.mode("overwrite").parquet(dup_dir)
-        # second copy of every row, appended as additional files
-        base.write.mode("append").parquet(dup_dir)
+        # interleave each time-slice with its duplicate (mtime-pinned
+        # admission order): the dup of slice k replays right after k,
+        # safely inside the 2h watermark — exercising the dedup state,
+        # not the late-drop path (copy, not hardlink: linked files
+        # share an inode and therefore an mtime)
+        t0 = 1_700_100_000
+        for k, p in enumerate(sorted(glob.glob(f"{src_dir}/*.parquet"))):
+            for j in (0, 1):
+                dst = f"{dup_dir}/data-{2 * k + j:04d}.parquet"
+                shutil.copyfile(p, dst)
+                os.utime(dst, (t0 + 2 * k + j, t0 + 2 * k + j))
         open(ready, "w").close()
     stream = ParquetSource(dup_dir, streaming=True, max_files_per_trigger=4).read(spark)
     with scoped_state_partitions(spark):
@@ -123,42 +134,89 @@ def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s_stream_watermark_late",
-    oracle=None,  # emitted-window set depends on watermark progression → rows-only
+    oracle="""
+        SELECT date_trunc('hour', ts) AS win_start, COUNT(*)::BIGINT AS n
+        FROM events GROUP BY win_start
+    """,
     tags=("streaming", "watermark"),
 )
 def s_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark + append-mode windowed aggregation: 10-minute
     watermark over the time-ordered replay; finalized 1-hour windows
-    emit exactly once. Returns the emitted windows (a suffix of
-    windows near max event-time is withheld as not-yet-final —
-    the at-most-a-suffix-missing property is the check)."""
+    emit exactly once, with full counts.
+
+    Determinism (what makes this hash-verifiable rather than rows-only):
+    the emitted set would otherwise depend on how far the watermark
+    advanced when the query stopped (a race with the trailing no-data
+    micro-batch). So after draining the real replay, two far-future
+    sentinel events are injected one batch apart — the second sentinel's
+    batch evicts with a watermark already past every real window's end,
+    so EVERY real 1-hour window is finalized and emitted exactly once,
+    and the output equals the batch GROUP BY the oracle runs. The
+    sentinels' own windows can never finalize (watermark trails them)
+    and are filtered by timestamp bound regardless."""
+    import shutil
+    import uuid
+
     src_dir = events_stream_dir(spark, sf_dir)
-    stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=2).read(spark)
-    with scoped_state_partitions(spark):
-        out = run_stream_to_completion(
-            stream,
-            lambda df: (
-                df.withWatermark("ts", "10 minutes")
-                .groupBy(F.window("ts", "1 hour").alias("w"))
-                .agg(F.count("*").alias("n"))
-                .select(F.col("w.start").alias("win_start"), "n")
-            ),
-            output_mode="append",
-        )
-    return out.orderBy("win_start")
+    ensure_instant_reads(spark)
+    base = spark.read.parquet(src_dir)
+    max_ts = base.agg(F.max("ts")).collect()[0][0]
+    stage = f"{FIXTURE_ROOT}/{_tag(sf_dir)}/events_stream_wm_{uuid.uuid4().hex[:8]}"
+    os.makedirs(stage, exist_ok=True)
+    try:
+        for f in glob.glob(f"{src_dir}/*.parquet"):
+            os.link(f, f"{stage}/{os.path.basename(f)}")
+
+        def sentinel(hours: int):
+            def add() -> None:
+                (
+                    base.limit(1)
+                    .withColumn("ts", F.lit(max_ts) + F.expr(f"INTERVAL {hours} HOURS"))
+                    .write.mode("append")
+                    .parquet(stage)
+                )
+
+            return add
+
+        stream = ParquetSource(stage, streaming=True, max_files_per_trigger=2).read(spark)
+        with scoped_state_partitions(spark):
+            out = run_stream_to_completion(
+                stream,
+                lambda df: (
+                    df.withWatermark("ts", "10 minutes")
+                    .groupBy(F.window("ts", "1 hour").alias("w"))
+                    .agg(F.count("*").alias("n"))
+                    .select(F.col("w.start").alias("win_start"), "n")
+                ),
+                output_mode="append",
+                extra_drains=(sentinel(2), sentinel(4)),
+            )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return out.where(F.col("win_start") <= F.lit(max_ts)).orderBy("win_start")
 
 
 @register(
     "s_stream_batcher",
-    oracle=None,  # file-layout assertions → rows-only
+    oracle="""
+        SELECT COUNT(*)::BIGINT AS n_rows,
+               COUNT(DISTINCT event_id)::BIGINT AS n_distinct,
+               TRUE AS multi_flush,
+               TRUE AS gzip_payload
+        FROM events
+    """,
     tags=("streaming", "batcher", "sink"),
 )
 def s_stream_batcher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Micro-batcher parity (reference batcher D6 + s3 sink D2):
     trigger-paced foreachBatch flushes each micro-batch as gzip NDJSON
-    files; observations prove (a) multiple flushes happened (epochs),
-    (b) no rows lost (read-back count), (c) the payload is really
-    gzip NDJSON (read back through the json reader)."""
+    files; the hash-checked contract row proves (a) no rows lost — the
+    gzip-NDJSON read-back count and distinct-key count equal the batch
+    table's exactly (the oracle's values), (b) multiple flushes
+    happened (≥2 epochs over the 8-file / 2-per-trigger replay), and
+    (c) the payload really is gzip (part files carry the .gz codec
+    suffix) — both pinned TRUE."""
     import shutil
 
     src_dir = events_stream_dir(spark, sf_dir)
@@ -188,8 +246,8 @@ def s_stream_batcher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return written.agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("event_id").alias("n_distinct"),
-        F.countDistinct("epoch").alias("n_epochs"),
-        F.lit(n_gz).alias("n_gzip_files"),
+        (F.countDistinct("epoch") >= 2).alias("multi_flush"),
+        F.lit(n_gz > 0).alias("gzip_payload"),
     )
 
 
@@ -313,18 +371,21 @@ def s_stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s_stream_rate",
-    oracle=None,  # unbounded load-gen: invariants, not a value oracle
+    oracle="""
+        SELECT TRUE AS produced, TRUE AS no_dups, TRUE AS contiguous
+    """,
     tags=("streaming", "source", "load-gen"),
 )
 def s_stream_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rate-source load generation (reference S1's synthetic message
     feed, test/suite_test.go:106-155, as a streaming source): run the
-    unbounded ``rate`` source for a short fixed wall-clock window, stop,
-    and assert the committed prefix is exactly the no-loss/no-dup
+    unbounded ``rate`` source until at least one micro-batch commits,
+    stop, and assert the committed prefix is exactly the no-loss/no-dup
     contract — values form a contiguous dup-free range (count ==
     max-min+1 == distinct). A timing-dependent ROW COUNT is inherent to
-    load-gen, so this is a rows-only check returning one invariant row.
-    """
+    load-gen, so the hash-checked contract row pins the three
+    invariants TRUE (the q_approx_distinct_hll pattern: the claim
+    itself is the verified value)."""
     import shutil
     import time
     import uuid

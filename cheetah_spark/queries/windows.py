@@ -160,17 +160,54 @@ def q_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_approx_quantile_cd",
-    oracle=None,  # approximate results are engine-specific → rows-only
-    tags=("agg", "approx", "rows-only"),
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey)::BIGINT AS n_exact_parts,
+               COUNT(DISTINCT l_orderkey)::BIGINT AS n_exact_orders,
+               TRUE AS parts_within_5pct,
+               TRUE AS orders_within_5pct,
+               TRUE AS median_in_rank_band,
+               TRUE AS p90_in_rank_band
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx"),
 )
 def q_approx_quantile_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate count-distinct (HyperLogLog++) + approximate
     percentiles (the scale path: one pass, bounded memory, no sort —
-    at 100 TB these replace their exact counterparts)."""
+    at 100 TB these replace their exact counterparts).
+
+    Approximate values can't hash-match another engine, so — the
+    q_approx_distinct_hll pattern — the contract row carries the exact
+    anchors plus the sketches' accuracy claims as booleans the oracle
+    pins TRUE: HLL within 5 % of exact, and each approx percentile
+    inside the exact [p−1 %, p+1 %] rank band (percentile_approx with
+    accuracy 10000 guarantees ±0.01 % rank error — two orders of
+    margin). A 100 TB run keeps the sketches and drops the exact
+    anchors; they ride along here only as verification."""
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
-        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("approx_p90"),
+    g = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_exact_parts"),
+        F.countDistinct("l_orderkey").alias("n_exact_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("ao"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("am"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("a9"),
+        F.percentile("l_extendedprice", F.lit(0.49)).alias("p49"),
+        F.percentile("l_extendedprice", F.lit(0.51)).alias("p51"),
+        F.percentile("l_extendedprice", F.lit(0.89)).alias("p89"),
+        F.percentile("l_extendedprice", F.lit(0.91)).alias("p91"),
+    )
+
+    def within_5pct(approx, exact):  # |err| * 20 <= exact, exact ints
+        return F.abs(approx - F.col(exact)) * 20 <= F.col(exact)
+
+    return g.select(
+        "l_returnflag",
+        "n_exact_parts",
+        "n_exact_orders",
+        within_5pct(F.col("ap"), "n_exact_parts").alias("parts_within_5pct"),
+        within_5pct(F.col("ao"), "n_exact_orders").alias("orders_within_5pct"),
+        F.col("am").between(F.col("p49"), F.col("p51")).alias("median_in_rank_band"),
+        F.col("a9").between(F.col("p89"), F.col("p91")).alias("p90_in_rank_band"),
     )

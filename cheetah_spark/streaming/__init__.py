@@ -48,18 +48,32 @@ def fixture_stale(spark: SparkSession, path: str, fmt: str = "parquet") -> bool:
 def events_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
     """Split the events table into n ordered parquet files (cached) —
     the bounded replay feed. File k holds the k-th time-slice so
-    event-time advances across micro-batches like a live stream."""
+    event-time advances across micro-batches like a live stream.
+
+    Admission order is pinned explicitly: FileStreamSource admits files
+    sorted by MODIFICATION TIME, and a parallel write finishes its part
+    files in arbitrary order — which silently replayed a middle time
+    slice late, and watermarked operators then DROPPED that slice as
+    late data (caught by the s_stream_watermark_late oracle, round 4).
+    Renaming to slice order and stamping strictly increasing mtimes
+    makes replay order == event-time order, deterministically.
+    (dir suffix o2: cached pre-fix fixtures keep their broken mtimes,
+    so the fixed layout gets its own cache key)"""
+    import glob as _glob
+
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     from cheetah_spark.catalog import ensure_instant_reads, load_table
 
     ensure_instant_reads(spark)
-    out = f"{FIXTURE_ROOT}/{_tag(sf_dir)}/events_stream_{n_files}"
+    out = f"{FIXTURE_ROOT}/{_tag(sf_dir)}/events_stream_{n_files}_o2"
     done = f"{out}/_FIXTURE_READY"
     if os.path.exists(done) and fixture_stale(spark, out):
         shutil.rmtree(out, ignore_errors=True)
     if not os.path.exists(done):
+        # drop the pre-fix cache generation (randomly-ordered mtimes)
+        shutil.rmtree(f"{FIXTURE_ROOT}/{_tag(sf_dir)}/events_stream_{n_files}", ignore_errors=True)
 
         e = load_table(spark, sf_dir, "events")
         (
@@ -72,6 +86,11 @@ def events_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str
             .write.mode("overwrite")
             .parquet(out)
         )
+        base_t = 1_700_000_000
+        for i, p in enumerate(sorted(_glob.glob(f"{out}/part-*.parquet"))):
+            dst = f"{out}/data-{i:04d}.parquet"
+            os.rename(p, dst)
+            os.utime(dst, (base_t + i, base_t + i))
         open(done, "w").close()
     return out
 
@@ -81,10 +100,16 @@ def run_stream_to_completion(
     transform,
     output_mode: str = "append",
     trigger: dict | None = None,
+    extra_drains=(),
 ) -> DataFrame:
     """Start stream → transform → memory sink, drain fully, stop;
     return the sink contents as a batch DataFrame. Fresh sink name +
-    checkpoint per run (a reused checkpoint would replay nothing)."""
+    checkpoint per run (a reused checkpoint would replay nothing).
+
+    ``extra_drains``: callables run AFTER the initial drain, each
+    followed by another full drain — the hook for injecting data
+    mid-run (e.g. a watermark-advancing sentinel file) with a
+    deterministic batch boundary before and after."""
     spark = df.sparkSession
     name = f"sink_{uuid.uuid4().hex[:12]}"
     ckpt = f"/tmp/cheetah_spark_ckpt/{name}"
@@ -105,6 +130,9 @@ def run_stream_to_completion(
     query = writer.start()
     try:
         query.processAllAvailable()
+        for drain in extra_drains:
+            drain()
+            query.processAllAvailable()
     finally:
         query.stop()
         try:

@@ -78,13 +78,15 @@ def test_kmeans_wcss_monotone(spark, sf_dir):
 def test_kmeans_covers_corpus(spark, sf_dir):
     from cheetah_spark.registry import REGISTRY
 
-    rows = REGISTRY["q_llm_kmeans"].fn(spark, sf_dir).collect()
+    [row] = REGISTRY["q_llm_kmeans"].fn(spark, sf_dir).collect()
     import duckdb
 
     n = duckdb.sql(
         f"select count(*) from read_parquet('{sf_dir}/embeddings.parquet')"
     ).fetchone()[0]
-    assert sum(r.n_vectors for r in rows) == n
+    assert row.n_vectors == n
+    assert row.all_assigned and row.n_clusters_le_k
+    assert row.wcss_monotone and row.wcss_improved
 
 
 def test_semdedup_recovers_banded_pairs(spark, sf_dir):
