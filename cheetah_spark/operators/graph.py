@@ -1,10 +1,32 @@
 """Distributed connected components — the graph primitive Spark's
-DataFrame API lacks (GraphX is RDD/Scala-only), built as iterative
-min-label propagation over an edge DataFrame.
+DataFrame API lacks (GraphX is RDD/Scala-only).
 
 Used by q_llm_dup_clusters to turn near-dup PAIRS into duplicate
 GROUPS (pairs alone over-delete: A~B, B~C must collapse to one cluster
 {A,B,C}).
+
+Two algorithms, same output contract (``(node_id, comp_id)`` with
+``comp_id`` = component minimum node id):
+
+* ``star`` — the alternating large-star / small-star
+  algorithm of Kiveris et al., "Connected Components in MapReduce and
+  Beyond" (SoCC'14). Each round rewires edges toward each
+  neighborhood's minimum, halving tree heights, so convergence is
+  O(log n) rounds regardless of graph diameter — the property that
+  matters at 100 TB, where a single pathological near-dup chain
+  (crawl mirrors of mirrors) would stall a diameter-bound loop.
+  Both star operations are pure groupBy-min + equi-join + union —
+  map-side-combinable shuffles on the EDGE set only, never the corpus.
+
+* ``label`` — simple min-label propagation; O(diameter) rounds.
+  Kept because its per-round plan is one join cheaper, which wins on
+  the clique-ish graphs real near-dup clusters form (diameter 2-4).
+
+* ``auto`` (default) — label rounds first; if not converged after
+  ``star_after`` rounds, contract by the partial labels and finish
+  with star rounds on the contracted graph. Easy graphs pay only the
+  cheap path; adversarial diameters stay bounded at ``star_after`` +
+  O(log n) rounds.
 
 Iterative-Spark essentials baked in (each the difference between
 seconds and minutes — measured on the sf0.01 fixture where the naive
@@ -18,18 +40,12 @@ persist-only variant took >300 s of pure driver-side planning):
 2. Iterate only over nodes that APPEAR in the edge set. Singletons can
    never change labels, and at 100 TB the near-dup graph is orders of
    magnitude smaller than the corpus.
-3. Convergence via the monotone label sum (labels only ever decrease):
-   one scalar aggregate per round instead of a join-and-count of
-   changed rows.
+3. Convergence via one scalar aggregate per round — (count,
+   xxhash64-sum) edge-set fingerprint for ``star``, monotone label sum
+   for ``label`` — instead of a join-and-count of changed rows.
 4. The loop runs on few shuffle partitions — per-round latency is
    stage scheduling, not data volume; size the knob to |edges|, not
    |corpus| (on a cluster this is the label-graph parallelism).
-
-Rounds needed = graph diameter (near-dup groups are cliques-ish, so
-2-4 in practice; the sf0.1 fixture's planted chains take 9). A
-production variant at adversarial diameters swaps in alternating
-large-star/small-star rounds (Kiveris et al., "Connected Components in
-MapReduce and Beyond") — same per-round plan shape, O(log n) rounds.
 """
 
 from __future__ import annotations
@@ -40,6 +56,54 @@ from pyspark.sql import functions as F
 __all__ = ["connected_components"]
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: for each node u, connect every strictly
+    LARGER neighbor to min(Γ(u) ∪ {u}).  Halves the height of tall
+    trees while never disconnecting anything."""
+    sym = edges.unionByName(
+        edges.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    )
+    mins = (
+        sym.groupBy("s")
+        .agg(F.min("t").alias("mt"))
+        .select("s", F.least(F.col("s"), F.col("mt")).alias("m"))
+    )
+    # no distinct here: the following small-star round dedupes, and
+    # skipping it saves one shuffle per iteration
+    return (
+        sym.where(F.col("t") > F.col("s"))
+        .join(mins, "s")
+        .select(F.col("t").alias("s"), F.col("m").alias("t"))
+        .where(F.col("s") != F.col("t"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge large→small, then for
+    each node u connect all its (smaller) neighbors and u itself to
+    min(Γ(u) ∪ {u}) — collapsing shallow trees into stars."""
+    oriented = edges.select(
+        F.greatest("s", "t").alias("s"), F.least("s", "t").alias("t")
+    ).where(F.col("s") != F.col("t"))
+    mins = oriented.groupBy("s").agg(F.min("t").alias("m"))
+    return (
+        oriented.join(mins, "s")
+        .select(F.col("t").alias("s"), F.col("m").alias("t"))
+        .unionByName(mins.select(F.col("s"), F.col("m").alias("t")))
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+    )
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple:
+    # bit_xor, not sum: order-independent, overflow-free under ANSI
+    # mode, and exact on a distinct edge set
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"), F.expr("bit_xor(xxhash64(s, t))").alias("h")
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
 def connected_components(
     spark: SparkSession,
     edges: DataFrame,
@@ -47,8 +111,10 @@ def connected_components(
     dst: str = "t",
     max_iters: int = 50,
     loop_shuffle_partitions: int = 8,
+    algorithm: str = "auto",
+    star_after: int = 10,
 ) -> DataFrame:
-    """Min-label-propagation connected components.
+    """Connected components over an edge DataFrame.
 
     ``edges`` must be undirected-as-symmetric (both (a,b) and (b,a)
     present) with integer node id columns ``src``/``dst``. Returns
@@ -57,38 +123,134 @@ def connected_components(
     engine-independent). Nodes with no edges are singletons by
     definition and are NOT returned — callers wanting them can union
     the complement.
+
+    ``algorithm='star'`` is the O(log n)-round alternating
+    large-star/small-star of Kiveris et al.; ``'label'`` is
+    O(diameter) min-label propagation (fewer, cheaper shuffles per
+    round — wins on the clique-ish graphs real near-dup clusters
+    form). ``'auto'`` (default) runs label propagation and, only if it
+    has not converged after ``star_after`` rounds, contracts the graph
+    by the partial labels and finishes with star rounds on the
+    contracted edge set — so easy graphs pay the cheap path and a
+    pathological diameter is still bounded by ``star_after`` +
+    O(log n) total rounds. After return,
+    ``connected_components.last_rounds`` holds the number of rounds
+    the loop ran (test hook for convergence-rate assertions).
     """
+    if algorithm not in ("auto", "star", "label"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     edges = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).localCheckpoint()
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_shuffle_partitions))
     try:
-        labels = (
-            edges.select(F.col("s").alias("node_id"))
-            .distinct()
-            .select("node_id", F.col("node_id").alias("comp_id"))
-            .localCheckpoint()
-        )
-        prev_sum = labels.agg(F.sum("comp_id")).collect()[0][0]
-        for _ in range(max_iters):
-            neigh_min = (
-                edges.join(labels, edges["s"] == labels["node_id"])
-                .groupBy(F.col("t").alias("node_id"))
-                .agg(F.min("comp_id").alias("neigh_comp"))
-            )
-            labels = (
-                labels.join(neigh_min, "node_id", "left")
-                .select(
-                    "node_id",
-                    F.least(
-                        F.col("comp_id"), F.coalesce(F.col("neigh_comp"), F.col("comp_id"))
-                    ).alias("comp_id"),
-                )
-                .localCheckpoint()
-            )
-            cur_sum = labels.agg(F.sum("comp_id")).collect()[0][0]
-            if cur_sum == prev_sum:
-                return labels
-            prev_sum = cur_sum
-        raise RuntimeError(f"connected components did not converge in {max_iters} rounds")
+        if algorithm == "star":
+            return _cc_star(edges, max_iters)
+        if algorithm == "label":
+            return _cc_label(edges, max_iters)
+        return _cc_auto(edges, max_iters, star_after)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+
+def _cc_star(edges: DataFrame, max_iters: int) -> DataFrame:
+    # Remember every node (star rounds rewire edges, so a node can
+    # stop appearing as an endpoint mid-run; the final star graph
+    # still names every non-root as a child, but roots of size-1
+    # "components" created by self-edge inputs would vanish).
+    all_nodes = edges.select(F.col("s").alias("node_id")).distinct().localCheckpoint()
+    cur = (
+        edges.where(F.col("s") != F.col("t"))
+        .select(F.greatest("s", "t").alias("s"), F.least("s", "t").alias("t"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_fp = _edge_fingerprint(cur)
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        cur = _small_star(_large_star(cur)).localCheckpoint()
+        fp = _edge_fingerprint(cur)
+        if fp == prev_fp:
+            connected_components.last_rounds = rounds
+            # Fixed point ⇒ star graph: every edge is (child, root).
+            labels = cur.select(F.col("s").alias("node_id"), F.col("t").alias("comp_id"))
+            roots = all_nodes.join(
+                labels.select("node_id"), "node_id", "left_anti"
+            ).select("node_id", F.col("node_id").alias("comp_id"))
+            return labels.unionByName(roots)
+        prev_fp = fp
+    raise RuntimeError(f"connected components did not converge in {max_iters} rounds")
+
+
+def _label_rounds(edges: DataFrame, max_rounds: int) -> tuple:
+    """Up to ``max_rounds`` of min-label propagation. Returns
+    ``(labels, converged, rounds_run)``."""
+    labels = (
+        edges.select(F.col("s").alias("node_id"))
+        .distinct()
+        .select("node_id", F.col("node_id").alias("comp_id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("comp_id")).collect()[0][0]
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        neigh_min = (
+            edges.join(labels, edges["s"] == labels["node_id"])
+            .groupBy(F.col("t").alias("node_id"))
+            .agg(F.min("comp_id").alias("neigh_comp"))
+        )
+        labels = (
+            labels.join(neigh_min, "node_id", "left")
+            .select(
+                "node_id",
+                F.least(
+                    F.col("comp_id"), F.coalesce(F.col("neigh_comp"), F.col("comp_id"))
+                ).alias("comp_id"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("comp_id")).collect()[0][0]
+        if cur_sum == prev_sum:
+            return labels, True, rounds
+        prev_sum = cur_sum
+    return labels, False, rounds
+
+
+def _cc_label(edges: DataFrame, max_iters: int) -> DataFrame:
+    labels, converged, rounds = _label_rounds(edges, max_iters)
+    if not converged:
+        raise RuntimeError(f"connected components did not converge in {max_iters} rounds")
+    connected_components.last_rounds = rounds
+    return labels
+
+
+def _cc_auto(edges: DataFrame, max_iters: int, star_after: int) -> DataFrame:
+    """Label propagation with a star fallback: if the graph hasn't
+    converged after ``star_after`` cheap rounds (diameter larger than
+    any realistic dup cluster), contract every partially-collapsed
+    region to its current label and finish with O(log n) star rounds
+    on the (much smaller) contracted graph.  Correctness: labels only
+    ever decrease toward the component minimum, and the component
+    minimum always labels itself, so contracted-graph components map
+    1:1 onto original components and their minima coincide."""
+    labels, converged, rounds = _label_rounds(edges, star_after)
+    if converged:
+        connected_components.last_rounds = rounds
+        return labels
+    contracted = (
+        edges.join(labels.withColumnRenamed("node_id", "s"), "s")
+        .select(F.col("comp_id").alias("ls"), "t")
+        .join(labels.withColumnRenamed("node_id", "t"), "t")
+        .select(F.col("ls").alias("s"), F.col("comp_id").alias("t"))
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+        .localCheckpoint()
+    )
+    star = _cc_star(contracted, max_iters - star_after)
+    connected_components.last_rounds = rounds + connected_components.last_rounds
+    return (
+        labels.withColumnRenamed("comp_id", "lbl")
+        .join(star.withColumnRenamed("node_id", "lbl"), "lbl", "left")
+        .select("node_id", F.coalesce(F.col("comp_id"), F.col("lbl")).alias("comp_id"))
+    )

@@ -191,19 +191,20 @@ _CC_MAX_ITERS = 50
 )
 def q_llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS, not just pairs: connected components over the
-    SimHash near-dup pair graph via iterative min-label propagation —
-    the step a real curation pipeline needs between pairwise similarity
-    and "keep one doc per duplicate group" (pairs alone over-delete:
-    A~B, B~C must collapse to ONE cluster {{A,B,C}}).
+    SimHash near-dup pair graph via alternating large-star/small-star
+    rounds (Kiveris et al., SoCC'14) — the step a real curation
+    pipeline needs between pairwise similarity and "keep one doc per
+    duplicate group" (pairs alone over-delete: A~B, B~C must collapse
+    to ONE cluster {{A,B,C}}).
 
     The iteration (factored out as
     :func:`cheetah_spark.operators.graph.connected_components`, where
     the iterative-Spark mechanics — per-round ``localCheckpoint``
-    lineage truncation, edge-node-only label set, monotone-sum
+    lineage truncation, edge-set-only iteration, fingerprint
     convergence, small loop shuffle partitions — are documented and
-    unit-tested on hand-built graphs) is the textbook distributed CC:
-    every node adopts the minimum label in its neighborhood until
-    fixpoint, O(diameter) rounds of one join + one min-aggregate. This
+    unit-tested on hand-built graphs) converges in O(log n) rounds
+    independent of graph diameter: each round rewires edges toward
+    neighborhood minima with pure groupBy-min + equi-join plans. This
     is deliberately NOT a driver-side algorithm: each round is a
     distributed shuffle; the driver only checks the converged flag.
 

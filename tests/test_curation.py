@@ -53,6 +53,52 @@ def test_cc_clique_converges_fast(spark):
     assert got == {(n, 20) for n in range(20, 24)}
 
 
+def test_cc_star_chain_converges_logarithmically(spark):
+    # the adversarial case for label propagation: a 100-node path has
+    # diameter 99, but the alternating large-star/small-star algorithm
+    # (Kiveris et al.) must converge in O(log n) rounds
+    n = 100
+    edges = _sym(spark, [(i, i + 1) for i in range(n - 1)])
+    got = {
+        (r.node_id, r.comp_id)
+        for r in connected_components(spark, edges, algorithm="star").collect()
+    }
+    assert got == {(i, 0) for i in range(n)}
+    import math
+
+    assert connected_components.last_rounds <= math.ceil(math.log2(n)) + 3, (
+        connected_components.last_rounds
+    )
+
+
+def test_cc_auto_falls_back_to_star_on_deep_chain(spark):
+    # auto must label-propagate a few rounds, then contract and hand a
+    # ~star_after-times-smaller chain to the star rounds — total far
+    # below the diameter (99) that pure label propagation would need
+    n = 100
+    edges = _sym(spark, [(i, i + 1) for i in range(n - 1)])
+    got = {
+        (r.node_id, r.comp_id)
+        for r in connected_components(spark, edges, algorithm="auto", star_after=4).collect()
+    }
+    assert got == {(i, 0) for i in range(n)}
+    assert connected_components.last_rounds <= 4 + 8, connected_components.last_rounds
+
+
+def test_cc_star_matches_label_on_random_graph(spark):
+    # both algorithms must produce identical (node_id, comp_id) sets
+    # on an arbitrary multi-component graph (seeded, not wall-clock)
+    import random
+
+    rng = random.Random(42)
+    pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(45)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = _sym(spark, pairs)
+    star = {(r.node_id, r.comp_id) for r in connected_components(spark, edges, algorithm="star").collect()}
+    label = {(r.node_id, r.comp_id) for r in connected_components(spark, edges, algorithm="label").collect()}
+    assert star == label
+
+
 def test_cc_restores_shuffle_partitions(spark):
     before = spark.conf.get("spark.sql.shuffle.partitions")
     connected_components(spark, _sym(spark, [(1, 2)])).collect()
