@@ -131,3 +131,59 @@ def test_streaming_config_topology_with_metrics(spark, sf_dir):
     finally:
         spark.streams.removeListener(metrics)
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_cli_run_batch_config(tmp_path, spark, sf_dir, capsys):
+    """`python -m cheetah_spark run --config f.json` boots a batch
+    pipeline end-to-end (the kawad CLI surface, README.md:164-299).
+    In-process call: get_spark's getOrCreate reuses the test session."""
+    from cheetah_spark.__main__ import main
+
+    cfg = {
+        "source": {"type": "parquet", "path": f"{sf_dir}/nation.parquet"},
+        "transforms": [{"type": "filter", "expr": "n_regionkey = 2"}],
+        "sink": {"type": "memory", "name": "cli_nations"},
+    }
+    f = tmp_path / "cli_pipe.json"
+    f.write_text(json.dumps(cfg))
+    assert main(["run", "--config", str(f)]) == 0
+    expect = spark.read.parquet(f"{sf_dir}/nation.parquet").filter("n_regionkey = 2").count()
+    assert spark.table("cli_nations").count() == expect
+
+
+def test_cli_plan_does_not_execute(tmp_path, spark, sf_dir, capsys):
+    from cheetah_spark.__main__ import main
+
+    cfg = {
+        "source": {"type": "parquet", "path": f"{sf_dir}/region.parquet"},
+        "sink": {"type": "memory", "name": "cli_plan_should_not_exist"},
+    }
+    f = tmp_path / "cli_plan.json"
+    f.write_text(json.dumps(cfg))
+    assert main(["plan", "--config", str(f)]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+    # plan must not have executed the sink
+    assert "cli_plan_should_not_exist" not in [t.name for t in spark.catalog.listTables()]
+
+
+def test_cli_run_streaming_with_timeout(tmp_path, spark, sf_dir):
+    """A streaming config under --timeout stops gracefully and exits 0
+    (kawad's signal/ctx-cancel shutdown, processor.go:124-167)."""
+    from cheetah_spark.__main__ import main
+
+    src_dir = events_stream_dir(spark, sf_dir, n_files=2)
+    cfg = {
+        "source": {
+            "type": "parquet",
+            "path": src_dir,
+            "streaming": True,
+            "max_files_per_trigger": 1,
+        },
+        "transforms": [{"type": "select", "columns": ["event_id", "event_type"]}],
+        "sink": {"type": "memory", "name": "cli_stream_out"},
+    }
+    f = tmp_path / "cli_stream.json"
+    f.write_text(json.dumps(cfg))
+    assert main(["run", "--config", str(f), "--timeout", "8"]) == 0
+    assert spark.table("cli_stream_out").count() > 0
