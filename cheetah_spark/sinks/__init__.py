@@ -94,6 +94,16 @@ class NdjsonGzipSink(Sink):
     ``ts_col=None`` partitions by ingestion wall-clock like the
     reference; a column name partitions by event time, which is what a
     100 TB lake actually wants (partition pruning on read).
+
+    S3-compatible stores: the reference accepts ``customEndpoint`` /
+    ``accessKeyID`` / ``secretAccessKey`` / ``bucketRegion`` so
+    non-AWS endpoints like R2 work (x/s3/s3.go:107-121). Here those
+    map onto hadoop-s3a configuration, and — because one Spark app may
+    feed sinks on DIFFERENT stores — they are set per-bucket
+    (``fs.s3a.bucket.<name>.*``), never globally. A custom endpoint
+    also forces path-style access, which R2/MinIO require. The
+    mapping is applied lazily at ``write`` time so constructing a
+    config never needs a live session.
     """
 
     path: str
@@ -101,6 +111,35 @@ class NdjsonGzipSink(Sink):
     checkpoint: Optional[str] = None
     trigger: Optional[dict] = None
     mode: str = "append"
+    custom_endpoint: Optional[str] = None
+    access_key_id: Optional[str] = None
+    secret_access_key: Optional[str] = None
+    bucket_region: Optional[str] = None
+
+    def s3a_conf(self) -> dict:
+        """The hadoop conf this sink requires, keyed per-bucket.
+        Empty for non-object-store paths."""
+        if not self.path.startswith(("s3a://", "s3://")):
+            return {}
+        bucket = self.path.split("://", 1)[1].split("/", 1)[0]
+        pfx = f"fs.s3a.bucket.{bucket}"
+        conf: dict = {}
+        if self.custom_endpoint:
+            conf[f"{pfx}.endpoint"] = self.custom_endpoint
+            conf[f"{pfx}.path.style.access"] = "true"
+        if self.bucket_region:
+            conf[f"{pfx}.endpoint.region"] = self.bucket_region
+        if self.access_key_id and self.secret_access_key:
+            conf[f"{pfx}.access.key"] = self.access_key_id
+            conf[f"{pfx}.secret.key"] = self.secret_access_key
+        return conf
+
+    def _apply_s3a_conf(self, df: DataFrame) -> None:
+        conf = self.s3a_conf()
+        if conf:
+            hconf = df.sparkSession.sparkContext._jsc.hadoopConfiguration()
+            for k, v in conf.items():
+                hconf.set(k, v)
 
     def _partitioned(self, df: DataFrame) -> DataFrame:
         ts = F.col(self.ts_col) if self.ts_col else F.current_timestamp()
@@ -112,6 +151,7 @@ class NdjsonGzipSink(Sink):
         )
 
     def write(self, df: DataFrame):
+        self._apply_s3a_conf(df)
         out = self._partitioned(df)
         if df.isStreaming:
             w = (

@@ -187,3 +187,37 @@ def test_cli_run_streaming_with_timeout(tmp_path, spark, sf_dir):
     f.write_text(json.dumps(cfg))
     assert main(["run", "--config", str(f), "--timeout", "8"]) == 0
     assert spark.table("cli_stream_out").count() > 0
+
+
+def test_ndjson_sink_s3a_conf_mapping():
+    """Reference s3.go:107-121 option parity: customEndpoint/static
+    creds/region map to per-bucket hadoop-s3a conf (no object store
+    needed to verify the mapping)."""
+    sink = NdjsonGzipSink(
+        path="s3a://my-cool-log-bucket/logs",
+        custom_endpoint="https://accountid.r2.cloudflarestorage.com",
+        access_key_id="AKIA_TEST",
+        secret_access_key="SECRET_TEST",
+        bucket_region="us-east-2",
+    )
+    conf = sink.s3a_conf()
+    pfx = "fs.s3a.bucket.my-cool-log-bucket"
+    assert conf[f"{pfx}.endpoint"] == "https://accountid.r2.cloudflarestorage.com"
+    assert conf[f"{pfx}.path.style.access"] == "true"  # R2/MinIO need path-style
+    assert conf[f"{pfx}.endpoint.region"] == "us-east-2"
+    assert conf[f"{pfx}.access.key"] == "AKIA_TEST"
+    assert conf[f"{pfx}.secret.key"] == "SECRET_TEST"
+    # local paths require no s3a conf; creds must come in pairs
+    assert NdjsonGzipSink(path="/tmp/x").s3a_conf() == {}
+    assert "fs.s3a.bucket.b.access.key" not in NdjsonGzipSink(
+        path="s3a://b/x", access_key_id="only-one-half"
+    ).s3a_conf()
+    # config loader passes the options through
+    s2 = build_sink(
+        {
+            "type": "ndjson_gzip",
+            "path": "s3a://other-bucket/logs",
+            "custom_endpoint": "http://minio:9000",
+        }
+    )
+    assert s2.s3a_conf()["fs.s3a.bucket.other-bucket.endpoint"] == "http://minio:9000"
