@@ -69,6 +69,8 @@ CHECK_FIRST = [
     "q_unpivot_events",
     # changed this round (fixes / new oracles / rewrites / the replay
     # admission-order fix touches every streaming query)
+    "q_llm_ann_pq",
+    "q_llm_semdedup",
     "q_udtf_surface",
     "s_stream_rate",
     "q_sec_cidr_match",
@@ -86,6 +88,4 @@ CHECK_FIRST = [
     "s_stream_static_join",
     # oldest r2 rows as filler to the 50-slot window
     "q_approx_distinct_hll",
-    "q_deser_xml",
-    "q_llm_embed_dedup",
 ]

@@ -24,7 +24,9 @@ def test_ann_bruteforce_equals_exact(spark, sf_dir):
 
 def test_ann_lsh_recall(spark, sf_dir):
     exact = _pairs(REGISTRY["q_llm_similarity_topk"].fn(spark, sf_dir))
-    approx = _pairs(REGISTRY["q_llm_ann_lsh"].fn(spark, sf_dir))
+    from cheetah_spark.queries.llm import _ann_lsh_topk
+
+    approx = _pairs(_ann_lsh_topk(spark, sf_dir))
     recall = len(exact & approx) / len(exact)
     # sign-LSH with 8 bands × 8 bits on 64-dim uniform fixtures: most of
     # the true top-k must surface; exact threshold is distribution-bound.
@@ -47,7 +49,9 @@ def test_minhash_finds_planted_near_dups(spark, sf_dir):
 
 def test_ann_ivf_recall(spark, sf_dir):
     exact = _pairs(REGISTRY["q_llm_similarity_topk"].fn(spark, sf_dir))
-    approx = _pairs(REGISTRY["q_llm_ann_ivf"].fn(spark, sf_dir))
+    from cheetah_spark.queries.llm import _ann_ivf_topk
+
+    approx = _pairs(_ann_ivf_topk(spark, sf_dir))
     recall = len(exact & approx) / len(exact)
     # nprobe/nlists = 25% scan fraction; the near-uniform fixture is the
     # worst case for any partition-based index (no cluster structure to
@@ -58,7 +62,9 @@ def test_ann_ivf_recall(spark, sf_dir):
 
 def test_ann_pq_recall(spark, sf_dir):
     exact = _pairs(REGISTRY["q_llm_similarity_topk"].fn(spark, sf_dir))
-    approx = _pairs(REGISTRY["q_llm_ann_pq"].fn(spark, sf_dir))
+    from cheetah_spark.queries.llm import _ann_pq_topk
+
+    approx = _pairs(_ann_pq_topk(spark, sf_dir))
     recall = len(exact & approx) / len(exact)
     # 8×16 codebooks on near-uniform 64-dim fixtures with a 4k-deep
     # exact rerank; distribution-bound floor with margin (measured
@@ -95,7 +101,9 @@ def test_semdedup_recovers_banded_pairs(spark, sf_dir):
     nearest centroid), and totals must reconcile."""
     from cheetah_spark.registry import REGISTRY
 
-    sem = REGISTRY["q_llm_semdedup"].fn(spark, sf_dir).collect()
+    from cheetah_spark.queries.llm import _semdedup_per_cluster
+
+    sem = _semdedup_per_cluster(spark, sf_dir).collect()
     banded = REGISTRY["q_llm_embed_dedup"].fn(spark, sf_dir).count()
     n_sem_pairs = sum(r.n_dup_pairs for r in sem)
     assert n_sem_pairs >= 0.8 * banded, (n_sem_pairs, banded)
