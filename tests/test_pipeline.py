@@ -192,3 +192,68 @@ def test_chain_composition(spark):
     assert Pipeline(src, MemorySink(name="chain_out"), transforms=[h]).dataframe(
         spark
     ).count() == 5
+
+
+def test_pipeline_tracer_emits_span_trees(tmp_path, spark, sf_dir):
+    """Span parity with the reference's per-hop OTel spans
+    (processor.go:89-120): one cheetah.processor.full root per
+    micro-batch with src.recv/handler.handle/dst.send children."""
+    import json as _json
+    import time as _time
+
+    from cheetah_spark.config import pipeline_from_config
+    from cheetah_spark.streaming import events_stream_dir
+    from cheetah_spark.streaming.tracing import PipelineTracer, ndjson_exporter, otel_exporter
+
+    nd = tmp_path / "spans.ndjson"
+    tracer = PipelineTracer()
+    file_tracer = PipelineTracer(exporter=ndjson_exporter(str(nd)))
+    spark.streams.addListener(tracer)
+    spark.streams.addListener(file_tracer)
+    try:
+        cfg = {
+            "source": {
+                "type": "parquet",
+                "path": events_stream_dir(spark, sf_dir, n_files=2),
+                "streaming": True,
+                "max_files_per_trigger": 1,
+            },
+            "sink": {"type": "memory", "name": "traced_out"},
+        }
+        q = pipeline_from_config(cfg).run(spark)
+        q.processAllAvailable()
+        q.stop()
+        deadline = _time.time() + 30
+        while _time.time() < deadline and not any(
+            s.name == "cheetah.processor.full" and s.trace_id == str(q.runId)
+            for s in tracer.spans
+        ):
+            _time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(tracer)
+        spark.streams.removeListener(file_tracer)
+
+    mine = [s for s in tracer.spans if s.trace_id == str(q.runId)]
+    roots = [s for s in mine if s.parent_id is None]
+    assert roots and all(s.name == "cheetah.processor.full" for s in roots)
+    assert sum(r.attributes["num_input_rows"] for r in roots) > 0
+    children = [s for s in mine if s.parent_id is not None]
+    root_ids = {r.span_id for r in roots}
+    assert children and all(c.parent_id in root_ids for c in children)
+    names = {c.name for c in children}
+    assert "cheetah.processor.dst.send" in names  # addBatch always present
+    # every child fits inside its root's duration window
+    by_id = {r.span_id: r for r in roots}
+    for c in children:
+        r = by_id[c.parent_id]
+        assert c.start_ms >= r.start_ms
+
+    # NDJSON exporter wrote parseable one-span-per-line records
+    lines = [l for l in nd.read_text().splitlines() if l.strip()]
+    assert lines and all("name" in _json.loads(l) for l in lines)
+
+    # OTel bridge is import-gated with a clear error in this sandbox
+    try:
+        otel_exporter()
+    except ImportError as exc:
+        assert "opentelemetry" in str(exc)
