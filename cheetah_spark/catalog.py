@@ -68,6 +68,32 @@ def ensure_instant_reads(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+# Rows-per-partition floors for the CPU-heavy fan-out below. Round-4
+# measurement: blanket repartition-to-defaultParallelism cost 5-9× on
+# the Python-stage queries at fixture scale (2 000-row embeddings split
+# 32 ways → per-task Arrow/scheduling overhead dwarfs the work:
+# q_llm_ann_pq 6.5 s → 1.1 s after sizing by rows). Floors are
+# per-table because per-row cost differs ~100×: documents feeds
+# shingle-exploding JVM regex work (~1 ms/row — minhash, n-gram
+# Jaccard, span dedup) so 256 rows ≈ 0.3 s/task; embeddings feeds
+# vectorized numpy batches where fragmentation is pure overhead.
+# Genuinely large tables hit the defaultParallelism cap (and at 100 TB
+# the scan's maxPartitionBytes splits provide the parallelism long
+# before this repartition fires).
+_ROWS_PER_PARTITION = {"documents": 256, "embeddings": 4096}
+_rows_cache: dict[tuple[str, str], int] = {}
+
+
+def _table_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Row count from parquet footer metadata (cheap, cached)."""
+    key = (sf_dir, name)
+    n = _rows_cache.get(key)
+    if n is None:
+        n = spark.read.parquet(table_path(sf_dir, name)).count()
+        _rows_cache[key] = n
+    return n
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, parallelize: bool | None = None
 ) -> DataFrame:
@@ -75,8 +101,14 @@ def load_table(
     df = spark.read.parquet(table_path(sf_dir, name))
     if parallelize is None:
         parallelize = name in CPU_HEAVY_TABLES
-    if parallelize and df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+    if parallelize:
+        rpp = _ROWS_PER_PARTITION.get(name, 4096)
+        want = min(
+            spark.sparkContext.defaultParallelism,
+            max(1, _table_rows(spark, sf_dir, name) // rpp),
+        )
+        if df.rdd.getNumPartitions() < want:
+            df = df.repartition(want)
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS): read as long nanos (see
         # session.py nanosAsLong) and truncate to µs — identical to

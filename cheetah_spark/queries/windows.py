@@ -148,13 +148,27 @@ def q_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (linear interpolation — Spark ``percentile`` ≡
     DuckDB ``quantile_cont``; results snapped at 3 decimals via decimal
     cast since interpolated midpoints of 2-decimal data land exactly on
-    .xx5 round boundaries) plus raw min/max."""
+    .xx5 round boundaries) plus raw min/max.
+
+    Both percentiles share ONE ``percentile(col, array(...))`` buffer
+    — n separate percentile aggregates each keep their own copy of
+    every group's values (see q_approx_quantile_cd plan note 2)."""
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        snap(F.percentile("l_extendedprice", F.lit(0.5))).alias("median_price"),
-        snap(F.percentile("l_extendedprice", F.lit(0.9))).alias("p90_price"),
-        F.min("l_extendedprice").alias("min_price"),
-        F.max("l_extendedprice").alias("max_price"),
+    pcts = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)))
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            pcts.alias("pcts"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        .select(
+            "l_returnflag",
+            snap(F.element_at("pcts", 1)).alias("median_price"),
+            snap(F.element_at("pcts", 2)).alias("p90_price"),
+            "min_price",
+            "max_price",
+        )
     )
 
 
@@ -184,19 +198,57 @@ def q_approx_quantile_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the exact [p−1 %, p+1 %] rank band (percentile_approx with
     accuracy 10000 guarantees ±0.01 % rank error — two orders of
     margin). A 100 TB run keeps the sketches and drops the exact
-    anchors; they ride along here only as verification."""
+    anchors; they ride along here only as verification.
+
+    Physical-plan notes (measured 80 s → ~3 s at sf0.1, same answer):
+
+    1. COUNT(DISTINCT) must NOT share an Aggregate with
+       sketch/percentile functions. Catalyst rewrites multi-distinct
+       via Expand, and the first-level partial aggregate then groups
+       by (l_returnflag, l_partkey, l_orderkey, gid) — allocating a
+       QuantileSummaries/HLL buffer per DISTINCT VALUE COMBINATION
+       (hundreds of thousands of heavyweight buffers) instead of per
+       group. Each exact distinct runs as its own two-level
+       distinct-then-count aggregate (map-side partial dedup, no
+       Expand) and joins back on the |groups|-row key — broadcastable
+       at any SF.
+    2. Exact multi-percentile uses ONE ``percentile(col, array(...))``
+       buffer, not four separate aggregates (4 sorted-value buffers →
+       1; measured 3.4 s → 1.2 s)."""
     l = load_table(spark, sf_dir, "lineitem")
-    g = l.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("n_exact_parts"),
-        F.countDistinct("l_orderkey").alias("n_exact_orders"),
+    parts_cd = (
+        l.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_exact_parts"))
+    )
+    orders_cd = (
+        l.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_exact_orders"))
+    )
+    bands = F.percentile(
+        "l_extendedprice",
+        F.array(F.lit(0.49), F.lit(0.51), F.lit(0.89), F.lit(0.91)),
+    )
+    sketches = l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("ao"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("am"),
         F.percentile_approx("l_extendedprice", 0.9, 10000).alias("a9"),
-        F.percentile("l_extendedprice", F.lit(0.49)).alias("p49"),
-        F.percentile("l_extendedprice", F.lit(0.51)).alias("p51"),
-        F.percentile("l_extendedprice", F.lit(0.89)).alias("p89"),
-        F.percentile("l_extendedprice", F.lit(0.91)).alias("p91"),
+        bands.alias("bands"),
+    )
+    g = (
+        parts_cd.join(orders_cd, "l_returnflag")
+        .join(F.broadcast(sketches), "l_returnflag")
+        .select(
+            "*",
+            F.element_at("bands", 1).alias("p49"),
+            F.element_at("bands", 2).alias("p51"),
+            F.element_at("bands", 3).alias("p89"),
+            F.element_at("bands", 4).alias("p91"),
+        )
     )
 
     def within_5pct(approx, exact):  # |err| * 20 <= exact, exact ints
