@@ -224,9 +224,15 @@ def test_pipeline_tracer_emits_span_trees(tmp_path, spark, sf_dir):
         q.processAllAvailable()
         q.stop()
         deadline = _time.time() + 30
-        while _time.time() < deadline and not any(
-            s.name == "cheetah.processor.full" and s.trace_id == str(q.runId)
-            for s in tracer.spans
+        # both listeners sit on the async listener bus independently:
+        # wait for the in-memory spans AND the NDJSON file
+        while _time.time() < deadline and (
+            not any(
+                s.name == "cheetah.processor.full" and s.trace_id == str(q.runId)
+                for s in tracer.spans
+            )
+            or not nd.exists()
+            or not nd.read_text().strip()
         ):
             _time.sleep(0.2)
     finally:
