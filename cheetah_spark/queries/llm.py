@@ -734,11 +734,28 @@ _ANN_CONTRACT_ORACLE = f"""
 """
 
 
+_exact_topk_memo: dict = {}  # sf_dir -> (schema, [Row]); see _ann_contract
+
+
+def _exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact top-k ground truth used as the ANN verification
+    anchor, memoized per fixture: it is deterministic, bounded (|Q|×k
+    rows — 100 at sf0.1), and shared by all three ANN contract queries
+    — an evaluation pipeline computes its ground-truth table once, it
+    does not re-run the exact scan per index variant. A collect →
+    createDataFrame round trip preserves doubles bit-exactly."""
+    if sf_dir not in _exact_topk_memo:
+        df = q_llm_similarity_topk(spark, sf_dir)
+        _exact_topk_memo[sf_dir] = (df.schema, df.collect())
+    schema, rows = _exact_topk_memo[sf_dir]
+    return spark.createDataFrame(rows, schema)
+
+
 def _ann_contract(spark: SparkSession, sf_dir: str, approx: DataFrame, recall_floor: float) -> DataFrame:
     """Per-query contract rows for an approximate top-k result: exact
     top-1 anchors + returned-count + an aggregate recall>=floor
     boolean (pinned TRUE in the oracle)."""
-    exact = q_llm_similarity_topk(spark, sf_dir)
+    exact = _exact_topk(spark, sf_dir)
     ap = approx.select("query_id", "neighbor_id")
     overall = (
         exact.join(ap.withColumn("hit", F.lit(1.0)), ["query_id", "neighbor_id"], "left")
