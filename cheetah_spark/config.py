@@ -52,6 +52,33 @@ from cheetah_spark.sources import (
     TextScannerSource,
 )
 
+# The reference config spells these camelCase (README.md:210-216);
+# accept both spellings.
+_MQTT_KEY_ALIASES = {"clientID": "client_id", "userName": "username", "keepAlive": "keep_alive"}
+
+
+def _alias(kw):
+    return {_MQTT_KEY_ALIASES.get(k, k): v for k, v in kw.items()}
+
+
+def _mqtt_live_source(**kw):  # lazy: keeps the paho gate out of import time
+    from cheetah_spark.sources.mqtt_live import MqttLiveSource
+
+    return MqttLiveSource(**_alias(kw))
+
+
+def _eventlog_live_source(**kw):
+    from cheetah_spark.sources.eventlog_live import EventLogLiveSource
+
+    return EventLogLiveSource(**kw)
+
+
+def _mqtt_live_sink(**kw):
+    from cheetah_spark.sources.mqtt_live import MqttLiveSink
+
+    return MqttLiveSink(**_alias(kw))
+
+
 _SOURCE_TYPES = {
     "parquet": ParquetSource,
     "json": JsonSource,
@@ -60,6 +87,11 @@ _SOURCE_TYPES = {
     "rate": RateSource,
     "memory": MemorySource,
     "mqtt_replay": MqttReplaySource,
+    # live transports (reference kawad config types "mqtt" README.md:
+    # 204-217 / "eventlog" README.md:219-237): paho / win32 in
+    # production, replay in the sandbox via {"transport": "replay"}
+    "mqtt": _mqtt_live_source,
+    "eventlog": _eventlog_live_source,
 }
 
 _SINK_TYPES = {
@@ -67,6 +99,7 @@ _SINK_TYPES = {
     "memory": MemorySink,
     "ndjson_gzip": NdjsonGzipSink,
     "mqtt_replay": MqttReplaySink,
+    "mqtt": _mqtt_live_sink,
 }
 
 

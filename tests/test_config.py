@@ -221,3 +221,32 @@ def test_ndjson_sink_s3a_conf_mapping():
         }
     )
     assert s2.s3a_conf()["fs.s3a.bucket.other-bucket.endpoint"] == "http://minio:9000"
+
+
+def test_live_transport_config_types(tmp_path):
+    """The reference's own config tags wire the live transports: "mqtt"
+    (README.md:204-217, camelCase keys accepted) and "eventlog"
+    (README.md:219-237)."""
+    from cheetah_spark.sources.eventlog_live import EventLogLiveSource
+    from cheetah_spark.sources.mqtt_live import MqttLiveSink, MqttLiveSource
+
+    src = build_source(
+        {
+            "type": "mqtt",
+            "broker": "mqtt://broker.mqtt:1883",
+            "clientID": "kawa_src",
+            "userName": "u",
+            "topic": "kawa/src",
+            "qos": 1,
+        }
+    )
+    assert isinstance(src, MqttLiveSource)
+    assert src.client_id == "kawa_src" and src.username == "u" and src.qos == 1
+
+    sink = build_sink(
+        {"type": "mqtt", "broker": "mqtt://b:1883", "clientID": "kawa_dst", "topic": "kawa/dest"}
+    )
+    assert isinstance(sink, MqttLiveSink) and sink.client_id == "kawa_dst"
+
+    ev = build_source({"type": "eventlog", "channel": "Security", "query": "*"})
+    assert isinstance(ev, EventLogLiveSource) and ev.channel == "Security"

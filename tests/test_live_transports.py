@@ -1,0 +1,276 @@
+"""Live-transport conformance: the cheetah-mqtt and cheetah-eventlog
+streaming data sources (reference S3 x/mqtt/mqtt.go:178-251, S4
+x/windows/event_logs.go:29-102) driven through the replay transport —
+the same reader/offset/ack code the paho / win32 transports use, with
+the socket/kernel edge swapped for a deterministic capture."""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from cheetah_spark.queries.mqtt import mqtt_capture_dir
+from cheetah_spark.sources import MqttReplaySource
+from cheetah_spark.sources.eventlog_live import (
+    EventLogLiveSource,
+    Win32SubscriptionFactory,
+    parse_eventlog,
+)
+from cheetah_spark.sources.mqtt_live import (
+    MqttLiveSink,
+    MqttLiveSource,
+    MqttOpts,
+    PahoClientFactory,
+    _MqttSimpleStreamReader,
+)
+
+_FILTER = "sensors/+/3"
+
+
+def _run_to_memory(spark, src, name):
+    q = (
+        src.read(spark)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"/tmp/cheetah_spark_ckpt/{name}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        import shutil
+
+        shutil.rmtree(f"/tmp/cheetah_spark_ckpt/{name}", ignore_errors=True)
+    return spark.table(name)
+
+
+def test_mqtt_live_matches_replay_source(spark, sf_dir, tmp_path):
+    """The live source over the replay transport must deliver exactly
+    the envelope rows the batch MqttReplaySource computes: broker-side
+    wildcard filtering, QoS downgrade, retained passthrough, payload
+    bytes — end-to-end through the streaming engine."""
+    cap = mqtt_capture_dir(spark, sf_dir)
+    ack_log = tmp_path / "acks.ndjson"
+    name = f"mqtt_live_{uuid.uuid4().hex[:8]}"
+    src = MqttLiveSource(
+        transport="replay",
+        capture_path=cap,
+        topic=_FILTER,
+        qos=1,
+        chunk_size=200,
+        ack_log=str(ack_log),
+    )
+    live = _run_to_memory(spark, src, name)
+
+    def agg(df):
+        return (
+            df.groupBy("topic")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.crc32(F.col("value"))).alias("payload_crc"),
+                F.max(F.col("attributes")["qos"].cast("int")).alias("max_qos"),
+                F.sum(
+                    F.when(F.col("attributes")["retained"] == "true", 1).otherwise(0)
+                ).alias("n_retained"),
+            )
+            .orderBy("topic")
+            .collect()
+        )
+
+    expected = MqttReplaySource(path=cap, topic_filter=_FILTER, qos=1).read(spark)
+    live_rows, exp_rows = agg(live), agg(expected)
+    assert [tuple(r) for r in live_rows] == [tuple(r) for r in exp_rows]
+    n_total = sum(r.n for r in exp_rows)
+    assert n_total > 0
+
+    # ack-after-sink (T4): every delivered message is acked once the
+    # batch that contained it commits; the engine commits batch N when
+    # planning N+1, so poll briefly for the tail.
+    deadline = time.time() + 15
+    acked = []
+    while time.time() < deadline:
+        if ack_log.exists():
+            acked = [json.loads(l) for l in ack_log.read_text().splitlines() if l.strip()]
+            if len(acked) >= n_total:
+                break
+        time.sleep(0.2)
+    mids = sorted(a["mid"] for a in acked)
+    assert len(mids) == len(set(mids)), "no message acked twice"
+    # all but (at most) the final in-flight chunk must be acked, and
+    # nothing that was never delivered may be acked
+    assert len(acked) >= n_total - 200
+    assert len(acked) <= n_total
+
+
+def test_mqtt_live_connection_lost_is_fatal(spark, sf_dir, tmp_path):
+    """Lost connection surfaces as a fatal StreamingQueryException
+    (mqtt.go:112-114, 156-165): offsets stay uncommitted."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    cap = mqtt_capture_dir(spark, sf_dir)
+    name = f"mqtt_lost_{uuid.uuid4().hex[:8]}"
+    src = MqttLiveSource(
+        transport="replay",
+        capture_path=cap,
+        topic="#",
+        chunk_size=50,
+        drop_connection_after=120,
+    )
+    q = (
+        src.read(spark)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"/tmp/cheetah_spark_ckpt/{name}")
+        .start()
+    )
+    try:
+        with pytest.raises(StreamingQueryException, match="connection lost"):
+            q.processAllAvailable()
+            q.awaitTermination(30)
+    finally:
+        q.stop()
+        import shutil
+
+        shutil.rmtree(f"/tmp/cheetah_spark_ckpt/{name}", ignore_errors=True)
+
+
+def test_mqtt_live_option_validation_parity():
+    # clientConnect preconditions (mqtt.go:126-131), checked before any
+    # import or socket work
+    with pytest.raises(ValueError, match="missing broker"):
+        _MqttSimpleStreamReader({"transport": "paho"})
+    with pytest.raises(ValueError, match="missing clientID"):
+        _MqttSimpleStreamReader({"transport": "paho", "broker": "tcp://h:1883"})
+    with pytest.raises(ValueError, match="unknown mqtt transport"):
+        _MqttSimpleStreamReader({"transport": "nope"})
+
+
+def test_mqtt_live_paho_import_gate():
+    """Without the paho wheel the production transport fails with an
+    actionable ImportError — after option validation, before sockets."""
+    opts = MqttOpts(broker="tcp://localhost:1883", client_id="c1")
+    with pytest.raises(ImportError, match="paho-mqtt"):
+        PahoClientFactory()(opts, lambda m: None, lambda e: None)
+
+
+def test_mqtt_live_sink_publishes_per_partition(spark, tmp_path):
+    """D3 publish semantics (mqtt.go:167-176): every row's payload to
+    ONE fixed topic with the sink's QoS/retained; one client per
+    partition (executor-side), connected lazily."""
+    log = tmp_path / "published.ndjson"
+    df = spark.range(0, 57, 1, 4).select(
+        F.concat(F.lit("payload-"), F.col("id")).alias("value")
+    )
+    MqttLiveSink(
+        transport="replay",
+        topic="relay/out",
+        qos=1,
+        retained=True,
+        publish_log=str(log),
+    ).write(df)
+    recs = [json.loads(l) for l in log.read_text().splitlines() if l.strip()]
+    assert len(recs) == 57
+    assert {r["topic"] for r in recs} == {"relay/out"}
+    assert all(r["qos"] == 1 and r["retained"] is True for r in recs)
+    assert {r["payload"] for r in recs} == {f"payload-{i}" for i in range(57)}
+
+
+def test_mqtt_live_sink_connect_error_is_fatal(spark, tmp_path):
+    """A connect failure (mqtt.go:149-151) fails the write — no silent
+    drop."""
+    df = spark.range(0, 3).select(F.col("id").cast("string").alias("value"))
+    sink = MqttLiveSink(transport="replay", fail_connect=True)
+    with pytest.raises(Exception, match="mqtt connect error"):
+        sink.write(df)
+
+
+# ---------------------------------------------------------------------------
+# Windows EventLog live subscription
+# ---------------------------------------------------------------------------
+
+_EVENT_XML = (
+    "<Event><System><EventID>{eid}</EventID><Channel>Security</Channel>"
+    "<Computer>host-{h}</Computer>"
+    '<TimeCreated SystemTime="2026-01-01T00:00:{s:02d}"/></System>'
+    "<EventData>"
+    '<Data Name="LogonType">{lt}</Data>'
+    '<Data Name="TargetUserName">user{h}</Data>'
+    "</EventData></Event>"
+)
+
+
+def _write_capture(tmp_path, n=12):
+    cap = tmp_path / "evtx_capture"
+    cap.mkdir()
+    with open(cap / "events.ndjson", "w") as fh:
+        for i in range(n):
+            fh.write(
+                json.dumps(
+                    {"xml": _EVENT_XML.format(eid=4624 + (i % 2), h=i % 3, s=i, lt=2 + (i % 2))}
+                )
+                + "\n"
+            )
+    return str(cap)
+
+
+def test_eventlog_live_replay_end_to_end(spark, tmp_path):
+    """Replay capture → streaming source → from_xml normalization: the
+    typed struct fields (attributes, nested elements, Name-keyed Data
+    map — windows_event.go:57-139) survive the live path byte-for-byte."""
+    cap = _write_capture(tmp_path, n=12)
+    name = f"evtlog_{uuid.uuid4().hex[:8]}"
+    src = EventLogLiveSource(
+        channel="Security", transport="replay", capture_path=cap
+    )
+    raw = _run_to_memory(spark, src, name)
+    assert raw.count() == 12
+    parsed = parse_eventlog(raw)
+    rows = parsed.orderBy("system_time").collect()
+    assert len(rows) == 12
+    assert {r.channel for r in rows} == {"Security"}
+    assert {r.subscription_channel for r in rows} == {"Security"}
+    assert sorted({r.event_id for r in rows}) == [4624, 4625]
+    assert rows[0].system_time == "2026-01-01T00:00:00"
+    assert rows[0].event_data == {"LogonType": "2", "TargetUserName": "user0"}
+
+
+def test_eventlog_error_action_is_fatal(spark, tmp_path):
+    """An error action from the kernel callback fails the query
+    (system_windows.go:126-127 → event_logs.go:83-92 returns err)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    cap = _write_capture(tmp_path, n=6)
+    name = f"evtlog_err_{uuid.uuid4().hex[:8]}"
+    src = EventLogLiveSource(
+        channel="Security", transport="replay", capture_path=cap, fail_after=3
+    )
+    q = (
+        src.read(spark)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"/tmp/cheetah_spark_ckpt/{name}")
+        .start()
+    )
+    try:
+        with pytest.raises(StreamingQueryException, match="Win32 Error"):
+            q.processAllAvailable()
+            q.awaitTermination(30)
+    finally:
+        q.stop()
+        import shutil
+
+        shutil.rmtree(f"/tmp/cheetah_spark_ckpt/{name}", ignore_errors=True)
+
+
+def test_eventlog_win32_platform_gate():
+    """The production transport is platform-gated with an actionable
+    error on non-Windows hosts."""
+    with pytest.raises(OSError, match="requires Windows"):
+        Win32SubscriptionFactory()(
+            "Security", "*", 1, lambda x: None, lambda e: None
+        )
