@@ -24,9 +24,18 @@ def test_oracle_match(spark, duck, sf_dir, name):
     assert_matches_oracle(sdf, rel)
 
 
-@pytest.mark.parametrize("name", _ROWS_ONLY)
-def test_rows_only_smoke(spark, sf_dir, name):
-    spec = REGISTRY[name]
-    df = spec.fn(spark, sf_dir)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_every_query_has_an_oracle():
+    """Since round 3 every registered query carries a DuckDB oracle
+    (invariant-pinning rows for the non-SQL-expressible ones) — keep it
+    that way: a new oracle-less query must consciously extend this."""
+    assert _ROWS_ONLY == []
+
+
+if _ROWS_ONLY:  # smoke coverage for any future oracle-less query
+
+    @pytest.mark.parametrize("name", _ROWS_ONLY)
+    def test_rows_only_smoke(spark, sf_dir, name):
+        spec = REGISTRY[name]
+        df = spec.fn(spark, sf_dir)
+        assert df.count() >= 0
+        assert len(df.schema.fields) > 0
