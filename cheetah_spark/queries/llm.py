@@ -939,7 +939,16 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band",
         "bucket",
     )
-    cand = (
+    # Score INSIDE the map-side broadcast join, then dedup on
+    # (ids, score) with a map-side-combinable max. A pair colliding in
+    # b bands is scored b times (identical cosine each time — max is
+    # exact), but the only shuffle this plan pays carries 24-byte
+    # (id, id, double) rows; the previous dropDuplicates-then-score
+    # shape shuffled every candidate WITH both 64-dim arrays attached
+    # (~2 GB at sf0.1, the whole query's bottleneck — redundant JVM
+    # codegen dot products are far cheaper than moving vectors).
+    cos = V.dot(F.col("qv"), F.col("cv")) / (F.sqrt(F.col("nsq_q")) * F.sqrt(F.col("nsq_c")))
+    scored = (
         F.broadcast(q)
         .join(
             melted.select(
@@ -952,11 +961,10 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             on=["band", "bucket"],
         )
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "cv", "nsq_q", "nsq_c")
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )
-    cos = V.dot(F.col("qv"), F.col("cv")) / (F.sqrt(F.col("nsq_q")) * F.sqrt(F.col("nsq_c")))
-    scored = cand.select("query_id", "neighbor_id", cos.alias("cos_sim"))
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
