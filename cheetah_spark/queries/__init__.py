@@ -34,9 +34,11 @@ from cheetah_spark.queries import xmlio  # noqa: F401
 # implementation changed this round, then the oldest r2 rows as filler.
 # Queries with green r3 rows rotate to the tail.
 CHECK_FIRST = [
-    # new this round: live-transport streaming queries, no driver row yet
+    # new this round: live-transport streaming queries + mixture op,
+    # no driver row yet
     "s_mqtt_live",
     "s_eventlog_live",
+    "q_llm_domain_mix",
     # r1-stale: unchecked since round 1, refresh all 32
     "q_agg_distinct",
     "q_array_map_ops",
@@ -87,8 +89,7 @@ CHECK_FIRST = [
     "s_stream_dedup",
     "s_stream_identity",
     "s_stream_stream_join",
-    # oldest r2 row as filler to the 50-slot window
-    "q_approx_distinct_hll",
-    # (s_stream_stateful_counter / s_stream_static_join rotated out to
-    # fit the 50-slot window — both hold green r3 rows)
+    # (q_approx_distinct_hll / s_stream_stateful_counter /
+    # s_stream_static_join rotated out to fit the 50-slot window — all
+    # hold green r2/r3 rows)
 ]

@@ -1163,3 +1163,76 @@ def q_llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum2(F.col("sum_logp") / F.col("n_tok"), 4).alias("sum_mean_logp"),
         snap(F.min(F.col("sum_logp") / F.col("n_tok")), 6).alias("min_mean_logp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain mixture
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA_SQRT = True  # α = 0.5 temperature (share^α via sqrt)
+
+
+@register(
+    "q_llm_domain_mix",
+    oracle=f"""
+        WITH per AS (
+            SELECT source,
+                   COUNT(*)::BIGINT AS n_docs,
+                   CAST(SUM(len({X.oracle_tokens("text", X.TOKEN_RE)})) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per
+        ), s AS (
+            SELECT source, n_docs, n_tokens,
+                   n_tokens::DOUBLE / total::DOUBLE AS token_share,
+                   CAST(sqrt(n_tokens::DOUBLE / total::DOUBLE) AS DECIMAL(38,12)) AS sq
+            FROM per, tot
+        ), z AS (
+            SELECT SUM(sq) AS zsum FROM s
+        )
+        SELECT source, n_docs, n_tokens, token_share,
+               CAST(sq AS DOUBLE) / CAST(zsum AS DOUBLE) AS mix_weight,
+               (CAST(sq AS DOUBLE) / CAST(zsum AS DOUBLE)) / token_share AS upsample
+        FROM s, z
+    """,
+    tags=("llm", "curation", "mixture"),
+)
+def q_llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting — the sampling-weight table a
+    pretraining pipeline derives before shard assembly: per-source doc
+    and (BPE-ish) token counts, the source's natural token share, and a
+    temperature-smoothed sampling weight w_i ∝ share_i^0.5 (α = 0.5 —
+    the multilingual-corpus temperature-sampling scheme of the XLM-R /
+    mT5 line of work: flattens head domains, upsamples tail ones), plus
+    the resulting upsample factor w_i/share_i.
+
+    Determinism/oracle notes: counts are exact BIGINTs; share is ONE
+    IEEE division of exact ints; the normalizer Σ sqrt(share) would be
+    an order-dependent double sum, so each sqrt is snapped to
+    DECIMAL(38,12) and summed exactly (partitioning-independent), then
+    converted once — every float in the output is reproducible
+    bit-for-bit on any cluster and hash-matches DuckDB.
+
+    Scale: one groupBy(source) over a map-only token-count scan plus a
+    broadcast of the (tiny) per-source table against two scalar
+    aggregates. The 100 TB plan is a single shuffle on the domain key
+    with map-side combine."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(X.tokens(F.col("text"), X.TOKEN_RE))).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").cast("long").alias("total"))
+    share = F.col("n_tokens").cast("double") / F.col("total").cast("double")
+    s = per.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "n_tokens",
+        share.alias("token_share"),
+        F.sqrt(share).cast("decimal(38,12)").alias("sq"),
+    )
+    z = s.agg(F.sum("sq").alias("zsum"))
+    weight = F.col("sq").cast("double") / F.col("zsum").cast("double")
+    return s.crossJoin(F.broadcast(z)).select(
+        "source", "n_docs", "n_tokens", "token_share",
+        weight.alias("mix_weight"),
+        (weight / F.col("token_share")).alias("upsample"),
+    )
