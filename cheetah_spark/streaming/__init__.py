@@ -33,16 +33,29 @@ def fixture_stale(spark: SparkSession, path: str, fmt: str = "parquet") -> bool:
     Only parquet carries the Spark-schema footer metadata that causes
     the NTZ override; other formats (ORC) never go stale this way, so
     they short-circuit to False — reading an ORC directory as parquet
-    would throw and spuriously mark the fixture stale on every call."""
+    would throw and spuriously mark the fixture stale on every call.
+
+    A fresh verdict is memoized per path for the process lifetime: the
+    footer probe costs a full spark.read.parquet round trip, and a
+    fixture that was fresh once cannot go stale underneath a running
+    process (staleness is a property of how the files were WRITTEN)."""
     from pyspark.sql import types as T
 
     if fmt != "parquet":
+        return False
+    if path in _fresh_fixture_paths:
         return False
     try:
         schema = spark.read.parquet(path).schema
     except Exception:
         return True
-    return any(isinstance(f.dataType, T.TimestampNTZType) for f in schema.fields)
+    if any(isinstance(f.dataType, T.TimestampNTZType) for f in schema.fields):
+        return True
+    _fresh_fixture_paths.add(path)
+    return False
+
+
+_fresh_fixture_paths: set = set()  # paths verified non-stale; see fixture_stale
 
 
 def events_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:

@@ -250,3 +250,34 @@ def test_live_transport_config_types(tmp_path):
 
     ev = build_source({"type": "eventlog", "channel": "Security", "query": "*"})
     assert isinstance(ev, EventLogLiveSource) and ev.channel == "Security"
+
+
+def test_cli_run_streaming_mqtt_live_config(tmp_path, spark, sf_dir):
+    """The reference README's primary MQTT daemon config (README.md:
+    204-217) runs end-to-end through the CLI: an "mqtt"-type source
+    (replay transport) streamed into a memory sink under --timeout.
+    Proves the daemon boots the live-transport data source from pure
+    JSON config."""
+    from cheetah_spark.__main__ import main
+    from cheetah_spark.queries.mqtt import mqtt_capture_dir
+
+    cap = mqtt_capture_dir(spark, sf_dir)
+    cfg = {
+        "source": {
+            "type": "mqtt",
+            "broker": "mqtt://broker.mqtt:1883",
+            "clientID": "kawa_src",
+            "topic": "sensors/+/3",
+            "qos": 1,
+            "transport": "replay",
+            "capture_path": cap,
+        },
+        "transforms": [{"type": "select", "columns": ["topic", "value"]}],
+        "sink": {"type": "memory", "name": "cli_mqtt_out"},
+    }
+    f = tmp_path / "cli_mqtt.json"
+    f.write_text(json.dumps(cfg))
+    assert main(["run", "--config", str(f), "--timeout", "6"]) == 0
+    got = spark.table("cli_mqtt_out")
+    assert got.count() > 0
+    assert {r.topic.split("/")[-1] for r in got.select("topic").distinct().collect()} == {"3"}

@@ -118,3 +118,20 @@ def test_tfidf_no_cross_join_and_partial_agg(spark, sf_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     # tf/df aggregations must partial-aggregate map-side
     assert "partial_count" in p or "HashAggregate" in p, p
+
+
+def test_domain_mix_weights_are_a_distribution(spark, sf_dir):
+    """Mixture invariants: weights form a distribution, temperature
+    flattens (head domains downweighted, tail upweighted)."""
+    from cheetah_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_llm_domain_mix"].fn(spark, sf_dir).collect()
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-9
+    mean_share = 1.0 / len(rows)
+    for r in rows:
+        if r.token_share > mean_share * 1.05:
+            assert r.mix_weight < r.token_share  # head flattened
+        if r.token_share < mean_share * 0.95:
+            assert r.mix_weight > r.token_share  # tail upsampled
+        assert abs(r.upsample * r.token_share - r.mix_weight) < 1e-12

@@ -222,3 +222,31 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert "SortMergeJoin" in p, p
     join_part = p.split("HashAggregate")[0]  # the scan+join subtree
     assert "Exchange" not in join_part.split("SortMergeJoin")[0], p
+
+
+def test_ann_lsh_dedups_after_scoring_without_vector_shuffle(spark, sf_dir):
+    """The LSH candidate dedup must be a map-side-combinable aggregate
+    over (ids, score) AFTER the broadcast band join — not a
+    dropDuplicates that shuffles candidate rows with both embedding
+    vectors attached (the r4 rewrite; the shuffle rows are 24 bytes)."""
+    from cheetah_spark.queries.llm import _ann_lsh_topk
+
+    p = plan(_ann_lsh_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in p  # band/bucket candidate join stays broadcast
+    assert "CartesianProduct" not in p
+    # the pair dedup is the max-aggregate (partial + final, formatted
+    # mode lists the function in the node detail), so no exchange
+    # carries embedding arrays between the join and the aggregate
+    assert "HashAggregate" in p and "max(cos_sim" in p, (
+        "pair dedup should be a max() hash aggregate"
+    )
+
+
+def test_domain_mix_joins_totals_by_broadcast(spark, sf_dir):
+    """The scalar totals (grand token count, normalizer) must join the
+    per-source table via broadcast — no shuffled join for single-row
+    frames."""
+    p = plan(_q("q_llm_domain_mix", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
