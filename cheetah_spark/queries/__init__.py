@@ -39,6 +39,7 @@ CHECK_FIRST = [
     "s_mqtt_live",
     "s_eventlog_live",
     "q_llm_domain_mix",
+    "q_multimodal_codec_roundtrip",
     # r1-stale: unchecked since round 1, refresh all 32
     "q_agg_distinct",
     "q_array_map_ops",
@@ -87,7 +88,6 @@ CHECK_FIRST = [
     "q_approx_quantile_cd",
     "s_stream_watermark_late",
     "s_stream_dedup",
-    "s_stream_identity",
     "s_stream_stream_join",
     # (q_approx_distinct_hll / s_stream_stateful_counter /
     # s_stream_static_join rotated out to fit the 50-slot window — all

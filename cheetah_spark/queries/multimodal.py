@@ -89,3 +89,67 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_frames").alias("max_frames"),
         F.max("sample_rate").alias("max_sample_rate"),
     )
+
+
+@register(
+    "q_multimodal_codec_roundtrip",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS media_type,
+                   CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 32 ELSE 0 END AS w,
+                   CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 16 ELSE 0 END AS h,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN (16 + doc_id % 32) * (8 + doc_id % 16) * (doc_id % 256)
+                        ELSE 0 END AS psum,
+                   CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 8) * 1000 ELSE 0 END AS fr,
+                   CASE WHEN doc_id % 2 = 1 THEN 64 + doc_id % 64 ELSE 0 END AS nf,
+                   CASE WHEN doc_id % 2 = 1
+                        THEN (64 + doc_id % 64) * (doc_id % 30000)
+                        ELSE 0 END AS ssum
+            FROM documents
+        )
+        SELECT media_type,
+               COUNT(*)::BIGINT AS n_media,
+               TRUE AS all_parse_ok,
+               TRUE AS all_sniff_ok,
+               CAST(SUM(w) AS BIGINT) AS sum_width,
+               CAST(SUM(h) AS BIGINT) AS sum_height,
+               CAST(SUM(psum) AS BIGINT) AS sum_pixels,
+               CAST(SUM(fr) AS BIGINT) AS sum_sample_rate,
+               CAST(SUM(nf) AS BIGINT) AS sum_frames,
+               CAST(SUM(ssum) AS BIGINT) AS sum_samples
+        FROM m GROUP BY media_type
+    """,
+    tags=("multimodal", "codec", "udf"),
+)
+def q_multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round trip — no stubs: synthesize actual PNG files
+    (signature, CRC-checked IHDR/IDAT/IEND, zlib scanlines) and PCM
+    WAV files (RIFF/fmt/data) in one Arrow stage, then DECODE them in
+    a second Arrow stage with stdlib codecs (chunk-walking + CRC32
+    verification + inflate for PNG, the ``wave`` reader for WAV).
+    Because every encoded parameter is a closed-form function of
+    doc_id, the oracle recomputes what decode MUST recover — the hash
+    gate proves encode→bytes→decode is lossless, and that the
+    envelope's JVM magic-sniff rule agrees with the real file headers
+    (``all_sniff_ok``). Integrity failures (bad CRC, truncated chunk,
+    wrong scanline filter) flip the pinned-TRUE flags and fail the
+    driver row.
+
+    Scale: two chained mapInPandas stages, no shuffle until the final
+    tiny per-type aggregate; payload bytes live only inside the
+    pipeline between the stages (never in a wide op)."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = M.decode_real_features(M.real_media_table(d))
+    return feats.groupBy("media_type").agg(
+        F.count("*").alias("n_media"),
+        F.bool_and("parse_ok").alias("all_parse_ok"),
+        F.bool_and(F.col("sniffed") == F.col("media_type")).alias("all_sniff_ok"),
+        F.sum("width").alias("sum_width"),
+        F.sum("height").alias("sum_height"),
+        F.sum("pixel_sum").alias("sum_pixels"),
+        F.sum("sample_rate").alias("sum_sample_rate"),
+        F.sum("n_frames").alias("sum_frames"),
+        F.sum("sample_sum").alias("sum_samples"),
+    )
