@@ -1,0 +1,139 @@
+"""Distributed BPE (byte-pair-encoding) tokenizer training.
+
+The missing "train the tokenizer on the corpus" step of an LLM data
+pipeline (no reference counterpart; north-star extension surface like
+queries/llm.py). Classic BPE (Sennrich et al., "Neural Machine
+Translation of Rare Words with Subword Units", ACL 2016) learns a
+merge list by repeatedly fusing the most frequent adjacent symbol
+pair.
+
+Spark-first shape — the property that makes BPE tractable at 100 TB:
+after ONE corpus-wide shuffle (word → frequency), every training
+round runs on the aggregated WORD TABLE, whose size is bounded by the
+corpus vocabulary, not the corpus. The canonical single-node trainers
+iterate the same table; here each round is:
+
+1. pair counting — explode each word's adjacent symbol pairs,
+   groupBy(pair).sum(freq): a map-side-combinable shuffle over the
+   word table;
+2. argmax with a TOTAL deterministic order (count desc, then pair
+   lexicographic) — one 1-row collect of bounded driver state per
+   round, exactly the k-means/centroid pattern;
+3. merge application — a JVM-side ``aggregate`` fold over each word's
+   symbol list rewriting ``…, a, b, … → …, ab, …`` (left-to-right,
+   non-overlapping — the sequential-scan semantics of textbook BPE);
+   the whole training loop therefore never leaves the JVM except for
+   the 1-row argmax collect.
+
+Per-round lineage is truncated with ``localCheckpoint`` (the
+iterative-Spark discipline documented in operators/graph.py). Words
+that no longer contain any mergeable pair are not filtered out (the
+pair-count shuffle already skips length-1 symbol lists cheaply).
+
+Determinism: symbol pairs are compared as (count DESC, left ASC,
+right ASC) — total order, partitioning-independent; merge application
+is per-word sequential. The learned merge list is therefore a pure
+function of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """corpus → (word, freq): the ONE corpus-wide shuffle. Words are
+    lowercase whitespace tokens; symbols start as single characters."""
+    return (
+        docs.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-pair frequencies over the word table (weighted by word
+    freq). zip_with over (symbols[:-1], symbols[1:]) keeps this a pure
+    column expression — JVM-side, no Python."""
+    syms = F.col("symbols")
+    n = F.size(syms)
+    pairs = F.zip_with(
+        F.slice(syms, 1, n - 1),
+        F.slice(syms, 2, n - 1),
+        lambda a, b: F.struct(a.alias("left"), b.alias("right")),
+    )
+    return (
+        words.where(n >= 2)
+        .select(F.explode(pairs).alias("p"), "freq")
+        .groupBy("p.left", "p.right")
+        .agg(F.sum("freq").alias("pair_freq"))
+    )
+
+
+def _apply_merge(words: DataFrame, left: str, right: str) -> DataFrame:
+    """Rewrite every word's symbol list, fusing adjacent (left, right)
+    left-to-right without overlap — as a pure JVM-side ``aggregate``
+    fold (no Python round trip inside the training loop).
+
+    The fold appends each symbol unless the accumulator currently ends
+    with ``left`` and the incoming symbol is ``right``, in which case
+    the tail is replaced by the fused token. Left-to-right
+    non-overlap falls out for free: the fused token ``left+right`` is
+    strictly longer than ``left``, so a just-produced merge can never
+    be mistaken for a fresh ``left`` (e.g. 'aaaa' under (a,a) →
+    [aa, aa], 'aaa' → [aa, a])."""
+    fused = left + right
+
+    def step(acc, s):
+        tail_is_left = (F.size(acc) > 0) & (F.element_at(acc, -1) == F.lit(left))
+        do_merge = tail_is_left & (s == F.lit(right))
+        merged = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(fused))
+        )
+        return F.when(do_merge, merged).otherwise(F.concat(acc, F.array(s)))
+
+    empty = F.array().cast("array<string>")
+    return words.select(
+        F.aggregate(F.col("symbols"), empty, step).alias("symbols"), "freq"
+    )
+
+
+def train_bpe(
+    spark: SparkSession,
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    loop_shuffle_partitions: int = 8,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Learn ``n_merges`` BPE merges. Returns
+    ``(merges, final_words)`` where ``merges`` is
+    ``[(rank, left, right, pair_freq_at_selection), …]`` (stops early
+    if no pair remains) and ``final_words`` is the word table with the
+    merges applied — ``(symbols array<string>, freq)``. Driver state
+    is one row per round."""
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_shuffle_partitions))
+    try:
+        words = (
+            word_freq_table(docs, text_col)
+            .select(F.split(F.col("word"), "").alias("symbols"), "freq")
+            .localCheckpoint()
+        )
+        merges: list[tuple[int, str, str, int]] = []
+        for rank in range(1, n_merges + 1):
+            top = (
+                _pair_counts(words)
+                .orderBy(F.col("pair_freq").desc(), F.col("left").asc(), F.col("right").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            row = top[0]
+            merges.append((rank, row["left"], row["right"], row["pair_freq"]))
+            words = _apply_merge(words, row["left"], row["right"]).localCheckpoint()
+        return merges, words
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)

@@ -24,6 +24,7 @@ from cheetah_spark.queries import scalars  # noqa: F401
 from cheetah_spark.queries import streams  # noqa: F401
 from cheetah_spark.queries import surface  # noqa: F401
 from cheetah_spark.queries import timeseries  # noqa: F401
+from cheetah_spark.queries import tokenizer  # noqa: F401
 from cheetah_spark.queries import windows  # noqa: F401
 from cheetah_spark.queries import xmlio  # noqa: F401
 
@@ -40,6 +41,7 @@ CHECK_FIRST = [
     "s_eventlog_live",
     "q_llm_domain_mix",
     "q_multimodal_codec_roundtrip",
+    "q_llm_bpe_train",
     # r1-stale: unchecked since round 1, refresh all 32
     "q_agg_distinct",
     "q_array_map_ops",
@@ -49,10 +51,10 @@ CHECK_FIRST = [
     "q_hash_agg",
     "q_having_filter",
     "q_json_ops",
+    "q_llm_exact_dedup",
     "q_llm_ann_bruteforce",
     "q_llm_ann_ivf",
     "q_llm_ann_lsh",
-    "q_llm_exact_dedup",
     "q_llm_fingerprint",
     "q_llm_lang_id",
     "q_llm_minhash_dedup",
@@ -88,8 +90,7 @@ CHECK_FIRST = [
     "q_approx_quantile_cd",
     "s_stream_watermark_late",
     "s_stream_dedup",
-    "s_stream_stream_join",
     # (q_approx_distinct_hll / s_stream_stateful_counter /
-    # s_stream_static_join rotated out to fit the 50-slot window — all
-    # hold green r2/r3 rows)
+    # s_stream_static_join / s_stream_identity / s_stream_stream_join
+    # rotated out to fit the 50-slot window — all hold green r3 rows)
 ]
