@@ -42,6 +42,7 @@ CHECK_FIRST = [
     "q_llm_domain_mix",
     "q_multimodal_codec_roundtrip",
     "q_llm_bpe_train",
+    "q_llm_incremental_dedup",
     # r1-stale: unchecked since round 1, refresh all 32
     "q_agg_distinct",
     "q_array_map_ops",
@@ -89,8 +90,8 @@ CHECK_FIRST = [
     "q_config_pipeline",
     "q_approx_quantile_cd",
     "s_stream_watermark_late",
-    "s_stream_dedup",
     # (q_approx_distinct_hll / s_stream_stateful_counter /
-    # s_stream_static_join / s_stream_identity / s_stream_stream_join
-    # rotated out to fit the 50-slot window — all hold green r3 rows)
+    # s_stream_static_join / s_stream_identity / s_stream_stream_join /
+    # s_stream_dedup rotated out to fit the 50-slot window — all hold
+    # green r3 rows)
 ]
