@@ -106,13 +106,16 @@ def train_bpe(
     n_merges: int,
     text_col: str = "text",
     loop_shuffle_partitions: int = 8,
-) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+) -> tuple[list[tuple[int, str, str, int]], DataFrame, int]:
     """Learn ``n_merges`` BPE merges. Returns
-    ``(merges, final_words)`` where ``merges`` is
+    ``(merges, final_words, initial_symbols)`` where ``merges`` is
     ``[(rank, left, right, pair_freq_at_selection), …]`` (stops early
-    if no pair remains) and ``final_words`` is the word table with the
-    merges applied — ``(symbols array<string>, freq)``. Driver state
-    is one row per round."""
+    if no pair remains), ``final_words`` is the word table with the
+    merges applied — ``(symbols array<string>, freq)`` — and
+    ``initial_symbols`` is the corpus symbol count before any merge
+    (aggregated from the already-checkpointed word table, so the
+    corpus is scanned exactly once). Driver state is one row per
+    round."""
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_shuffle_partitions))
     try:
@@ -120,6 +123,9 @@ def train_bpe(
             word_freq_table(docs, text_col)
             .select(F.split(F.col("word"), "").alias("symbols"), "freq")
             .localCheckpoint()
+        )
+        initial_symbols = int(
+            words.agg(F.sum(F.size("symbols") * F.col("freq")).cast("long")).collect()[0][0]
         )
         merges: list[tuple[int, str, str, int]] = []
         for rank in range(1, n_merges + 1):
@@ -134,6 +140,6 @@ def train_bpe(
             row = top[0]
             merges.append((rank, row["left"], row["right"], row["pair_freq"]))
             words = _apply_merge(words, row["left"], row["right"]).localCheckpoint()
-        return merges, words
+        return merges, words, initial_symbols
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)

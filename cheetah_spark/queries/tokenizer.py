@@ -68,18 +68,11 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     tested against an independent single-node reference implementation
     in tests/test_tokenizer.py."""
     d = load_table(spark, sf_dir, "documents")
-    merges, final_words = train_bpe(spark, d, _BPE_MERGES)
+    merges, final_words, initial = train_bpe(spark, d, _BPE_MERGES)
     freqs = [m[3] for m in merges]
     tokens = [m[1] + m[2] for m in merges]
     nonincreasing = all(a >= b for a, b in zip(freqs, freqs[1:]))
 
-    from cheetah_spark.operators.bpe import word_freq_table
-
-    initial = (
-        word_freq_table(d)
-        .agg(F.sum(F.length("word") * F.col("freq")).cast("long").alias("n"))
-        .collect()[0]["n"]
-    )
     final = (
         final_words.agg(F.sum(F.size("symbols") * F.col("freq")).cast("long").alias("n"))
         .collect()[0]["n"]

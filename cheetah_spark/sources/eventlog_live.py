@@ -84,6 +84,22 @@ class Win32SubscriptionFactory:
         CALLBACK = ctypes.WINFUNCTYPE(
             wintypes.DWORD, wintypes.DWORD, ctypes.c_void_p, ctypes.c_void_p
         )
+        # EVT_HANDLEs are pointer-sized: without explicit restype/
+        # argtypes ctypes defaults to 32-bit c_int and TRUNCATES
+        # 64-bit handles on Win64 (EvtSubscribe's return, and the
+        # event handle passed back into EvtRender/EvtClose)
+        wevtapi.EvtSubscribe.restype = ctypes.c_void_p
+        wevtapi.EvtSubscribe.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, wintypes.LPCWSTR, wintypes.LPCWSTR,
+            ctypes.c_void_p, ctypes.c_void_p, CALLBACK, wintypes.DWORD,
+        ]
+        wevtapi.EvtRender.restype = wintypes.BOOL
+        wevtapi.EvtRender.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, wintypes.DWORD, wintypes.DWORD,
+            ctypes.c_void_p, ctypes.POINTER(wintypes.DWORD), ctypes.POINTER(wintypes.DWORD),
+        ]
+        wevtapi.EvtClose.restype = wintypes.BOOL
+        wevtapi.EvtClose.argtypes = [ctypes.c_void_p]
 
         def _callback(action, _user_context, event):
             if action == EVT_SUBSCRIBE_ACTION_ERROR:
@@ -142,6 +158,11 @@ class ReplaySubscriptionFactory:
     fail_after: int = -1
 
     def __call__(self, channel: str, query: str, method: int, on_xml, on_error):
+        if not self.capture_path:
+            raise ValueError(
+                "eventlog transport=replay requires capture_path "
+                "(a directory of {'xml': ...} NDJSON or .xml files)"
+            )
         delivered = 0
         for xml in _iter_xml_capture(self.capture_path):
             if 0 <= self.fail_after <= delivered:
@@ -275,14 +296,9 @@ class EventLogStreamDataSource(DataSource):
         return _EventLogSimpleStreamReader(self.options)
 
 
-_REGISTERED: set = set()
-
-
 def register_eventlog_source(spark: SparkSession) -> None:
-    key = id(spark)
-    if key not in _REGISTERED:
-        spark.dataSource.register(EventLogStreamDataSource)
-        _REGISTERED.add(key)
+    # idempotent per-session catalog write; no memo (see mqtt_live)
+    spark.dataSource.register(EventLogStreamDataSource)
 
 
 @dataclass

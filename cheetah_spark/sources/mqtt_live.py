@@ -119,6 +119,11 @@ class PahoClientFactory:
     option plumbing mirrors clientConnect (mqtt.go:125-154)."""
 
     def __call__(self, opts: MqttOpts, on_message, on_connection_lost):
+        """``on_message=None`` builds a PUBLISH-ONLY client: no
+        subscription (a sink subscribing to its own publish topic would
+        echo every message back to every publisher and, with manual
+        ack, fill the broker's QoS1 in-flight window) and no manual-ack
+        mode."""
         try:
             import paho.mqtt.client as paho  # type: ignore
         except ImportError as exc:  # pragma: no cover - no wheel in sandbox
@@ -132,28 +137,32 @@ class PahoClientFactory:
         client = paho.Client(
             callback_api_version=paho.CallbackAPIVersion.VERSION2,
             client_id=opts.client_id,
-            manual_ack=True,  # ack-after-sink: commit() fires the acks
+            # ack-after-sink: commit() fires the acks (subscribe side only)
+            manual_ack=on_message is not None,
         )
         if opts.username:
             client.username_pw_set(opts.username, opts.password or None)
-
-        def _on_message(_c, _ud, m):  # paho → transport-neutral envelope
-            on_message(
-                MqttMessage(
-                    m.topic, bytes(m.payload), m.mid, m.qos, m.retain,
-                    ack=lambda msg: client.ack(msg.mid, msg.qos),
-                )
-            )
 
         def _on_disconnect(_c, _ud, _flags, rc, _props=None):
             if rc != 0:
                 on_connection_lost(Exception(f"mqtt connection lost: rc={rc}"))
 
-        client.on_message = _on_message
+        if on_message is not None:
+
+            def _on_message(_c, _ud, m):  # paho → transport-neutral envelope
+                on_message(
+                    MqttMessage(
+                        m.topic, bytes(m.payload), m.mid, m.qos, m.retain,
+                        ack=lambda msg: client.ack(msg.mid, msg.qos),
+                    )
+                )
+
+            client.on_message = _on_message
         client.on_disconnect = _on_disconnect
         host, _, port = opts.broker.partition(":")
         client.connect(host, int(port) if port else 1883, int(opts.keep_alive))
-        client.subscribe(opts.topic, opts.qos)
+        if on_message is not None:
+            client.subscribe(opts.topic, opts.qos)
         client.loop_start()
         return _PahoAdapter(client)
 
@@ -202,6 +211,7 @@ class ReplayClientFactory:
             # parity: connect token error (mqtt.go:149-151)
             raise ConnectionError(f"mqtt connect error: {opts.broker or 'broker down'}")
         adapter = _ReplayAdapter(self)
+        adapter._client_id = opts.client_id  # logged with publishes (tests)
         pat = re.compile(mqtt_filter_regex(opts.topic))
 
         def deliveries():
@@ -287,6 +297,7 @@ class _ReplayAdapter:
                 "payload": payload.decode() if isinstance(payload, (bytes, bytearray)) else str(payload),
                 "qos": qos,
                 "retained": retained,
+                "client_id": getattr(self, "_client_id", ""),
             },
         )
 
@@ -447,15 +458,12 @@ class MqttStreamDataSource(DataSource):
         return _MqttSimpleStreamReader(self.options)
 
 
-_REGISTERED: set = set()
-
-
 def register_mqtt_source(spark: SparkSession) -> None:
-    """Idempotently register the cheetah-mqtt format on this session."""
-    key = id(spark)
-    if key not in _REGISTERED:
-        spark.dataSource.register(MqttStreamDataSource)
-        _REGISTERED.add(key)
+    """Register the cheetah-mqtt format on this session. Registration
+    is an idempotent per-session catalog write, so no memo — an
+    id(spark)-keyed cache would go stale when CPython reuses a
+    garbage-collected session's address."""
+    spark.dataSource.register(MqttStreamDataSource)
 
 
 @dataclass
@@ -543,11 +551,24 @@ class MqttLiveSink(Sink):
         topic, qos, retained, col = self.topic, self.qos, self.retained, self.payload_col
 
         def publish_partition(rows):
+            import dataclasses
+            import uuid as _uuid
+
             client = None
             try:
                 for row in rows:
                     if client is None:  # connect lazily: empty partitions open nothing
-                        client = factory(opts, lambda m: None, lambda e: None)
+                        # unique per-partition client id: MQTT-3.1.4-2 —
+                        # a duplicate ClientID makes the broker drop the
+                        # existing connection, so N partitions sharing
+                        # the configured id would disconnect each other
+                        # mid-batch (the reference README demands unique
+                        # ids for the same reason, README.md:208-210)
+                        popts = dataclasses.replace(
+                            opts,
+                            client_id=f"{opts.client_id}-p{_uuid.uuid4().hex[:8]}",
+                        )
+                        client = factory(popts, None, lambda e: None)
                     payload = row[col]
                     if isinstance(payload, str):
                         payload = payload.encode()

@@ -32,21 +32,12 @@ _FILTER = "sensors/+/3"
 
 
 def _run_to_memory(spark, src, name):
-    q = (
-        src.read(spark)
-        .writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", f"/tmp/cheetah_spark_ckpt/{name}")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        import shutil
+    # run_stream_to_completion brings the state-store maintenance
+    # mitigation and checkpoint hygiene these tests would otherwise
+    # have to duplicate (name arg kept for call-site readability only)
+    from cheetah_spark.streaming import run_stream_to_completion
 
-        shutil.rmtree(f"/tmp/cheetah_spark_ckpt/{name}", ignore_errors=True)
-    return spark.table(name)
+    return run_stream_to_completion(src.read(spark), lambda df: df)
 
 
 def test_mqtt_live_matches_replay_source(spark, sf_dir, tmp_path):
@@ -168,6 +159,7 @@ def test_mqtt_live_sink_publishes_per_partition(spark, tmp_path):
     )
     MqttLiveSink(
         transport="replay",
+        client_id="kawa_dst",
         topic="relay/out",
         qos=1,
         retained=True,
@@ -178,6 +170,10 @@ def test_mqtt_live_sink_publishes_per_partition(spark, tmp_path):
     assert {r["topic"] for r in recs} == {"relay/out"}
     assert all(r["qos"] == 1 and r["retained"] is True for r in recs)
     assert {r["payload"] for r in recs} == {f"payload-{i}" for i in range(57)}
+    # each partition connects under a UNIQUE client id derived from the
+    # configured one (MQTT-3.1.4-2: duplicate ids disconnect each other)
+    ids = {r["client_id"] for r in recs}
+    assert len(ids) == 4 and all(i.startswith("kawa_dst-p") for i in ids)
 
 
 def test_mqtt_live_sink_connect_error_is_fatal(spark, tmp_path):

@@ -47,8 +47,9 @@ def test_bpe_matches_reference_implementation(spark, sf_dir):
     wf = {r.word: r.freq for r in word_freq_table(docs).collect()}
     expected, ref_words = _reference_bpe(wf, 8)
 
-    merges, final_words = train_bpe(spark, docs, 8)
+    merges, final_words, initial = train_bpe(spark, docs, 8)
     assert merges == expected, f"\nspark: {merges}\nref:   {expected}"
+    assert initial == sum(len(w) * f for w, f in wf.items())
 
     got = {"".join(r.symbols): None for r in final_words.collect()}
     # every final segmentation reassembles its word, and the symbol
@@ -63,7 +64,7 @@ def test_bpe_overlapping_pairs_merge_left_to_right(spark):
     """'aaaa' under merge (a,a) → [aa, aa], not three overlapping
     merges — the sequential-scan semantics both implementations use."""
     docs = spark.createDataFrame([("aaaa bb",)], "text string")
-    merges, final_words = train_bpe(spark, docs, 1)
+    merges, final_words, _ = train_bpe(spark, docs, 1)
     assert merges[0][1:3] == ("a", "a")
     segs = {tuple(r.symbols) for r in final_words.collect()}
     assert ("aa", "aa") in segs
