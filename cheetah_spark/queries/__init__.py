@@ -43,6 +43,7 @@ CHECK_FIRST = [
     "q_multimodal_codec_roundtrip",
     "q_llm_bpe_train",
     "q_llm_incremental_dedup",
+    "q_skew_salted_agg",
     # r1-stale: unchecked since round 1, refresh all 32
     "q_agg_distinct",
     "q_array_map_ops",
@@ -83,14 +84,13 @@ CHECK_FIRST = [
     "q_udtf_surface",
     "s_stream_rate",
     "q_sec_cidr_match",
-    "q_scan_orc",
     "q_llm_kmeans",
     "s_stream_batcher",
     "q_llm_dup_clusters",
     "q_config_pipeline",
     "q_approx_quantile_cd",
     "s_stream_watermark_late",
-    # (q_approx_distinct_hll / s_stream_stateful_counter /
+    # (q_approx_distinct_hll / q_scan_orc / s_stream_stateful_counter /
     # s_stream_static_join / s_stream_identity / s_stream_stream_join /
     # s_stream_dedup rotated out to fit the 50-slot window — all hold
     # green r3 rows)

@@ -239,3 +239,57 @@ def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("lineitem", "orders", "customer", "nation", "region"))
     return spark.sql(_SQL_FLAGSHIP)
+
+
+@register(
+    "q_skew_salted_agg",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               MIN(event_id) AS min_event_id,
+               MAX(event_id) AS max_event_id
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("skew", "aggregation"),
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation on a deliberately hot key space:
+    ``event_type`` has only a handful of values, so at 100 TB a plain
+    exact-distinct groupBy lands entire key populations on single
+    reducers (AQE splits oversized PARTITIONS, not keys — it cannot
+    help a single hot key inside one group). The salted plan
+    (functions/skew.py::salted_agg) pre-aggregates on
+    (event_type, hash-salt) — 16 balanced reducers per key — then
+    combines partials on event_type alone. COUNT(DISTINCT user_id) is
+    the aggregate that NEEDS this: its dedup state can't map-side
+    combine away, so the partial phase dedups (key, salt, user) and
+    the final phase merges per-salt distinct sets via sum-of-disjoint
+    counts — exactness preserved because the salt is derived from
+    user_id itself (equal users always share a salt).
+
+    The oracle is the PLAIN group-by: hash equality proves the salted
+    two-phase plan is semantically invisible."""
+    from cheetah_spark.functions.skew import salted_agg
+
+    e = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        e,
+        keys=["event_type"],
+        partial_aggs=[
+            F.count("*").alias("pn"),
+            F.countDistinct("user_id").alias("pu"),
+            F.min("event_id").alias("pmin"),
+            F.max("event_id").alias("pmax"),
+        ],
+        final_aggs=[
+            F.sum("pn").alias("n_events"),
+            # salts partition users disjointly (salt = h(user_id) % B),
+            # so per-salt distinct counts add up exactly
+            F.sum("pu").alias("n_users"),
+            F.min("pmin").alias("min_event_id"),
+            F.max("pmax").alias("max_event_id"),
+        ],
+        salt_on="user_id",
+    )
