@@ -19,6 +19,7 @@ from cheetah_spark.queries import formats  # noqa: F401
 from cheetah_spark.queries import mqtt  # noqa: F401
 from cheetah_spark.queries import llm  # noqa: F401
 from cheetah_spark.queries import multimodal  # noqa: F401
+from cheetah_spark.queries import regression  # noqa: F401
 from cheetah_spark.queries import relational  # noqa: F401
 from cheetah_spark.queries import scalars  # noqa: F401
 from cheetah_spark.queries import streams  # noqa: F401
@@ -44,6 +45,7 @@ CHECK_FIRST = [
     "q_llm_bpe_train",
     "q_llm_incremental_dedup",
     "q_skew_salted_agg",
+    "q_llm_quality_regression",
     # r1-stale: unchecked since round 1, refresh all 32
     "q_agg_distinct",
     "q_array_map_ops",
@@ -81,7 +83,6 @@ CHECK_FIRST = [
     # admission-order fix touches every streaming query)
     "q_llm_ann_pq",
     "q_llm_semdedup",
-    "q_udtf_surface",
     "s_stream_rate",
     "q_sec_cidr_match",
     "q_llm_kmeans",
@@ -90,7 +91,8 @@ CHECK_FIRST = [
     "q_config_pipeline",
     "q_approx_quantile_cd",
     "s_stream_watermark_late",
-    # (q_approx_distinct_hll / q_scan_orc / s_stream_stateful_counter /
+    # (q_approx_distinct_hll / q_scan_orc / q_udtf_surface /
+    # s_stream_stateful_counter /
     # s_stream_static_join / s_stream_identity / s_stream_stream_join /
     # s_stream_dedup rotated out to fit the 50-slot window — all hold
     # green r3 rows)
