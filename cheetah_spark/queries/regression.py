@@ -5,7 +5,7 @@ DuckDB oracle that unrolls the identical training loop in SQL.
 Why this is hash-checkable when "ML training" usually isn't: every
 per-row quantity is a fixed chain of single IEEE ops written in the
 same association order in both engines, and the only order-dependent
-reduction — the gradient sum — is cast per-term to DECIMAL(38,18) and
+reduction — the gradient sum — is cast per-term to DECIMAL(38,6) and
 summed exactly (partitioning-independent), so each GD step's weights
 are a pure function of the corpus. The oracle chains one CTE pair
 (gradient aggregate, weight update) per iteration.
@@ -28,7 +28,11 @@ from cheetah_spark.registry import register
 
 _GD_ITERS = 8
 _GD_LR = 1.0  # safe: lr < 2/λ_max(XᵀX/n) for these small-magnitude features
-_DEC = "decimal(38,18)"
+# DECIMAL(38,6): the suite-wide dsum scale (queries/_util.py) whose
+# decimal→double conversion parity between engines is battle-tested by
+# three rounds of bit-exact driver hashing — a higher scale would lean
+# on conversion roundings no other query exercises
+_DEC = "decimal(38,6)"
 
 # features/target: exact-integer-derived, single-division doubles —
 # identical text expressions on both engines (the n_ws_tokens
@@ -51,9 +55,9 @@ def _oracle_sql() -> str:
         resid = f"((({prev}.w0 + {prev}.w1 * x1) + {prev}.w2 * x2) - y)"
         parts.append(
             f"""g{k} AS (
-                SELECT SUM(CAST({resid} AS DECIMAL(38,18))) AS g0,
-                       SUM(CAST({resid} * x1 AS DECIMAL(38,18))) AS g1,
-                       SUM(CAST({resid} * x2 AS DECIMAL(38,18))) AS g2,
+                SELECT SUM(CAST({resid} AS DECIMAL(38,6))) AS g0,
+                       SUM(CAST({resid} * x1 AS DECIMAL(38,6))) AS g1,
+                       SUM(CAST({resid} * x2 AS DECIMAL(38,6))) AS g2,
                        COUNT(*) AS n
                 FROM feats, {prev}
             )"""
@@ -72,7 +76,7 @@ def _oracle_sql() -> str:
         WITH {', '.join(parts)}
         SELECT {_GD_ITERS} AS n_iters,
                {last}.w0 AS w0, {last}.w1 AS w1, {last}.w2 AS w2,
-               CAST(SUM(CAST({final_resid} * {final_resid} AS DECIMAL(38,18))) AS DOUBLE)
+               CAST(SUM(CAST({final_resid} * {final_resid} AS DECIMAL(38,6))) AS DOUBLE)
                    / COUNT(*) AS final_mse
         FROM feats, {last}
         GROUP BY {last}.w0, {last}.w1, {last}.w2
@@ -101,7 +105,6 @@ def q_llm_quality_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _features(spark, sf_dir).persist()
     try:
         w = [0.0, 0.0, 0.0]
-        n = None
         for _ in range(_GD_ITERS):
             # identical association order to the oracle's resid string
             pred = (F.lit(w[0]) + F.lit(w[1]) * F.col("x1")) + F.lit(w[2]) * F.col("x2")
