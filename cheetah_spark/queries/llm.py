@@ -24,6 +24,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from cheetah_spark.catalog import load_table
 from cheetah_spark.functions import text as X
@@ -734,48 +735,75 @@ _ANN_CONTRACT_ORACLE = f"""
 """
 
 
-_exact_topk_memo: dict = {}  # sf_dir -> (schema, [Row]); see _ann_contract
-
-
 def _exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact top-k ground truth used as the ANN verification
-    anchor, memoized per fixture: it is deterministic, bounded (|Q|×k
-    rows — 100 at sf0.1), and shared by all three ANN contract queries
-    — an evaluation pipeline computes its ground-truth table once, it
-    does not re-run the exact scan per index variant. A collect →
-    createDataFrame round trip preserves doubles bit-exactly."""
-    if sf_dir not in _exact_topk_memo:
-        df = q_llm_similarity_topk(spark, sf_dir)
-        _exact_topk_memo[sf_dir] = (df.schema, df.collect())
-    schema, rows = _exact_topk_memo[sf_dir]
-    return spark.createDataFrame(rows, schema)
+    anchor: deterministic, bounded (|Q|×k rows — 100 at sf0.1), and
+    shared by all three ANN contract queries — an evaluation pipeline
+    computes its ground-truth table ONCE per fixture, persists it, and
+    reuses it across every index variant and every process (round-4
+    verdict item #2: the anchor must not ride the per-query hot path).
+    anchors.anchor_df keys the persisted parquet by the embeddings
+    fixture's (mtime, size) and serves bit-exact doubles from a
+    collect → createDataFrame local relation."""
+    from cheetah_spark.anchors import anchor_df
+
+    return anchor_df(spark, sf_dir, "exact_topk", ("embeddings",), q_llm_similarity_topk)
+
+
+def _exact_topk_rows(spark: SparkSession, sf_dir: str):
+    from cheetah_spark.anchors import _memo, anchor_df
+
+    anchor_df(spark, sf_dir, "exact_topk", ("embeddings",), q_llm_similarity_topk)
+    return _memo[(sf_dir, "exact_topk")]
 
 
 def _ann_contract(spark: SparkSession, sf_dir: str, approx: DataFrame, recall_floor: float) -> DataFrame:
     """Per-query contract rows for an approximate top-k result: exact
     top-1 anchors + returned-count + an aggregate recall>=floor
-    boolean (pinned TRUE in the oracle)."""
-    exact = _exact_topk(spark, sf_dir)
-    ap = approx.select("query_id", "neighbor_id")
-    overall = (
-        exact.join(ap.withColumn("hit", F.lit(1.0)), ["query_id", "neighbor_id"], "left")
-        .agg((F.avg(F.coalesce(F.col("hit"), F.lit(0.0))) >= F.lit(recall_floor)).alias("recall_ok"))
-    )
-    nret = ap.groupBy("query_id").agg(F.count("*").cast("bigint").alias("n_ret"))
-    top1 = exact.where(F.col("rk") == 1).select(
-        "query_id",
-        F.col("neighbor_id").alias("exact_top1_id"),
-        F.col("cos_sim").alias("exact_top1_cos"),
-    )
-    return (
-        top1.join(nret, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce(F.col("n_ret"), F.lit(0)).alias("n_ret"),
-            "exact_top1_id",
-            "exact_top1_cos",
+    boolean (pinned TRUE in the oracle).
+
+    The approx pipeline executes exactly ONCE: a single pass joins it
+    against the broadcast exact-pair set and aggregates (n_ret, n_hit)
+    per query — |Q| rows, collected — and the contract rows are then
+    assembled driver-side from that bounded summary plus the persisted
+    exact anchor. (The round-4 shape referenced ``approx`` from two
+    plan branches, so every ANN index was built and probed twice per
+    query — measured ~2× on q_llm_ann_lsh/ivf/pq.)"""
+    _schema, exact_rows = _exact_topk_rows(spark, sf_dir)
+    exact_pairs = spark.createDataFrame(
+        [(r.query_id, r.neighbor_id) for r in exact_rows],
+        "query_id long, neighbor_id long",
+    ).withColumn("hit", F.lit(1))
+    per_q = (
+        approx.select("query_id", "neighbor_id")
+        .join(F.broadcast(exact_pairs), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_ret"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
         )
-        .crossJoin(F.broadcast(overall))
+        .collect()
+    )
+    # recall over the exact top-k pair set == avg(hit) of the old
+    # exact-left-join formulation (top-k outputs are duplicate-free).
+    recall_ok = bool(sum(r.n_hit for r in per_q) / len(exact_rows) >= recall_floor)
+    stats = {r.query_id: r.n_ret for r in per_q}
+    rows = [
+        (r.query_id, stats.get(r.query_id, 0), r.neighbor_id, r.cos_sim, recall_ok)
+        for r in exact_rows
+        if r.rk == 1
+    ]
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType(), False),
+                T.StructField("n_ret", T.LongType(), False),
+                T.StructField("exact_top1_id", T.LongType(), False),
+                T.StructField("exact_top1_cos", T.DoubleType(), False),
+                T.StructField("recall_ok", T.BooleanType(), False),
+            ]
+        ),
     )
 
 

@@ -200,7 +200,16 @@ def q_approx_quantile_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
     margin). A 100 TB run keeps the sketches and drops the exact
     anchors; they ride along here only as verification.
 
-    Physical-plan notes (measured 80 s → ~3 s at sf0.1, same answer):
+    The exact anchors (two count-distincts + the exact percentile rank
+    bands) are deterministic functions of the static fixture, so they
+    are computed once per fixture via anchors.anchor_df (persisted
+    parquet keyed by lineitem's mtime) and broadcast-joined back — the
+    per-query hot path is ONE single-pass sketch aggregate, exactly
+    what a 100 TB run would execute (round-4 verdict item #2: anchor
+    cost must not ride the operator).
+
+    Physical-plan notes for the anchor build itself (measured 80 s →
+    ~3 s at sf0.1, same answer):
 
     1. COUNT(DISTINCT) must NOT share an Aggregate with
        sketch/percentile functions. Catalyst rewrites multi-distinct
@@ -215,41 +224,17 @@ def q_approx_quantile_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
     2. Exact multi-percentile uses ONE ``percentile(col, array(...))``
        buffer, not four separate aggregates (4 sorted-value buffers →
        1; measured 3.4 s → 1.2 s)."""
+    from cheetah_spark.anchors import anchor_df
+
     l = load_table(spark, sf_dir, "lineitem")
-    parts_cd = (
-        l.select("l_returnflag", "l_partkey")
-        .distinct()
-        .groupBy("l_returnflag")
-        .agg(F.count("*").alias("n_exact_parts"))
-    )
-    orders_cd = (
-        l.select("l_returnflag", "l_orderkey")
-        .distinct()
-        .groupBy("l_returnflag")
-        .agg(F.count("*").alias("n_exact_orders"))
-    )
-    bands = F.percentile(
-        "l_extendedprice",
-        F.array(F.lit(0.49), F.lit(0.51), F.lit(0.89), F.lit(0.91)),
-    )
+    anchor = anchor_df(spark, sf_dir, "quantile_cd", ("lineitem",), _quantile_cd_anchor)
     sketches = l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("ao"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("am"),
         F.percentile_approx("l_extendedprice", 0.9, 10000).alias("a9"),
-        bands.alias("bands"),
     )
-    g = (
-        parts_cd.join(orders_cd, "l_returnflag")
-        .join(F.broadcast(sketches), "l_returnflag")
-        .select(
-            "*",
-            F.element_at("bands", 1).alias("p49"),
-            F.element_at("bands", 2).alias("p51"),
-            F.element_at("bands", 3).alias("p89"),
-            F.element_at("bands", 4).alias("p91"),
-        )
-    )
+    g = sketches.join(F.broadcast(anchor), "l_returnflag")
 
     def within_5pct(approx, exact):  # |err| * 20 <= exact, exact ints
         return F.abs(approx - F.col(exact)) * 20 <= F.col(exact)
@@ -263,3 +248,41 @@ def q_approx_quantile_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("am").between(F.col("p49"), F.col("p51")).alias("median_in_rank_band"),
         F.col("a9").between(F.col("p89"), F.col("p91")).alias("p90_in_rank_band"),
     )
+
+
+def _quantile_cd_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact verification anchors for q_approx_quantile_cd, one row
+    per l_returnflag: exact count-distincts (see plan note 1 — each in
+    its own Expand-free two-level aggregate) and the exact percentile
+    rank bands (plan note 2 — one shared percentile buffer). Built
+    once per fixture and persisted by anchors.anchor_df."""
+    l = load_table(spark, sf_dir, "lineitem")
+    parts_cd = (
+        l.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_exact_parts"))
+    )
+    orders_cd = (
+        l.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_exact_orders"))
+    )
+    bands = (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.percentile(
+                "l_extendedprice",
+                F.array(F.lit(0.49), F.lit(0.51), F.lit(0.89), F.lit(0.91)),
+            ).alias("bands")
+        )
+        .select(
+            "l_returnflag",
+            F.element_at("bands", 1).alias("p49"),
+            F.element_at("bands", 2).alias("p51"),
+            F.element_at("bands", 3).alias("p89"),
+            F.element_at("bands", 4).alias("p91"),
+        )
+    )
+    return parts_cd.join(orders_cd, "l_returnflag").join(bands, "l_returnflag")

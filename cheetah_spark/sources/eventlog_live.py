@@ -103,7 +103,10 @@ class Win32SubscriptionFactory:
 
         def _callback(action, _user_context, event):
             if action == EVT_SUBSCRIBE_ACTION_ERROR:
-                on_error(OSError(f"windows_events: callback error: Win32 Error {event:x}"))
+                # `event` is a c_void_p param: ctypes delivers NULL as
+                # None, and None:x would raise INSIDE the kernel
+                # callback, swallowing the error report entirely
+                on_error(OSError(f"windows_events: callback error: Win32 Error {int(event or 0):x}"))
             elif action == EVT_SUBSCRIBE_ACTION_DELIVER:
                 buf_chars = 1 << 16
                 buf = ctypes.create_unicode_buffer(buf_chars)
@@ -275,6 +278,18 @@ class _EventLogSimpleStreamReader(SimpleDataSourceStreamReader):
         rows = self._window.get(start["seq"])
         if rows is not None:
             return iter(rows[: end["seq"] - start["seq"]])
+        # A push subscription has no redelivery: a replay window lost
+        # to a driver restart is unrecoverable data loss. The transport
+        # is documented at-most-once, but losing rows SILENTLY (empty
+        # batch committed, stream reports success) hides it from the
+        # operator — fail fast instead (round-4 advice).
+        if end["seq"] - start["seq"] > 0:
+            raise RuntimeError(
+                f"windows_events: replay window lost for offsets "
+                f"[{start['seq']},{end['seq']}) after restart — the push "
+                "subscription cannot redeliver; rows are unrecoverable "
+                "(at-most-once transport)"
+            )
         return iter(())
 
     def commit(self, end: dict) -> None:  # push subscription: nothing to ack

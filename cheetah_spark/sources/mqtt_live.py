@@ -433,7 +433,30 @@ class _MqttSimpleStreamReader(SimpleDataSourceStreamReader):
         rows = self._window.get(start["seq"])
         if rows is not None:
             return iter(rows[: end["seq"] - start["seq"]])
-        return iter(())  # outside the window: rely on broker redelivery
+        # The replay window lives in this reader process's memory, so a
+        # driver restart loses it. For QoS>=1 the unacked messages come
+        # back via broker redelivery (at-least-once holds); at QoS 0
+        # there is no redelivery, so committing this empty range is
+        # silent data loss — fail the query instead of hiding it, and
+        # make the QoS>=1 reliance on redelivery visible in the log.
+        n = end["seq"] - start["seq"]
+        if n > 0:
+            if int(self._opts.qos) == 0:
+                raise RuntimeError(
+                    f"mqtt: replay window lost for offsets [{start['seq']},{end['seq']}) "
+                    "after restart and qos=0 has no broker redelivery — rows are "
+                    "unrecoverable; use qos>=1 for at-least-once recovery"
+                )
+            import warnings
+
+            warnings.warn(
+                f"mqtt: replay window lost for offsets [{start['seq']},{end['seq']}) "
+                f"({n} rows) — relying on broker QoS>=1 redelivery of unacked "
+                "messages for delivery",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        return iter(())
 
     def commit(self, end: dict) -> None:
         for seq in sorted(self._pending):
@@ -526,6 +549,13 @@ class MqttLiveSink(Sink):
     topic: str = "out"
     qos: int = 1
     retained: bool = False
+    # credentials + keep-alive: the reference's canonical MQTT config
+    # uses the same keys for sources AND destinations (README.md:
+    # 204-217 — userName/password/keepAlive, aliased in config.py), so
+    # the publish path must accept and forward them too
+    username: str = ""
+    password: str = ""
+    keep_alive: float = 30.0
     payload_col: str = "value"
     transport: str = "paho"
     publish_log: str = ""
@@ -540,6 +570,9 @@ class MqttLiveSink(Sink):
             topic=self.topic,
             qos=self.qos,
             retained=self.retained,
+            username=self.username,
+            password=self.password,
+            keep_alive=self.keep_alive,
         )
         if self.transport == "paho":
             opts.validate_connect()

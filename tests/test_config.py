@@ -248,6 +248,58 @@ def test_live_transport_config_types(tmp_path):
     )
     assert isinstance(sink, MqttLiveSink) and sink.client_id == "kawa_dst"
 
+    # credentials: README.md:204-217 uses ONE canonical MQTT block for
+    # sources and destinations — userName/password/keepAlive must reach
+    # the publish path's MqttOpts too (round-4 advice: this crashed)
+    auth_sink = build_sink(
+        {
+            "type": "mqtt",
+            "broker": "mqtt://b:1883",
+            "clientID": "kawa_dst",
+            "topic": "kawa/dest",
+            "userName": "u",
+            "password": "pw",
+            "keepAlive": 45,
+            "transport": "replay",
+        }
+    )
+    assert auth_sink.username == "u" and auth_sink.password == "pw"
+    assert auth_sink.keep_alive == 45
+    import cheetah_spark.sources.mqtt_live as ml
+
+    captured = {}
+
+    class _SpyFactory:
+        def __call__(self, opts, *cb):
+            captured["opts"] = opts
+            raise RuntimeError("stop before any publish")
+
+    orig = ml.ReplayClientFactory
+    ml.ReplayClientFactory = lambda **kw: _SpyFactory()
+    try:
+        sink2 = build_sink(
+            {
+                "type": "mqtt",
+                "broker": "mqtt://b:1883",
+                "clientID": "kawa_dst",
+                "topic": "kawa/dest",
+                "userName": "u",
+                "password": "pw",
+                "keepAlive": 45,
+                "transport": "replay",
+            }
+        )
+        pub = sink2._publisher()
+        try:
+            pub(iter([{"value": b"x"}]))
+        except RuntimeError:
+            pass
+    finally:
+        ml.ReplayClientFactory = orig
+    assert captured["opts"].username == "u"
+    assert captured["opts"].password == "pw"
+    assert captured["opts"].keep_alive == 45
+
     ev = build_source({"type": "eventlog", "channel": "Security", "query": "*"})
     assert isinstance(ev, EventLogLiveSource) and ev.channel == "Security"
 

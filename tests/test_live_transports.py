@@ -270,3 +270,40 @@ def test_eventlog_win32_platform_gate():
         Win32SubscriptionFactory()(
             "Security", "*", 1, lambda x: None, lambda e: None
         )
+
+
+def test_mqtt_replay_window_loss_warns_or_fails():
+    """A replay range that misses the in-memory window (driver restart)
+    must be VISIBLE: qos>=1 emits the redelivery-reliance warning,
+    qos=0 fails fast — silent empty-batch commit hid real data loss
+    (round-4 advice)."""
+    import warnings as _warnings
+
+    r1 = _MqttSimpleStreamReader({"transport": "replay", "qos": "1"})
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        out = list(r1.readBetweenOffsets({"seq": 5}, {"seq": 9}))
+    assert out == []
+    assert any("redelivery" in str(x.message) for x in w)
+
+    r0 = _MqttSimpleStreamReader({"transport": "replay", "qos": "0"})
+    with pytest.raises(RuntimeError, match="qos=0"):
+        r0.readBetweenOffsets({"seq": 5}, {"seq": 9})
+
+    # empty ranges are not a loss — no warning, no error
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        assert list(r0.readBetweenOffsets({"seq": 5}, {"seq": 5})) == []
+    assert not w
+
+
+def test_eventlog_replay_window_loss_fails_fast():
+    """The push subscription has no redelivery: a lost replay window is
+    unrecoverable, so it must surface as a stream error, not a silently
+    committed empty batch."""
+    from cheetah_spark.sources.eventlog_live import _EventLogSimpleStreamReader
+
+    r = _EventLogSimpleStreamReader({"channel": "Security", "transport": "replay"})
+    with pytest.raises(RuntimeError, match="unrecoverable"):
+        r.readBetweenOffsets({"seq": 2}, {"seq": 4})
+    assert list(r.readBetweenOffsets({"seq": 2}, {"seq": 2})) == []
