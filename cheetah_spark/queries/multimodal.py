@@ -52,42 +52,56 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT media_type,
                COUNT(*)::BIGINT AS n_media,
-               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
-               CAST(MAX(CASE WHEN media_type IN ('png','jpeg','mp4')
-                    THEN 64 + (doc_id * 31) % 1024 ELSE 0 END) AS INTEGER) AS max_width,
-               CAST(MAX(CASE WHEN media_type IN ('png','jpeg','mp4')
-                    THEN 64 + (doc_id * 17) % 768 ELSE 0 END) AS INTEGER) AS max_height,
+               CAST(MAX(CASE WHEN media_type = 'png' THEN 16 + doc_id % 32
+                    WHEN media_type IN ('jpeg','mp4') THEN 64 + (doc_id * 31) % 1024
+                    ELSE 0 END) AS INTEGER) AS max_width,
+               CAST(MAX(CASE WHEN media_type = 'png' THEN 8 + doc_id % 16
+                    WHEN media_type IN ('jpeg','mp4') THEN 64 + (doc_id * 17) % 768
+                    ELSE 0 END) AS INTEGER) AS max_height,
                CAST(MAX(CASE WHEN media_type IN ('png','jpeg') THEN 1
                     WHEN media_type = 'mp4' THEN 1 + n_bytes % 240
+                    WHEN media_type = 'wav' THEN 64 + doc_id % 64
                     ELSE 0 END) AS INTEGER) AS max_frames,
                CAST(MAX(CASE WHEN media_type = 'wav'
-                    THEN 8000 + (n_bytes % 8) * 4000 ELSE 0 END) AS INTEGER) AS max_sample_rate
+                    THEN 8000 + (doc_id % 8) * 1000 ELSE 0 END) AS INTEGER) AS max_sample_rate,
+               CAST(SUM(CASE WHEN media_type = 'png'
+                    THEN (16 + doc_id % 32) * (8 + doc_id % 16) * (doc_id % 256)
+                    ELSE 0 END) AS BIGINT) AS sum_pixels,
+               CAST(SUM(CASE WHEN media_type = 'wav'
+                    THEN (64 + doc_id % 64) * (doc_id % 30000)
+                    ELSE 0 END) AS BIGINT) AS sum_samples
         FROM f GROUP BY media_type
     """,
     tags=("multimodal", "udf"),
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stubbed media decode through the real Arrow/mapInPandas pipeline:
-    binary payloads cross into pandas batches, a (deterministic fake)
-    decoder emits a typed feature frame per batch — the exact plumbing
-    a PIL/ffmpeg decoder plugs into (see multimodal.decode_features).
-    Aggregated per media_type so the output is compact and stable.
+    """Media decode through the Arrow/mapInPandas pipeline — REAL for
+    png/wav: the envelope synthesizes actual PNG (CRC-chunked, zlib
+    scanlines) and PCM WAV files, and decode_features recovers
+    width/height/pixel sums and sample-rate/frame/sample sums with
+    stdlib codecs. jpeg/mp4 payloads (external codecs, none in this
+    container) run the deterministic fake decoder — the PIL/ffmpeg
+    integration point (multimodal.decode_features(real_decode=True)).
 
-    Because the stub decoder is a pure integer function of
-    (doc_id, media_type, n_bytes), the DuckDB oracle mirrors it exactly
-    — so the whole binary→Arrow→pandas→features round trip is
-    hash-verified, not just row-counted. A real codec swap would move
-    this back to invariant checks (decoded features aren't
-    SQL-expressible)."""
+    Every encoded parameter is a closed-form function of doc_id, so
+    the DuckDB oracle recomputes what decode MUST recover: the hash
+    gate proves the binary→Arrow→pandas→decode round trip is lossless
+    for the real-codec half and byte-stable for the fake half. An
+    integrity failure (bad CRC, truncated chunk) zeroes that row's
+    features and breaks the sums — hash-visible.
+
+    Scale: two chained mapInPandas stages, no shuffle until the tiny
+    per-type aggregate; payload bytes never cross a shuffle."""
     d = load_table(spark, sf_dir, "documents")
-    feats = M.decode_features(M.media_table(d))
+    feats = M.decode_features(M.mixed_media_table(d))
     return feats.groupBy("media_type").agg(
         F.count("*").alias("n_media"),
-        F.sum("n_bytes").alias("total_bytes"),
         F.max("width").alias("max_width"),
         F.max("height").alias("max_height"),
         F.max("n_frames").alias("max_frames"),
         F.max("sample_rate").alias("max_sample_rate"),
+        F.sum("pixel_sum").alias("sum_pixels"),
+        F.sum("sample_sum").alias("sum_samples"),
     )
 
 

@@ -24,19 +24,26 @@ def test_media_envelope_roundtrip(spark, sf_dir):
 
 
 def test_decode_features_deterministic(spark, sf_dir):
+    """png/wav are decoded FOR REAL (stdlib codecs recover the encoded
+    closed-form parameters); jpeg/mp4 run the deterministic fake."""
     d = load_table(spark, sf_dir, "documents").limit(50)
-    feats = M.decode_features(M.media_table(d))
+    feats = M.decode_features(M.mixed_media_table(d))
     a = sorted(map(str, feats.collect()))
     b = sorted(map(str, feats.collect()))
     assert a == b
-    by_type = {r.media_type for r in feats.collect()}
-    assert by_type <= set(M.MAGIC) | {"unknown"}
-    # images have dims, wav has sample rate, mp4 has frames
-    for r in feats.collect():
-        if r.media_type in ("png", "jpeg"):
+    rows = feats.collect()
+    assert {r.media_type for r in rows} <= set(M.MAGIC) | {"unknown"}
+    for r in rows:
+        if r.media_type == "png":  # real decode of a real file
+            assert (r.width, r.height) == (16 + r.doc_id % 32, 8 + r.doc_id % 16)
+            assert r.n_frames == 1
+            assert r.pixel_sum == r.width * r.height * (r.doc_id % 256)
+        elif r.media_type == "wav":  # real decode of a real file
+            assert r.sample_rate == 8000 + (r.doc_id % 8) * 1000
+            assert r.n_frames == 64 + r.doc_id % 64
+            assert r.sample_sum == r.n_frames * (r.doc_id % 30000)
+        elif r.media_type == "jpeg":
             assert r.width > 0 and r.height > 0 and r.n_frames == 1
-        elif r.media_type == "wav":
-            assert r.sample_rate >= 8000
         elif r.media_type == "mp4":
             assert r.n_frames >= 1
 
@@ -44,15 +51,32 @@ def test_decode_features_deterministic(spark, sf_dir):
 def test_decode_partitioning_invariance(spark, sf_dir):
     """Feature output must not depend on partitioning/batch shape."""
     d = load_table(spark, sf_dir, "documents").limit(64)
-    one = M.decode_features(M.media_table(d).repartition(1)).collect()
-    many = M.decode_features(M.media_table(d).repartition(13)).collect()
+    one = M.decode_features(M.mixed_media_table(d).repartition(1)).collect()
+    many = M.decode_features(M.mixed_media_table(d).repartition(13)).collect()
     assert sorted(map(str, one)) == sorted(map(str, many))
 
 
-def test_real_decode_is_stubbed(spark, sf_dir):
+def test_undecodable_png_wav_yield_zero_features(spark, sf_dir):
+    """A png/wav payload that fails real parsing (the legacy fake
+    envelope: magic bytes + text, no valid structure) must emit all-zero
+    features — undecodable is visible, never silently faked."""
+    d = load_table(spark, sf_dir, "documents").limit(40)
+    rows = M.decode_features(M.media_table(d)).collect()
+    checked = 0
+    for r in rows:
+        if r.media_type in ("png", "wav"):
+            assert (r.width, r.height, r.n_frames, r.sample_rate) == (0, 0, 0, 0)
+            assert (r.pixel_sum, r.sample_sum) == (0, 0)
+            checked += 1
+    assert checked > 0
+
+
+def test_real_decode_gate_narrows_to_jpeg_mp4(spark, sf_dir):
+    """real_decode=True is the jpeg/mp4 integration point — still
+    import-gated on PIL; png/wav no longer need it."""
     d = load_table(spark, sf_dir, "documents").limit(1)
-    with pytest.raises(NotImplementedError, match="STUB"):
-        M.decode_features(M.media_table(d), real_decode=True)
+    with pytest.raises(NotImplementedError, match="jpeg/mp4"):
+        M.decode_features(M.mixed_media_table(d), real_decode=True)
 
 
 def test_payload_projected_away_before_wide_ops(spark, sf_dir):
