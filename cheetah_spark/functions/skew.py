@@ -80,3 +80,60 @@ def salted_agg(
     salted = with_salt(df, buckets, salt_on=salt_on)
     partial = salted.groupBy(*keys, SALT_COL).agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def hot_salted_join(
+    big: DataFrame,
+    dim: DataFrame,
+    on: str,
+    freq_col: str,
+    salt_on: str,
+    hot_k: int = 1024,
+    buckets: int = 8,
+) -> DataFrame:
+    """Inner equi-join with DETERMINISTIC pre-salting of only the hot
+    head of a Zipf-skewed key — the scale answer for token-keyed joins
+    whose dim side is aggregate-fed.
+
+    Why AQE is not enough here: OptimizeSkewedJoin only rewrites a
+    sort-merge join whose Sort children sit DIRECTLY on shuffle stages;
+    an aggregate between the shuffle and the join (the df/vocab side of
+    tf⋈df joins — exactly this shape) breaks the pattern and the
+    planted-skew test shows the split never engages, even with
+    forceOptimizeSkewedJoin (tests/test_skew.py::
+    test_aqe_skew_join_blocked_by_aggregate_side, measured on this
+    Spark). And at 100 TB the vocabulary outgrows the broadcast
+    threshold, so the join can't fall back to broadcast either.
+
+    Technique: take the bounded hot head of ``dim`` (top ``hot_k``
+    keys by ``freq_col`` — the Zipf head; a driver-side collect of K
+    keys, same bounded-state class as k-means centroids), replicate
+    ONLY those dim rows ``buckets``×, and salt big rows on
+    ``hash(salt_on) % buckets`` only when their key is hot. One scan
+    of ``big``, dim grows by K×(buckets-1) rows, and the hot key's
+    rows spread over ``buckets`` reducers. Cold keys keep salt 0 and
+    join exactly as before; results are identical to the plain join
+    (salting changes partitioning, never matches).
+    """
+    hot_rows = (
+        dim.select(on)
+        .orderBy(F.col(freq_col).desc(), F.col(on).asc())
+        .limit(hot_k)
+        .collect()
+    )
+    hot_list = [r[0] for r in hot_rows]
+    is_hot = F.col(on).isin(hot_list) if hot_list else F.lit(False)
+    dim_r = dim.withColumn(
+        SALT_COL,
+        # sequence(int, int) explodes to INT — matches the big side's cast
+        F.explode(
+            F.sequence(F.lit(0), F.when(is_hot, F.lit(buckets - 1)).otherwise(F.lit(0)))
+        ),
+    )
+    big_s = big.withColumn(
+        SALT_COL,
+        F.when(is_hot, F.pmod(F.xxhash64(F.col(salt_on)), F.lit(buckets)))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    return big_s.join(dim_r, on=[on, SALT_COL], how="inner").drop(SALT_COL)

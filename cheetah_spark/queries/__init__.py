@@ -29,71 +29,69 @@ from cheetah_spark.queries import tokenizer  # noqa: F401
 from cheetah_spark.queries import windows  # noqa: F401
 from cheetah_spark.queries import xmlio  # noqa: F401
 
-# Round-4 window: the 32 queries whose only green row is from round 1
-# (recorded BEFORE the NTZ→instant timestamp migration and the
-# ensure_instant_reads rewiring — their code paths changed under their
-# evidence, VERDICT r3 item 1), then every query whose semantics or
-# implementation changed this round, then the oldest r2 rows as filler.
-# Queries with green r3 rows rotate to the tail.
+# Round-5 window: queries whose implementation changed this round
+# (anchor-off-hot-path rewrite of the ANN contracts + quantile-CD, the
+# real-codec multimodal decode, and the live-transport replay-window
+# semantics), then the 29 queries whose latest green row dates from
+# round 2 (VERDICT r4 item 3: shared helpers churned under their
+# evidence — rotate the whole r2 cohort in), then the 8 r3-row holders
+# rotated out of the r4 window, then the oldest remaining r3 rows as
+# filler. Everything r4-green and unchanged rotates to the tail.
 CHECK_FIRST = [
-    # new this round: live-transport streaming queries + mixture op,
-    # no driver row yet
+    # changed this round: single-pass ANN contracts over persisted
+    # exact anchors; quantile-CD anchor split; real PNG/WAV decode
+    "q_llm_ann_lsh",
+    "q_llm_ann_ivf",
+    "q_llm_ann_pq",
+    "q_approx_quantile_cd",
+    "q_multimodal_decode",
+    "q_multimodal_codec_roundtrip",
+    "q_llm_similarity_topk",
+    # r2-stale cohort: latest green row predates the r3/r4 helper churn
+    "q_approx_distinct_hll",
+    "q_conditional_agg",
+    "q_deser_xml",
+    "q_exact_percentile",
+    "q_llm_chunk_windows",
+    "q_llm_decontaminate",
+    "q_llm_dedup_pipeline",
+    "q_llm_embed_dedup",
+    "q_llm_embed_quantize",
+    "q_llm_ngram_jaccard",
+    "q_llm_pack_sequences",
+    "q_llm_pii_redact",
+    "q_llm_repetition",
+    "q_llm_sample_stratified",
+    "q_llm_shuffle_shards",
+    "q_llm_span_dedup",
+    "q_llm_text_stats",
+    "q_llm_tfidf_topterms",
+    "q_llm_vocab_coverage",
+    "q_mqtt_envelope",
+    "q_null_semantics",
+    "q_scan_csv",
+    "q_scan_ndjson",
+    "q_sql_subqueries",
+    "q_stats_moments",
+    "q_window_analytic",
+    "q_window_frame_running",
+    "q_window_ntile",
+    "q_window_rank",
+    # rotated out of the r4 window (green r3 rows) — back in now;
+    # the live transports also carry the new replay-window semantics
+    "q_scan_orc",
+    "q_udtf_surface",
+    "s_stream_stateful_counter",
+    "s_stream_static_join",
+    "s_stream_identity",
+    "s_stream_stream_join",
+    "s_stream_dedup",
     "s_mqtt_live",
     "s_eventlog_live",
-    "q_llm_domain_mix",
-    "q_multimodal_codec_roundtrip",
-    "q_llm_bpe_train",
-    "q_llm_incremental_dedup",
-    "q_skew_salted_agg",
-    "q_llm_quality_regression",
-    # r1-stale: unchecked since round 1, refresh all 32
-    "q_agg_distinct",
-    "q_array_map_ops",
-    "q_cube_agg",
-    "q_distinct_dedup",
-    "q_grouping_sets",
-    "q_hash_agg",
-    "q_having_filter",
-    "q_json_ops",
-    "q_llm_exact_dedup",
-    "q_llm_ann_bruteforce",
-    "q_llm_ann_ivf",
-    "q_llm_ann_lsh",
-    "q_llm_fingerprint",
-    "q_llm_lang_id",
-    "q_llm_minhash_dedup",
-    "q_llm_quality_score",
-    "q_llm_simhash_dedup",
-    "q_llm_similarity_topk",
-    "q_llm_token_count",
-    "q_multimodal_decode",
-    "q_multimodal_meta",
-    "q_pivot_events",
-    "q_scalar_conditional",
-    "q_scalar_math",
-    "q_scalar_string",
-    "q_scan_text_lines",
-    "q_set_ops",
-    "q_sort_limit_topk",
-    "q_sql_interface",
-    "q_udf_surface",
-    "q_union_fanin",
-    "q_unpivot_events",
-    # changed this round (fixes / new oracles / rewrites / the replay
-    # admission-order fix touches every streaming query)
-    "q_llm_ann_pq",
-    "q_llm_semdedup",
-    "s_stream_rate",
-    "q_sec_cidr_match",
-    "q_llm_kmeans",
-    "s_stream_batcher",
-    "q_llm_dup_clusters",
-    "q_config_pipeline",
-    "q_approx_quantile_cd",
-    "s_stream_watermark_late",
-    # (q_approx_distinct_hll / q_scan_orc / q_udtf_surface /
-    # s_stream_stateful_counter /
-    # s_stream_static_join / s_stream_identity / s_stream_stream_join /
-    # s_stream_dedup rotated out to fit the 50-slot window — all hold
-    # green r3 rows)
+    # oldest remaining r3 rows as filler to 50
+    "q_approx_heavy_cmsketch",
+    "q_arrow_surface",
+    "q_asof_join",
+    "q_broadcast_join",
+    "q_bucketed_join",
 ]

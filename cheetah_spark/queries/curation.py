@@ -443,22 +443,29 @@ def q_llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic tie-break.
 
     Scale shape: tf is one shuffle keyed by (doc_id, term); df is a
-    vocabulary-sized aggregate of the tf table (map-side combined);
-    the tf⋈df join is left to AQE — vocabulary follows a Zipf
-    law, so at 100 TB the hot head of the vocab is exactly what AQE's
-    broadcast/skew handling is for. N_docs is a single bounded scalar
-    (same class as the documented centroid collects). The per-doc
-    top-1 is NOT a row_number window (sort + full shuffle of the
-    doc×term table): it is ``min(struct(-score, term))`` — an ordinary
-    aggregate with map-side partials, picking max score with the same
-    (score DESC, term ASC) tie-break the oracle's ROW_NUMBER spells
-    out."""
+    vocabulary-sized aggregate of the tf table (map-side combined).
+    The tf⋈df join key is Zipf-skewed ("the" is a heavy hitter) and
+    its dim side is aggregate-fed — the shape AQE's skew-join rewrite
+    can NOT split (OptimizeSkewedJoin needs bare shuffles directly
+    under both Sort children; measured in tests/test_skew.py) and at
+    100 TB the vocab outgrows the broadcast threshold — so the join
+    pre-salts the bounded Zipf head deterministically
+    (functions.skew.hot_salted_join: top-K hot terms replicated
+    buckets×, big rows salted on hash(doc_id)). N_docs is a single
+    bounded scalar (same class as the documented centroid collects).
+    The per-doc top-1 is NOT a row_number window (sort + full shuffle
+    of the doc×term table): it is ``min(struct(-score, term))`` — an
+    ordinary aggregate with map-side partials, picking max score with
+    the same (score DESC, term ASC) tie-break the oracle's ROW_NUMBER
+    spells out."""
+    from cheetah_spark.functions.skew import hot_salted_join
+
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()
     terms = d.select("doc_id", "lang", F.explode(X.tokens(F.col("text"))).alias("term"))
     tf = terms.groupBy("doc_id", "lang", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(dfreq, "term").select(
+    scored = hot_salted_join(tf, dfreq, "term", freq_col="df", salt_on="doc_id").select(
         "doc_id", "lang", "term",
         F.expr(f"tf * (CAST({n_docs * _IDF_SCALE} AS BIGINT) div df)").alias("score"),
     )
@@ -1140,20 +1147,26 @@ def q_llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     operands.
 
     Scale shape: one token-keyed aggregate builds the vocab (map-side
-    combinable), one token-keyed join scores the corpus — the join key
-    is Zipf-skewed ("the" is a heavy hitter), which is exactly what AQE
-    skew-join splitting handles; with a bounded vocab the scored table
-    broadcast-joins instead and the corpus is never shuffled. Either
-    way the per-doc rollup shuffles on uniformly-distributed doc_id."""
+    combinable), one token-keyed join scores the corpus. The join key
+    is Zipf-skewed ("the" is a heavy hitter) and the vocab side is
+    aggregate-fed — the shape AQE skew-join can NOT split (measured:
+    tests/test_skew.py::test_aqe_skew_join_blocked_by_aggregate_side),
+    and a 100 TB vocabulary outgrows the broadcast threshold — so the
+    bounded Zipf head is pre-salted deterministically
+    (functions.skew.hot_salted_join; hottest tokens by cnt replicated
+    buckets×, corpus rows salted on hash(doc_id)). The per-doc rollup
+    then shuffles on uniformly-distributed doc_id."""
+    from cheetah_spark.functions.skew import hot_salted_join
+
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", "lang", F.explode(X.tokens(F.col("text"))).alias("tok"))
     vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").cast("bigint").alias("total"))
     scored = vocab.crossJoin(F.broadcast(total)).select(
-        "tok", snap(F.log(F.col("cnt") / F.col("total")), 6).alias("logp")
+        "tok", "cnt", snap(F.log(F.col("cnt") / F.col("total")), 6).alias("logp")
     )
     per_doc = (
-        tok.join(scored, "tok")
+        hot_salted_join(tok, scored, "tok", freq_col="cnt", salt_on="doc_id")
         .groupBy("doc_id", "lang")
         .agg(F.count("*").alias("n_tok"), dsum("logp").alias("sum_logp"))
     )

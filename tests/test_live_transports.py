@@ -307,3 +307,104 @@ def test_eventlog_replay_window_loss_fails_fast():
     with pytest.raises(RuntimeError, match="unrecoverable"):
         r.readBetweenOffsets({"seq": 2}, {"seq": 4})
     assert list(r.readBetweenOffsets({"seq": 2}, {"seq": 2})) == []
+
+
+def test_mqtt_live_crash_recovery_no_loss(spark, sf_dir, tmp_path):
+    """Reference SuiteTest no-loss/no-dup (test/suite_test.go:85-104)
+    under FAILURE, not just happy path: kill the StreamingQuery
+    mid-replay, restart from the same checkpoint into an exactly-once
+    file sink, and assert (a) the committed prefix at kill time is
+    duplicate-free and gap-free, (b) after recovery every captured
+    message is present (no loss), with duplicates bounded by the one
+    broker redelivery the restart triggers (at-least-once)."""
+    import time as _time
+    from collections import Counter
+
+    from cheetah_spark.sources.mqtt_live import MqttLiveSource
+
+    cap = mqtt_capture_dir(spark, sf_dir)
+    total = spark.read.json(cap).count()
+    sink_dir = str(tmp_path / "mqtt_sink")
+    ckpt = str(tmp_path / "mqtt_ckpt")
+    src = MqttLiveSource(
+        transport="replay", capture_path=cap, topic="#", qos=1, chunk_size=200
+    )
+
+    def start():
+        return (
+            src.read(spark)
+            .selectExpr("key", "topic")
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    deadline = _time.time() + 90
+    committed = 0
+    while _time.time() < deadline:
+        try:
+            committed = spark.read.parquet(sink_dir).count()
+        except Exception:
+            committed = 0
+        if committed > 0:
+            break
+        _time.sleep(0.2)
+    q.stop()  # kill mid-replay (graceful stop; in-flight batch may drop)
+
+    mids = sorted(int(r.key) for r in spark.read.parquet(sink_dir).collect())
+    assert len(mids) == len(set(mids)), "committed prefix has duplicates"
+    assert mids == list(range(len(mids))), "committed prefix has gaps"
+
+    q2 = start()  # restart from the checkpoint; broker redelivers
+    q2.processAllAvailable()
+    q2.stop()
+    counts = Counter(int(r.key) for r in spark.read.parquet(sink_dir).collect())
+    assert set(counts) == set(range(total)), "rows lost across restart"
+    assert max(counts.values()) <= 2, "more than one redelivery duplicated"
+
+
+def test_eventlog_live_crash_recovery(spark, tmp_path):
+    """Restart conformance for the push-subscription transport: the
+    committed prefix is duplicate-free, and recovery either completes
+    with the re-subscription's redelivery (bounded dups) or fails fast
+    with the documented unrecoverable-window error — never a silent
+    empty commit."""
+    from collections import Counter
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    cap = _write_capture(tmp_path, n=40)
+    sink_dir = str(tmp_path / "evt_sink")
+    ckpt = str(tmp_path / "evt_ckpt")
+    src = EventLogLiveSource(channel="Security", transport="replay", capture_path=cap)
+
+    def start():
+        return (
+            src.read(spark)
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    run1 = [r.xml for r in spark.read.parquet(sink_dir).collect()]
+    c1 = Counter(run1)
+    # all 40 capture events are distinct: committed prefix must be
+    # complete and duplicate-free
+    assert len(run1) == 40 and max(c1.values()) == 1
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+        q2.stop()
+        counts = Counter(r.xml for r in spark.read.parquet(sink_dir).collect())
+        # re-subscription redelivered the capture exactly once more
+        assert set(counts) == set(run1)
+        assert max(counts.values()) <= 2 * max(c1.values())
+    except StreamingQueryException as e:
+        q2.stop()
+        assert "unrecoverable" in str(e)
