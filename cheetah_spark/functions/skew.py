@@ -90,6 +90,7 @@ def hot_salted_join(
     salt_on: str,
     hot_k: int = 1024,
     buckets: int = 8,
+    hot_probe: DataFrame | None = None,
 ) -> DataFrame:
     """Inner equi-join with DETERMINISTIC pre-salting of only the hot
     head of a Zipf-skewed key — the scale answer for token-keyed joins
@@ -105,20 +106,31 @@ def hot_salted_join(
     Spark). And at 100 TB the vocabulary outgrows the broadcast
     threshold, so the join can't fall back to broadcast either.
 
-    Technique: take the bounded hot head of ``dim`` (top ``hot_k``
-    keys by ``freq_col`` — the Zipf head; a driver-side collect of K
-    keys, same bounded-state class as k-means centroids), replicate
-    ONLY those dim rows ``buckets``×, and salt big rows on
+    Technique: take the bounded hot head (top ``hot_k`` keys by
+    ``freq_col`` — the Zipf head; a driver-side collect of K keys,
+    same bounded-state class as k-means centroids), replicate ONLY
+    those dim rows ``buckets``×, and salt big rows on
     ``hash(salt_on) % buckets`` only when their key is hot. One scan
     of ``big``, dim grows by K×(buckets-1) rows, and the hot key's
     rows spread over ``buckets`` reducers. Cold keys keep salt 0 and
     join exactly as before; results are identical to the plain join
     (salting changes partitioning, never matches).
+
+    ``hot_probe`` (default: ``dim`` itself) is the relation the hot
+    head is detected from — pass a cheap ESTIMATE (e.g. a seeded
+    sample of the corpus, aggregated) so the eager hot-set collect
+    does not recompute the full dim pipeline: correctness never
+    depends on the hot set (a missed hot key just salts less; a
+    false positive salts a cold key harmlessly), so a sampled
+    heavy-hitter estimate is exactly as safe and far cheaper — the
+    production posture at 100 TB.
     """
     hot_rows = (
-        dim.select(on)
+        (hot_probe if hot_probe is not None else dim)
+        .select(on, freq_col)
         .orderBy(F.col(freq_col).desc(), F.col(on).asc())
         .limit(hot_k)
+        .select(on)
         .collect()
     )
     hot_list = [r[0] for r in hot_rows]

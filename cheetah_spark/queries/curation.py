@@ -465,7 +465,18 @@ def q_llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = d.select("doc_id", "lang", F.explode(X.tokens(F.col("text"))).alias("term"))
     tf = terms.groupBy("doc_id", "lang", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = hot_salted_join(tf, dfreq, "term", freq_col="df", salt_on="doc_id").select(
+    # hot-head detection from a seeded 5% sample — a heavy-hitter
+    # ESTIMATE is as safe as the exact head (see hot_salted_join) and
+    # avoids recomputing the full tokenize pipeline eagerly
+    probe = (
+        d.sample(0.05, seed=7)
+        .select(F.explode(X.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    scored = hot_salted_join(
+        tf, dfreq, "term", freq_col="df", salt_on="doc_id", hot_probe=probe
+    ).select(
         "doc_id", "lang", "term",
         F.expr(f"tf * (CAST({n_docs * _IDF_SCALE} AS BIGINT) div df)").alias("score"),
     )
@@ -1165,8 +1176,14 @@ def q_llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = vocab.crossJoin(F.broadcast(total)).select(
         "tok", "cnt", snap(F.log(F.col("cnt") / F.col("total")), 6).alias("logp")
     )
+    probe = (
+        d.sample(0.05, seed=7)
+        .select(F.explode(X.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
     per_doc = (
-        hot_salted_join(tok, scored, "tok", freq_col="cnt", salt_on="doc_id")
+        hot_salted_join(tok, scored, "tok", freq_col="cnt", salt_on="doc_id", hot_probe=probe)
         .groupBy("doc_id", "lang")
         .agg(F.count("*").alias("n_tok"), dsum("logp").alias("sum_logp"))
     )
