@@ -955,12 +955,18 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    melted = (
-        e.select("vec_id", "embedding")
-        .mapInPandas(assign, "vec_id long, embedding array<float>, band int, bucket long")
-        .withColumn("nsq", V.l2_norm_sq(F.col("embedding")))
-    )
-    q = melted.where(F.col("vec_id") % _QUERY_MOD == 0).select(
+    def bucketed(df):
+        return df.select("vec_id", "embedding").mapInPandas(
+            assign, "vec_id long, embedding array<float>, band int, bucket long"
+        ).withColumn("nsq", V.l2_norm_sq(F.col("embedding")))
+
+    melted = bucketed(e)
+    # The query side is ~1% of the corpus and feeds a broadcast, which
+    # is a SEPARATE plan branch — bucketing it from the pre-filtered
+    # scan keeps the full-corpus Arrow/numpy assign to ONE pass
+    # (previously the broadcast build re-ran assign over all rows just
+    # to keep 1%; measured ~2x on the whole query).
+    q = bucketed(e.where(F.col("vec_id") % _QUERY_MOD == 0)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("nsq").alias("nsq_q"),
@@ -1451,7 +1457,7 @@ _KM_K = 16
 _KM_ITERS = 5
 
 
-def _kmeans_centroids(spark: SparkSession, sf_dir: str, iters: int):
+def _kmeans_centroids(spark: SparkSession, sf_dir: str, iters: int, k: int = _KM_K):
     """Lloyd's iterations with bounded driver state: centroids live on
     the driver as a K×d array (broadcast into each assignment pass);
     the per-iteration update is a DISTRIBUTED per-(cluster, dim)
@@ -1467,12 +1473,12 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str, iters: int):
     downstream stages, it does not re-run Lloyd's per query."""
     import numpy as np
 
-    key = (sf_dir, iters)
+    key = (sf_dir, iters, k)
     e = load_table(spark, sf_dir, "embeddings")
     if key in _kmeans_memo:
         C, wcss_per_iter = _kmeans_memo[key]
         return e, C.copy(), list(wcss_per_iter)
-    seed = e.orderBy("vec_id").limit(_KM_K).collect()
+    seed = e.orderBy("vec_id").limit(k).collect()
     C = np.array([r.embedding for r in seed], dtype=np.float64)
 
     def make_assign(Cb):
@@ -1612,6 +1618,19 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEM_TARGET = 125  # target expected cluster size for SemDeDup
+
+
+def _semdedup_k(spark: SparkSession, sf_dir: str) -> int:
+    """SemDeDup cluster count, scaled with the corpus so expected
+    cluster size (and with it the per-cluster pairwise work) stays
+    bounded: K = max(_KM_K, ceil(n/_SEM_TARGET)). At the driver
+    fixtures (≤2000 vectors) this is exactly _KM_K, so contracts are
+    unchanged there; the growth matters at scale (see SCALE.md)."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    return max(_KM_K, -(-n // _SEM_TARGET))
+
+
 def _semdedup_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public method): semantic
     deduplication = cluster the corpus, then find near-duplicate pairs
@@ -1630,10 +1649,18 @@ def _semdedup_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair stage shuffles once on cid, and each cluster's pairs are
     generated locally by a cid-equi self-join — the join key bounds
     the blow-up to sum(|cluster|²), the quantity SemDeDup exists to
-    control."""
+    control. For that bound to hold, K must GROW with the corpus:
+    with fixed K, cluster sizes grow ∝n and within-cluster pairs ∝n²
+    — measured α=1.77 at 10× the fixture (SCALE.md) before this was
+    made adaptive. K = max(16, ⌈n/125⌉) caps expected cluster size at
+    ~125 vectors, making sum(|cluster|²) ≈ 125·n — linear — while the
+    driver's centroid state stays a K×d array (n/125 × 64 doubles =
+    0.004% of corpus size, bounded at any scale)."""
     import numpy as np
 
-    e, C, _wcss = _kmeans_centroids(spark, sf_dir, _KM_ITERS)
+    e, C, _wcss = _kmeans_centroids(
+        spark, sf_dir, _KM_ITERS, k=_semdedup_k(spark, sf_dir)
+    )
 
     # same planted near-duplicates as q_llm_embed_dedup (perturbed
     # re-encodes of every MOD-th vector) so the two dedup strategies
@@ -1746,7 +1773,7 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per.agg(
             F.sum("n_vectors").cast("bigint").alias("n_vectors"),
-            (F.countDistinct("cid") <= _KM_K).alias("n_clusters_le_k"),
+            (F.countDistinct("cid") <= _semdedup_k(spark, sf_dir)).alias("n_clusters_le_k"),
             (
                 F.sum(F.when(F.col("n_removed") > F.col("n_dup_pairs"), 1).otherwise(0)) == 0
             ).alias("removed_le_pairs"),

@@ -1,0 +1,64 @@
+"""Anchor persistence: build-once semantics, cross-process parquet
+reuse, bit-exact doubles, and mtime-keyed invalidation."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from cheetah_spark import anchors
+
+
+def _fixture_dir(tmp_path, spark, sf_dir):
+    """A private sf_dir whose files the test may touch (the real
+    testdata is read-only)."""
+    d = tmp_path / "sf_anchor"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/nation.parquet", d / "nation.parquet")
+    return str(d)
+
+
+def test_anchor_builds_once_and_survives_process_restart(tmp_path, spark, sf_dir):
+    sfd = _fixture_dir(tmp_path, spark, sf_dir)
+    calls = {"n": 0}
+
+    def build(spark_, sf_):
+        calls["n"] += 1
+        n = spark_.read.parquet(f"{sf_}/nation.parquet")
+        return n.groupBy("n_regionkey").agg(
+            F.count("*").alias("n"),
+            (F.sum("n_nationkey") / 7.0).alias("frac"),  # non-trivial double
+        )
+
+    a1 = anchors.anchor_df(spark, sfd, "t_anchor", ("nation",), build).collect()
+    a2 = anchors.anchor_df(spark, sfd, "t_anchor", ("nation",), build).collect()
+    assert calls["n"] == 1  # memoized within the process
+    assert sorted(map(str, a1)) == sorted(map(str, a2))
+
+    # simulate a fresh process: drop the memo, keep the parquet
+    anchors._memo.clear()
+    a3 = anchors.anchor_df(spark, sfd, "t_anchor", ("nation",), build).collect()
+    assert calls["n"] == 1, "persisted anchor must be read, not rebuilt"
+    # bit-exact doubles through the parquet round trip
+    assert {r.n_regionkey: r.frac.hex() for r in a1} == {
+        r.n_regionkey: r.frac.hex() for r in a3
+    }
+
+
+def test_anchor_invalidated_when_source_changes(tmp_path, spark, sf_dir):
+    sfd = _fixture_dir(tmp_path, spark, sf_dir)
+    calls = {"n": 0}
+
+    def build(spark_, sf_):
+        calls["n"] += 1
+        return spark_.read.parquet(f"{sf_}/nation.parquet").agg(
+            F.count("*").alias("n")
+        )
+
+    anchors.anchor_df(spark, sfd, "t_stale", ("nation",), build)
+    anchors._memo.clear()
+    os.utime(f"{sfd}/nation.parquet")  # regenerated fixture → new mtime
+    anchors.anchor_df(spark, sfd, "t_stale", ("nation",), build)
+    assert calls["n"] == 2, "mtime change must invalidate the persisted anchor"

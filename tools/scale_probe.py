@@ -1,0 +1,168 @@
+"""Scale probe: run the heavy dedup/ANN/LLM operators at 1x / 5x / 10x
+the sf0.1 fixture and measure wall time, throughput, and candidate-set
+growth (round-4 verdict item #4 — turn the 100 TB plan-shape arguments
+into measured evidence; results land in SCALE.md).
+
+Inputs: /root/testdata/sf0.1 (base) plus the generated
+/tmp/cheetah_scale/sfx{5,10} (tools/gen_scale_fixture.py — same
+empirical distributions, duplicate rates held constant).
+
+Protocol: one session, engine + per-fixture anchors warmed before any
+measurement, ONE timed end-to-end run per (query, scale) with the noop
+sink (same forcing as bench.py), candidate counts as separate jobs.
+Prints one JSON blob; SCALE.md is authored from it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cheetah_spark.registry import REGISTRY, _ensure_loaded  # noqa: E402
+from cheetah_spark.session import get_spark  # noqa: E402
+
+SCALES = [
+    ("1x", "/root/testdata/sf0.1", 1),
+    ("5x", "/tmp/cheetah_scale/sfx5", 5),
+    ("10x", "/tmp/cheetah_scale/sfx10", 10),
+]
+
+DOC_QUERIES = [
+    "q_llm_minhash_dedup",
+    "q_llm_simhash_dedup",
+    "q_llm_ngram_jaccard",
+    "q_llm_dup_clusters",
+    "q_llm_dedup_pipeline",
+    "q_llm_tfidf_topterms",
+    "q_llm_unigram_logprob",
+    "q_llm_bpe_train",
+]
+EMB_QUERIES = [
+    "q_llm_embed_dedup",
+    "q_llm_semdedup",
+    "q_llm_kmeans",
+    "q_llm_ann_lsh",
+    "q_llm_ann_ivf",
+    "q_llm_ann_pq",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    _ensure_loaded()
+    spark = get_spark(app_name="cheetah_scale_probe", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    from cheetah_spark.anchors import anchor_df
+    from cheetah_spark.catalog import load_table
+    from cheetah_spark.queries.llm import (
+        _KM_ITERS,
+        _exact_topk,
+        _kmeans_centroids,
+        _minhash_band_candidates,
+        _minhash_sigs_of,
+        _semdedup_per_cluster,
+        _SH_BLOCK_BITS,
+        _SH_BLOCKS,
+    )
+    from cheetah_spark.functions import text as X
+
+    # engine warm-up (JIT, python workers, arrow)
+    spark.range(100_000).agg(F.sum("id")).collect()
+    force(REGISTRY["q_llm_text_stats"].fn(spark, SCALES[0][1]))
+    force(REGISTRY["q_llm_ann_bruteforce"].fn(spark, SCALES[0][1]))
+
+    out: dict = {"scales": {}, "timings": {}, "candidates": {}, "driver_state": {}}
+    for tag, sf_dir, mult in SCALES:
+        docs = load_table(spark, sf_dir, "documents")
+        embs = load_table(spark, sf_dir, "embeddings")
+        n_docs, n_vecs = docs.count(), embs.count()
+        out["scales"][tag] = {"sf_dir": sf_dir, "n_docs": n_docs, "n_vecs": n_vecs}
+
+        # per-fixture one-time derivations OUT of the timings (the
+        # bench.py warmed policy — disclosed)
+        _exact_topk(spark, sf_dir)
+        _kmeans_centroids(spark, sf_dir, _KM_ITERS)
+        spark.catalog.clearCache()
+
+        for name in DOC_QUERIES + EMB_QUERIES:
+            t0 = time.time()
+            force(REGISTRY[name].fn(spark, sf_dir))
+            dt = time.time() - t0
+            n_in = n_vecs if name in EMB_QUERIES else n_docs
+            out["timings"].setdefault(name, {})[tag] = {
+                "sec": round(dt, 2),
+                "rows_per_sec": round(n_in / dt),
+            }
+            spark.catalog.clearCache()
+            print(f"TIMED {tag} {name} {dt:.2f}s", file=sys.stderr)
+
+        # candidate-set sizes (the sub-quadratic claim, measured)
+        sigs = _minhash_sigs_of(docs).persist()
+        mh_cand = _minhash_band_candidates(sigs).count()
+        sigs.unpersist()
+        fp = X.simhash_df(docs)
+        mask = (1 << _SH_BLOCK_BITS) - 1
+        blocks = fp.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_SH_BLOCKS - 1))).alias("blk"),
+            F.col("simh"),
+        ).select(
+            "doc_id",
+            "blk",
+            F.call_function("shiftright", F.col("simh"), (F.col("blk") * _SH_BLOCK_BITS).cast("int"))
+            .bitwiseAND(F.lit(mask))
+            .alias("bval"),
+        )
+        sh_cand = (
+            blocks.groupBy("blk", "bval")
+            .agg(F.count("*").alias("n"))
+            .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias("c"))
+            .collect()[0]["c"]
+        )
+        sem_pairs = (
+            _semdedup_per_cluster(spark, sf_dir)
+            .agg(
+                F.sum(F.col("n_vectors") * (F.col("n_vectors") - 1) / 2)
+                .cast("bigint")
+                .alias("c")
+            )
+            .collect()[0]["c"]
+        )
+        out["candidates"].setdefault("minhash_band_pairs", {})[tag] = int(mh_cand)
+        out["candidates"].setdefault("simhash_block_pairs", {})[tag] = int(sh_cand)
+        out["candidates"].setdefault("semdedup_incluster_pairs", {})[tag] = int(sem_pairs)
+        out["candidates"].setdefault("allpairs_docs", {})[tag] = n_docs * (n_docs - 1) // 2
+        out["candidates"].setdefault("allpairs_vecs", {})[tag] = n_vecs * (n_vecs - 1) // 2
+        spark.catalog.clearCache()
+
+    # bounded driver state, measured not asserted
+    import numpy as np
+
+    _e, C, _wcss = _kmeans_centroids(spark, SCALES[-1][1], _KM_ITERS)
+    out["driver_state"]["kmeans_centroids_bytes_10x"] = int(np.asarray(C).nbytes)
+    from cheetah_spark.queries.llm import _exact_topk_rows
+
+    _schema, rows = _exact_topk_rows(spark, SCALES[-1][1])
+    out["driver_state"]["exact_topk_anchor_rows_10x"] = len(rows)
+
+    # scaling exponents base->10x: alpha = log(t10/t1) / log(10)
+    import math
+
+    for name, per in out["timings"].items():
+        t1, t10 = per["1x"]["sec"], per["10x"]["sec"]
+        per["alpha_1x_to_10x"] = round(math.log(max(t10, 0.01) / max(t1, 0.01)) / math.log(10), 2)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
