@@ -550,6 +550,28 @@ _ED_BITS = _ED_DIM // _ED_BLOCKS
 _ED_PERT_MOD = 10
 _ED_PERT_OFFSET = 10_000_000
 _ED_THRESHOLD = 0.9
+_ED_ADAPTIVE_FLOOR = 4096  # below this corpus size, the fixed 8x8 layout
+
+
+def _ed_layout(n: int) -> tuple[int, int]:
+    """(blocks, bits_per_block) for the sign-LSH pigeonhole blocking.
+
+    Fixed 8 blocks x 8 bits up to 4096 vectors — the fixture regime the
+    DuckDB oracle mirrors bit-for-bit. Above that, bucket load at 8
+    bits (256 buckets/block) grows linearly and the candidate set
+    quadratically (measured: 96x candidates for 10x corpus on the
+    homogeneous scale fixture, SCALE.md finding #3), so bits grow
+    ~log2(n)+2 and blocks shrink to 64//bits: expected bucket load
+    stays O(1) and candidates linear. The pigeonhole guarantee
+    weakens from sign-hamming<=7 to <=blocks-1 — still >=1 at every
+    scale, covering re-encoded duplicates (<=1 flipped sign); recall
+    for weaker near-dups is the documented dial this trades."""
+    if n <= _ED_ADAPTIVE_FLOOR:
+        return _ED_BLOCKS, _ED_BITS
+    import math
+
+    bits = min(32, max(_ED_BITS, math.ceil(math.log2(n)) + 2))
+    return max(2, _ED_DIM // bits), bits
 
 _ED_ORACLE_BVAL = " + ".join(
     f"(CASE WHEN v[blk * {_ED_BITS} + {j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
@@ -605,8 +627,14 @@ def q_llm_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     simulating the re-encoded duplicates a production corpus contains;
     cosine vs the original ≈ 0.97, sign pattern differs in ≤ 1 bit, so
     detection is guaranteed). Output = exactly the planted pairs plus
-    any natural pair ≥ 0.9."""
+    any natural pair ≥ 0.9.
+
+    The block layout is corpus-size-adaptive (:func:`_ed_layout`):
+    fixed 8×8 in the fixture regime the oracle mirrors; wider blocks
+    above 4096 vectors so bucket load — and with it the candidate set
+    — stays linear (SCALE.md finding #3)."""
     e = load_table(spark, sf_dir, "embeddings")
+    n_blocks, n_bits = _ed_layout(e.count())
     v = F.col("embedding").cast("array<double>")
     base = e.select("vec_id", v.alias("v"))
     pert = e.where(F.col("vec_id") % _ED_PERT_MOD == 0).select(
@@ -617,14 +645,14 @@ def q_llm_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = base.unionByName(pert).persist()
     bval = None
-    for j in range(_ED_BITS):
+    for j in range(n_bits):
         bit = F.when(
-            F.element_at(F.col("v"), (F.col("blk") * _ED_BITS + j + 1).cast("int")) >= 0,
+            F.element_at(F.col("v"), (F.col("blk") * n_bits + j + 1).cast("int")) >= 0,
             F.lit(1 << j),
         ).otherwise(F.lit(0))
         bval = bit if bval is None else bval + bit
     blocks = u.select(
-        "vec_id", F.explode(F.sequence(F.lit(0), F.lit(_ED_BLOCKS - 1))).alias("blk"), "v"
+        "vec_id", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("blk"), "v"
     ).select("vec_id", "blk", bval.alias("bval"))
     cand = (
         blocks.alias("a")
