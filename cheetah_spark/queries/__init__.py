@@ -39,7 +39,8 @@ from cheetah_spark.queries import xmlio  # noqa: F401
 # filler. Everything r4-green and unchanged rotates to the tail.
 CHECK_FIRST = [
     # changed this round: single-pass ANN contracts over persisted
-    # exact anchors; quantile-CD anchor split; real PNG/WAV decode
+    # exact anchors; quantile-CD anchor split; real PNG/WAV decode;
+    # adaptive SemDeDup-K / embed-block layout; simhash pre-filter
     "q_llm_ann_lsh",
     "q_llm_ann_ivf",
     "q_llm_ann_pq",
@@ -47,6 +48,8 @@ CHECK_FIRST = [
     "q_multimodal_decode",
     "q_multimodal_codec_roundtrip",
     "q_llm_similarity_topk",
+    "q_llm_semdedup",
+    "q_llm_simhash_dedup",
     # r2-stale cohort: latest green row predates the r3/r4 helper churn
     "q_approx_distinct_hll",
     "q_conditional_agg",
@@ -92,6 +95,4 @@ CHECK_FIRST = [
     "q_approx_heavy_cmsketch",
     "q_arrow_surface",
     "q_asof_join",
-    "q_broadcast_join",
-    "q_bucketed_join",
 ]

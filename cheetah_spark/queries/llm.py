@@ -523,15 +523,22 @@ def q_llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = blocks.select(
         F.col("doc_id").alias("doc_id_b"), F.col("simh").alias("simh_b"), "blk", "bval"
     )
-    cand = (
+    # Score INSIDE the block join and filter BEFORE the distinct: the
+    # hamming test is 2 integer ops per candidate, while .distinct()
+    # is a full shuffle of every candidate row — on an overloaded
+    # bucket distribution (SCALE.md finding #3: 306M candidates at 10×
+    # the fixture) the pre-filter shrinks that shuffle to just the
+    # qualifying pairs. A pair colliding in several blocks is scored
+    # identically each time, so distinct-after-filter returns exactly
+    # the distinct-then-filter rows (the r4 LSH map-side-scoring
+    # pattern; the oracle keeps the equivalent DISTINCT-then-WHERE).
+    ham = X.hamming56(F.col("simh_a"), F.col("simh_b"))
+    return (
         a.join(b, on=["blk", "bval"])
         .where(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b", "simh_a", "simh_b")
+        .select("doc_id_a", "doc_id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= _SH_K)
         .distinct()
-    )
-    ham = X.hamming56(F.col("simh_a"), F.col("simh_b"))
-    return cand.select("doc_id_a", "doc_id_b", ham.alias("hamming")).where(
-        F.col("hamming") <= _SH_K
     )
 
 
