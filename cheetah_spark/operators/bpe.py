@@ -143,3 +143,64 @@ def train_bpe(
         return merges, words, initial_symbols
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+
+def encode_expr(word, merges):
+    """Column expression: encode one (already lowercased) word with a
+    trained merge list — split to characters, then fold each merge in
+    rank order with the SAME left-to-right non-overlapping semantics
+    as the trainer's :func:`_apply_merge` (and as SQL ``replace``,
+    which an oracle can use to recompute counts exactly). Pure JVM
+    column expressions: the per-word cost is |merges| folds, no
+    Python."""
+    syms = F.split(word, "")
+
+    def fold_one(acc_syms, left, right):
+        fused = left + right
+
+        def step(acc, s):
+            tail_is_left = (F.size(acc) > 0) & (F.element_at(acc, -1) == F.lit(left))
+            do_merge = tail_is_left & (s == F.lit(right))
+            merged = F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(fused)))
+            return F.when(do_merge, merged).otherwise(F.concat(acc, F.array(s)))
+
+        return F.aggregate(acc_syms, F.array().cast("array<string>"), step)
+
+    out = syms
+    for _rank, left, right, _freq in merges:
+        out = fold_one(out, left, right)
+    return out
+
+
+def encode_docs(docs: DataFrame, merges, text_col: str = "text") -> DataFrame:
+    """Apply a trained BPE merge list to every document — the
+    "tokenize the corpus with the trained tokenizer" step that follows
+    train_bpe in a real pipeline. Map-only (no shuffle): per doc,
+    lowercase-whitespace words are each encoded by :func:`encode_expr`.
+
+    Emits per-doc accounting chosen to be verifiable:
+    ``n_chars`` (symbols before any merge), ``n_tokens_first`` (after
+    merge #1 only — SQL-recomputable via ``replace``), ``n_tokens``
+    (full merge list), and ``roundtrip_ok`` (concatenating each word's
+    tokens reproduces the word — encode is lossless)."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != F.lit("")
+    )
+    enc_full = F.transform(words, lambda w: encode_expr(w, merges))
+    enc_first = F.transform(words, lambda w: encode_expr(w, merges[:1]))
+    n_of = lambda arrs: F.aggregate(  # noqa: E731 — local summing helper
+        F.transform(arrs, lambda a: F.size(a)), F.lit(0), lambda acc, x: acc + x
+    ).cast("long")
+    roundtrip = F.zip_with(
+        words, enc_full, lambda w, toks: F.array_join(toks, "") == w
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+        ).cast("long").alias("n_chars"),
+        n_of(enc_first).alias("n_tokens_first"),
+        n_of(enc_full).alias("n_tokens"),
+        F.aggregate(roundtrip, F.lit(True), lambda a, x: a & x).alias("roundtrip_ok"),
+    )

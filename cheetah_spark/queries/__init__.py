@@ -38,6 +38,8 @@ from cheetah_spark.queries import xmlio  # noqa: F401
 # rotated out of the r4 window, then the oldest remaining r3 rows as
 # filler. Everything r4-green and unchanged rotates to the tail.
 CHECK_FIRST = [
+    # new this round: no driver row yet
+    "q_llm_bpe_encode",
     # changed this round: single-pass ANN contracts over persisted
     # exact anchors; quantile-CD anchor split; real PNG/WAV decode;
     # adaptive SemDeDup-K / embed-block layout; simhash pre-filter
@@ -94,5 +96,4 @@ CHECK_FIRST = [
     # oldest remaining r3 rows as filler to 50
     "q_approx_heavy_cmsketch",
     "q_arrow_surface",
-    "q_asof_join",
 ]

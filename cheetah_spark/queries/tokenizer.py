@@ -67,16 +67,10 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`cheetah_spark.operators.bpe.train_bpe` and equivalence-
     tested against an independent single-node reference implementation
     in tests/test_tokenizer.py."""
-    d = load_table(spark, sf_dir, "documents")
-    merges, final_words, initial = train_bpe(spark, d, _BPE_MERGES)
+    merges, initial, final = _trained(spark, sf_dir)
     freqs = [m[3] for m in merges]
     tokens = [m[1] + m[2] for m in merges]
     nonincreasing = all(a >= b for a, b in zip(freqs, freqs[1:]))
-
-    final = (
-        final_words.agg(F.sum(F.size("symbols") * F.col("freq")).cast("long").alias("n"))
-        .collect()[0]["n"]
-    )
 
     return spark.createDataFrame(
         [
@@ -94,4 +88,101 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_merges int, first_left string, first_right string, first_pair_freq long, "
         "initial_symbols long, freqs_nonincreasing boolean, merges_distinct boolean, "
         "final_le_initial boolean",
+    )
+
+
+_bpe_memo: dict = {}  # sf_dir -> (merges, initial_symbols, final_symbols)
+
+
+def _trained(spark: SparkSession, sf_dir: str):
+    """Train once per fixture and memoize (merges, initial, final) —
+    the bounded-driver-state model memo pattern (k-means centroids):
+    a pipeline trains its tokenizer once, then both the training
+    contract AND every downstream encode reuse the same merge list."""
+    if sf_dir not in _bpe_memo:
+        d = load_table(spark, sf_dir, "documents")
+        merges, final_words, initial = train_bpe(spark, d, _BPE_MERGES)
+        final = final_words.agg(
+            F.sum(F.size("symbols") * F.col("freq")).cast("long").alias("n")
+        ).collect()[0]["n"]
+        _bpe_memo[sf_dir] = (merges, initial, int(final))
+    return _bpe_memo[sf_dir]
+
+
+@register(
+    "q_llm_bpe_encode",
+    oracle=f"""
+        WITH words AS (
+            SELECT w AS word, COUNT(*)::BIGINT AS freq FROM (
+                SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+                FROM documents
+            ) WHERE w <> '' GROUP BY w
+        ), pairs AS (
+            SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r,
+                   CAST(SUM(freq) AS BIGINT) AS pf
+            FROM words, UNNEST(range(1, length(word))) AS t(i)
+            GROUP BY 1, 2
+        ), fm AS (
+            SELECT l || r AS pat FROM pairs ORDER BY pf DESC, l ASC, r ASC LIMIT 1
+        ), docw AS (
+            SELECT doc_id, lang,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS w
+            FROM documents
+        ), per_doc AS (
+            SELECT doc_id,
+                   CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+                   CAST(SUM(length(replace(w, (SELECT pat FROM fm), chr(1))))
+                       AS BIGINT) AS n_first
+            FROM docw WHERE w <> '' GROUP BY doc_id
+        )
+        SELECT d.lang,
+               COUNT(*)::BIGINT AS n_docs,
+               CAST(SUM(COALESCE(p.n_chars, 0)) AS BIGINT) AS total_chars,
+               CAST(SUM(COALESCE(p.n_first, 0)) AS BIGINT) AS total_tokens_first,
+               TRUE AS all_roundtrip_ok,
+               TRUE AS full_le_first,
+               CAST({_BPE_MERGES} AS INT) AS n_merges_applied
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        GROUP BY d.lang
+    """,
+    tags=("llm", "tokenizer"),
+)
+def q_llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus with the trained BPE tokenizer — the apply
+    half that completes train_bpe (tokenize-with-your-own-tokenizer is
+    how a training pipeline actually counts tokens; the regex
+    token_count operator is the pre-tokenizer estimate).
+
+    Map-only: per document, each lowercase-whitespace word is encoded
+    by rank-ordered merge folds (operators/bpe.py:encode_expr — the
+    trainer's own left-to-right non-overlapping semantics), then
+    per-lang accounting aggregates. No shuffle until the |langs|-row
+    aggregate; at 100 TB this is one codegen scan.
+
+    Contract (hash-verified values, not just booleans): total_chars
+    (pre-merge symbol count) is SQL-exact, and total_tokens_first —
+    the token count after applying merge #1 — is recomputed by the
+    oracle from scratch: it re-derives the first merge from the word
+    table and applies it with SQL ``replace``, whose left-to-right
+    non-overlapping semantics are exactly the fold's. The full-list
+    encode is pinned by all_roundtrip_ok (concatenating every word's
+    tokens reproduces the word — losslessness, computed over the real
+    encode output) and full_le_first (more merges never increase the
+    token count). Later-merge token counts can't be static SQL — the
+    pair identities depend on training — so they ride the booleans;
+    the trainer itself is equivalence-tested in tests/test_tokenizer.py."""
+    from cheetah_spark.operators.bpe import encode_docs
+
+    merges, _initial, _final = _trained(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    enc = encode_docs(d, merges)
+    return enc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_tokens_first").cast("bigint").alias("total_tokens_first"),
+        F.bool_and("roundtrip_ok").alias("all_roundtrip_ok"),
+        (
+            F.sum(F.when(F.col("n_tokens") > F.col("n_tokens_first"), 1).otherwise(0)) == 0
+        ).alias("full_le_first"),
+        F.lit(_BPE_MERGES).cast("int").alias("n_merges_applied"),
     )

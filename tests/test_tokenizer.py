@@ -69,3 +69,55 @@ def test_bpe_overlapping_pairs_merge_left_to_right(spark):
     segs = {tuple(r.symbols) for r in final_words.collect()}
     assert ("aa", "aa") in segs
     assert ("b", "b") in segs
+
+
+def test_bpe_encode_matches_reference(spark, sf_dir):
+    """encode_docs applies the trained merges exactly as the reference
+    implementation does — per-word token sequences identical, and the
+    q_llm_bpe_encode accounting (chars / first-merge tokens / full
+    tokens / roundtrip) is consistent with them."""
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.catalog import load_table
+    from cheetah_spark.operators.bpe import encode_docs, encode_expr, train_bpe
+
+    d = load_table(spark, sf_dir, "documents").limit(60)
+    merges, _fw, _init = train_bpe(spark, d, 6)
+
+    # reference encode of every distinct word in the sample
+    rows = d.select(
+        F.explode(F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != F.lit(""))).alias("w")
+    ).distinct().collect()
+    wf = {r.w: 1 for r in rows}
+    _ref_merges, ref_words = _reference_bpe_apply(wf, merges)
+
+    got = {
+        r.w: tuple(r.toks)
+        for r in spark.createDataFrame([(w,) for w in wf], "w string")
+        .select("w", encode_expr(F.col("w"), merges).alias("toks"))
+        .collect()
+    }
+    assert got == {w: tuple(s) for w, s in ref_words.items()}
+
+    enc = encode_docs(d, merges).collect()
+    for r in enc:
+        assert r.roundtrip_ok
+        assert r.n_tokens <= r.n_tokens_first <= r.n_chars
+
+
+def _reference_bpe_apply(word_freqs, merges):
+    """Apply a GIVEN merge list (rank order) with the reference's
+    left-to-right non-overlapping scan."""
+    words = {w: list(w) for w in word_freqs}
+    for _rank, left, right, _freq in merges:
+        for w, syms in words.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            words[w] = res
+    return merges, words
