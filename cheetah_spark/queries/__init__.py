@@ -40,6 +40,7 @@ from cheetah_spark.queries import xmlio  # noqa: F401
 CHECK_FIRST = [
     # new this round: no driver row yet
     "q_llm_bpe_encode",
+    "q_llm_ann_ivfpq",
     # changed this round: single-pass ANN contracts over persisted
     # exact anchors; quantile-CD anchor split; real PNG/WAV decode;
     # adaptive SemDeDup-K / embed-block layout; simhash pre-filter
@@ -95,5 +96,4 @@ CHECK_FIRST = [
     "s_eventlog_live",
     # oldest remaining r3 rows as filler to 50
     "q_approx_heavy_cmsketch",
-    "q_arrow_surface",
 ]
