@@ -41,6 +41,7 @@ CHECK_FIRST = [
     # new this round: no driver row yet
     "q_llm_bpe_encode",
     "q_llm_ann_ivfpq",
+    "s_llm_minhash_dedup",
     # changed this round: single-pass ANN contracts over persisted
     # exact anchors; quantile-CD anchor split; real PNG/WAV decode;
     # adaptive SemDeDup-K / embed-block layout; simhash pre-filter
@@ -94,6 +95,5 @@ CHECK_FIRST = [
     "s_stream_dedup",
     "s_mqtt_live",
     "s_eventlog_live",
-    # oldest remaining r3 rows as filler to 50
-    "q_approx_heavy_cmsketch",
+    # oldest remaining r3 row as filler to 50
 ]

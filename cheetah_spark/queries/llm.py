@@ -257,6 +257,36 @@ _MH_ROWS = _MH_HASHES // _MH_BANDS  # 4 rows per band
 _MH_PARAMS = X.minhash_params(_MH_HASHES)
 
 
+def minhash_sig_expr(text: "F.Column") -> "F.Column":
+    """Map-only MinHash signature (array<bigint>[32]) as ONE column
+    expression — no explode, no aggregation. Equivalent to
+    :func:`_minhash_sigs_of` (same md5-once-per-shingle base, same
+    permutations; equality pinned by the s_llm_minhash_dedup oracle),
+    but usable where a shuffle cannot precede the consumer — e.g.
+    ahead of a stateful streaming operator (Spark rejects aggregation
+    there). Shape matters: each shingle's md5 is computed ONCE and all
+    32 permutations derive from it inside one per-shingle transform,
+    then an elementwise-min fold collapses the shingle axis — 32
+    separate array_min(transform(hs,…)) expressions would re-inline
+    (and re-execute) the md5 transform per permutation, because
+    Catalyst does not CSE across higher-order functions (measured
+    2.6×). Batch callers still prefer _minhash_sigs_of (map-side
+    partial aggregation)."""
+    hs = F.transform(
+        F.array_distinct(X.shingles(X.tokens(text), 3)),
+        lambda s: X.minhash_base(s),
+    )
+    # permutations read the TRANSFORMED value h (md5 already computed),
+    # so the chained transform keeps md5 at once-per-shingle
+    per_shingle = F.transform(
+        hs, lambda h: F.array(*[X.minhash_perm(h, a, b) for a, b in _MH_PARAMS])
+    )
+    init = F.array_repeat(F.lit(2**63 - 1).cast("long"), _MH_HASHES)
+    return F.aggregate(
+        per_shingle, init, lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b))
+    )
+
+
 def _minhash_sigs_of(d: DataFrame) -> DataFrame:
     """(doc_id, sig array<bigint>[32]) via explode + 32 partial-agg mins.
 

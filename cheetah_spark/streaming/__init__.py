@@ -156,3 +156,42 @@ def run_stream_to_completion(
             pass  # hygiene only; never fail the query over it
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
+
+
+def documents_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Split the documents table into n ordered parquet files (cached)
+    — the bounded replay feed for streaming curation operators. File k
+    holds the k-th doc_id slice with strictly increasing mtimes, so
+    replay (= arrival) order IS doc_id order — which lets a SQL oracle
+    express arrival-order semantics ("flag the later arrival") as
+    doc_id comparisons (same pinning rationale as events_stream_dir's
+    event-time slices)."""
+    import glob as _glob
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.catalog import ensure_instant_reads, load_table
+
+    ensure_instant_reads(spark)
+    out = f"{FIXTURE_ROOT}/{_tag(sf_dir)}/documents_stream_{n_files}"
+    done = f"{out}/_FIXTURE_READY"
+    if os.path.exists(done) and fixture_stale(spark, out):
+        shutil.rmtree(out, ignore_errors=True)
+    if not os.path.exists(done):
+        d = load_table(spark, sf_dir, "documents")
+        (
+            d.withColumn("slice", F.ntile(n_files).over(W.orderBy("doc_id")))
+            .repartitionByRange(n_files, "slice")
+            .sortWithinPartitions("doc_id")
+            .drop("slice")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        base_t = 1_700_000_000
+        for i, p in enumerate(sorted(_glob.glob(f"{out}/part-*.parquet"))):
+            dst = f"{out}/data-{i:04d}.parquet"
+            os.rename(p, dst)
+            os.utime(dst, (base_t + i, base_t + i))
+        open(done, "w").close()
+    return out

@@ -263,3 +263,27 @@ def test_pipeline_tracer_emits_span_trees(tmp_path, spark, sf_dir):
         otel_exporter()
     except ImportError as exc:
         assert "opentelemetry" in str(exc)
+
+
+def test_streaming_minhash_dedup_batching_invariant(spark, sf_dir):
+    """The flagged set must not depend on micro-batch slicing (the
+    reference conformance property under arbitrary admission): 1 file
+    per trigger (4 batches, state carried across) vs all-at-once (1
+    batch, within-batch ordering only) produce the identical set."""
+    from cheetah_spark.queries.streams import _stream_minhash_flagged
+
+    fine = {
+        r.doc_id
+        for r in _stream_minhash_flagged(spark, sf_dir, max_files_per_trigger=1)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    coarse = {
+        r.doc_id
+        for r in _stream_minhash_flagged(spark, sf_dir, max_files_per_trigger=4)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert fine == coarse
