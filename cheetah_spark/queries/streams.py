@@ -533,7 +533,7 @@ def s_llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality between the streaming state machine's output and the
     batch dedup operator's candidate view."""
     n_docs = load_table(spark, sf_dir, "documents").count()
-    out = _stream_minhash_flagged(spark, sf_dir, max_files_per_trigger=1)
+    out = _stream_minhash_flagged(spark, sf_dir, max_files_per_trigger=2)
     return out.select("doc_id").distinct().agg(
         F.lit(n_docs).cast("bigint").alias("n_docs"),
         F.count("*").cast("bigint").alias("n_flagged"),
@@ -599,7 +599,23 @@ def _stream_minhash_flagged(
             output_mode="update",
         )
     final_min = sunk.groupBy("b", "bucket").agg(F.min("min_doc").alias("m"))
-    arrivals = banded(load_table(spark, sf_dir, "documents"))
+    # batch-side arrivals use the cheaper explode+partial-agg signature
+    # (identical buckets by construction; the map-only expression is
+    # only REQUIRED upstream of the streaming aggregation)
+    from cheetah_spark.queries.llm import _minhash_sigs_of
+
+    sigs = _minhash_sigs_of(load_table(spark, sf_dir, "documents"))
+    arrivals = sigs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_MH_BANDS - 1))).alias("b"),
+        "sig",
+    ).select(
+        "doc_id",
+        "b",
+        F.md5(
+            F.array_join(F.slice(F.col("sig"), F.col("b") * _MH_ROWS + 1, _MH_ROWS), ",")
+        ).alias("bucket"),
+    )
     return (
         arrivals.join(final_min, ["b", "bucket"])
         .where(F.col("doc_id") > F.col("m"))
