@@ -72,10 +72,14 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
-def _apply_merge(words: DataFrame, left: str, right: str) -> DataFrame:
-    """Rewrite every word's symbol list, fusing adjacent (left, right)
-    left-to-right without overlap — as a pure JVM-side ``aggregate``
-    fold (no Python round trip inside the training loop).
+def merge_fold(syms, left: str, right: str):
+    """Column expression: fuse adjacent (left, right) in a symbol
+    array left-to-right without overlap — a pure JVM-side
+    ``aggregate`` fold. THE single definition of the merge semantics:
+    the trainer (:func:`_apply_merge`) and the encoder
+    (:func:`encode_expr`) both use it, so they cannot drift (and both
+    stay equal to SQL ``replace``'s non-overlap scan, which the
+    q_llm_bpe_encode oracle relies on).
 
     The fold appends each symbol unless the accumulator currently ends
     with ``left`` and the incoming symbol is ``right``, in which case
@@ -89,14 +93,18 @@ def _apply_merge(words: DataFrame, left: str, right: str) -> DataFrame:
     def step(acc, s):
         tail_is_left = (F.size(acc) > 0) & (F.element_at(acc, -1) == F.lit(left))
         do_merge = tail_is_left & (s == F.lit(right))
-        merged = F.concat(
-            F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(fused))
-        )
+        merged = F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(fused)))
         return F.when(do_merge, merged).otherwise(F.concat(acc, F.array(s)))
 
     empty = F.array().cast("array<string>")
+    return F.aggregate(syms, empty, step)
+
+
+def _apply_merge(words: DataFrame, left: str, right: str) -> DataFrame:
+    """One training round's merge application over the word table
+    (semantics: :func:`merge_fold`)."""
     return words.select(
-        F.aggregate(F.col("symbols"), empty, step).alias("symbols"), "freq"
+        merge_fold(F.col("symbols"), left, right).alias("symbols"), "freq"
     )
 
 
@@ -148,27 +156,18 @@ def train_bpe(
 def encode_expr(word, merges):
     """Column expression: encode one (already lowercased) word with a
     trained merge list — split to characters, then fold each merge in
-    rank order with the SAME left-to-right non-overlapping semantics
-    as the trainer's :func:`_apply_merge` (and as SQL ``replace``,
-    which an oracle can use to recompute counts exactly). Pure JVM
-    column expressions: the per-word cost is |merges| folds, no
-    Python."""
-    syms = F.split(word, "")
+    rank order (semantics: :func:`merge_fold`, shared with the
+    trainer). Pure JVM column expressions: the per-word cost is
+    |merges| folds, no Python."""
+    return apply_merges_expr(F.split(word, ""), merges)
 
-    def fold_one(acc_syms, left, right):
-        fused = left + right
 
-        def step(acc, s):
-            tail_is_left = (F.size(acc) > 0) & (F.element_at(acc, -1) == F.lit(left))
-            do_merge = tail_is_left & (s == F.lit(right))
-            merged = F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(fused)))
-            return F.when(do_merge, merged).otherwise(F.concat(acc, F.array(s)))
-
-        return F.aggregate(acc_syms, F.array().cast("array<string>"), step)
-
+def apply_merges_expr(syms, merges):
+    """Fold an already-split symbol array through a merge list in rank
+    order (semantics: :func:`merge_fold`)."""
     out = syms
     for _rank, left, right, _freq in merges:
-        out = fold_one(out, left, right)
+        out = merge_fold(out, left, right)
     return out
 
 
@@ -186,6 +185,11 @@ def encode_docs(docs: DataFrame, merges, text_col: str = "text") -> DataFrame:
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != F.lit("")
     )
+    # enc_first duplicates enc_full's first fold; hoisting a shared
+    # enc1 would NOT help — Catalyst does not CSE across higher-order
+    # functions (see minhash_sig_expr), so any shared subexpression
+    # referenced from two outputs re-evaluates anyway. The duplicate
+    # cost is one fold of |merges|+1 total.
     enc_full = F.transform(words, lambda w: encode_expr(w, merges))
     enc_first = F.transform(words, lambda w: encode_expr(w, merges[:1]))
     n_of = lambda arrs: F.aggregate(  # noqa: E731 — local summing helper

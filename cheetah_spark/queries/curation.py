@@ -467,10 +467,15 @@ def q_llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     # hot-head detection from a seeded 5% sample — a heavy-hitter
     # ESTIMATE is as safe as the exact head (see hot_salted_join) and
-    # avoids recomputing the full tokenize pipeline eagerly
+    # avoids recomputing the full tokenize pipeline eagerly. The
+    # statistic must be DOCUMENT frequency (distinct docs per term):
+    # the skewed join key multiplicity is one tf row per (doc, term),
+    # so a term repeated inside few docs is NOT hot here (round-5
+    # review finding — an occurrence count would waste hot_k slots)
     probe = (
         d.sample(0.05, seed=7)
-        .select(F.explode(X.tokens(F.col("text"))).alias("term"))
+        .select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
+        .distinct()
         .groupBy("term")
         .agg(F.count("*").alias("df"))
     )

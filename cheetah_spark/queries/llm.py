@@ -282,9 +282,15 @@ def minhash_sig_expr(text: "F.Column") -> "F.Column":
         hs, lambda h: F.array(*[X.minhash_perm(h, a, b) for a, b in _MH_PARAMS])
     )
     init = F.array_repeat(F.lit(2**63 - 1).cast("long"), _MH_HASHES)
-    return F.aggregate(
+    folded = F.aggregate(
         per_shingle, init, lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b))
     )
+    # a doc with < 3 tokens has NO shingles: the batch formulation
+    # drops it (no group), so the map-only form must yield NULL, not
+    # the untouched init sentinel — which would put every short doc in
+    # one universal bucket and flag them all as mutual near-duplicates
+    # (round-5 review finding; callers filter null sigs)
+    return F.when(F.size(per_shingle) > 0, folded)
 
 
 def _minhash_sigs_of(d: DataFrame) -> DataFrame:
@@ -605,14 +611,30 @@ def _ed_layout(n: int) -> tuple[int, int]:
     for weaker near-dups is the documented dial this trades."""
     if n <= _ED_ADAPTIVE_FLOOR:
         return _ED_BLOCKS, _ED_BITS
-    import math
-
-    bits = min(32, max(_ED_BITS, math.ceil(math.log2(n)) + 2))
+    # integer-exact ceil(log2(n)) == (n-1).bit_length(): the oracle
+    # mirrors this with a power-of-two CASE ladder, and float log2
+    # could disagree with it at exact powers of two
+    bits = min(32, max(_ED_BITS, (n - 1).bit_length() + 2))
     return max(2, _ED_DIM // bits), bits
 
+# Oracle mirror of _ed_layout, integer-exact: bit_length(n-1) as a
+# power-of-two CASE ladder (float log2 could disagree at exact powers
+# of two), bits clamped to [8, 32], blocks = 64 // bits. Below the
+# adaptive floor this reduces to the fixed 8x8 layout, so the oracle
+# stays valid at EVERY corpus size, not just the fixture regime.
+_ED_ORACLE_BITS = (
+    f"CASE WHEN n <= {_ED_ADAPTIVE_FLOOR} THEN {_ED_BITS} "
+    "ELSE LEAST(32, (CASE "
+    + " ".join(f"WHEN n <= {1 << k} THEN {k}" for k in range(13, 30))
+    + " ELSE 30 END) + 2) END"
+)
+
+# adaptive bval: sign bits j < bits of block blk (list OOB indexing in
+# DuckDB yields NULL -> the CASE falls to 0, matching the guard)
 _ED_ORACLE_BVAL = " + ".join(
-    f"(CASE WHEN v[blk * {_ED_BITS} + {j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
-    for j in range(_ED_BITS)
+    f"(CASE WHEN {j} < lay.bits AND v[blk * lay.bits + {j + 1}] >= 0"
+    f" THEN {1 << j} ELSE 0 END)"
+    for j in range(32)
 )
 
 
@@ -627,9 +649,16 @@ _ED_ORACLE_BVAL = " + ".join(
                        || CAST(embedding AS DOUBLE[])[2:{_ED_DIM}]
             FROM embeddings WHERE vec_id % {_ED_PERT_MOD} = 0
         ),
+        lay AS (
+            SELECT bits, GREATEST(2, 64 // bits) AS blocks FROM (
+                SELECT {_ED_ORACLE_BITS} AS bits
+                FROM (SELECT COUNT(*)::BIGINT AS n FROM embeddings)
+            )
+        ),
         blocks AS (
             SELECT vec_id, blk, {_ED_ORACLE_BVAL} AS bval
-            FROM u, (SELECT unnest(generate_series(0, {_ED_BLOCKS - 1})) AS blk)
+            FROM u, lay, (SELECT unnest(generate_series(0, 31)) AS blk)
+            WHERE blk < lay.blocks
         ),
         cand AS (
             SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
@@ -667,11 +696,17 @@ def q_llm_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     any natural pair ≥ 0.9.
 
     The block layout is corpus-size-adaptive (:func:`_ed_layout`):
-    fixed 8×8 in the fixture regime the oracle mirrors; wider blocks
-    above 4096 vectors so bucket load — and with it the candidate set
-    — stays linear (SCALE.md finding #3)."""
+    fixed 8×8 up to 4096 vectors; wider blocks above so bucket load —
+    and with it the candidate set — stays linear (SCALE.md finding
+    #3). The oracle computes the SAME layout in SQL (_ED_ORACLE_BITS,
+    an integer power-of-two ladder), so the hash contract is valid at
+    every corpus size, not just the fixture regime — pinned above the
+    adaptive floor by tests/test_llm.py::
+    test_embed_dedup_contract_above_adaptive_floor."""
     e = load_table(spark, sf_dir, "embeddings")
-    n_blocks, n_bits = _ed_layout(e.count())
+    from cheetah_spark.catalog import _table_rows
+
+    n_blocks, n_bits = _ed_layout(_table_rows(spark, sf_dir, "embeddings"))
     v = F.col("embedding").cast("array<double>")
     base = e.select("vec_id", v.alias("v"))
     pert = e.where(F.col("vec_id") % _ED_PERT_MOD == 0).select(
@@ -1396,8 +1431,8 @@ def _ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse = Q @ C.T  # |Q| × nlists
     probed = np.argsort(-coarse, axis=1)[:, :nprobe]  # |Q| × nprobe
     tables = np.stack(
-        [np.stack([Q[:, m * d_sub : (m + 1) * d_sub] @ books[m].T for m in range(_PQ_M)], axis=1)]
-    )[0]  # |Q| × M × K
+        [Q[:, m * d_sub : (m + 1) * d_sub] @ books[m].T for m in range(_PQ_M)], axis=1
+    )  # |Q| × M × K
     # queries probing each list: list id -> array of query indices
     probes_by_list = {
         l: np.where((probed == l).any(axis=1))[0] for l in range(_IVF_LISTS)
@@ -1613,8 +1648,8 @@ def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qids = np.array([r.vec_id for r in qrows])
     # ADC tables: per query, M × K subspace dot products
     tables = np.stack(
-        [np.stack([Q[:, m * d_sub : (m + 1) * d_sub] @ books[m].T for m in range(_PQ_M)], axis=1)]
-    )[0]  # |Q| × M × K
+        [Q[:, m * d_sub : (m + 1) * d_sub] @ books[m].T for m in range(_PQ_M)], axis=1
+    )  # |Q| × M × K
     pool = _PQ_RERANK * _TOPK
 
     def adc_score(batches):
@@ -1850,8 +1885,13 @@ def _semdedup_k(spark: SparkSession, sf_dir: str) -> int:
     cluster size (and with it the per-cluster pairwise work) stays
     bounded: K = max(_KM_K, ceil(n/_SEM_TARGET)). At the driver
     fixtures (≤2000 vectors) this is exactly _KM_K, so contracts are
-    unchanged there; the growth matters at scale (see SCALE.md)."""
-    n = load_table(spark, sf_dir, "embeddings").count()
+    unchanged there; the growth matters at scale (see SCALE.md).
+    The row count comes from the memoized catalog probe — this is
+    called from several places per query and must not launch an eager
+    count job each time."""
+    from cheetah_spark.catalog import _table_rows
+
+    n = _table_rows(spark, sf_dir, "embeddings")
     return max(_KM_K, -(-n // _SEM_TARGET))
 
 

@@ -574,6 +574,9 @@ def _stream_minhash_flagged(
         # (the batch _minhash_sigs_of shape) ahead of a streaming agg
         return (
             df.select("doc_id", minhash_sig_expr(F.col("text")).alias("sig"))
+            # shingle-less docs have NULL sigs (no near-dup identity) —
+            # same as the batch formulation dropping them
+            .where(F.col("sig").isNotNull())
             .select(
                 "doc_id",
                 F.explode(F.sequence(F.lit(0), F.lit(_MH_BANDS - 1))).alias("b"),

@@ -58,20 +58,25 @@ def fixture_stale(spark: SparkSession, path: str, fmt: str = "parquet") -> bool:
 _fresh_fixture_paths: set = set()  # paths verified non-stale; see fixture_stale
 
 
-def events_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
-    """Split the events table into n ordered parquet files (cached) —
-    the bounded replay feed. File k holds the k-th time-slice so
-    event-time advances across micro-batches like a live stream.
+def _ordered_stream_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    order_cols: tuple[str, ...],
+    n_files: int,
+    dir_name: str,
+    drop_legacy: tuple[str, ...] = (),
+) -> str:
+    """Shared replay-fixture builder: split ``table`` into n ordered
+    parquet files with strictly increasing mtimes.
 
     Admission order is pinned explicitly: FileStreamSource admits files
     sorted by MODIFICATION TIME, and a parallel write finishes its part
-    files in arbitrary order — which silently replayed a middle time
-    slice late, and watermarked operators then DROPPED that slice as
-    late data (caught by the s_stream_watermark_late oracle, round 4).
+    files in arbitrary order — which silently replayed a middle slice
+    late, and watermarked operators then DROPPED that slice as late
+    data (caught by the s_stream_watermark_late oracle, round 4).
     Renaming to slice order and stamping strictly increasing mtimes
-    makes replay order == event-time order, deterministically.
-    (dir suffix o2: cached pre-fix fixtures keep their broken mtimes,
-    so the fixed layout gets its own cache key)"""
+    makes replay order == ``order_cols`` order, deterministically."""
     import glob as _glob
 
     from pyspark.sql import Window as W
@@ -80,21 +85,20 @@ def events_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str
     from cheetah_spark.catalog import ensure_instant_reads, load_table
 
     ensure_instant_reads(spark)
-    out = f"{FIXTURE_ROOT}/{_tag(sf_dir)}/events_stream_{n_files}_o2"
+    out = f"{FIXTURE_ROOT}/{_tag(sf_dir)}/{dir_name}"
     done = f"{out}/_FIXTURE_READY"
     if os.path.exists(done) and fixture_stale(spark, out):
         shutil.rmtree(out, ignore_errors=True)
     if not os.path.exists(done):
-        # drop the pre-fix cache generation (randomly-ordered mtimes)
-        shutil.rmtree(f"{FIXTURE_ROOT}/{_tag(sf_dir)}/events_stream_{n_files}", ignore_errors=True)
-
-        e = load_table(spark, sf_dir, "events")
+        for legacy in drop_legacy:  # pre-fix cache generations
+            shutil.rmtree(f"{FIXTURE_ROOT}/{_tag(sf_dir)}/{legacy}", ignore_errors=True)
+        t = load_table(spark, sf_dir, table)
         (
             # global-order ntile is fine here: bounded test-fixture
             # derivation, not a scale path
-            e.withColumn("slice", F.ntile(n_files).over(W.orderBy("ts", "event_id")))
+            t.withColumn("slice", F.ntile(n_files).over(W.orderBy(*order_cols)))
             .repartitionByRange(n_files, "slice")
-            .sortWithinPartitions("ts", "event_id")
+            .sortWithinPartitions(*order_cols)
             .drop("slice")
             .write.mode("overwrite")
             .parquet(out)
@@ -106,6 +110,22 @@ def events_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str
             os.utime(dst, (base_t + i, base_t + i))
         open(done, "w").close()
     return out
+
+
+def events_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
+    """Events replay feed: file k holds the k-th time-slice so
+    event-time advances across micro-batches like a live stream.
+    (dir suffix o2: cached pre-fix fixtures keep their broken mtimes,
+    so the fixed layout gets its own cache key)"""
+    return _ordered_stream_dir(
+        spark,
+        sf_dir,
+        "events",
+        ("ts", "event_id"),
+        n_files,
+        f"events_stream_{n_files}_o2",
+        drop_legacy=(f"events_stream_{n_files}",),
+    )
 
 
 def run_stream_to_completion(
@@ -159,39 +179,10 @@ def run_stream_to_completion(
 
 
 def documents_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
-    """Split the documents table into n ordered parquet files (cached)
-    — the bounded replay feed for streaming curation operators. File k
-    holds the k-th doc_id slice with strictly increasing mtimes, so
-    replay (= arrival) order IS doc_id order — which lets a SQL oracle
-    express arrival-order semantics ("flag the later arrival") as
-    doc_id comparisons (same pinning rationale as events_stream_dir's
-    event-time slices)."""
-    import glob as _glob
-
-    from pyspark.sql import Window as W
-    from pyspark.sql import functions as F
-
-    from cheetah_spark.catalog import ensure_instant_reads, load_table
-
-    ensure_instant_reads(spark)
-    out = f"{FIXTURE_ROOT}/{_tag(sf_dir)}/documents_stream_{n_files}"
-    done = f"{out}/_FIXTURE_READY"
-    if os.path.exists(done) and fixture_stale(spark, out):
-        shutil.rmtree(out, ignore_errors=True)
-    if not os.path.exists(done):
-        d = load_table(spark, sf_dir, "documents")
-        (
-            d.withColumn("slice", F.ntile(n_files).over(W.orderBy("doc_id")))
-            .repartitionByRange(n_files, "slice")
-            .sortWithinPartitions("doc_id")
-            .drop("slice")
-            .write.mode("overwrite")
-            .parquet(out)
-        )
-        base_t = 1_700_000_000
-        for i, p in enumerate(sorted(_glob.glob(f"{out}/part-*.parquet"))):
-            dst = f"{out}/data-{i:04d}.parquet"
-            os.rename(p, dst)
-            os.utime(dst, (base_t + i, base_t + i))
-        open(done, "w").close()
-    return out
+    """Documents replay feed for streaming curation operators: file k
+    holds the k-th doc_id slice, so replay (= arrival) order IS doc_id
+    order — which lets a SQL oracle express arrival-order semantics
+    ("flag the later arrival") as doc_id comparisons."""
+    return _ordered_stream_dir(
+        spark, sf_dir, "documents", ("doc_id",), n_files, f"documents_stream_{n_files}"
+    )

@@ -121,3 +121,69 @@ def test_ann_ivfpq_recall(spark, sf_dir):
     # case for partition-based indexes — measured 0.48 at sf0.01;
     # contract floor 0.15 sits below this with ~2x margin.
     assert recall >= 0.3, f"IVF-PQ recall too low: {recall:.2f}"
+
+
+def test_embed_dedup_contract_above_adaptive_floor(spark, tmp_path):
+    """The q_llm_embed_dedup hash contract must hold where the
+    ADAPTIVE block layout engages (n > 4096), not just the fixture
+    regime — the oracle computes the same layout in SQL (round-5
+    review finding: a fixed-8x8 oracle would silently diverge)."""
+    import duckdb
+    import numpy as np
+
+    from cheetah_spark.queries.llm import _ed_layout
+    from cheetah_spark.registry import REGISTRY
+
+    n = 6000
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((n, 64)).astype("float32")
+    sfd = str(tmp_path / "sf_adaptive")
+    spark.createDataFrame(
+        [(int(i), vecs[i].tolist(), int(i % 10)) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.parquet(f"{sfd}/embeddings.parquet")
+    assert _ed_layout(n) != (8, 8)  # the adaptive regime really engages
+
+    sdf = REGISTRY["q_llm_embed_dedup"].fn(spark, sfd)
+    srows = sorted(
+        (r.vec_id_a, r.vec_id_b, f"{r.cos_sim:.9g}") for r in sdf.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sfd}/embeddings.parquet/*.parquet'"
+    )
+    drows = sorted(
+        (a, b, f"{c:.9g}")
+        for a, b, c in con.execute(REGISTRY["q_llm_embed_dedup"].oracle).fetchall()
+    )
+    assert srows == drows
+
+
+def test_minhash_sig_expr_matches_batch_and_handles_short_docs(spark):
+    """The map-only signature equals the batch explode+agg signature
+    per doc, and shingle-less docs (< 3 tokens) yield NULL instead of
+    the universal init sentinel (which would collide every short doc
+    with every other — round-5 review finding)."""
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.queries.llm import _minhash_sigs_of, minhash_sig_expr
+
+    d = spark.createDataFrame(
+        [
+            (1, "spark table scan filter join group order sort"),
+            (2, "column value hash stream batch merge big small"),
+            (3, "spark table scan filter join group order sort"),
+            (10, "hi"),  # 1 token -> no shingles
+            (11, "two words"),  # 2 tokens -> no shingles
+        ],
+        "doc_id long, text string",
+    )
+    batch = {r.doc_id: list(r.sig) for r in _minhash_sigs_of(d).collect()}
+    maponly = {
+        r.doc_id: (list(r.sig) if r.sig is not None else None)
+        for r in d.select("doc_id", minhash_sig_expr(F.col("text")).alias("sig")).collect()
+    }
+    assert set(batch) == {1, 2, 3}  # batch drops shingle-less docs
+    assert maponly[10] is None and maponly[11] is None
+    for k, v in batch.items():
+        assert maponly[k] == v, f"sig mismatch for doc {k}"
