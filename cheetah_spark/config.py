@@ -159,6 +159,62 @@ def build_transform(cfg: Mapping[str, Any]) -> Handler:
             return df.sparkSession.sql(query)
 
         return run_sql
+    # --- curation transforms: declarative bindings to the verified
+    # LLM-pipeline expressions (quality gate, PII redaction, MinHash
+    # signature, token counting, content fingerprint) so a kawad-style
+    # JSON config can assemble a training-data curation pipeline, batch
+    # or streaming (every binding is a map-only column expression) ---
+    if kind == "quality_score":
+        col = cfg.get("column", "text")
+        name = cfg.get("as", "quality")
+        threshold = cfg.get("threshold")
+
+        def add_quality(df: DataFrame) -> DataFrame:
+            from cheetah_spark.queries.llm import quality_score_expr
+
+            out = df.withColumn(name, quality_score_expr(F.col(col)))
+            return out.where(F.col(name) >= threshold) if threshold is not None else out
+
+        return add_quality
+    if kind == "pii_redact":
+        col = cfg.get("column", "text")
+
+        def redact(df: DataFrame) -> DataFrame:
+            from cheetah_spark.queries.curation import pii_redact_expr
+
+            return df.withColumn(col, pii_redact_expr(F.col(col)))
+
+        return redact
+    if kind == "minhash_sig":
+        col = cfg.get("column", "text")
+        name = cfg.get("as", "sig")
+
+        def add_sig(df: DataFrame) -> DataFrame:
+            from cheetah_spark.queries.llm import minhash_sig_expr
+
+            return df.withColumn(name, minhash_sig_expr(F.col(col)))
+
+        return add_sig
+    if kind == "token_count":
+        col = cfg.get("column", "text")
+        name = cfg.get("as", "n_tokens")
+
+        def add_tokens(df: DataFrame) -> DataFrame:
+            from cheetah_spark.functions import text as X
+
+            return df.withColumn(name, F.size(X.tokens(F.col(col))).cast("bigint"))
+
+        return add_tokens
+    if kind == "content_fp":
+        col = cfg.get("column", "text")
+        name = cfg.get("as", "content_fp")
+
+        def add_fp(df: DataFrame) -> DataFrame:
+            from cheetah_spark.functions.text import norm_text
+
+            return df.withColumn(name, F.md5(norm_text(F.col(col))))
+
+        return add_fp
     raise ValueError(f"unknown transform type: {kind!r}")
 
 

@@ -676,6 +676,22 @@ _PII_IP_RE = r"\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 _PII_FP_MOD = 1_000_003
 
 
+def pii_redact_expr(col) -> "F.Column":
+    """Redact PII-shaped spans (email / 555-phone / 10.x IP) with typed
+    placeholders — one chained regexp_replace expression. THE single
+    definition used by q_llm_pii_redact and the declarative
+    ``pii_redact`` config transform."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, _PII_EMAIL_RE, "<EMAIL>"),
+            _PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        _PII_IP_RE,
+        "<IP>",
+    )
+
+
 @register(
     "q_llm_pii_redact",
     oracle=f"""
@@ -746,13 +762,7 @@ def q_llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("."), F.expr("(doc_id div 11) % 256").cast("string"),
     )
     t = F.when(is_planted, F.concat(F.col("text"), suffix)).otherwise(F.col("text"))
-    rt = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, _PII_EMAIL_RE, "<EMAIL>"),
-            _PII_PHONE_RE, "<PHONE>",
-        ),
-        _PII_IP_RE, "<IP>",
-    )
+    rt = pii_redact_expr(t)
     red = d.select(
         "lang",
         is_planted.alias("is_planted"),

@@ -137,6 +137,20 @@ def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QW = {"len": 0.3, "uniq": 0.4, "alpha": 0.3}  # quality score weights
 
 
+def quality_score_expr(text) -> "F.Column":
+    """Gopher/C4-style composite quality score as one column
+    expression (fixed-order double sum — bit-identical cross-engine).
+    THE single definition used by q_llm_quality_score, the composite
+    dedup pipeline's quality gate, and the declarative
+    ``quality_score`` config transform."""
+    ft = X.quality_features(text)
+    return (
+        F.lit(_QW["len"]) * F.least(ft["n_tok"], F.lit(200)).cast("double") / 200
+        + F.lit(_QW["uniq"]) * ft["uniq_ratio"]
+        + F.lit(_QW["alpha"]) * (F.lit(1.0) - ft["digit_ratio"] - ft["punct_ratio"])
+    )
+
+
 @register(
     "q_llm_quality_score",
     oracle=f"""
@@ -173,11 +187,7 @@ def q_llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-only: at 100 TB this is a pure scan-filter, no shuffle."""
     d = load_table(spark, sf_dir, "documents")
     ft = X.quality_features(F.col("text"))
-    quality = (
-        F.lit(_QW["len"]) * F.least(ft["n_tok"], F.lit(200)).cast("double") / 200
-        + F.lit(_QW["uniq"]) * ft["uniq_ratio"]
-        + F.lit(_QW["alpha"]) * (F.lit(1.0) - ft["digit_ratio"] - ft["punct_ratio"])
-    )
+    quality = quality_score_expr(F.col("text"))
     return d.select(
         "doc_id",
         ft["n_char"].alias("n_char"),
@@ -1239,13 +1249,7 @@ def q_llm_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tiny) drop list → final partial-agg rollup. No window over the
     full corpus, no cross join, nothing driver-side."""
     d = load_table(spark, sf_dir, "documents")
-    ft = X.quality_features(F.col("text"))
-    quality = (
-        F.lit(_QW["len"]) * F.least(ft["n_tok"], F.lit(200)).cast("double") / 200
-        + F.lit(_QW["uniq"]) * ft["uniq_ratio"]
-        + F.lit(_QW["alpha"]) * (F.lit(1.0) - ft["digit_ratio"] - ft["punct_ratio"])
-    )
-    s1 = d.where(quality >= 0.5).select("doc_id", "lang", "text")
+    s1 = d.where(quality_score_expr(F.col("text")) >= 0.5).select("doc_id", "lang", "text")
     fp = s1.withColumn("content_fp", F.md5(X.norm_text(F.col("text"))))
     keep = fp.groupBy("content_fp").agg(F.min("doc_id").alias("doc_id"))
     # persisted: s2 feeds both the minhash-sig subtree (itself persisted

@@ -333,3 +333,57 @@ def test_cli_run_streaming_mqtt_live_config(tmp_path, spark, sf_dir):
     got = spark.table("cli_mqtt_out")
     assert got.count() > 0
     assert {r.topic.split("/")[-1] for r in got.select("topic").distinct().collect()} == {"3"}
+
+
+def test_curation_transforms_from_config(spark, sf_dir):
+    """A kawad-style JSON config assembles a curation pipeline from
+    the verified expressions: quality gate -> PII redact -> content
+    fingerprint -> minhash signature -> token count, over the
+    documents table, batch mode."""
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.catalog import table_path
+    from cheetah_spark.functions.text import norm_text
+    from cheetah_spark.queries.llm import minhash_sig_expr, quality_score_expr
+
+    cfg = {
+        "source": {"type": "parquet", "path": table_path(sf_dir, "documents")},
+        "transforms": [
+            {"type": "quality_score", "threshold": 0.5},
+            {"type": "pii_redact"},
+            {"type": "content_fp"},
+            {"type": "minhash_sig", "as": "sig"},
+            {"type": "token_count"},
+        ],
+        "sink": {"type": "memory", "name": "curated_cfg"},
+    }
+    out = pipeline_from_config(cfg).dataframe(spark)
+    rows = out.collect()
+    assert {"quality", "content_fp", "sig", "n_tokens"} <= set(out.columns)
+
+    # equals the direct expression pipeline
+    d = spark.read.parquet(table_path(sf_dir, "documents"))
+    expected = (
+        d.withColumn("quality", quality_score_expr(F.col("text")))
+        .where(F.col("quality") >= 0.5)
+        .withColumn("content_fp", F.md5(norm_text(F.col("text"))))
+        .withColumn("sig", minhash_sig_expr(F.col("text")))
+        .count()
+    )
+    assert len(rows) == expected
+    assert all(r.n_tokens >= 0 for r in rows)
+
+    # redaction really rewrites PII-shaped spans
+    red = (
+        spark.createDataFrame(
+            [(1, "reach me at bob@corp.example.org or 555-1234 x")],
+            "doc_id long, text string",
+        )
+    )
+    cfg2 = {
+        "source": {"type": "memory", "rows": [], "schema": "doc_id long"},
+    }
+    from cheetah_spark.config import build_transform
+
+    redacted = build_transform({"type": "pii_redact"})(red).collect()[0].text
+    assert "<EMAIL>" in redacted and "<PHONE>" in redacted
