@@ -43,6 +43,8 @@ DOC_QUERIES = [
     "q_llm_tfidf_topterms",
     "q_llm_unigram_logprob",
     "q_llm_bpe_train",
+    "q_llm_bpe_encode",
+    "s_llm_minhash_dedup",
 ]
 EMB_QUERIES = [
     "q_llm_embed_dedup",
@@ -51,6 +53,7 @@ EMB_QUERIES = [
     "q_llm_ann_lsh",
     "q_llm_ann_ivf",
     "q_llm_ann_pq",
+    "q_llm_ann_ivfpq",
 ]
 
 
