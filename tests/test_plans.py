@@ -250,3 +250,29 @@ def test_domain_mix_joins_totals_by_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_ann_ivfpq_has_no_cross_join_and_repartitions_lists(spark, sf_dir):
+    """IVF-PQ: codes co-located by inverted list (an explicit
+    repartition on cid), partial top-pools the only wide data, no
+    all-pairs anywhere; the bounded rerank joins are hash joins."""
+    from cheetah_spark.queries.llm import _ann_ivfpq_topk
+
+    p = plan(_ann_ivfpq_topk(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "hashpartitioning(cid" in p, p  # list co-location shuffle
+
+
+def test_bpe_encode_is_map_only_until_final_agg(spark, sf_dir):
+    """Corpus tokenization with the trained tokenizer must be one
+    codegen scan: exactly ONE exchange (the per-lang aggregate), no
+    join, no Python eval in the plan."""
+    from cheetah_spark.registry import REGISTRY
+
+    p = plan(REGISTRY["q_llm_bpe_encode"].fn(spark, sf_dir))
+    # formatted plans repeat node names in the detail section — count
+    # tree nodes only
+    assert p.count("+- Exchange") == 1, p
+    assert "Join" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
