@@ -61,25 +61,32 @@ def anchor_df(
     name: str,
     source_tables: tuple[str, ...],
     build,
+    params: str = "",
 ) -> DataFrame:
     """Return the anchor table ``name`` for ``sf_dir``, building it
     with ``build(spark, sf_dir) -> DataFrame`` only when no fresh
     persisted copy exists.  The returned DataFrame is created from
     driver-memoized rows (bit-exact: collect -> createDataFrame
     preserves doubles), so downstream plans treat it as a broadcastable
-    local relation, never a recomputation of the anchor scan."""
+    local relation, never a recomputation of the anchor scan.
+
+    ``params`` encodes the builder's definition (constants, tie-break,
+    version tag): it is part of the staleness key, so changing a
+    builder invalidates its persisted anchors instead of silently
+    serving values computed by an older code revision (round-5
+    advice)."""
     memo_key = (sf_dir, name)
     if memo_key not in _memo:
-        _memo[memo_key] = _load_or_build(spark, sf_dir, name, source_tables, build)
+        _memo[memo_key] = _load_or_build(spark, sf_dir, name, source_tables, build, params)
     schema, rows = _memo[memo_key]
     return spark.createDataFrame(rows, schema)
 
 
-def _load_or_build(spark, sf_dir, name, source_tables, build):
+def _load_or_build(spark, sf_dir, name, source_tables, build, params):
     root = f"{FIXTURE_ROOT}/{_tag(sf_dir)}/anchors"
     path = f"{root}/{name}"
     marker = f"{path}/_ANCHOR_KEY.json"
-    key = _source_key(sf_dir, source_tables)
+    key = f"{_source_key(sf_dir, source_tables)}|builder:{params}"
     if os.path.exists(marker):
         try:
             with open(marker) as f:
@@ -110,6 +117,16 @@ def _load_or_build(spark, sf_dir, name, source_tables, build):
                 shutil.rmtree(tmp, ignore_errors=True)
         else:
             shutil.rmtree(tmp, ignore_errors=True)
-    except Exception:
-        shutil.rmtree(tmp, ignore_errors=True)  # cache miss next process; rows still good
+    except Exception as exc:
+        # rows are still good for THIS process; surface the broken
+        # persistence (perms, disk full) so repeated rebuild cost in
+        # every process is diagnosable rather than silent
+        import sys
+
+        print(
+            f"cheetah_spark.anchors: persisting anchor {name!r} failed "
+            f"({type(exc).__name__}: {exc}); continuing unpersisted",
+            file=sys.stderr,
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
     return (schema, rows)

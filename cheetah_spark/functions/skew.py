@@ -18,6 +18,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
+_HOT_TAG = "__is_hot"
+# above this many hot keys, tag via broadcast join instead of isin
+# literals (which are embedded in both sides' codegen)
+_HOT_ISIN_MAX = 64
 
 
 def with_salt(df: DataFrame, buckets: int = 16, salt_on: str | None = None) -> DataFrame:
@@ -134,18 +138,48 @@ def hot_salted_join(
         .collect()
     )
     hot_list = [r[0] for r in hot_rows]
-    is_hot = F.col(on).isin(hot_list) if hot_list else F.lit(False)
-    dim_r = dim.withColumn(
-        SALT_COL,
+
+    def salt_exprs(is_hot: Column) -> tuple[Column, Column]:
         # sequence(int, int) explodes to INT — matches the big side's cast
-        F.explode(
+        dim_salt = F.explode(
             F.sequence(F.lit(0), F.when(is_hot, F.lit(buckets - 1)).otherwise(F.lit(0)))
-        ),
-    )
-    big_s = big.withColumn(
-        SALT_COL,
-        F.when(is_hot, F.pmod(F.xxhash64(F.col(salt_on)), F.lit(buckets)))
-        .otherwise(F.lit(0))
-        .cast("int"),
-    )
+        )
+        big_salt = (
+            F.when(is_hot, F.pmod(F.xxhash64(F.col(salt_on)), F.lit(buckets)))
+            .otherwise(F.lit(0))
+            .cast("int")
+        )
+        return dim_salt, big_salt
+
+    if len(hot_list) <= _HOT_ISIN_MAX:
+        # small head: an isin literal list keeps the plan join-free
+        is_hot = F.col(on).isin(hot_list) if hot_list else F.lit(False)
+        dim_salt, big_salt = salt_exprs(is_hot)
+        dim_r = dim.withColumn(SALT_COL, dim_salt)
+        big_s = big.withColumn(SALT_COL, big_salt)
+    else:
+        # large head: embedding hot_k literals in BOTH sides' codegen
+        # bloats the plan (round-5 advice) — broadcast-join a K-row
+        # hot-key relation to tag is_hot instead; the collect stays
+        # bounded (hot_k rows) and the tag join is a broadcast hash
+        # join against a tiny build side
+        spark = big.sparkSession
+        key_field = next(f for f in dim.schema.fields if f.name == on)
+        import pyspark.sql.types as T
+
+        hot_df = spark.createDataFrame(
+            [(k,) for k in hot_list], T.StructType([key_field])
+        ).withColumn(_HOT_TAG, F.lit(True))
+        is_hot = F.coalesce(F.col(_HOT_TAG), F.lit(False))
+        dim_salt, big_salt = salt_exprs(is_hot)
+        dim_r = (
+            dim.join(F.broadcast(hot_df), on, "left")
+            .withColumn(SALT_COL, dim_salt)
+            .drop(_HOT_TAG)
+        )
+        big_s = (
+            big.join(F.broadcast(hot_df), on, "left")
+            .withColumn(SALT_COL, big_salt)
+            .drop(_HOT_TAG)
+        )
     return big_s.join(dim_r, on=[on, SALT_COL], how="inner").drop(SALT_COL)

@@ -191,6 +191,116 @@ def hamming56(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+# Wide (128-bit) SimHash: the production-scale variant of the 56-bit
+# fingerprint above. MD5 is 128 bits — exactly one md5 per distinct
+# token still supplies every bit. The fingerprint is REPRESENTED as
+# its 4 pigeonhole blocks of 32 bits (each a small bigint), because
+# that is the only shape the blocking join ever needs and it avoids
+# any 128-bit integer type neither engine has. Bit g of a token's
+# hash comes from the three md5-prefix longs: h0 = hex[1:14]
+# (56 bits), h1 = hex[15:28] (56 bits), h2 = hex[29:32] (16 bits).
+
+SIMHASH_WIDE_BITS = 128
+SIMHASH_WIDE_BLOCKS = 4  # k+1 for the hamming-3 pigeonhole
+SIMHASH_WIDE_BLOCK_BITS = SIMHASH_WIDE_BITS // SIMHASH_WIDE_BLOCKS  # 32
+
+
+def _wide_hash_cols(t: Column) -> list[Column]:
+    m = F.md5(t)
+    return [
+        F.conv(F.substring(m, 1, 14), 16, 10).cast("bigint").alias("wh0"),
+        F.conv(F.substring(m, 15, 14), 16, 10).cast("bigint").alias("wh1"),
+        F.conv(F.substring(m, 29, 4), 16, 10).cast("bigint").alias("wh2"),
+    ]
+
+
+def _wide_bit(g: int) -> Column:
+    """Bit g (0..127) of the per-token 128-bit md5 hash."""
+    if g < 56:
+        return F.shiftright(F.col("wh0"), g).bitwiseAND(F.lit(1))
+    if g < 112:
+        return F.shiftright(F.col("wh1"), g - 56).bitwiseAND(F.lit(1))
+    return F.shiftright(F.col("wh2"), g - 112).bitwiseAND(F.lit(1))
+
+
+def simhash_wide_df(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, blk0..blk3) 128-bit fingerprint via explode + 128 tally aggs.
+
+    Same plan shape as :func:`simhash_df` (one md5 per distinct token,
+    map-side partial aggregation, one id shuffle) — just 128 SUM
+    columns instead of 56, reassembled directly into the four 32-bit
+    block values.
+    """
+    ex = docs.select(
+        id_col, F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t")
+    ).select(id_col, *_wide_hash_cols(F.col("t")))
+    tallies = [
+        F.sum(F.when(_wide_bit(g) == 1, 1).otherwise(-1)).alias(f"wt{g}")
+        for g in range(SIMHASH_WIDE_BITS)
+    ]
+    agg = ex.groupBy(id_col).agg(*tallies)
+    blks: list[Column] = []
+    for b in range(SIMHASH_WIDE_BLOCKS):
+        expr: Column | None = None
+        for j in range(SIMHASH_WIDE_BLOCK_BITS):
+            g = b * SIMHASH_WIDE_BLOCK_BITS + j
+            term = F.when(
+                F.col(f"wt{g}") > 0, F.lit(1 << j).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+            expr = term if expr is None else expr + term
+        assert expr is not None
+        blks.append(expr.alias(f"blk{b}"))
+    return agg.select(id_col, *blks)
+
+
+def oracle_simhash_wide_per_doc(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`simhash_wide_df`: doc_id, blk0..blk3.
+
+    Relational formulation — unnest (block, bit) indices and GROUP BY
+    instead of 128 literal aggregate terms; bit-identical to the Spark
+    tally columns because both reduce to the same per-bit ±1 SUM.
+    """
+    bb = SIMHASH_WIDE_BLOCK_BITS
+    return f"""SELECT doc_id,
+               MAX(CASE WHEN b = 0 THEN bval END) AS blk0,
+               MAX(CASE WHEN b = 1 THEN bval END) AS blk1,
+               MAX(CASE WHEN b = 2 THEN bval END) AS blk2,
+               MAX(CASE WHEN b = 3 THEN bval END) AS blk3
+        FROM (
+          SELECT doc_id, b,
+                 SUM(CASE WHEN tly > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS bval
+          FROM (
+            SELECT doc_id, b, j,
+                   SUM(CASE WHEN (CASE WHEN b*{bb}+j < 56 THEN (wh0 >> (b*{bb}+j)) & 1
+                                  WHEN b*{bb}+j < 112 THEN (wh1 >> (b*{bb}+j-56)) & 1
+                                  ELSE (wh2 >> (b*{bb}+j-112)) & 1 END) = 1
+                       THEN 1 ELSE -1 END) AS tly
+            FROM (
+              SELECT doc_id,
+                     CAST('0x' || substr(m, 1, 14) AS BIGINT) AS wh0,
+                     CAST('0x' || substr(m, 15, 14) AS BIGINT) AS wh1,
+                     CAST('0x' || substr(m, 29, 4) AS BIGINT) AS wh2
+              FROM (SELECT doc_id, md5(t) AS m
+                    FROM (SELECT doc_id, unnest(list_distinct({oracle_tokens("text")})) AS t
+                          FROM {table}))
+            ),
+            (SELECT unnest(generate_series(0, {SIMHASH_WIDE_BLOCKS - 1})) AS b),
+            (SELECT unnest(generate_series(0, {bb - 1})) AS j)
+            GROUP BY doc_id, b, j
+          ) GROUP BY doc_id, b
+        ) GROUP BY doc_id"""
+
+
+def hamming_wide(a_blks: list[Column], b_blks: list[Column]) -> Column:
+    """Hamming distance between two block-decomposed 128-bit fingerprints."""
+    expr: Column | None = None
+    for a, b in zip(a_blks, b_blks):
+        term = F.bit_count(a.bitwiseXOR(b))
+        expr = term if expr is None else expr + term
+    assert expr is not None
+    return expr
+
+
 STOPWORDS = {
     "en": ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on"),
     "de": ("der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "ein"),

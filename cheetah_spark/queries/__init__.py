@@ -29,71 +29,67 @@ from cheetah_spark.queries import tokenizer  # noqa: F401
 from cheetah_spark.queries import windows  # noqa: F401
 from cheetah_spark.queries import xmlio  # noqa: F401
 
-# Round-5 window: queries whose implementation changed this round
-# (anchor-off-hot-path rewrite of the ANN contracts + quantile-CD, the
-# real-codec multimodal decode, and the live-transport replay-window
-# semantics), then the 29 queries whose latest green row dates from
-# round 2 (VERDICT r4 item 3: shared helpers churned under their
-# evidence — rotate the whole r2 cohort in), then the 8 r3-row holders
-# rotated out of the r4 window, then the oldest remaining r3 rows as
-# filler. Everything r4-green and unchanged rotates to the tail.
+# Round-6 window: the new/changed operators first (wide-fingerprint
+# SimHash, streaming embed dedup, refactored batch embed dedup, the
+# config-chain surface, and the BPE-encode warm-path fix), then the
+# WHOLE 37-query cohort whose latest driver row still dates from
+# round 3 (VERDICT r5 item 2: rotate them all in so every query's
+# newest evidence is r4+). 5 + 37 + entries below = within the
+# driver's 50-query window. Everything r4/r5-green and unchanged
+# rotates to the tail.
 CHECK_FIRST = [
-    # new this round: no driver row yet
+    # new or changed this round: no driver row yet / evidence predates
+    # the change
+    "q_llm_simhash_wide",
+    "s_llm_embed_dedup",
+    "q_llm_embed_dedup",
+    "q_config_pipeline",
     "q_llm_bpe_encode",
-    "q_llm_ann_ivfpq",
-    "s_llm_minhash_dedup",
-    # changed this round: single-pass ANN contracts over persisted
-    # exact anchors; quantile-CD anchor split; real PNG/WAV decode;
-    # adaptive SemDeDup-K / embed-block layout; simhash pre-filter
-    "q_llm_ann_lsh",
-    "q_llm_ann_ivf",
-    "q_llm_ann_pq",
-    "q_approx_quantile_cd",
     "q_multimodal_decode",
     "q_multimodal_codec_roundtrip",
-    "q_llm_similarity_topk",
-    "q_llm_semdedup",
+    # r3-stale cohort: every query whose latest driver row is r3
+    "q_approx_heavy_cmsketch",
+    "q_arrow_surface",
+    "q_asof_join",
+    "q_broadcast_join",
+    "q_bucketed_join",
+    "q_deser_json",
+    "q_events_funnel",
+    "q_events_histogram",
+    "q_events_path_topk",
+    "q_events_retention",
+    "q_events_transitions",
+    "q_filter_pred",
+    "q_flatmap_explode",
+    "q_hash_join_inner",
+    "q_hypertable_rollup",
+    "q_latest_by_key",
+    "q_llm_bloom_decontaminate",
+    "q_llm_unigram_logprob",
+    "q_multiway_join_tpch",
+    "q_outer_joins",
+    "q_scalar_datetime",
+    "q_scan_binary_files",
+    "q_scan_project",
+    "q_scan_schema_merge",
+    "q_scd2_history",
+    "q_sec_anomaly_zscore",
+    "q_sec_beacon_detect",
+    "q_semi_anti_join",
+    "q_session_window",
+    "q_sink_partition_prune",
+    "q_theta_range_join",
+    "q_time_window_sliding",
+    "q_time_window_tumbling",
+    "q_timeseries_gapfill",
+    "q_timeseries_m4",
+    "q_timeseries_rate",
+    "q_window_range_frame",
+    # filler to 50: oldest r4 rows whose shared helpers churned most
+    "q_llm_minhash_dedup",
     "q_llm_simhash_dedup",
-    # r2-stale cohort: latest green row predates the r3/r4 helper churn
-    "q_approx_distinct_hll",
-    "q_conditional_agg",
-    "q_deser_xml",
-    "q_exact_percentile",
-    "q_llm_chunk_windows",
-    "q_llm_decontaminate",
-    "q_llm_dedup_pipeline",
-    "q_llm_embed_dedup",
-    "q_llm_embed_quantize",
-    "q_llm_ngram_jaccard",
-    "q_llm_pack_sequences",
-    "q_llm_pii_redact",
-    "q_llm_repetition",
-    "q_llm_sample_stratified",
-    "q_llm_shuffle_shards",
-    "q_llm_span_dedup",
-    "q_llm_text_stats",
-    "q_llm_tfidf_topterms",
-    "q_llm_vocab_coverage",
-    "q_mqtt_envelope",
-    "q_null_semantics",
-    "q_scan_csv",
-    "q_scan_ndjson",
-    "q_sql_subqueries",
-    "q_stats_moments",
-    "q_window_analytic",
-    "q_window_frame_running",
-    "q_window_ntile",
-    "q_window_rank",
-    # rotated out of the r4 window (green r3 rows) — back in now;
-    # the live transports also carry the new replay-window semantics
-    "q_scan_orc",
-    "q_udtf_surface",
-    "s_stream_stateful_counter",
-    "s_stream_static_join",
-    "s_stream_identity",
-    "s_stream_stream_join",
-    "s_stream_dedup",
-    "s_mqtt_live",
-    "s_eventlog_live",
-    # oldest remaining r3 row as filler to 50
+    "q_llm_fingerprint",
+    "q_llm_exact_dedup",
+    "q_llm_incremental_dedup",
+    "q_llm_token_count",
 ]

@@ -547,7 +547,13 @@ def q_llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (block, value) — the same bucket-shuffle shape as MinHash banding,
     never an O(n²) cross join. Exact bit_count(xor) reranks candidates.
     Guaranteed lossless for the distance bound (pigeonhole, not
-    probabilistic)."""
+    probabilistic).
+
+    Fixture-scale variant: 14-bit blocks saturate on homogeneous
+    corpora (SCALE.md round-5 finding — candidate growth ≈ n² beyond
+    ~10⁵ docs). The production dial is :func:`q_llm_simhash_wide`
+    (128-bit fingerprint, 32-bit blocks, exact-dup groups collapsed
+    before blocking)."""
     d = load_table(spark, sf_dir, "documents")
     fp = X.simhash_df(d)
     mask = (1 << _SH_BLOCK_BITS) - 1
@@ -588,6 +594,96 @@ def q_llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHW_BLK = ["blk0", "blk1", "blk2", "blk3"]
+
+
+@register(
+    "q_llm_simhash_wide",
+    oracle=f"""
+        WITH fp AS ({X.oracle_simhash_wide_per_doc()}),
+        grp AS (
+            SELECT blk0, blk1, blk2, blk3, MIN(doc_id) AS rep,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM fp GROUP BY blk0, blk1, blk2, blk3
+        ),
+        gb AS (
+            SELECT rep, n_docs, blk0, blk1, blk2, blk3, blk,
+                   CASE blk WHEN 0 THEN blk0 WHEN 1 THEN blk1
+                            WHEN 2 THEN blk2 ELSE blk3 END AS bval
+            FROM grp, (SELECT unnest(generate_series(0, {_SH_BLOCKS - 1})) AS blk)
+        ),
+        scored AS (
+            SELECT a.rep AS rep_a, b.rep AS rep_b,
+                   bit_count(xor(a.blk0, b.blk0)) + bit_count(xor(a.blk1, b.blk1))
+                   + bit_count(xor(a.blk2, b.blk2)) + bit_count(xor(a.blk3, b.blk3))
+                       AS hamming,
+                   a.n_docs AS n_docs_a, b.n_docs AS n_docs_b
+            FROM gb a JOIN gb b ON a.blk = b.blk AND a.bval = b.bval
+            WHERE a.rep < b.rep
+        )
+        SELECT DISTINCT rep_a, rep_b, hamming, n_docs_a, n_docs_b
+        FROM scored WHERE hamming <= {_SH_K}
+    """,
+    tags=("llm", "dedup"),
+)
+def q_llm_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-fingerprint SimHash near-dedup — the production-scale
+    variant of :func:`q_llm_simhash_dedup` (SCALE.md round-5 finding:
+    4×14-bit blocks saturate on homogeneous corpora, 306 M candidates
+    at 10×). Two structural fixes, both exact:
+
+    1. **128-bit fingerprint, 4 blocks × 32 bits** (one md5 per
+       distinct token still supplies every bit). Per-block key space
+       is 2³² — random bucket load stays O(1) up to ~10¹⁰ distinct
+       fingerprints, vs 2¹⁴ before. The hamming-≤3 pigeonhole over
+       k+1=4 blocks is unchanged, so candidates are still lossless
+       for the distance bound.
+    2. **Exact-fingerprint groups collapse to a canonical
+       representative (min doc_id) BEFORE blocking.** Template-mass
+       duplication — the dominant 100 TB regime, and this fixture's:
+       35 619 identical-fingerprint pairs at sf0.1 — contributes one
+       row per distinct fingerprint instead of C(m,2) pairs per
+       m-doc cluster. The quadratic that remains is the corpus's true
+       near-dup pair count, i.e. the output itself.
+
+    Returns (rep_a, rep_b, hamming, n_docs_a, n_docs_b): near-dup
+    edges between group representatives with group sizes, from which
+    doc-level keep/drop decisions are a broadcast join away. Hamming
+    ≤3 of 128 bits is deliberately stricter than ≤3 of 56 — wide
+    fingerprints separate what 56-bit ones blur together.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    fp = X.simhash_wide_df(d)
+    grp = fp.groupBy(*_SHW_BLK).agg(
+        F.min("doc_id").alias("rep"), F.count("*").alias("n_docs")
+    )
+    gb = grp.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(_SH_BLOCKS - 1))).alias("blk")
+    ).withColumn(
+        "bval",
+        F.when(F.col("blk") == 0, F.col("blk0"))
+        .when(F.col("blk") == 1, F.col("blk1"))
+        .when(F.col("blk") == 2, F.col("blk2"))
+        .otherwise(F.col("blk3")),
+    )
+    cols = ["rep", "n_docs", *_SHW_BLK]
+    a = gb.select(*[F.col(c).alias(f"{c}_a") for c in cols], "blk", "bval")
+    b = gb.select(*[F.col(c).alias(f"{c}_b") for c in cols], "blk", "bval")
+    ham = X.hamming_wide(
+        [F.col(f"{c}_a") for c in _SHW_BLK], [F.col(f"{c}_b") for c in _SHW_BLK]
+    )
+    # Same map-side-score discipline as the 56-bit variant: the hamming
+    # test runs inside the block join and filters BEFORE the distinct
+    # shuffle, so only qualifying pairs are ever exchanged.
+    return (
+        a.join(b, on=["blk", "bval"])
+        .where(F.col("rep_a") < F.col("rep_b"))
+        .select("rep_a", "rep_b", ham.alias("hamming"), "n_docs_a", "n_docs_b")
+        .where(F.col("hamming") <= _SH_K)
+        .distinct()
+    )
+
+
 # Embedding near-dup parameters: 64 dims split into 8 blocks of 8 sign
 # bits. Pigeonhole: pairs whose sign patterns differ in ≤ 7 bits agree
 # on ≥ 1 whole block → the (block, value) equi-join finds them
@@ -604,6 +700,25 @@ _ED_PERT_MOD = 10
 _ED_PERT_OFFSET = 10_000_000
 _ED_THRESHOLD = 0.9
 _ED_ADAPTIVE_FLOOR = 4096  # below this corpus size, the fixed 8x8 layout
+
+
+def _ed_blocks_of(u: DataFrame, n_blocks: int, n_bits: int) -> DataFrame:
+    """(vec_id, v) → (vec_id, blk, bval): the sign-LSH pigeonhole block
+    keys — n_blocks rows per vector, each bval packing n_bits component
+    signs. Pure Column expressions; shared by the batch operator and
+    the streaming variant (which must be map-only ahead of its
+    stateful aggregation)."""
+    bval = None
+    for j in range(n_bits):
+        bit = F.when(
+            F.element_at(F.col("v"), (F.col("blk") * n_bits + j + 1).cast("int")) >= 0,
+            F.lit(1 << j),
+        ).otherwise(F.lit(0))
+        bval = bit if bval is None else bval + bit
+    assert bval is not None
+    return u.select(
+        "vec_id", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("blk"), "v"
+    ).select("vec_id", "blk", bval.alias("bval"))
 
 
 def _ed_layout(n: int) -> tuple[int, int]:
@@ -726,16 +841,7 @@ def q_llm_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     u = base.unionByName(pert).persist()
-    bval = None
-    for j in range(n_bits):
-        bit = F.when(
-            F.element_at(F.col("v"), (F.col("blk") * n_bits + j + 1).cast("int")) >= 0,
-            F.lit(1 << j),
-        ).otherwise(F.lit(0))
-        bval = bit if bval is None else bval + bit
-    blocks = u.select(
-        "vec_id", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("blk"), "v"
-    ).select("vec_id", "blk", bval.alias("bval"))
+    blocks = _ed_blocks_of(u, n_blocks, n_bits)
     cand = (
         blocks.alias("a")
         .join(blocks.alias("b"), on=["blk", "bval"])
@@ -857,13 +963,33 @@ def _exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect → createDataFrame local relation."""
     from cheetah_spark.anchors import anchor_df
 
-    return anchor_df(spark, sf_dir, "exact_topk", ("embeddings",), q_llm_similarity_topk)
+    return anchor_df(
+        spark,
+        sf_dir,
+        "exact_topk",
+        ("embeddings",),
+        q_llm_similarity_topk,
+        params=_EXACT_TOPK_PARAMS,
+    )
+
+
+# builder definition key: invalidates persisted anchors when the
+# anchor's semantics change (round-5 advice — a stale /tmp anchor from
+# an older code revision must not be silently served)
+_EXACT_TOPK_PARAMS = f"topk={_TOPK};qmod={_QUERY_MOD};v1"
 
 
 def _exact_topk_rows(spark: SparkSession, sf_dir: str):
     from cheetah_spark.anchors import _memo, anchor_df
 
-    anchor_df(spark, sf_dir, "exact_topk", ("embeddings",), q_llm_similarity_topk)
+    anchor_df(
+        spark,
+        sf_dir,
+        "exact_topk",
+        ("embeddings",),
+        q_llm_similarity_topk,
+        params=_EXACT_TOPK_PARAMS,
+    )
     return _memo[(sf_dir, "exact_topk")]
 
 
@@ -878,8 +1004,20 @@ def _ann_contract(spark: SparkSession, sf_dir: str, approx: DataFrame, recall_fl
     assembled driver-side from that bounded summary plus the persisted
     exact anchor. (The round-4 shape referenced ``approx`` from two
     plan branches, so every ANN index was built and probed twice per
-    query — measured ~2× on q_llm_ann_lsh/ivf/pq.)"""
+    query — measured ~2× on q_llm_ann_lsh/ivf/pq.)
+
+    Eager-execution note: the approx pipeline runs at query-CONSTRUCTION
+    time (the bounded per-query summary is collected here); the returned
+    DataFrame is a precomputed local relation, not a lazy plan."""
     _schema, exact_rows = _exact_topk_rows(spark, sf_dir)
+    if not exact_rows:
+        # degenerate fixture (no queries / empty embeddings): fail loud
+        # rather than ZeroDivisionError below — there is nothing for
+        # the recall contract to mean (round-5 advice)
+        raise ValueError(
+            f"ANN contract needs a non-empty exact top-k anchor for {sf_dir!r}; "
+            "the embeddings fixture produced none"
+        )
     exact_pairs = spark.createDataFrame(
         [(r.query_id, r.neighbor_id) for r in exact_rows],
         "query_id long, neighbor_id long",

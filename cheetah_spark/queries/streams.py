@@ -624,3 +624,161 @@ def _stream_minhash_flagged(
         .where(F.col("doc_id") > F.col("m"))
         .select("doc_id")
     )
+
+
+def _streaming_embed_oracle() -> str:
+    from cheetah_spark.queries.llm import (
+        _ED_DIM,
+        _ED_ORACLE_BITS,
+        _ED_ORACLE_BVAL,
+        _ED_PERT_MOD,
+        _ED_PERT_OFFSET,
+        _ED_THRESHOLD,
+    )
+
+    return f"""
+        WITH u AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + {_ED_PERT_OFFSET},
+                   [CAST(embedding AS DOUBLE[])[1] + 0.25]
+                       || CAST(embedding AS DOUBLE[])[2:{_ED_DIM}]
+            FROM embeddings WHERE vec_id % {_ED_PERT_MOD} = 0
+        ),
+        lay AS (
+            SELECT bits, GREATEST(2, 64 // bits) AS blocks FROM (
+                SELECT {_ED_ORACLE_BITS} AS bits
+                FROM (SELECT COUNT(*)::BIGINT AS n FROM embeddings)
+            )
+        ),
+        blocks AS (
+            SELECT vec_id, blk, {_ED_ORACLE_BVAL} AS bval
+            FROM u, lay, (SELECT unnest(generate_series(0, 31)) AS blk)
+            WHERE blk < lay.blocks
+        ),
+        mins AS (SELECT blk, bval, MIN(vec_id) AS m FROM blocks GROUP BY blk, bval),
+        hits AS (
+            SELECT DISTINCT b.vec_id, mn.m
+            FROM blocks b JOIN mins mn ON b.blk = mn.blk AND b.bval = mn.bval
+            WHERE b.vec_id > mn.m
+        ),
+        flagged AS (SELECT DISTINCT vec_id FROM hits),
+        conf AS (
+            SELECT DISTINCT h.vec_id
+            FROM hits h JOIN u a ON a.vec_id = h.vec_id JOIN u p ON p.vec_id = h.m
+            WHERE list_cosine_similarity(a.v, p.v) >= {_ED_THRESHOLD}
+        )
+        SELECT (SELECT COUNT(*) FROM u)::BIGINT AS n_vecs,
+               (SELECT COUNT(*) FROM flagged)::BIGINT AS n_flagged,
+               (SELECT CAST(COALESCE(SUM(vec_id), 0) AS BIGINT) FROM flagged) AS sum_flagged,
+               (SELECT COUNT(*) FROM conf)::BIGINT AS n_confirmed,
+               (SELECT CAST(COALESCE(SUM(vec_id), 0) AS BIGINT) FROM conf) AS sum_confirmed
+    """
+
+
+@register(
+    "s_llm_embed_dedup",
+    oracle=_streaming_embed_oracle(),
+    tags=("streaming", "llm", "dedup", "vector", "stateful"),
+)
+def s_llm_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING embedding near-dedup against history — the sign-LSH
+    counterpart of s_llm_minhash_dedup, completing the streaming dedup
+    family: as vectors ARRIVE, each micro-batch computes its pigeonhole
+    block keys map-side (:func:`~cheetah_spark.queries.llm._ed_blocks_of`,
+    the exact expressions the batch operator uses) and a JVM stateful
+    aggregation keeps ONE bounded value per occupied (block, value)
+    bucket — the minimum vec_id ever seen — so a later arrival whose
+    sign pattern collides with history in any block is flagged without
+    re-scanning the corpus. State is 8 bytes per occupied bucket, and
+    the same measured rule as the minhash variant applies: a
+    corpus-sized keyspace must stay in the JVM state store, never
+    applyInPandasWithState.
+
+    The replay feed interleaves the batch operator's planted perturbed
+    copies (embeddings_stream_dir), each arriving after its original,
+    so the flagged set provably contains every planted near-duplicate.
+    Flagged arrivals are then reranked batch-side by exact cosine
+    against their bucket's retained representative (n_confirmed) —
+    the stream flags candidates-vs-history; confirmation pairs each
+    candidate with the state's representative, which is how a
+    production ingest rerank works (the state cannot hold every
+    historical vector, only the per-bucket keeper).
+
+    Arrival order == vec_id order, so the SQL oracle expresses the
+    whole state machine in batch: bucket mins, arrivals above their
+    bucket min, cosine-vs-min rerank — hash-verified."""
+    from cheetah_spark.functions import vectors as V
+    from cheetah_spark.queries.llm import _ED_THRESHOLD
+    from cheetah_spark.streaming import embeddings_stream_dir
+
+    src_dir = embeddings_stream_dir(spark, sf_dir)
+    hits = _stream_embed_hits(spark, sf_dir, max_files_per_trigger=2)
+    arrivals = ParquetSource(src_dir).read(spark)
+    va = arrivals.select(F.col("vec_id"), F.col("v").alias("va"),
+                         V.l2_norm_sq(F.col("v")).alias("nsq_a"))
+    vp = arrivals.select(F.col("vec_id").alias("m"), F.col("v").alias("vp"),
+                         V.l2_norm_sq(F.col("v")).alias("nsq_p"))
+    cos = V.dot(F.col("va"), F.col("vp")) / (
+        F.sqrt(F.col("nsq_a")) * F.sqrt(F.col("nsq_p"))
+    )
+    conf = (
+        hits.join(va, "vec_id")
+        .join(vp, "m")
+        .where(cos >= _ED_THRESHOLD)
+        .select("vec_id")
+        .distinct()
+    )
+    flagged = hits.select("vec_id").distinct()
+    n_vecs = arrivals.count()
+    f_agg = flagged.agg(
+        F.count("*").cast("bigint").alias("n_flagged"),
+        F.coalesce(F.sum("vec_id"), F.lit(0)).cast("bigint").alias("sum_flagged"),
+    )
+    c_agg = conf.agg(
+        F.count("*").cast("bigint").alias("n_confirmed"),
+        F.coalesce(F.sum("vec_id"), F.lit(0)).cast("bigint").alias("sum_confirmed"),
+    )
+    return f_agg.crossJoin(c_agg).select(
+        F.lit(n_vecs).cast("bigint").alias("n_vecs"),
+        "n_flagged",
+        "sum_flagged",
+        "n_confirmed",
+        "sum_confirmed",
+    )
+
+
+def _stream_embed_hits(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int
+) -> DataFrame:
+    """The streaming half of s_llm_embed_dedup — (vec_id, m) pairs of
+    flagged arrivals and their bucket representative — with micro-batch
+    granularity exposed so the conformance test can prove the flagged
+    set is invariant to admission slicing (the reference's SuiteTest
+    property, test/suite_test.go:85-104, for this state machine)."""
+    from cheetah_spark.catalog import _table_rows
+    from cheetah_spark.queries.llm import _ed_blocks_of, _ed_layout
+    from cheetah_spark.streaming import embeddings_stream_dir
+
+    n_blocks, n_bits = _ed_layout(_table_rows(spark, sf_dir, "embeddings"))
+    src_dir = embeddings_stream_dir(spark, sf_dir)
+    stream = ParquetSource(
+        src_dir, streaming=True, max_files_per_trigger=max_files_per_trigger
+    ).read(spark)
+    with scoped_state_partitions(spark):
+        sunk = run_stream_to_completion(
+            stream,
+            lambda df: _ed_blocks_of(df, n_blocks, n_bits)
+            .groupBy("blk", "bval")
+            .agg(F.min("vec_id").alias("min_vec")),
+            output_mode="update",
+        )
+    final_min = sunk.groupBy("blk", "bval").agg(F.min("min_vec").alias("m"))
+    arrivals = ParquetSource(src_dir).read(spark)
+    return (
+        _ed_blocks_of(arrivals, n_blocks, n_bits)
+        .join(final_min, ["blk", "bval"])
+        .where(F.col("vec_id") > F.col("m"))
+        .select("vec_id", "m")
+        .distinct()
+    )

@@ -227,7 +227,14 @@ def q_approx_quantile_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cheetah_spark.anchors import anchor_df
 
     l = load_table(spark, sf_dir, "lineitem")
-    anchor = anchor_df(spark, sf_dir, "quantile_cd", ("lineitem",), _quantile_cd_anchor)
+    anchor = anchor_df(
+        spark,
+        sf_dir,
+        "quantile_cd",
+        ("lineitem",),
+        _quantile_cd_anchor,
+        params="bands=49,51,89,91;v1",
+    )
     sketches = l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("ao"),

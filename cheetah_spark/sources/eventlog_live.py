@@ -221,6 +221,13 @@ class _EventLogSimpleStreamReader(SimpleDataSourceStreamReader):
         self._query = options.get("query") or "*"  # default query "*" (event_logs.go:49-51)
         self._method = _METHODS[(options.get("method") or "future").lower()]
         self._factory = _make_factory(options)
+        # sanctioned recovery path for a lost replay window (mirrors
+        # Kafka's failOnDataLoss=false): log the loss and advance,
+        # instead of permanently failing every restart past the lost
+        # range (round-5 advice)
+        self._accept_data_loss = (
+            (options.get("accept_data_loss") or "false").lower() == "true"
+        )
         self._init_runtime()
 
     def _init_runtime(self):
@@ -238,6 +245,7 @@ class _EventLogSimpleStreamReader(SimpleDataSourceStreamReader):
             "_query": self._query,
             "_method": self._method,
             "_factory": self._factory,
+            "_accept_data_loss": self._accept_data_loss,
         }
 
     def __setstate__(self, state):
@@ -284,11 +292,23 @@ class _EventLogSimpleStreamReader(SimpleDataSourceStreamReader):
         # batch committed, stream reports success) hides it from the
         # operator — fail fast instead (round-4 advice).
         if end["seq"] - start["seq"] > 0:
+            if self._accept_data_loss:
+                import sys
+
+                print(
+                    f"windows_events: replay window lost for offsets "
+                    f"[{start['seq']},{end['seq']}) after restart — advancing "
+                    "past it (accept_data_loss=true); rows are unrecoverable "
+                    "(at-most-once transport)",
+                    file=sys.stderr,
+                )
+                return iter(())
             raise RuntimeError(
                 f"windows_events: replay window lost for offsets "
                 f"[{start['seq']},{end['seq']}) after restart — the push "
                 "subscription cannot redeliver; rows are unrecoverable "
-                "(at-most-once transport)"
+                "(at-most-once transport). Set accept_data_loss=true to log "
+                "the loss and advance instead"
             )
         return iter(())
 

@@ -66,6 +66,7 @@ def _ordered_stream_dir(
     n_files: int,
     dir_name: str,
     drop_legacy: tuple[str, ...] = (),
+    transform=None,
 ) -> str:
     """Shared replay-fixture builder: split ``table`` into n ordered
     parquet files with strictly increasing mtimes.
@@ -93,6 +94,8 @@ def _ordered_stream_dir(
         for legacy in drop_legacy:  # pre-fix cache generations
             shutil.rmtree(f"{FIXTURE_ROOT}/{_tag(sf_dir)}/{legacy}", ignore_errors=True)
         t = load_table(spark, sf_dir, table)
+        if transform is not None:
+            t = transform(t)
         (
             # global-order ntile is fine here: bounded test-fixture
             # derivation, not a scale path
@@ -185,4 +188,38 @@ def documents_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> 
     ("flag the later arrival") as doc_id comparisons."""
     return _ordered_stream_dir(
         spark, sf_dir, "documents", ("doc_id",), n_files, f"documents_stream_{n_files}"
+    )
+
+
+def embeddings_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Embeddings replay feed, augmented with the SAME deterministic
+    perturbed copies as q_llm_embed_dedup (vec_id + offset, component 1
+    shifted +0.25). Replay order is vec_id order, so every perturbed
+    copy arrives AFTER its original — arrival-order dedup semantics
+    ("flag the later near-duplicate") stay SQL-expressible as vec_id
+    comparisons. The vector is materialized as array<double> ``v`` so
+    both engines read identical doubles."""
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.queries.llm import _ED_DIM, _ED_PERT_MOD, _ED_PERT_OFFSET
+
+    def plant(e):
+        v = F.col("embedding").cast("array<double>")
+        base = e.select("vec_id", v.alias("v"))
+        pert = e.where(F.col("vec_id") % _ED_PERT_MOD == 0).select(
+            (F.col("vec_id") + _ED_PERT_OFFSET).alias("vec_id"),
+            F.concat(
+                F.array(F.element_at(v, 1) + F.lit(0.25)), F.slice(v, 2, _ED_DIM - 1)
+            ).alias("v"),
+        )
+        return base.unionByName(pert)
+
+    return _ordered_stream_dir(
+        spark,
+        sf_dir,
+        "embeddings",
+        ("vec_id",),
+        n_files,
+        f"embeddings_stream_{n_files}",
+        transform=plant,
     )

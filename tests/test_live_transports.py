@@ -308,6 +308,18 @@ def test_eventlog_replay_window_loss_fails_fast():
         r.readBetweenOffsets({"seq": 2}, {"seq": 4})
     assert list(r.readBetweenOffsets({"seq": 2}, {"seq": 2})) == []
 
+    # sanctioned recovery path (round-5 advice, mirrors Kafka's
+    # failOnDataLoss=false): accept_data_loss=true logs and advances
+    ra = _EventLogSimpleStreamReader(
+        {"channel": "Security", "transport": "replay", "accept_data_loss": "true"}
+    )
+    assert list(ra.readBetweenOffsets({"seq": 2}, {"seq": 4})) == []
+    # and the option survives the pickle into the runner process
+    import pickle
+
+    rb = pickle.loads(pickle.dumps(ra))
+    assert list(rb.readBetweenOffsets({"seq": 2}, {"seq": 4})) == []
+
 
 def test_mqtt_live_crash_recovery_no_loss(spark, sf_dir, tmp_path):
     """Reference SuiteTest no-loss/no-dup (test/suite_test.go:85-104)

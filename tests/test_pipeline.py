@@ -265,6 +265,41 @@ def test_pipeline_tracer_emits_span_trees(tmp_path, spark, sf_dir):
         assert "opentelemetry" in str(exc)
 
 
+def test_streaming_embed_dedup_batching_invariant_and_planted(spark, sf_dir):
+    """Same conformance property for the sign-LSH state machine, plus
+    the lossless-detection guarantee: every planted perturbed copy
+    (≤1 flipped sign bit → ≥blocks-1 agreeing blocks, arrives after
+    its original) must be in the flagged set."""
+    from cheetah_spark.queries.llm import _ED_PERT_MOD, _ED_PERT_OFFSET
+    from cheetah_spark.queries.streams import _stream_embed_hits
+
+    fine = {
+        r.vec_id
+        for r in _stream_embed_hits(spark, sf_dir, max_files_per_trigger=1)
+        .select("vec_id")
+        .distinct()
+        .collect()
+    }
+    coarse = {
+        r.vec_id
+        for r in _stream_embed_hits(spark, sf_dir, max_files_per_trigger=4)
+        .select("vec_id")
+        .distinct()
+        .collect()
+    }
+    assert fine == coarse
+    from cheetah_spark.catalog import load_table
+
+    planted = {
+        r.vec_id + _ED_PERT_OFFSET
+        for r in load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % _ED_PERT_MOD == 0)
+        .select("vec_id")
+        .collect()
+    }
+    assert planted <= fine
+
+
 def test_streaming_minhash_dedup_batching_invariant(spark, sf_dir):
     """The flagged set must not depend on micro-batch slicing (the
     reference conformance property under arbitrary admission): 1 file

@@ -75,6 +75,20 @@ def test_simhash_dedup_has_no_cross_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_simhash_wide_scores_inside_block_join(spark, sf_dir):
+    # wide variant: no cartesian, and the hamming<=3 test must fold
+    # into the (blk,bval) equi-join's residual condition (map-side
+    # score-and-filter) so only qualifying pairs ever reach the
+    # distinct's exchange — the r5 saturation fix depends on it
+    p = plan(_q("q_llm_simhash_wide", spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    import re
+
+    cond = re.search(r"Join condition:.*", p)
+    assert cond and "bit_count" in cond.group(0) and "<= 3" in cond.group(0), p
+
+
 def test_embed_dedup_has_no_cross_join(spark, sf_dir):
     # round-1 regression: this was a crossJoin all-pairs cosine
     p = plan(_q("q_llm_embed_dedup", spark, sf_dir))

@@ -32,11 +32,15 @@ SCALES = [
     ("1x", "/root/testdata/sf0.1", 1),
     ("5x", "/tmp/cheetah_scale/sfx5", 5),
     ("10x", "/tmp/cheetah_scale/sfx10", 10),
+    # linear-vs-superlinear separates cleanly only above 10x (round-5
+    # verdict item #7): a fourth tier for the alpha>=0.8 cohort only
+    ("25x", "/tmp/cheetah_scale/sfx25", 25),
 ]
 
 DOC_QUERIES = [
     "q_llm_minhash_dedup",
     "q_llm_simhash_dedup",
+    "q_llm_simhash_wide",
     "q_llm_ngram_jaccard",
     "q_llm_dup_clusters",
     "q_llm_dedup_pipeline",
@@ -45,6 +49,7 @@ DOC_QUERIES = [
     "q_llm_bpe_train",
     "q_llm_bpe_encode",
     "s_llm_minhash_dedup",
+    "s_llm_embed_dedup",
 ]
 EMB_QUERIES = [
     "q_llm_embed_dedup",
@@ -54,6 +59,17 @@ EMB_QUERIES = [
     "q_llm_ann_ivf",
     "q_llm_ann_pq",
     "q_llm_ann_ivfpq",
+]
+
+# the round-5 alpha>=0.8 cohort (plus the wide-simhash fix under test):
+# the only queries timed at the 25x tier
+HIGH_ALPHA = [
+    "q_llm_simhash_dedup",
+    "q_llm_simhash_wide",
+    "q_llm_dup_clusters",
+    "q_llm_ann_lsh",
+    "s_llm_minhash_dedup",
+    "s_llm_embed_dedup",
 ]
 
 
@@ -85,6 +101,9 @@ def main() -> None:
 
     out: dict = {"scales": {}, "timings": {}, "candidates": {}, "driver_state": {}}
     for tag, sf_dir, mult in SCALES:
+        if not os.path.isdir(sf_dir):
+            print(f"SKIP {tag}: {sf_dir} missing (gen_scale_fixture.py {mult})", file=sys.stderr)
+            continue
         docs = load_table(spark, sf_dir, "documents")
         embs = load_table(spark, sf_dir, "embeddings")
         n_docs, n_vecs = docs.count(), embs.count()
@@ -105,7 +124,8 @@ def main() -> None:
         _trained(spark, sf_dir)
         spark.catalog.clearCache()
 
-        for name in DOC_QUERIES + EMB_QUERIES:
+        probe_queries = HIGH_ALPHA if tag == "25x" else DOC_QUERIES + EMB_QUERIES
+        for name in probe_queries:
             t0 = time.time()
             force(REGISTRY[name].fn(spark, sf_dir))
             dt = time.time() - t0
@@ -140,6 +160,37 @@ def main() -> None:
             .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias("c"))
             .collect()[0]["c"]
         )
+        # wide simhash: candidates are block pairs over DISTINCT
+        # fingerprints (exact-dup groups collapsed to one rep each) —
+        # the r6 saturation fix, measured
+        wfp = X.simhash_wide_df(docs)
+        wgrp = wfp.groupBy("blk0", "blk1", "blk2", "blk3").agg(
+            F.min("doc_id").alias("rep")
+        )
+        wblocks = wgrp.select(
+            "rep",
+            F.explode(F.sequence(F.lit(0), F.lit(_SH_BLOCKS - 1))).alias("blk"),
+            F.col("blk0"), F.col("blk1"), F.col("blk2"), F.col("blk3"),
+        ).select(
+            "rep",
+            "blk",
+            F.when(F.col("blk") == 0, F.col("blk0"))
+            .when(F.col("blk") == 1, F.col("blk1"))
+            .when(F.col("blk") == 2, F.col("blk2"))
+            .otherwise(F.col("blk3"))
+            .alias("bval"),
+        )
+        shw_row = (
+            wblocks.groupBy("blk", "bval")
+            .agg(F.count("*").alias("n"))
+            .agg(
+                F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias("c"),
+                F.sum(F.when(F.col("blk") == 0, F.col("n"))).cast("bigint").alias("nfp"),
+            )
+            .collect()[0]
+        )
+        out["candidates"].setdefault("simhash_wide_block_pairs", {})[tag] = int(shw_row["c"])
+        out["candidates"].setdefault("simhash_wide_distinct_fps", {})[tag] = int(shw_row["nfp"])
         sem_pairs = (
             _semdedup_per_cluster(spark, sf_dir)
             .agg(
@@ -159,12 +210,13 @@ def main() -> None:
     # bounded driver state, measured not asserted
     import numpy as np
 
-    _e, C, _wcss = _kmeans_centroids(spark, SCALES[-1][1], _KM_ITERS)
-    out["driver_state"]["kmeans_centroids_bytes_10x"] = int(np.asarray(C).nbytes)
+    top_dir = [d for _t, d, _m in SCALES if os.path.isdir(d)][-1]
+    _e, C, _wcss = _kmeans_centroids(spark, top_dir, _KM_ITERS)
+    out["driver_state"]["kmeans_centroids_bytes_top"] = int(np.asarray(C).nbytes)
     from cheetah_spark.queries.llm import _exact_topk_rows
 
-    _schema, rows = _exact_topk_rows(spark, SCALES[-1][1])
-    out["driver_state"]["exact_topk_anchor_rows_10x"] = len(rows)
+    _schema, rows = _exact_topk_rows(spark, top_dir)
+    out["driver_state"]["exact_topk_anchor_rows_top"] = len(rows)
 
     # scaling exponents base->10x: alpha = log(t10/t1) / log(10)
     import math
@@ -172,6 +224,11 @@ def main() -> None:
     for name, per in out["timings"].items():
         t1, t10 = per["1x"]["sec"], per["10x"]["sec"]
         per["alpha_1x_to_10x"] = round(math.log(max(t10, 0.01) / max(t1, 0.01)) / math.log(10), 2)
+        if "25x" in per:
+            t25 = per["25x"]["sec"]
+            per["alpha_10x_to_25x"] = round(
+                math.log(max(t25, 0.01) / max(t10, 0.01)) / math.log(2.5), 2
+            )
 
     print(json.dumps(out))
 
