@@ -68,7 +68,8 @@ WARMED = [
     "kmeans_centroids(sf,iters)",  # q_llm_kmeans/q_llm_semdedup model state
     "exact_topk_anchor",  # ANN verification anchor (persisted per fixture)
     "quantile_cd_anchor",  # q_approx_quantile_cd exact anchors (persisted)
-    "bpe_merges(sf)",  # q_llm_bpe_train/encode shared tokenizer model
+    "bpe_merges(sf)",  # q_llm_bpe_train/encode shared tokenizer model (persisted)
+    "media_fixture(sf)",  # synthesized media corpora (persisted per fixture)
     "jvm_jit+python_workers+stream_state_store",  # engine spin-up
 ]
 
@@ -99,6 +100,10 @@ def warm_up(spark) -> None:
         from cheetah_spark.queries.tokenizer import _trained
 
         _trained(spark, SF_DIR)
+        from cheetah_spark.multimodal import media_fixture_dir
+
+        media_fixture_dir(spark, SF_DIR, "mixed")
+        media_fixture_dir(spark, SF_DIR, "real")
     except Exception as e:  # warm-up must never sink the bench
         print(f"WARMUP-FAIL: {str(e)[:200]}", file=sys.stderr)
     drop_stream_sinks(spark)

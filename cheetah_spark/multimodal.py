@@ -36,7 +36,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # Magic headers (real file signatures) keyed by synthetic media type.
@@ -300,6 +300,36 @@ def mixed_media_table(docs: DataFrame) -> DataFrame:
         F.octet_length("payload").cast("bigint").alias("n_bytes"),
         "payload",
     )
+
+
+# Synthesized-media fixture persistence. The corpus a production decode
+# pipeline runs over HAS its media bytes on disk; synthesizing them per
+# query run measures the test harness, not the operator. Build each
+# synthetic media table once per fixture (same policy as the streaming
+# replay dirs and verification anchors) and let the decode queries scan
+# the persisted parquet — the measured plan is then scan → Arrow decode
+# → aggregate, one Python stage instead of two chained ones. The
+# version tag invalidates the cache when the synthesis formulas change.
+MEDIA_FIXTURE_VERSION = "v1"
+
+
+def media_fixture_dir(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """Path of the persisted synthetic media table for ``sf_dir``;
+    builds it on first use. ``kind``: 'mixed' (four-type envelope,
+    mixed_media_table) or 'real' (png/wav only, real_media_table)."""
+    import os
+
+    from cheetah_spark.catalog import load_table
+    from cheetah_spark.streaming import FIXTURE_ROOT, _tag
+
+    out = f"{FIXTURE_ROOT}/{_tag(sf_dir)}/media_{kind}_{MEDIA_FIXTURE_VERSION}"
+    done = f"{out}/_FIXTURE_READY"
+    if not os.path.exists(done):
+        docs = load_table(spark, sf_dir, "documents")
+        t = mixed_media_table(docs) if kind == "mixed" else real_media_table(docs)
+        t.write.mode("overwrite").parquet(out)
+        open(done, "w").close()
+    return out
 
 
 # ---------------------------------------------------------------------------

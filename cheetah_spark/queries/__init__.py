@@ -42,6 +42,7 @@ CHECK_FIRST = [
     # the change
     "q_llm_simhash_wide",
     "s_llm_embed_dedup",
+    "q_config_curation",
     "q_llm_embed_dedup",
     "q_config_pipeline",
     "q_llm_bpe_encode",
@@ -91,5 +92,4 @@ CHECK_FIRST = [
     "q_llm_fingerprint",
     "q_llm_exact_dedup",
     "q_llm_incremental_dedup",
-    "q_llm_token_count",
 ]

@@ -52,3 +52,130 @@ def q_config_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     }
     return pipeline_from_config(cfg).dataframe(spark)
+
+
+# Deterministic PII planting for the config chain (the corpus has no
+# natural PII): every 3rd doc gets an email + phone suffix appended,
+# expressed as a plain SQL expr so it can live INSIDE the JSON config.
+_PLANT_EXPR = (
+    "CASE WHEN doc_id % 3 = 0 THEN concat(text, ' contact u', "
+    "cast(doc_id AS string), '@mail.example.com call 555-', "
+    "lpad(cast(doc_id % 10000 AS string), 4, '0')) ELSE text END"
+)
+
+# Final stage of the config chain (Spark SQL over the transformed
+# view): exact-dedup on the content fingerprint of the REDACTED text
+# (keep min doc_id), then a per-lang summary whose fp_checksum pins
+# the redacted output text byte-for-byte.
+_CUR_AGG = """
+    WITH kept AS (
+        SELECT * FROM (
+            SELECT *, MIN(doc_id) OVER (PARTITION BY content_fp) AS keeper
+            FROM __input__
+        ) WHERE doc_id = keeper
+    )
+    SELECT lang,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(conv(substr(content_fp, 1, 14), 16, 10) AS BIGINT)
+                    % 1000003) AS BIGINT) AS fp_checksum
+    FROM kept GROUP BY lang
+"""
+
+_W_TOK = "[a-z0-9]+"  # functions.text.WORD_RE — keep the oracle in sync
+
+
+def _curation_oracle() -> str:
+    """DuckDB mirror of the whole config chain: quality gate → PII
+    plant → redact → content fingerprint → token count → fp-dedup →
+    per-lang summary."""
+    from cheetah_spark.queries.curation import _PII_EMAIL_RE, _PII_PHONE_RE
+    from cheetah_spark.queries.llm import _QW
+
+    toks = f"regexp_extract_all(lower(text), '{_W_TOK}')"
+    return f"""
+        WITH q AS (
+            SELECT doc_id, lang, text,
+                   ({_QW["len"]} * least(len({toks}), 200)::DOUBLE / 200
+                    + {_QW["uniq"]} * (len(list_distinct({toks}))::DOUBLE
+                        / greatest(len({toks}), 1))
+                    + {_QW["alpha"]} * (1.0
+                        - length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+                            / greatest(length(text), 1)
+                        - length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE
+                            / greatest(length(text), 1))) AS quality
+            FROM documents
+        ),
+        planted AS (
+            SELECT doc_id, lang,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+                             || '@mail.example.com call 555-'
+                             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE text END AS t
+            FROM q WHERE quality >= 0.5
+        ),
+        red AS (
+            SELECT doc_id, lang,
+                   regexp_replace(regexp_replace(t,
+                       '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_PII_PHONE_RE}', '<PHONE>', 'g') AS rt
+            FROM planted
+        ),
+        fp AS (
+            SELECT doc_id, lang,
+                   md5(trim(regexp_replace(lower(rt), '\\s+', ' ', 'g'))) AS content_fp,
+                   len(regexp_extract_all(lower(rt), '{_W_TOK}'))::BIGINT AS n_tokens
+            FROM red
+        ),
+        kept AS (
+            SELECT * FROM (
+                SELECT *, MIN(doc_id) OVER (PARTITION BY content_fp) AS keeper FROM fp
+            ) WHERE doc_id = keeper
+        )
+        SELECT lang,
+               COUNT(*) AS n_kept,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(CAST('0x' || substr(content_fp, 1, 14) AS BIGINT)
+                        % 1000003) AS BIGINT) AS fp_checksum
+        FROM kept GROUP BY lang
+    """
+
+
+@register(
+    "q_config_curation",
+    oracle=_curation_oracle(),
+    tags=("config", "pipeline", "llm", "curation"),
+)
+def q_config_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A full training-data curation pipeline assembled ENTIRELY from a
+    kawad-style JSON config (reference README.md:164-299): quality gate
+    (threshold filter) → deterministic PII planting (with_column, plain
+    SQL expr in the config) → PII redaction → content fingerprint →
+    token count → SQL exact-dedup + per-lang summary. Every curation
+    stage is one of the declarative transform types in
+    cheetah_spark/config.py:159-215, each bound to the SAME
+    single-definition column expression its q_llm_* operator uses —
+    the driver row therefore certifies the config surface end-to-end,
+    not a parallel implementation. (minhash_sig, the fifth config
+    transform, is exercised by tests/test_config.py — its
+    array-of-longs output has no compact SQL summary.)
+
+    The fp_checksum aggregates a 56-bit hash of each kept doc's
+    REDACTED normalized text, so a single mis-redacted byte anywhere
+    in the corpus flips the driver hash. All stages are map-only
+    Column expressions until the end — the plan is scan → codegen →
+    fingerprint-window shuffle → per-lang partial aggregate, identical
+    to what the hand-built equivalents produce."""
+    cfg = {
+        "source": {"type": "parquet", "path": f"{sf_dir}/documents.parquet"},
+        "transforms": [
+            {"type": "quality_score", "column": "text", "as": "quality", "threshold": 0.5},
+            {"type": "with_column", "name": "text", "expr": _PLANT_EXPR},
+            {"type": "pii_redact", "column": "text"},
+            {"type": "content_fp", "column": "text", "as": "content_fp"},
+            {"type": "token_count", "column": "text", "as": "n_tokens"},
+            {"type": "sql", "query": _CUR_AGG, "view": "__input__"},
+        ],
+    }
+    return pipeline_from_config(cfg).dataframe(spark)
