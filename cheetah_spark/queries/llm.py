@@ -1261,9 +1261,12 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-verified contract over :func:`_ann_lsh_topk` (see there
     for the operator design): per-query exact-top-1 anchors + returned
-    count + recall>=0.6 pinned TRUE (fixture recall 0.92, floor from
+    count + recall>=0.8 pinned TRUE (measured 0.92 at sf0.01 and 0.93
+    at sf0.1 — the floor sits just under the operating point so an
+    index-quality regression is hash-visible, not merely
+    floor-visible; r6 recall curve in SCALE.md; floor also asserted in
     tests/test_llm.py::test_ann_lsh_recall)."""
-    return _ann_contract(spark, sf_dir, _ann_lsh_topk(spark, sf_dir), 0.6)
+    return _ann_contract(spark, sf_dir, _ann_lsh_topk(spark, sf_dir), 0.8)
 
 
 # ---------------------------------------------------------------------------
@@ -1409,7 +1412,7 @@ _IVF_LISTS = 16
 _IVF_NPROBE = 4
 
 
-def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ann_ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = _IVF_NPROBE) -> DataFrame:
     """IVF-style ANN: coarse quantizer (16 deterministic centroids — the
     lowest vec_ids, no iterative training → reproducible on any
     cluster), hard assignment of the corpus into inverted lists, query
@@ -1427,7 +1430,6 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.orderBy("vec_id").limit(_IVF_LISTS).collect()
     C = np.array([r.embedding for r in cent], dtype=np.float64)
     C /= np.linalg.norm(C, axis=1, keepdims=True)
-    nprobe = _IVF_NPROBE
 
     def assign(batches):
         for pdf in batches:
@@ -1487,13 +1489,17 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-verified contract over :func:`_ann_ivf_topk` (see there for
     the operator design): per-query exact-top-1 anchors + returned
-    count + recall>=0.3 pinned TRUE (measured 0.48 on the near-uniform
-    fixture — the worst case for partition-based indexes; floor from
+    count + recall>=0.4 pinned TRUE (measured 0.48 at sf0.01 / 0.55 at
+    sf0.1 on the near-uniform fixture — the worst case for
+    partition-based indexes; floor pinned near the operating point, r6
+    recall-vs-nprobe curve in SCALE.md; also asserted in
     tests/test_llm.py::test_ann_ivf_recall)."""
-    return _ann_contract(spark, sf_dir, _ann_ivf_topk(spark, sf_dir), 0.3)
+    return _ann_contract(spark, sf_dir, _ann_ivf_topk(spark, sf_dir), 0.4)
 
 
-def _ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ann_ivfpq_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int | None = None
+) -> DataFrame:
     """IVF-PQ: the production composition of the two index halves —
     IVF coarse lists bound WHICH rows each query scores
     (nprobe/nlists of the corpus), PQ residual codes bound what each
@@ -1534,7 +1540,8 @@ def _ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantization error compounds with list pruning, and both knobs
     # buy recall at bounded cost (nprobe scales the scan fraction to
     # 6/16, the pool only the size of the exact-rerank join)
-    nprobe = _IVF_NPROBE + 2
+    if nprobe is None:
+        nprobe = _IVF_NPROBE + 2
 
     def encode(batches):
         for pdf in batches:
@@ -1644,12 +1651,15 @@ def _ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-verified contract over :func:`_ann_ivfpq_topk` (see there
     for the operator design): per-query exact-top-1 anchors + returned
-    count + recall>=0.15 pinned TRUE. The floor is deliberately below
-    both halves' (IVF 0.3, PQ 0.3): quantization error COMPOUNDS with
-    list pruning, and the near-uniform fixture is the worst case for
-    partition-based indexes; the measured value is asserted tighter in
-    tests/test_llm.py::test_ann_ivfpq_recall."""
-    return _ann_contract(spark, sf_dir, _ann_ivfpq_topk(spark, sf_dir), 0.15)
+    count + recall>=0.25 pinned TRUE. The floor sits below both
+    halves' (IVF 0.4, PQ 0.3) because quantization error COMPOUNDS
+    with list pruning, and the near-uniform fixture is the worst case
+    for partition-based indexes — but near the measured operating
+    point (0.48 at sf0.01, 0.28 at sf0.1) so index-quality
+    regressions are hash-visible (r5 verdict item #6; recall-vs-nprobe
+    curve in SCALE.md; also asserted in
+    tests/test_llm.py::test_ann_ivfpq_recall)."""
+    return _ann_contract(spark, sf_dir, _ann_ivfpq_topk(spark, sf_dir), 0.25)
 
 
 # ---------------------------------------------------------------------------
@@ -1845,8 +1855,9 @@ def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-verified contract over :func:`_ann_pq_topk` (see there for
     the operator design): per-query exact-top-1 anchors + returned
-    count + recall>=0.3 pinned TRUE (measured above 0.5 at fixture
-    scale; floor from tests/test_llm.py::test_ann_pq_recall)."""
+    count + recall>=0.3 pinned TRUE (measured 0.44 at sf0.01 / 0.34 at
+    sf0.1 — the floor already sits near the sf0.1 operating point;
+    also asserted in tests/test_llm.py::test_ann_pq_recall)."""
     return _ann_contract(spark, sf_dir, _ann_pq_topk(spark, sf_dir), 0.3)
 
 

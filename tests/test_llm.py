@@ -29,8 +29,10 @@ def test_ann_lsh_recall(spark, sf_dir):
     approx = _pairs(_ann_lsh_topk(spark, sf_dir))
     recall = len(exact & approx) / len(exact)
     # sign-LSH with 8 bands × 8 bits on 64-dim uniform fixtures: most of
-    # the true top-k must surface; exact threshold is distribution-bound.
-    assert recall >= 0.6, f"LSH recall too low: {recall:.2f}"
+    # the true top-k must surface. Floor pinned near the measured
+    # operating point (0.92 sf0.01 / 0.93 sf0.1 — r6 recall curve in
+    # SCALE.md) so index-quality regressions fail here.
+    assert recall >= 0.8, f"LSH recall too low: {recall:.2f}"
 
 
 def test_minhash_finds_planted_near_dups(spark, sf_dir):
@@ -55,9 +57,10 @@ def test_ann_ivf_recall(spark, sf_dir):
     recall = len(exact & approx) / len(exact)
     # nprobe/nlists = 25% scan fraction; the near-uniform fixture is the
     # worst case for any partition-based index (no cluster structure to
-    # exploit) — measured 0.48 at sf0.01; floor set with margin. On
+    # exploit) — measured 0.48 sf0.01 / 0.55 sf0.1; floor pinned near
+    # the operating point (r6 recall-vs-nprobe curve in SCALE.md). On
     # clustered corpora the same index approaches 1.0.
-    assert recall >= 0.3, f"IVF recall too low: {recall:.2f}"
+    assert recall >= 0.4, f"IVF recall too low: {recall:.2f}"
 
 
 def test_ann_pq_recall(spark, sf_dir):
@@ -118,8 +121,9 @@ def test_ann_ivfpq_recall(spark, sf_dir):
     recall = len(exact & approx) / len(exact)
     # list pruning (6/16 scan fraction) COMPOUNDS with residual-PQ
     # quantization error, and the near-uniform fixture is the worst
-    # case for partition-based indexes — measured 0.48 at sf0.01;
-    # contract floor 0.15 sits below this with ~2x margin.
+    # case for partition-based indexes — measured 0.48 sf0.01 / 0.28
+    # sf0.1; contract floor 0.25 pinned near the sf0.1 operating point
+    # (r6 recall-vs-nprobe curve in SCALE.md).
     assert recall >= 0.3, f"IVF-PQ recall too low: {recall:.2f}"
 
 

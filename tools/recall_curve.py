@@ -1,0 +1,70 @@
+"""Recall-vs-nprobe curves for the list-pruned ANN variants (round-5
+verdict item #6: pin the contract floors near a MEASURED operating
+point and publish the curve, so a regression in index quality is
+hash-visible rather than hidden under a lenient floor).
+
+Runs IVF and IVF-PQ at a sweep of nprobe values against the exact
+top-k ground truth (the persisted anchor) at each available fixture
+scale (sf0.1 = 1x, plus the generated 10x if present), prints one JSON
+blob; the SCALE.md curve table is authored from it.
+
+    python tools/recall_curve.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cheetah_spark.registry import _ensure_loaded  # noqa: E402
+from cheetah_spark.session import get_spark  # noqa: E402
+
+SCALES = [
+    ("1x", "/root/testdata/sf0.1"),
+    ("10x", "/tmp/cheetah_scale/sfx10"),
+]
+NPROBES = [1, 2, 4, 6, 8, 16]
+
+
+def main() -> None:
+    _ensure_loaded()
+    from cheetah_spark.queries import llm as L
+
+    spark = get_spark(
+        app_name="cheetah_recall_curve", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    out: dict = {"nlists": L._IVF_LISTS, "topk": L._TOPK, "curves": {}}
+    for tag, sf_dir in SCALES:
+        if not os.path.isdir(sf_dir):
+            print(f"SKIP {tag}: {sf_dir} missing", file=sys.stderr)
+            continue
+        _schema, exact_rows = L._exact_topk_rows(spark, sf_dir)
+        exact_pairs = spark.createDataFrame(
+            [(r.query_id, r.neighbor_id) for r in exact_rows],
+            "query_id long, neighbor_id long",
+        )
+        n_exact = len(exact_rows)
+        for variant, fn in (("ivf", L._ann_ivf_topk), ("ivfpq", L._ann_ivfpq_topk)):
+            for nprobe in NPROBES:
+                approx = fn(spark, sf_dir, nprobe)
+                n_hit = (
+                    approx.select("query_id", "neighbor_id")
+                    .join(F.broadcast(exact_pairs), ["query_id", "neighbor_id"])
+                    .count()
+                )
+                r = round(n_hit / n_exact, 3)
+                out["curves"].setdefault(variant, {}).setdefault(tag, {})[
+                    str(nprobe)
+                ] = r
+                print(f"RECALL {tag} {variant} nprobe={nprobe} {r}", file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
