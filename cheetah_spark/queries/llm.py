@@ -654,9 +654,14 @@ def q_llm_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     fp = X.simhash_wide_df(d)
+    # persist the collapsed rep table: it feeds BOTH sides of the
+    # self-join, and Spark re-executes a subtree referenced from two
+    # plan branches (no cross-branch CSE) — without this the whole
+    # 128-tally fingerprint computation runs twice (the r4 ANN-contract
+    # lesson; q_llm_embed_dedup persists its union the same way)
     grp = fp.groupBy(*_SHW_BLK).agg(
         F.min("doc_id").alias("rep"), F.count("*").alias("n_docs")
-    )
+    ).persist()
     gb = grp.select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(_SH_BLOCKS - 1))).alias("blk")
     ).withColumn(
