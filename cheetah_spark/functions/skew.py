@@ -137,7 +137,10 @@ def hot_salted_join(
         .select(on)
         .collect()
     )
-    hot_list = [r[0] for r in hot_rows]
+    # dedupe while preserving rank order: a duplicated key in the probe
+    # relation would otherwise duplicate rows through the broadcast tag
+    # join below (the isin path this replaces was naturally idempotent)
+    hot_list = list(dict.fromkeys(r[0] for r in hot_rows))
 
     def salt_exprs(is_hot: Column) -> tuple[Column, Column]:
         # sequence(int, int) explodes to INT — matches the big side's cast

@@ -316,19 +316,35 @@ MEDIA_FIXTURE_VERSION = "v1"
 def media_fixture_dir(spark: SparkSession, sf_dir: str, kind: str) -> str:
     """Path of the persisted synthetic media table for ``sf_dir``;
     builds it on first use. ``kind``: 'mixed' (four-type envelope,
-    mixed_media_table) or 'real' (png/wav only, real_media_table)."""
-    import os
+    mixed_media_table) or 'real' (png/wav only, real_media_table).
 
-    from cheetah_spark.catalog import load_table
+    Staleness: the READY marker records the source documents fixture's
+    (mtime, size) — a regenerated fixture rebuilds the media table
+    instead of silently serving payloads synthesized from the old
+    corpus (the anchors.py policy)."""
+    import os
+    import shutil
+
+    from cheetah_spark.catalog import load_table, table_path
     from cheetah_spark.streaming import FIXTURE_ROOT, _tag
 
     out = f"{FIXTURE_ROOT}/{_tag(sf_dir)}/media_{kind}_{MEDIA_FIXTURE_VERSION}"
     done = f"{out}/_FIXTURE_READY"
-    if not os.path.exists(done):
-        docs = load_table(spark, sf_dir, "documents")
-        t = mixed_media_table(docs) if kind == "mixed" else real_media_table(docs)
-        t.write.mode("overwrite").parquet(out)
-        open(done, "w").close()
+    st = os.stat(table_path(sf_dir, "documents"))
+    key = f"{st.st_mtime_ns}:{st.st_size}"
+    if os.path.exists(done):
+        try:
+            with open(done) as fh:
+                if fh.read() == key:
+                    return out
+        except OSError:
+            pass
+        shutil.rmtree(out, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    t = mixed_media_table(docs) if kind == "mixed" else real_media_table(docs)
+    t.write.mode("overwrite").parquet(out)
+    with open(done, "w") as fh:
+        fh.write(key)
     return out
 
 

@@ -34,9 +34,9 @@ from cheetah_spark.queries import xmlio  # noqa: F401
 # config-chain surface, and the BPE-encode warm-path fix), then the
 # WHOLE 37-query cohort whose latest driver row still dates from
 # round 3 (VERDICT r5 item 2: rotate them all in so every query's
-# newest evidence is r4+). 5 + 37 + entries below = within the
-# driver's 50-query window. Everything r4/r5-green and unchanged
-# rotates to the tail.
+# newest evidence is r4+). 8 new/changed + 37 stale + 5 fillers = the
+# driver's 50-query window exactly. Everything r4/r5-green and
+# unchanged rotates to the tail.
 CHECK_FIRST = [
     # new or changed this round: no driver row yet / evidence predates
     # the change

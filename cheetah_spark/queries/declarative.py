@@ -82,7 +82,7 @@ _CUR_AGG = """
     FROM kept GROUP BY lang
 """
 
-_W_TOK = "[a-z0-9]+"  # functions.text.WORD_RE — keep the oracle in sync
+from cheetah_spark.functions.text import WORD_RE as _W_TOK  # oracle tokens == X.tokens
 
 
 def _curation_oracle() -> str:

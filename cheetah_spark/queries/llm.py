@@ -595,6 +595,13 @@ def q_llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SHW_BLK = ["blk0", "blk1", "blk2", "blk3"]
+# wide variant's own constants, bound to the fingerprint layout in
+# functions.text — NOT to the 56-bit variant's _SH_BLOCKS/_SH_K, so
+# retuning the narrow operator cannot silently break the wide
+# pigeonhole (k = blocks - 1 is what makes the blocking lossless)
+_SHW_BLOCKS = X.SIMHASH_WIDE_BLOCKS
+_SHW_K = _SHW_BLOCKS - 1
+assert len(_SHW_BLK) == _SHW_BLOCKS
 
 
 @register(
@@ -610,7 +617,7 @@ _SHW_BLK = ["blk0", "blk1", "blk2", "blk3"]
             SELECT rep, n_docs, blk0, blk1, blk2, blk3, blk,
                    CASE blk WHEN 0 THEN blk0 WHEN 1 THEN blk1
                             WHEN 2 THEN blk2 ELSE blk3 END AS bval
-            FROM grp, (SELECT unnest(generate_series(0, {_SH_BLOCKS - 1})) AS blk)
+            FROM grp, (SELECT unnest(generate_series(0, {_SHW_BLOCKS - 1})) AS blk)
         ),
         scored AS (
             SELECT a.rep AS rep_a, b.rep AS rep_b,
@@ -622,7 +629,7 @@ _SHW_BLK = ["blk0", "blk1", "blk2", "blk3"]
             WHERE a.rep < b.rep
         )
         SELECT DISTINCT rep_a, rep_b, hamming, n_docs_a, n_docs_b
-        FROM scored WHERE hamming <= {_SH_K}
+        FROM scored WHERE hamming <= {_SHW_K}
     """,
     tags=("llm", "dedup"),
 )
@@ -663,7 +670,7 @@ def q_llm_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("rep"), F.count("*").alias("n_docs")
     ).persist()
     gb = grp.select(
-        "*", F.explode(F.sequence(F.lit(0), F.lit(_SH_BLOCKS - 1))).alias("blk")
+        "*", F.explode(F.sequence(F.lit(0), F.lit(_SHW_BLOCKS - 1))).alias("blk")
     ).withColumn(
         "bval",
         F.when(F.col("blk") == 0, F.col("blk0"))
@@ -684,7 +691,7 @@ def q_llm_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, on=["blk", "bval"])
         .where(F.col("rep_a") < F.col("rep_b"))
         .select("rep_a", "rep_b", ham.alias("hamming"), "n_docs_a", "n_docs_b")
-        .where(F.col("hamming") <= _SH_K)
+        .where(F.col("hamming") <= _SHW_K)
         .distinct()
     )
 

@@ -103,8 +103,12 @@ def _bpe_anchor_build(spark: SparkSession, sf_dir: str):
     final = final_words.agg(
         F.sum(F.size("symbols") * F.col("freq")).cast("long").alias("n")
     ).collect()[0]["n"]
+    # rank -1 sentinel row carries (initial, final) even when the
+    # corpus exhausts merge candidates and the merge list is EMPTY —
+    # a 0-row anchor would otherwise lose the scalar stats
     return spark.createDataFrame(
-        [(r, a, b, f, initial, int(final)) for (r, a, b, f) in merges],
+        [(-1, "", "", 0, initial, int(final))]
+        + [(r, a, b, f, initial, int(final)) for (r, a, b, f) in merges],
         "rank long, left string, right string, freq long, initial long, final long",
     )
 
@@ -130,10 +134,10 @@ def _trained(spark: SparkSession, sf_dir: str):
             "bpe_model",
             ("documents",),
             _bpe_anchor_build,
-            params=f"merges={_BPE_MERGES};v1",
+            params=f"merges={_BPE_MERGES};v2",  # v2: rank -1 stats sentinel row
         ).collect()
         rows.sort(key=lambda r: r.rank)
-        merges = [(r.rank, r.left, r.right, r.freq) for r in rows]
+        merges = [(r.rank, r.left, r.right, r.freq) for r in rows if r.rank >= 0]
         _bpe_memo[sf_dir] = (merges, int(rows[0].initial), int(rows[0].final))
     return _bpe_memo[sf_dir]
 

@@ -214,14 +214,16 @@ def embeddings_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) ->
         )
         return base.unionByName(pert)
 
-    # planting params in the dir name: a constant change must build a
-    # fresh fixture, not serve the stale cached one
+    # EVERY planting param in the dir name (mod, offset, shift
+    # magnitude, dim): a constant change must build a fresh fixture,
+    # not serve the stale cached one
     return _ordered_stream_dir(
         spark,
         sf_dir,
         "embeddings",
         ("vec_id",),
         n_files,
-        f"embeddings_stream_{n_files}_m{_ED_PERT_MOD}_o{_ED_PERT_OFFSET}",
+        f"embeddings_stream_{n_files}_m{_ED_PERT_MOD}_o{_ED_PERT_OFFSET}"
+        f"_s025_d{_ED_DIM}",
         transform=plant,
     )

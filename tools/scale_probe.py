@@ -169,7 +169,9 @@ def main() -> None:
         )
         wblocks = wgrp.select(
             "rep",
-            F.explode(F.sequence(F.lit(0), F.lit(_SH_BLOCKS - 1))).alias("blk"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(X.SIMHASH_WIDE_BLOCKS - 1))
+            ).alias("blk"),
             F.col("blk0"), F.col("blk1"), F.col("blk2"), F.col("blk3"),
         ).select(
             "rep",
@@ -210,7 +212,11 @@ def main() -> None:
     # bounded driver state, measured not asserted
     import numpy as np
 
-    top_dir = [d for _t, d, _m in SCALES if os.path.isdir(d)][-1]
+    existing = [d for _t, d, _m in SCALES if os.path.isdir(d)]
+    if not existing:
+        print(json.dumps(out))
+        return
+    top_dir = existing[-1]
     _e, C, _wcss = _kmeans_centroids(spark, top_dir, _KM_ITERS)
     out["driver_state"]["kmeans_centroids_bytes_top"] = int(np.asarray(C).nbytes)
     from cheetah_spark.queries.llm import _exact_topk_rows
@@ -222,6 +228,8 @@ def main() -> None:
     import math
 
     for name, per in out["timings"].items():
+        if "1x" not in per or "10x" not in per:
+            continue  # a skipped tier must not sink the whole probe output
         t1, t10 = per["1x"]["sec"], per["10x"]["sec"]
         per["alpha_1x_to_10x"] = round(math.log(max(t10, 0.01) / max(t1, 0.01)) / math.log(10), 2)
         if "25x" in per:
