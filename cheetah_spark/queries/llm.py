@@ -1521,11 +1521,12 @@ def _ann_ivfpq_topk(
     code (q_llm_ann_pq), and IVF over raw vectors still moves 64-dim
     arrays through the probe join (q_llm_ann_ivf).
 
-    Deterministic, no fitted model (the module stance): coarse
+    Deterministic-by-construction (the module stance): coarse
     centroids = the `_IVF_LISTS` lowest vec_ids (normalized); residual
-    codebooks = subspace slices of the NEXT `_PQ_K` lowest vec_ids'
-    residuals (offset past the centroid seeds, whose own residuals are
-    zero and would degenerate the codebook).
+    codebooks TRAINED by fixed-iteration Lloyd's on the next
+    `_PQ_SAMPLE` vectors' residuals (:func:`_pq_train_books` — the
+    FAISS train-on-a-sample flow, bounded driver state, bit-stable
+    across runs and cluster sizes).
 
     Plan: ONE mapInPandas encode pass (assign list + PQ-encode the
     residual), a repartition on list id (co-locates each inverted
@@ -1540,14 +1541,17 @@ def _ann_ivfpq_topk(
     from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "embeddings")
-    seeds = e.orderBy("vec_id").limit(_IVF_LISTS + _PQ_K).collect()
+    seeds = e.orderBy("vec_id").limit(_IVF_LISTS + _PQ_SAMPLE).collect()
     C = np.array([r.embedding for r in seeds[:_IVF_LISTS]], dtype=np.float64)
     C /= np.linalg.norm(C, axis=1, keepdims=True)
+    # residual codebooks trained on a bounded sample (offset past the
+    # centroid seeds, whose own residuals are zero and would
+    # degenerate the init)
     S = np.array([r.embedding for r in seeds[_IVF_LISTS:]], dtype=np.float64)
     S /= np.linalg.norm(S, axis=1, keepdims=True)
-    S = S - C[np.argmax(S @ C.T, axis=1)]  # codebook seeds as residuals
+    S = S - C[np.argmax(S @ C.T, axis=1)]  # training sample as residuals
     d_sub = S.shape[1] // _PQ_M
-    books = [S[:, m * d_sub : (m + 1) * d_sub].copy() for m in range(_PQ_M)]
+    books = _pq_train_books(S, _PQ_M, _PQ_K)
     # wider probe + rerank pool than the single-technique variants:
     # quantization error compounds with list pruning, and both knobs
     # buy recall at bounded cost (nprobe scales the scan fraction to
@@ -1667,9 +1671,9 @@ def q_llm_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves' (IVF 0.4, PQ 0.3) because quantization error COMPOUNDS
     with list pruning, and the near-uniform fixture is the worst case
     for partition-based indexes — but near the measured operating
-    point (0.48 at sf0.01, 0.28 at sf0.1) so index-quality
-    regressions are hash-visible (r5 verdict item #6; recall-vs-nprobe
-    curve in SCALE.md; also asserted in
+    point (0.44 at sf0.01, 0.27 at sf0.1, trained codebooks) so
+    index-quality regressions are hash-visible (r5 verdict item #6;
+    recall-vs-nprobe curve in SCALE.md; also asserted in
     tests/test_llm.py::test_ann_ivfpq_recall)."""
     return _ann_contract(spark, sf_dir, _ann_ivfpq_topk(spark, sf_dir), 0.25)
 
@@ -1755,14 +1759,49 @@ def q_udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M = 8  # subspaces (64-dim fixture → 8 dims each)
 _PQ_K = 16  # centroids per subspace codebook
 _PQ_RERANK = 4  # rerank pool = _PQ_RERANK * _TOPK ADC candidates
+_PQ_SAMPLE = 1024  # training-sample rows (bounded driver state)
+_PQ_TRAIN_ITERS = 10
+
+
+def _pq_train_books(X, m: int, k: int, iters: int = _PQ_TRAIN_ITERS):
+    """Per-subspace codebooks via driver-side Lloyd's on a bounded
+    sample — the standard PQ training flow (FAISS trains on a sample
+    too). Fully deterministic: fixed sample, init = the sample's first
+    k rows per subspace, fixed iteration count, single-threaded numpy
+    arithmetic — reproducible on any cluster, preserving the module's
+    no-hidden-randomness stance while fixing the measured recall
+    plateau of raw seed-slice codebooks (RECALL_CURVE.json: IVF-PQ was
+    quantization-bound at 0.12 recall at 10× — the codebook, not the
+    probe width, was the binding constraint).
+
+    X: n × d sample (already normalized / residualized by the caller).
+    Returns [m] arrays of k × (d//m). Empty clusters keep their
+    previous centroid (deterministic, no re-seeding)."""
+    import numpy as np
+
+    d_sub = X.shape[1] // m
+    books = []
+    for j in range(m):
+        sub = X[:, j * d_sub : (j + 1) * d_sub]
+        cb = sub[:k].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                pts = sub[assign == c]
+                if len(pts):
+                    cb[c] = pts.mean(axis=0)
+        books.append(cb)
+    return books
 
 
 def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al., PAMI 2011 — public
     method): each normalized vector is cut into M=8 subvectors, each
-    encoded as its nearest of K=16 deterministic per-subspace codebook
-    centroids (lowest vec_ids as codewords — reproducible on any
-    cluster, same stance as q_llm_ann_ivf). A query scores the whole
+    encoded as its nearest of K=16 per-subspace codebook centroids,
+    TRAINED on a deterministic bounded sample by fixed-iteration
+    Lloyd's (:func:`_pq_train_books` — reproducible on any cluster,
+    same stance as q_llm_ann_ivf). A query scores the whole
     corpus by ADC: one M×K table of subspace dot products per query,
     approx cosine = sum of M table lookups per code — then the top
     ADC pool is reranked with exact cosine.
@@ -1781,12 +1820,12 @@ def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "embeddings")
-    seed_rows = e.orderBy("vec_id").limit(_PQ_K).collect()
-    S = np.array([r.embedding for r in seed_rows], dtype=np.float64)
+    sample_rows = e.orderBy("vec_id").limit(_PQ_SAMPLE).collect()
+    S = np.array([r.embedding for r in sample_rows], dtype=np.float64)
     S /= np.linalg.norm(S, axis=1, keepdims=True)
     d_sub = S.shape[1] // _PQ_M
-    # codebooks[m]: K × d_sub — subspace slices of the seed vectors
-    books = [S[:, m * d_sub : (m + 1) * d_sub].copy() for m in range(_PQ_M)]
+    # codebooks[m]: K × d_sub — Lloyd-trained on the bounded sample
+    books = _pq_train_books(S, _PQ_M, _PQ_K)
 
     def encode(batches):
         for pdf in batches:
@@ -1867,9 +1906,10 @@ def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-verified contract over :func:`_ann_pq_topk` (see there for
     the operator design): per-query exact-top-1 anchors + returned
-    count + recall>=0.3 pinned TRUE (measured 0.44 at sf0.01 / 0.34 at
-    sf0.1 — the floor already sits near the sf0.1 operating point;
-    also asserted in tests/test_llm.py::test_ann_pq_recall)."""
+    count + recall>=0.3 pinned TRUE (measured 0.52 at sf0.01 / 0.39 at
+    sf0.1 with the r6 Lloyd-trained codebooks, up from 0.44/0.34
+    seed-sliced — the floor sits near the sf0.1 operating point; also
+    asserted in tests/test_llm.py::test_ann_pq_recall)."""
     return _ann_contract(spark, sf_dir, _ann_pq_topk(spark, sf_dir), 0.3)
 
 
