@@ -62,3 +62,43 @@ def test_anchor_invalidated_when_source_changes(tmp_path, spark, sf_dir):
     os.utime(f"{sfd}/nation.parquet")  # regenerated fixture → new mtime
     anchors.anchor_df(spark, sfd, "t_stale", ("nation",), build)
     assert calls["n"] == 2, "mtime change must invalidate the persisted anchor"
+
+
+def test_anchor_invalidated_when_builder_params_change(tmp_path, spark, sf_dir):
+    """Round-5 advice: the staleness key must encode the BUILDER's
+    definition, so a code revision cannot be served a stale anchor
+    computed by the old builder."""
+    sfd = _fixture_dir(tmp_path, spark, sf_dir)
+    calls = {"n": 0}
+
+    def build(spark_, sf_):
+        calls["n"] += 1
+        return spark_.read.parquet(f"{sf_}/nation.parquet").agg(F.count("*").alias("n"))
+
+    anchors.anchor_df(spark, sfd, "t_params", ("nation",), build, params="v1")
+    anchors._memo.clear()
+    anchors.anchor_df(spark, sfd, "t_params", ("nation",), build, params="v1")
+    assert calls["n"] == 1, "same params: persisted anchor served"
+    anchors._memo.clear()
+    anchors.anchor_df(spark, sfd, "t_params", ("nation",), build, params="v2")
+    assert calls["n"] == 2, "params change must invalidate the persisted anchor"
+
+
+def test_media_fixture_invalidated_when_documents_change(tmp_path, spark, sf_dir):
+    """media_fixture_dir mirrors the anchor staleness policy: a
+    regenerated documents fixture must rebuild the synthesized media
+    parquet, not serve payloads from the old corpus."""
+    from cheetah_spark.multimodal import media_fixture_dir
+
+    d = tmp_path / "sf_media"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", d / "documents.parquet")
+    sfd = str(d)
+    out = media_fixture_dir(spark, sfd, "real")
+    key1 = open(f"{out}/_FIXTURE_READY").read()
+    assert media_fixture_dir(spark, sfd, "real") == out
+    assert open(f"{out}/_FIXTURE_READY").read() == key1, "fresh fixture reused"
+    os.utime(f"{sfd}/documents.parquet")  # regenerated corpus
+    media_fixture_dir(spark, sfd, "real")
+    key2 = open(f"{out}/_FIXTURE_READY").read()
+    assert key2 != key1, "source mtime change must rebuild the media fixture"

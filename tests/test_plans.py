@@ -75,6 +75,21 @@ def test_simhash_dedup_has_no_cross_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_config_curation_prunes_and_stays_join_free(spark, sf_dir):
+    # a config-assembled pipeline must get the same Catalyst treatment
+    # as hand-built DataFrames: column pruning through six declarative
+    # transforms down to the scan (n_chars/source never read), and the
+    # dedup window + per-lang agg must not introduce any join
+    p = plan(_q("q_config_curation", spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "Join" not in p
+    import re
+
+    rs = re.search(r"ReadSchema: (\S+)", p)
+    assert rs and "n_chars" not in rs.group(1) and "source" not in rs.group(1), p
+    assert "Window" in p  # the fingerprint dedup runs as one window
+
+
 def test_simhash_wide_scores_inside_block_join(spark, sf_dir):
     # wide variant: no cartesian, and the hamming<=3 test must fold
     # into the (blk,bval) equi-join's residual condition (map-side
