@@ -179,3 +179,112 @@ def q_config_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     }
     return pipeline_from_config(cfg).dataframe(spark)
+
+
+def _stream_curation_oracle() -> str:
+    """Batch mirror of the STREAMING config chain: the complete-mode
+    aggregate over the bounded replay equals the batch aggregate over
+    the table."""
+    from cheetah_spark.queries.curation import _PII_EMAIL_RE, _PII_PHONE_RE
+    from cheetah_spark.queries.llm import _QW
+
+    toks = f"regexp_extract_all(lower(text), '{_W_TOK}')"
+    return f"""
+        WITH q AS (
+            SELECT doc_id, lang, text,
+                   ({_QW["len"]} * least(len({toks}), 200)::DOUBLE / 200
+                    + {_QW["uniq"]} * (len(list_distinct({toks}))::DOUBLE
+                        / greatest(len({toks}), 1))
+                    + {_QW["alpha"]} * (1.0
+                        - length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+                            / greatest(length(text), 1)
+                        - length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE
+                            / greatest(length(text), 1))) AS quality
+            FROM documents
+        ),
+        red AS (
+            SELECT doc_id, lang,
+                   regexp_replace(regexp_replace(
+                       CASE WHEN doc_id % 3 = 0
+                            THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+                                 || '@mail.example.com call 555-'
+                                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            ELSE text END,
+                       '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_PII_PHONE_RE}', '<PHONE>', 'g') AS rt
+            FROM q WHERE quality >= 0.5
+        )
+        SELECT lang,
+               COUNT(*)::BIGINT AS n_docs,
+               CAST(SUM(len(regexp_extract_all(lower(rt), '{_W_TOK}'))) AS BIGINT)
+                   AS total_tokens,
+               CAST(SUM(CAST('0x' || substr(
+                        md5(trim(regexp_replace(lower(rt), '\\s+', ' ', 'g'))), 1, 14)
+                    AS BIGINT) % 1000003) AS BIGINT) AS fp_checksum
+        FROM red GROUP BY lang
+    """
+
+
+# Streaming tail of the config chain: a streaming-safe per-lang
+# aggregate (no window, no COUNT DISTINCT — those are batch-only);
+# the per-arrival fp-hash sum pins every redacted text byte exactly
+# like the batch variant.
+_SCUR_AGG = """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(conv(substr(content_fp, 1, 14), 16, 10) AS BIGINT)
+                    % 1000003) AS BIGINT) AS fp_checksum
+    FROM __input__ GROUP BY lang
+"""
+
+
+@register(
+    "s_config_curation",
+    oracle=_stream_curation_oracle(),
+    tags=("config", "pipeline", "llm", "curation", "streaming"),
+)
+def s_config_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME declarative curation transforms running as a REAL
+    StreamingQuery — certifying config.py's claim that every curation
+    binding is map-only and therefore streaming-safe. The JSON config
+    differs from q_config_curation only in ``"streaming": true`` on
+    the source block (pointed at the documents replay feed) and a
+    streaming-safe aggregate tail (per-lang counts/sums in complete
+    mode instead of the batch window dedup): quality gate → PII plant
+    → redact → content fingerprint → token count all execute inside
+    micro-batches unchanged — the single-definition expressions, one
+    more execution mode.
+
+    The config assembles the streaming source + transform plan
+    (pipeline_from_config); the bounded-replay conformance harness
+    (run_stream_to_completion, complete mode) drives it and the
+    DuckDB oracle recomputes the whole chain in batch — complete-mode
+    aggregation over a fully-drained bounded stream must equal the
+    batch aggregate, hash-exact down to every redacted byte
+    (fp_checksum)."""
+    from cheetah_spark.queries.streams import scoped_state_partitions
+    from cheetah_spark.streaming import documents_stream_dir, run_stream_to_completion
+
+    src_dir = documents_stream_dir(spark, sf_dir)
+    cfg = {
+        "source": {
+            "type": "parquet",
+            "path": src_dir,
+            "streaming": True,
+            "max_files_per_trigger": 2,
+        },
+        "transforms": [
+            {"type": "quality_score", "column": "text", "as": "quality", "threshold": 0.5},
+            {"type": "with_column", "name": "text", "expr": _PLANT_EXPR},
+            {"type": "pii_redact", "column": "text"},
+            {"type": "content_fp", "column": "text", "as": "content_fp"},
+            {"type": "token_count", "column": "text", "as": "n_tokens"},
+            {"type": "sql", "query": _SCUR_AGG, "view": "__input__"},
+        ],
+    }
+    stream = pipeline_from_config(cfg).dataframe(spark)
+    assert stream.isStreaming
+    with scoped_state_partitions(spark):
+        out = run_stream_to_completion(stream, lambda df: df, output_mode="complete")
+    return out.select("lang", "n_docs", "total_tokens", "fp_checksum")
