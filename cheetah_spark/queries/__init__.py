@@ -34,7 +34,7 @@ from cheetah_spark.queries import xmlio  # noqa: F401
 # config-chain surface, and the BPE-encode warm-path fix), then the
 # WHOLE 37-query cohort whose latest driver row still dates from
 # round 3 (VERDICT r5 item 2: rotate them all in so every query's
-# newest evidence is r4+). 9 new/changed + 37 stale + 4 fillers = the
+# newest evidence is r4+). 10 new/changed + 37 stale + 3 fillers = the
 # driver's 50-query window exactly. Everything r4/r5-green and
 # unchanged rotates to the tail.
 CHECK_FIRST = [
@@ -44,6 +44,7 @@ CHECK_FIRST = [
     "s_llm_embed_dedup",
     "q_config_curation",
     "s_config_curation",
+    "q_llm_bigram_logprob",
     "q_llm_embed_dedup",
     "q_config_pipeline",
     "q_llm_bpe_encode",
@@ -91,5 +92,4 @@ CHECK_FIRST = [
     "q_llm_minhash_dedup",
     "q_llm_simhash_dedup",
     "q_llm_fingerprint",
-    "q_llm_exact_dedup",
 ]

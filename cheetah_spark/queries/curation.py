@@ -1210,6 +1210,129 @@ def q_llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Interpolated bigram LM: p(w2|w1) = λ·cnt2(w1 w2)/cnt1(w1)
+# + (1−λ)·cnt1(w2)/total — the CCNet/KenLM-style perplexity filter one
+# rung above the unigram signal (a doc full of real words in garbled
+# ORDER scores normally under a unigram LM but poorly here).
+_BG_LAMBDA = 0.7
+
+
+@register(
+    "q_llm_bigram_logprob",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, lang, unnest({X.oracle_tokens("text")}) AS tok FROM documents
+        ),
+        cnt1 AS (SELECT tok, COUNT(*)::BIGINT AS c1 FROM tok GROUP BY tok),
+        total AS (SELECT CAST(SUM(c1) AS BIGINT) AS total FROM cnt1),
+        bg AS (
+            SELECT doc_id, lang, s,
+                   string_split(s, ' ')[1] AS w1, string_split(s, ' ')[2] AS w2
+            FROM (SELECT doc_id, lang,
+                         unnest({X.oracle_shingles(X.oracle_tokens("text"), 2)}) AS s
+                  FROM documents)
+        ),
+        cnt2 AS (SELECT s, COUNT(*)::BIGINT AS c2 FROM bg GROUP BY s),
+        lm AS (
+            SELECT c2.s,
+                   {oracle_snap(
+                       f"ln({_BG_LAMBDA} * (c2.c2::DOUBLE / u1.c1)"
+                       f" + {1 - _BG_LAMBDA} * (u2.c1::DOUBLE / total.total))", 6)}
+                       AS logp
+            FROM cnt2 c2
+            JOIN cnt1 u1 ON u1.tok = string_split(c2.s, ' ')[1]
+            JOIN cnt1 u2 ON u2.tok = string_split(c2.s, ' ')[2], total
+        ),
+        per_doc AS (
+            SELECT bg.doc_id, bg.lang,
+                   COUNT(*)::BIGINT AS n_bg,
+                   {oracle_dsum("lm.logp")} AS sum_logp
+            FROM bg JOIN lm ON lm.s = bg.s
+            GROUP BY bg.doc_id, bg.lang
+        )
+        SELECT lang,
+               COUNT(*)::BIGINT AS n_docs,
+               CAST(SUM(n_bg) AS BIGINT) AS total_bigrams,
+               {oracle_dsum2("sum_logp / n_bg", 4)} AS sum_mean_logp,
+               {oracle_snap('MIN(sum_logp / n_bg)', 6)} AS min_mean_logp
+        FROM per_doc
+        GROUP BY lang
+    """,
+    tags=("llm", "quality", "language-model"),
+)
+def q_llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM scoring — the CCNet-style perplexity
+    filter one rung above :func:`q_llm_unigram_logprob`: train unigram
+    and bigram counts over the corpus, score every document by its
+    mean interpolated bigram log-probability
+    ln(λ·p(w2|w1) + (1−λ)·p(w2)). Word ORDER now matters: shuffled or
+    templated word salad that fools the unigram signal scores far
+    below the per-lang mean here.
+
+    Determinism: both probabilities are IEEE divisions of identical
+    integers, the interpolation is a fixed-order double expression,
+    and ln() is snapped to 6 decimals BEFORE the exact-decimal per-doc
+    sums (the module convention for transcendentals).
+
+    Scale shape — the unigram lesson applied one level up: the LM is
+    composed entirely at the VOCAB level (bigram-vocab ⋈ unigram-vocab
+    twice — both sides are aggregates ≪ corpus, uniform-enough keys),
+    so the corpus-sized explode pays exactly ONE join, against the
+    (pair → logp) relation — and that join key is Zipf-skewed with an
+    aggregate-fed build side, the shape AQE cannot split
+    (tests/test_skew.py), so the hot head is pre-salted via
+    hot_salted_join with a sampled heavy-hitter probe. Per-doc and
+    per-lang rollups shuffle on uniform keys."""
+    from cheetah_spark.functions.skew import hot_salted_join
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    tok = d.select(F.explode(toks).alias("tok"))
+    cnt1 = tok.groupBy("tok").agg(F.count("*").alias("c1"))
+    total = cnt1.agg(F.sum("c1").cast("bigint").alias("total"))
+    bg = d.select(
+        "doc_id", "lang", F.explode(X.shingles(toks, 2)).alias("s")
+    )
+    cnt2 = bg.groupBy("s").agg(F.count("*").alias("c2"))
+    w = F.split(F.col("s"), " ")
+    u1 = cnt1.select(F.col("tok").alias("w1"), F.col("c1").alias("c1_w1"))
+    u2 = cnt1.select(F.col("tok").alias("w2"), F.col("c1").alias("c1_w2"))
+    lm = (
+        cnt2.select("s", "c2", w.getItem(0).alias("w1"), w.getItem(1).alias("w2"))
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "s",
+            snap(
+                F.log(
+                    F.lit(_BG_LAMBDA) * (F.col("c2") / F.col("c1_w1"))
+                    + F.lit(1 - _BG_LAMBDA) * (F.col("c1_w2") / F.col("total"))
+                ),
+                6,
+            ).alias("logp"),
+            F.col("c2"),
+        )
+    )
+    probe = (
+        d.sample(0.05, seed=11)
+        .select(F.explode(X.shingles(X.tokens(F.col("text")), 2)).alias("s"))
+        .groupBy("s")
+        .agg(F.count("*").alias("c2"))
+    )
+    per_doc = (
+        hot_salted_join(bg, lm, "s", freq_col="c2", salt_on="doc_id", hot_probe=probe)
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_bg"), dsum("logp").alias("sum_logp"))
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bg").cast("bigint").alias("total_bigrams"),
+        dsum2(F.col("sum_logp") / F.col("n_bg"), 4).alias("sum_mean_logp"),
+        snap(F.min(F.col("sum_logp") / F.col("n_bg")), 6).alias("min_mean_logp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Domain mixture
 # ---------------------------------------------------------------------------
