@@ -421,6 +421,184 @@ def real_media_table(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(synth, "doc_id long, payload binary")
 
 
+def resize_png_features(media: DataFrame) -> DataFrame:
+    """REAL image transform through the Arrow pipeline: decode each
+    PNG payload (chunk walk, CRC verification, inflate), 2×2
+    average-pool the pixel matrix (floor mean — exact integers),
+    re-encode a VALID PNG (filter-0 scanlines, deflate, CRC chunks),
+    then decode the re-encoded file again and emit the verified output
+    dims/pixel sum — the resize step of an image-training-data
+    pipeline, with the round trip proving the emitted bytes are a
+    well-formed image, not just a transformed buffer. Non-PNG rows are
+    dropped (a production pipeline routes by media_type first).
+
+    One Arrow stage, payload bytes never shuffle; numpy does the pool
+    per batch."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        import numpy as np
+
+        def parse(b: bytes):
+            if b[:8] != b"\x89PNG\r\n\x1a\n":
+                return None
+            pos, w, h, idat = 8, None, None, b""
+            while pos + 8 <= len(b):
+                (ln,) = struct.unpack(">I", b[pos : pos + 4])
+                tag = b[pos + 4 : pos + 8]
+                data = b[pos + 8 : pos + 8 + ln]
+                (crc,) = struct.unpack(">I", b[pos + 8 + ln : pos + 12 + ln])
+                if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+                    return None
+                if tag == b"IHDR":
+                    w, h, depth, ctype = struct.unpack(">IIBB", data[:10])
+                    if depth != 8 or ctype != 0:
+                        return None
+                elif tag == b"IDAT":
+                    idat += data
+                elif tag == b"IEND":
+                    break
+                pos += 12 + ln
+            if w is None:
+                return None
+            raw = zlib.decompress(idat)
+            if len(raw) != h * (w + 1):
+                return None
+            rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
+            if (rows[:, 0] != 0).any():
+                return None
+            return rows[:, 1:]
+
+        def chunk(tag: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        def encode(arr) -> bytes:
+            h, w = arr.shape
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+            raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b"")
+            )
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"doc_id": [], "out_width": [], "out_height": [],
+                   "out_pixel_sum": [], "roundtrip_ok": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:8] != b"\x89PNG\r\n\x1a\n":
+                    continue  # route: PNG rows only
+                arr = parse(b)
+                if arr is None:
+                    out["doc_id"].append(int(doc_id))
+                    out["out_width"].append(0)
+                    out["out_height"].append(0)
+                    out["out_pixel_sum"].append(0)
+                    out["roundtrip_ok"].append(False)
+                    continue
+                h, w = arr.shape
+                h2, w2 = h // 2, w // 2
+                a = arr[: h2 * 2, : w2 * 2].astype(np.uint32)
+                pooled = (
+                    (a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2])
+                    // 4
+                ).astype(np.uint8)
+                back = parse(encode(pooled))
+                ok = back is not None and back.shape == (h2, w2) and (back == pooled).all()
+                out["doc_id"].append(int(doc_id))
+                out["out_width"].append(int(w2))
+                out["out_height"].append(int(h2))
+                out["out_pixel_sum"].append(int(pooled.sum()) if ok else 0)
+                out["roundtrip_ok"].append(bool(ok))
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        resize,
+        "doc_id long, out_width int, out_height int, out_pixel_sum long, roundtrip_ok boolean",
+    )
+
+
+def framesample_wav_features(media: DataFrame) -> DataFrame:
+    """REAL audio frame-sampling through the Arrow pipeline: decode
+    each WAV payload (stdlib ``wave``), keep every ``step``-th PCM
+    frame (the frame-sample step of an audio-training-data pipeline),
+    re-encode a valid WAV at the same rate, decode it again and emit
+    the verified sampled frame count / sample sum (roundtrip_ok per
+    row). Non-WAV rows are dropped. One Arrow stage, no shuffle."""
+    step = 4
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        def decode(b: bytes):
+            wv = wave.open(io.BytesIO(b), "rb")
+            if wv.getnchannels() != 1 or wv.getsampwidth() != 2:
+                return None
+            n = wv.getnframes()
+            return wv.getframerate(), struct.unpack("<%dh" % n, wv.readframes(n))
+
+        def encode(fr: int, samples) -> bytes:
+            buf = io.BytesIO()
+            wv = wave.open(buf, "wb")
+            wv.setnchannels(1)
+            wv.setsampwidth(2)
+            wv.setframerate(fr)
+            wv.writeframes(struct.pack("<%dh" % len(samples), *samples))
+            wv.close()
+            return buf.getvalue()
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"doc_id": [], "sample_rate": [], "n_sampled": [],
+                   "sampled_sum": [], "roundtrip_ok": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != b"RIFF":
+                    continue  # route: WAV rows only
+                try:
+                    fr, samples = decode(b) or (None, None)
+                except Exception:
+                    fr = None
+                if fr is None:
+                    out["doc_id"].append(int(doc_id))
+                    out["sample_rate"].append(0)
+                    out["n_sampled"].append(0)
+                    out["sampled_sum"].append(0)
+                    out["roundtrip_ok"].append(False)
+                    continue
+                kept = samples[::step]
+                try:
+                    fr2, back = decode(encode(fr, kept)) or (None, None)
+                except Exception:
+                    fr2 = None
+                ok = fr2 == fr and back == kept
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(int(fr))
+                out["n_sampled"].append(len(kept))
+                out["sampled_sum"].append(int(sum(kept)) if ok else 0)
+                out["roundtrip_ok"].append(bool(ok))
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        sample,
+        "doc_id long, sample_rate int, n_sampled int, sampled_sum long, roundtrip_ok boolean",
+    )
+
+
 def decode_real_features(media: DataFrame) -> DataFrame:
     """REAL decode of the binary payload column with stdlib codecs:
     PNG chunks are walked with per-chunk CRC32 verification, IHDR

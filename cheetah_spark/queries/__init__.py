@@ -34,7 +34,7 @@ from cheetah_spark.queries import xmlio  # noqa: F401
 # config-chain surface, and the BPE-encode warm-path fix), then the
 # WHOLE 37-query cohort whose latest driver row still dates from
 # round 3 (VERDICT r5 item 2: rotate them all in so every query's
-# newest evidence is r4+). 10 new/changed + 37 stale + 3 fillers = the
+# newest evidence is r4+). 12 new/changed + 37 stale + 1 filler = the
 # driver's 50-query window exactly. Everything r4/r5-green and
 # unchanged rotates to the tail.
 CHECK_FIRST = [
@@ -45,6 +45,8 @@ CHECK_FIRST = [
     "q_config_curation",
     "s_config_curation",
     "q_llm_bigram_logprob",
+    "q_multimodal_resize",
+    "q_multimodal_framesample",
     "q_llm_embed_dedup",
     "q_config_pipeline",
     "q_llm_bpe_encode",
@@ -88,8 +90,6 @@ CHECK_FIRST = [
     "q_timeseries_m4",
     "q_timeseries_rate",
     "q_window_range_frame",
-    # filler to 50: oldest r4 rows whose shared helpers churned most
+    # filler to 50: oldest r4 row whose shared helpers churned most
     "q_llm_minhash_dedup",
-    "q_llm_simhash_dedup",
-    "q_llm_fingerprint",
 ]

@@ -173,3 +173,68 @@ def q_multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_frames").alias("sum_frames"),
         F.sum("sample_sum").alias("sum_samples"),
     )
+
+
+@register(
+    "q_multimodal_resize",
+    oracle="""
+        SELECT doc_id,
+               CAST((16 + doc_id % 32) // 2 AS INTEGER) AS out_width,
+               CAST((8 + doc_id % 16) // 2 AS INTEGER) AS out_height,
+               CAST(((16 + doc_id % 32) // 2) * ((8 + doc_id % 16) // 2)
+                    * (doc_id % 256) AS BIGINT) AS out_pixel_sum,
+               TRUE AS roundtrip_ok
+        FROM documents WHERE doc_id % 2 = 0
+    """,
+    tags=("multimodal", "codec", "udf", "transform"),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize through the Arrow pipeline — the transform
+    step (not just decode) of an image-training-data pipeline: every
+    PNG in the persisted media corpus is decoded (CRC-verified chunk
+    walk + inflate), 2×2 average-pooled with exact integer floor-mean,
+    re-encoded as a fully valid PNG, and decoded AGAIN to verify the
+    emitted bytes are a well-formed image with the expected pixels
+    (roundtrip_ok pinned TRUE per row).
+
+    The synthesized PNGs are constant-valued (pixel = doc_id % 256),
+    so the pooled image is exactly the same constant at floor-halved
+    dimensions — the oracle states the whole transform in closed form
+    per doc_id, and any codec defect (bad CRC on re-encode, wrong
+    scanline filter, off-by-one pooling) breaks dims, sums or the
+    pinned flag. Scale: parquet scan → ONE Arrow stage (numpy pooling
+    per batch) → no shuffle at all; payload bytes never leave the
+    stage."""
+    return M.resize_png_features(
+        spark.read.parquet(M.media_fixture_dir(spark, sf_dir, "real"))
+    )
+
+
+@register(
+    "q_multimodal_framesample",
+    oracle="""
+        SELECT doc_id,
+               CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sample_rate,
+               CAST(((64 + doc_id % 64) + 3) // 4 AS INTEGER) AS n_sampled,
+               CAST((((64 + doc_id % 64) + 3) // 4) * (doc_id % 30000) AS BIGINT)
+                   AS sampled_sum,
+               TRUE AS roundtrip_ok
+        FROM documents WHERE doc_id % 2 = 1
+    """,
+    tags=("multimodal", "codec", "udf", "transform"),
+)
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio frame-sampling — the audio counterpart of
+    q_multimodal_resize, completing the multimodal transform verb set
+    (decode / feature-extract / resize / frame-sample): every WAV in
+    the persisted media corpus is decoded with the stdlib ``wave``
+    reader, every 4th PCM frame kept, the result re-encoded as a valid
+    WAV and decoded AGAIN to verify frame-exact survival
+    (roundtrip_ok pinned TRUE per row). Constant-amplitude synthesis
+    makes the whole transform closed-form per doc_id for the oracle:
+    n_sampled = ⌈n/4⌉ and sampled_sum = amplitude·n_sampled. Scale:
+    parquet scan → ONE Arrow stage → no shuffle; payload bytes never
+    leave the stage."""
+    return M.framesample_wav_features(
+        spark.read.parquet(M.media_fixture_dir(spark, sf_dir, "real"))
+    )
