@@ -125,3 +125,42 @@ def test_real_codecs_roundtrip_and_detect_corruption(spark, sf_dir):
     bad = M.decode_real_features(corrupted).collect()
     n_detected = sum(0 if r.parse_ok else 1 for r in bad)
     assert n_detected == len(bad), f"corruption missed on {len(bad) - n_detected} files"
+
+
+def test_transforms_roundtrip_and_detect_corruption(spark, sf_dir):
+    """The resize / frame-sample transforms verify their OUTPUT (the
+    re-encoded file decodes back frame/pixel-exact) and their INPUT:
+    a corrupted payload yields a roundtrip_ok=False row, never a
+    silently wrong transform."""
+    from pyspark.sql import functions as F
+
+    from cheetah_spark import multimodal as M
+    from cheetah_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(40)
+    media = M.real_media_table(d)
+    rs = M.resize_png_features(media).collect()
+    assert rs and all(r.roundtrip_ok for r in rs)
+    for r in rs:
+        w, h = 16 + r.doc_id % 32, 8 + r.doc_id % 16
+        assert (r.out_width, r.out_height) == (w // 2, h // 2)
+        assert r.out_pixel_sum == (w // 2) * (h // 2) * (r.doc_id % 256)
+    fs = M.framesample_wav_features(media).collect()
+    assert fs and all(r.roundtrip_ok for r in fs)
+    for r in fs:
+        n = 64 + r.doc_id % 64
+        assert r.n_sampled == (n + 3) // 4
+        assert r.sampled_sum == r.n_sampled * (r.doc_id % 30000)
+
+    corrupted = media.select(
+        "doc_id",
+        F.concat(
+            F.substring("payload", 1, 40),
+            F.unhex(F.lit("ff")),
+            F.expr("substring(payload, 42, octet_length(payload))"),
+        ).alias("payload"),
+    )
+    bad_png = M.resize_png_features(corrupted).collect()
+    assert bad_png and all(not r.roundtrip_ok for r in bad_png)
+    bad_wav = M.framesample_wav_features(corrupted).collect()
+    assert bad_wav and all(not r.roundtrip_ok for r in bad_wav)
