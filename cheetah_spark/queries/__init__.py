@@ -34,9 +34,9 @@ from cheetah_spark.queries import xmlio  # noqa: F401
 # config-chain surface, and the BPE-encode warm-path fix), then the
 # WHOLE 37-query cohort whose latest driver row still dates from
 # round 3 (VERDICT r5 item 2: rotate them all in so every query's
-# newest evidence is r4+). 12 new/changed + 37 stale + 1 filler = the
-# driver's 50-query window exactly. Everything r4/r5-green and
-# unchanged rotates to the tail.
+# newest evidence is r4+). 13 new/changed + 37 stale = the driver's
+# 50-query window exactly. Everything r4/r5-green and unchanged
+# rotates to the tail.
 CHECK_FIRST = [
     # new or changed this round: no driver row yet / evidence predates
     # the change
@@ -47,6 +47,7 @@ CHECK_FIRST = [
     "q_llm_bigram_logprob",
     "q_multimodal_resize",
     "q_multimodal_framesample",
+    "q_llm_dup_clusters_wide",
     "q_llm_embed_dedup",
     "q_config_pipeline",
     "q_llm_bpe_encode",
@@ -90,6 +91,4 @@ CHECK_FIRST = [
     "q_timeseries_m4",
     "q_timeseries_rate",
     "q_window_range_frame",
-    # filler to 50: oldest r4 row whose shared helpers churned most
-    "q_llm_minhash_dedup",
 ]

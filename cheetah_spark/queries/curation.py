@@ -233,6 +233,89 @@ def q_llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dup_clusters_wide_oracle() -> str:
+    from cheetah_spark.queries.llm import _oracle_simhash_wide_cte, _SHW_K
+
+    return f"""
+        WITH RECURSIVE {_oracle_simhash_wide_cte()},
+        wp AS (SELECT DISTINCT rep_a, rep_b FROM scored WHERE hamming <= {_SHW_K}),
+        edges AS (
+            SELECT rep_a AS s, rep_b AS t FROM wp
+            UNION ALL
+            SELECT rep_b, rep_a FROM wp
+        ),
+        reach(s, t) AS (
+            SELECT rep, rep FROM grp
+            UNION
+            SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+        ),
+        labeled AS (SELECT s AS rep, MIN(t) AS comp_id FROM reach GROUP BY s),
+        cl AS (
+            SELECT l.comp_id, COUNT(*)::BIGINT AS n_reps,
+                   CAST(SUM(g.n_docs) AS BIGINT) AS n_docs
+            FROM labeled l JOIN grp g ON g.rep = l.rep
+            GROUP BY l.comp_id
+        )
+        SELECT comp_id, n_reps, n_docs FROM cl WHERE n_reps > 1
+    """
+
+
+@register(
+    "q_llm_dup_clusters_wide",
+    oracle=_dup_clusters_wide_oracle(),
+    tags=("llm", "dedup", "iterative"),
+)
+def q_llm_dup_clusters_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters over the WIDE fingerprint graph — the 100 TB
+    composition: exact-fingerprint groups collapse to representatives
+    (q_llm_simhash_wide), connected components run over REP-level
+    near-dup edges, and cluster doc counts come back by summing group
+    sizes — so the iterative stage's input is the distinct-fingerprint
+    graph, not the saturated document-pair graph.
+
+    Measured motivation (SCALE.md r6): q_llm_dup_clusters consumes the
+    56-bit pair graph, whose emitted pair set saturates on homogeneous
+    corpora — 300 s and borderline single-JVM heap at 25×; this
+    composition runs the identical component machinery in 7.4 s at
+    both 10× and 25×, flat, because rep-level edges grow with the
+    corpus's distinct-fingerprint near-dup structure (7.7 k pairs at
+    25×) instead of quadratic doc pairs.
+
+    Output per multi-rep cluster: comp_id (min rep), n_reps, and
+    n_docs — the total documents the cluster covers, i.e. what a
+    keep-one-per-cluster pass would touch. The DuckDB oracle reuses
+    the wide-simhash CTE verbatim plus a recursive closure, so the
+    hash gate verifies fingerprints, grouping, blocking, components
+    and the doc-count rollup end-to-end."""
+    wide = (
+        REGISTRY["q_llm_simhash_wide"].fn(spark, sf_dir)
+        .select("rep_a", "rep_b", "n_docs_a", "n_docs_b")
+        .persist()  # feeds edges AND both rep→n_docs branches
+    )
+    sym = wide.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("rep_a").alias("s"), F.col("rep_b").alias("t")),
+                F.struct(F.col("rep_b").alias("s"), F.col("rep_a").alias("t")),
+            )
+        ).alias("e")
+    ).select("e.s", "e.t")
+    labels = connected_components(spark, sym, max_iters=_CC_MAX_ITERS)
+    repdocs = (
+        wide.select(F.col("rep_a").alias("rep"), F.col("n_docs_a").alias("n_docs"))
+        .unionByName(
+            wide.select(F.col("rep_b").alias("rep"), F.col("n_docs_b").alias("n_docs"))
+        )
+        .distinct()
+    )
+    return (
+        labels.join(repdocs, labels["node_id"] == repdocs["rep"])
+        .groupBy("comp_id")
+        .agg(F.count("*").alias("n_reps"), F.sum("n_docs").cast("bigint").alias("n_docs"))
+        .where(F.col("n_reps") > 1)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding quantization
 # ---------------------------------------------------------------------------

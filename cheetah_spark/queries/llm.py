@@ -604,10 +604,11 @@ _SHW_K = _SHW_BLOCKS - 1
 assert len(_SHW_BLK) == _SHW_BLOCKS
 
 
-@register(
-    "q_llm_simhash_wide",
-    oracle=f"""
-        WITH fp AS ({X.oracle_simhash_wide_per_doc()}),
+def _oracle_simhash_wide_cte() -> str:
+    """Shared CTE chain fp → grp → gb → scored for the wide-simhash
+    oracle; q_llm_simhash_wide selects the ≤k pairs from it and
+    q_llm_dup_clusters_wide builds its component closure on top."""
+    return f"""fp AS ({X.oracle_simhash_wide_per_doc()}),
         grp AS (
             SELECT blk0, blk1, blk2, blk3, MIN(doc_id) AS rep,
                    CAST(COUNT(*) AS BIGINT) AS n_docs
@@ -627,7 +628,13 @@ assert len(_SHW_BLK) == _SHW_BLOCKS
                    a.n_docs AS n_docs_a, b.n_docs AS n_docs_b
             FROM gb a JOIN gb b ON a.blk = b.blk AND a.bval = b.bval
             WHERE a.rep < b.rep
-        )
+        )"""
+
+
+@register(
+    "q_llm_simhash_wide",
+    oracle=f"""
+        WITH {_oracle_simhash_wide_cte()}
         SELECT DISTINCT rep_a, rep_b, hamming, n_docs_a, n_docs_b
         FROM scored WHERE hamming <= {_SHW_K}
     """,
