@@ -29,17 +29,21 @@ from cheetah_spark.queries import tokenizer  # noqa: F401
 from cheetah_spark.queries import windows  # noqa: F401
 from cheetah_spark.queries import xmlio  # noqa: F401
 
-# Round-6 window: the new/changed operators first (wide-fingerprint
+# Round-6 window: the new/changed operators first (streaming session
+# windows, DSIR selection, weighted sampling, wide-fingerprint
 # SimHash, streaming embed dedup, refactored batch embed dedup, the
 # config-chain surface, and the BPE-encode warm-path fix), then the
-# WHOLE 37-query cohort whose latest driver row still dates from
-# round 3 (VERDICT r5 item 2: rotate them all in so every query's
-# newest evidence is r4+). 13 new/changed + 37 stale = the driver's
-# 50-query window exactly. Everything r4/r5-green and unchanged
-# rotates to the tail.
+# 37-query cohort whose latest driver row still dates from round 3
+# (VERDICT r5 item 2). 16 new/changed + the first 34 stale fill the
+# driver's 50-query window; the 3 stale names that overflow it keep
+# their place at the head of the r7 rotation. Everything r4/r5-green
+# and unchanged rotates to the tail.
 CHECK_FIRST = [
     # new or changed this round: no driver row yet / evidence predates
     # the change
+    "s_stream_session",
+    "q_llm_dsir_select",
+    "q_llm_weighted_sample",
     "q_llm_simhash_wide",
     "s_llm_embed_dedup",
     "q_config_curation",

@@ -20,7 +20,16 @@ from pyspark.sql.window import Window
 from cheetah_spark.catalog import load_table
 from cheetah_spark.functions import text as X
 from cheetah_spark.operators.graph import connected_components
-from cheetah_spark.queries._util import dsum, dsum2, oracle_dsum, oracle_dsum2, oracle_snap, snap
+from cheetah_spark.queries._util import (
+    davg,
+    dsum,
+    dsum2,
+    oracle_davg,
+    oracle_dsum,
+    oracle_dsum2,
+    oracle_snap,
+    snap,
+)
 from cheetah_spark.registry import REGISTRY, register
 
 # importing llm first guarantees its registrations (and oracle SQL
@@ -1486,4 +1495,220 @@ def q_llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_docs", "n_tokens", "token_share",
         weight.alias("mix_weight"),
         (weight / F.col("token_share")).alias("upsample"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling (Efraimidis–Spirakis exponential keys)
+# ---------------------------------------------------------------------------
+
+_WS_K = 8  # sample size per lang stratum
+_WS_SEED = "wsample:"
+_WS_U_DIV = 72057594037927936  # 2^56 — hash56 range, exact in a double
+
+
+@register(
+    "q_llm_weighted_sample",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT lang, doc_id, n_chars,
+                   {oracle_snap(
+                       "ln(CAST(("
+                       + X.oracle_hash56(f"'{_WS_SEED}' || CAST(doc_id AS VARCHAR)")
+                       + f") + 1 AS DOUBLE) / CAST({_WS_U_DIV} AS DOUBLE))", 6)}
+                       / n_chars AS es_key
+            FROM documents
+        ),
+        ranked AS (
+            SELECT lang, doc_id, n_chars, es_key,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY es_key DESC, doc_id) AS rk
+            FROM keyed
+        )
+        SELECT lang, rk, doc_id, n_chars, es_key
+        FROM ranked WHERE rk <= {_WS_K}
+    """,
+    tags=("llm", "sampling", "weighted"),
+)
+def q_llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement per stratum — the
+    Efraimidis–Spirakis exponential-key scheme (A-ES, Inf. Process.
+    Lett. 2006): each doc draws key u^(1/w) (here the order-equivalent
+    ln(u)/w with w = n_chars, so longer documents are proportionally
+    more likely); the top-k keys per stratum ARE a weighted sample
+    without replacement. One pass, no RNG state: u derives from
+    hash56(seed || doc_id), so the identical sample falls out on any
+    cluster, any partitioning, any engine — the reproducibility
+    property :func:`q_llm_sample_stratified` has, extended to
+    importance weights.
+
+    Determinism: u = (hash56+1)/2^56 is one IEEE division of identical
+    integers; ln(u) is snapped to 6 decimals (module transcendental
+    convention) BEFORE the division by the exact-int weight, so the
+    key is bit-identical in both engines; ties (possible after the
+    snap) break on doc_id in both ORDER BYs.
+
+    Scale: key assignment is map-only codegen; the per-stratum top-k
+    is rank<=k over a window, which Spark executes as
+    WindowGroupLimit — each map task keeps only its local top-k per
+    stratum BEFORE the shuffle (pinned in tests/test_plans.py), so the
+    exchange moves O(k·strata·tasks) rows, not the corpus. This is the
+    weighted complement of the reservoir shape: at 100 TB the sample
+    materializes in one scan."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        X.hash56(F.concat(F.lit(_WS_SEED), F.col("doc_id").cast("string"))) + F.lit(1)
+    ).cast("double") / F.lit(float(_WS_U_DIV))
+    keyed = d.select(
+        "lang", "doc_id", "n_chars", (snap(F.log(u), 6) / F.col("n_chars")).alias("es_key")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _WS_K)
+        .select("lang", "rk", "doc_id", "n_chars", "es_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance-weighted data selection
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET = "en"  # the target-domain stratum the selector matches
+
+
+@register(
+    "q_llm_dsir_select",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, lang, unnest({X.oracle_tokens("text")}) AS tok
+            FROM documents
+        ),
+        raw AS (SELECT tok, COUNT(*)::BIGINT AS cr FROM tok GROUP BY tok),
+        tgt AS (SELECT tok, COUNT(*)::BIGINT AS ct FROM tok
+                WHERE lang = '{_DSIR_TARGET}' GROUP BY tok),
+        tots AS (
+            SELECT CAST(SUM(cr) AS BIGINT) AS total_r,
+                   CAST(COUNT(*) AS BIGINT) AS vsize,
+                   CAST((SELECT SUM(ct) FROM tgt) AS BIGINT) AS total_t
+            FROM raw
+        ),
+        lm AS (
+            SELECT r.tok,
+                   {oracle_snap(
+                       "ln((CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)"
+                       " * CAST(tots.total_r + tots.vsize AS DOUBLE))"
+                       " / (CAST(r.cr + 1 AS DOUBLE)"
+                       " * CAST(tots.total_t + tots.vsize AS DOUBLE)))", 6)} AS llr
+            FROM raw r LEFT JOIN tgt t ON r.tok = t.tok, tots
+        ),
+        per_doc AS (
+            SELECT k.doc_id, k.lang,
+                   COUNT(*)::BIGINT AS n_tok,
+                   {oracle_dsum("lm.llr")} AS sum_llr
+            FROM tok k JOIN lm ON k.tok = lm.tok
+            GROUP BY k.doc_id, k.lang
+        ),
+        stats AS (
+            SELECT lang, {oracle_davg("sum_llr / n_tok")} AS mean_llr
+            FROM per_doc GROUP BY lang
+        )
+        SELECT d.lang,
+               COUNT(*)::BIGINT AS n_docs,
+               CAST(SUM(CASE WHEN d.sum_llr / d.n_tok > s.mean_llr
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+               {oracle_dsum2(
+                   "CASE WHEN d.sum_llr / d.n_tok > s.mean_llr"
+                   " THEN d.sum_llr / d.n_tok ELSE 0 END", 4)} AS sum_sel_llr,
+               MIN(CASE WHEN d.sum_llr / d.n_tok > s.mean_llr
+                        THEN d.doc_id END) AS min_sel_id,
+               MAX(CASE WHEN d.sum_llr / d.n_tok > s.mean_llr
+                        THEN d.doc_id END) AS max_sel_id
+        FROM per_doc d JOIN stats s ON d.lang = s.lang
+        GROUP BY d.lang
+    """,
+    tags=("llm", "selection", "language-model"),
+)
+def q_llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance-weighted data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every document by its mean per-token log importance ratio
+    ln(p_target/p_raw) under two add-one-smoothed unigram LMs — the
+    target LM trained on the 'en' stratum (standing in for the
+    high-quality target corpus, e.g. Wikipedia), the raw LM on
+    everything — then
+    select the documents above their stratum's mean ratio. The
+    deterministic threshold stands in for DSIR's Gumbel resampling
+    step; the RANDOMIZED companion is :func:`q_llm_weighted_sample`,
+    which can consume these weights directly.
+
+    Determinism: both LMs are exact integer counts; the smoothed ratio
+    is two double multiplies and one divide of identical operands in a
+    fixed association, ln snapped to 6 decimals pre-sum (module
+    convention); per-doc mean and per-lang mean are divisions of exact
+    decimal sums by counts. The > comparison sees bit-identical
+    doubles in both engines.
+
+    Scale (the unigram_logprob shape, one level up): BOTH LMs compose
+    at the vocab level — the raw vocab aggregate left-joins the target
+    vocab aggregate (token-keyed, both sides ≪ corpus) and broadcasts
+    two scalar totals; the corpus-sized token explode then pays
+    exactly ONE join, against the (tok → llr) relation, Zipf-head
+    pre-salted via hot_salted_join (AQE cannot split aggregate-fed
+    skew joins — tests/test_skew.py). Per-lang stats broadcast back
+    over 5 rows. No sort anywhere: selection is a threshold, not a
+    rank, so the 100 TB plan is two vocab shuffles + one salted corpus
+    join + one doc-keyed aggregate."""
+    from cheetah_spark.functions.skew import hot_salted_join
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(X.tokens(F.col("text"))).alias("tok"))
+    raw = tok.groupBy("tok").agg(F.count("*").alias("cr"))
+    tgt = (
+        tok.where(F.col("lang") == _DSIR_TARGET).groupBy("tok").agg(F.count("*").alias("ct"))
+    )
+    tots = raw.agg(
+        F.sum("cr").cast("bigint").alias("total_r"), F.count("*").cast("bigint").alias("vsize")
+    )
+    ttot = tgt.agg(F.sum("ct").cast("bigint").alias("total_t"))
+    llr = F.log(
+        (
+            (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double")
+            * (F.col("total_r") + F.col("vsize")).cast("double")
+        )
+        / (
+            (F.col("cr") + F.lit(1)).cast("double")
+            * (F.col("total_t") + F.col("vsize")).cast("double")
+        )
+    )
+    lm = (
+        raw.join(tgt, "tok", "left")
+        .crossJoin(F.broadcast(tots))
+        .crossJoin(F.broadcast(ttot))
+        .select("tok", "cr", snap(llr, 6).alias("llr"))
+    )
+    probe = (
+        d.sample(0.05, seed=7)
+        .select(F.explode(X.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cr"))
+    )
+    per_doc = (
+        hot_salted_join(tok, lm, "tok", freq_col="cr", salt_on="doc_id", hot_probe=probe)
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_tok"), dsum("llr").alias("sum_llr"))
+    )
+    avg = F.col("sum_llr") / F.col("n_tok")
+    stats = per_doc.groupBy("lang").agg(davg(avg).alias("mean_llr"))
+    sel = avg > F.col("mean_llr")
+    return (
+        per_doc.join(F.broadcast(stats), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(sel, 1).otherwise(0)).cast("bigint").alias("n_selected"),
+            dsum2(F.when(sel, avg).otherwise(F.lit(0.0)), 4).alias("sum_sel_llr"),
+            F.min(F.when(sel, F.col("doc_id"))).alias("min_sel_id"),
+            F.max(F.when(sel, F.col("doc_id"))).alias("max_sel_id"),
+        )
     )

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cheetah_spark.catalog import ensure_instant_reads, load_table
+from cheetah_spark.queries import timeseries as _timeseries
+from cheetah_spark.queries._util import dsum2
 from cheetah_spark.registry import register
 from cheetah_spark.sinks import BatcherSink
 from cheetah_spark.sources import ParquetSource
@@ -195,6 +197,82 @@ def s_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     return out.where(F.col("win_start") <= F.lit(max_ts)).orderBy("win_start")
+
+
+@register(
+    "s_stream_session",
+    oracle=_timeseries.SESSION_ORACLE,
+    tags=("streaming", "session", "watermark"),
+)
+def s_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows (30-minute gap per user) — the
+    streaming execution of :func:`~cheetah_spark.queries.timeseries.
+    q_session_window`, verified against the SAME gaps-and-islands
+    batch oracle: once every session is watermark-finalized, the
+    streaming engine must have emitted exactly the batch session set.
+
+    Mechanics mirror ``s_stream_watermark_late``: 10-minute watermark
+    over the time-ordered replay, append mode (sessions emit exactly
+    once, when the watermark passes their end), and two far-future
+    sentinel events injected one batch apart so the final watermark
+    finalizes EVERY real session deterministically. Sentinels sit 2 h
+    and 4 h past max_ts — further than the 30-minute gap, so they can
+    never merge into a real session — and their own (never-finalized
+    or out-of-range) sessions are filtered by the timestamp bound.
+
+    Scale: session state is keyed by user_id — uniformly distributed,
+    so state partitioning holds at 100 TB; Spark merges overlapping
+    candidate sessions inside the state store per key (the
+    sessionization state machine the reference lacks entirely,
+    SURVEY.md §1.3). State per user is one (start, end, count, sum)
+    record per OPEN session, evicted at watermark — bounded by active
+    users, not corpus size."""
+    import shutil
+    import uuid
+
+    src_dir = events_stream_dir(spark, sf_dir)
+    ensure_instant_reads(spark)
+    base = spark.read.parquet(src_dir)
+    max_ts = base.agg(F.max("ts")).collect()[0][0]
+    stage = f"{FIXTURE_ROOT}/{_tag(sf_dir)}/events_stream_sess_{uuid.uuid4().hex[:8]}"
+    os.makedirs(stage, exist_ok=True)
+    try:
+        for f in glob.glob(f"{src_dir}/*.parquet"):
+            os.link(f, f"{stage}/{os.path.basename(f)}")
+
+        def sentinel(hours: int):
+            def add() -> None:
+                (
+                    base.limit(1)
+                    .withColumn("ts", F.lit(max_ts) + F.expr(f"INTERVAL {hours} HOURS"))
+                    .write.mode("append")
+                    .parquet(stage)
+                )
+
+            return add
+
+        stream = ParquetSource(stage, streaming=True, max_files_per_trigger=2).read(spark)
+        with scoped_state_partitions(spark):
+            out = run_stream_to_completion(
+                stream,
+                lambda df: (
+                    df.withWatermark("ts", "10 minutes")
+                    .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+                    .agg(F.count("*").alias("n_events"), dsum2("value").alias("sum_value"))
+                    .select(
+                        "user_id",
+                        F.col("w.start").alias("session_start"),
+                        F.col("w.end").alias("session_end"),
+                        "n_events",
+                        "sum_value",
+                    )
+                ),
+                output_mode="append",
+                extra_drains=(sentinel(2), sentinel(4)),
+            )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return out.where(F.col("session_start") <= F.lit(max_ts))
 
 
 @register(

@@ -72,9 +72,11 @@ def q_time_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_session_window",
-    oracle=f"""
+# Gaps-and-islands batch mirror of a 30-minute-gap session window —
+# shared verbatim by the batch operator below and the STREAMING
+# execution (queries/streams.py::s_stream_session), which must emit the
+# identical session set once all sessions are watermark-finalized.
+SESSION_ORACLE = f"""
         WITH marked AS (
             SELECT user_id, event_id, ts, value,
                    CASE WHEN LAG(ts) OVER w IS NULL
@@ -95,7 +97,12 @@ def q_time_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                {oracle_dsum2("value")} AS sum_value
         FROM islands
         GROUP BY user_id, sess
-    """,
+    """
+
+
+@register(
+    "q_session_window",
+    oracle=SESSION_ORACLE,
     tags=("window", "session"),
 )
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -305,3 +305,25 @@ def test_bpe_encode_is_map_only_until_final_agg(spark, sf_dir):
     assert p.count("+- Exchange") == 1, p
     assert "Join" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_weighted_sample_uses_window_group_limit(spark, sf_dir):
+    p = plan(_q("q_llm_weighted_sample", spark, sf_dir))
+    # rank<=k over the stratum window must run as WindowGroupLimit —
+    # each map task keeps its local top-k per lang BEFORE the
+    # exchange; without it the full corpus sorts through the shuffle
+    assert "WindowGroupLimit" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_dsir_select_is_salted_join_no_cartesian(spark, sf_dir):
+    """The corpus-sized token relation joins the vocab-level LM exactly
+    once (hot-salted equi-join); the LM totals and per-lang stats ride
+    broadcasts (one-row / 5-row frames — BroadcastNestedLoopJoin is
+    acceptable ONLY for those scalar totals, never a CartesianProduct
+    or a shuffled join of the scalar frames)."""
+    p = plan(_q("q_llm_dsir_select", spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p, p
+    # the corpus-side join must be a real equi-join, present in plan
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, p
