@@ -960,6 +960,128 @@ def q_llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRIM_MOD = 1000000007  # checksum modulus: 5e3..1e12 doc hashes sum < 2^63
+
+
+@register(
+    "q_llm_span_trim",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang, {X.oracle_tokens("text")} AS tk FROM documents
+        ),
+        tok AS (
+            SELECT doc_id, lang, unnest(tk) AS tok,
+                   generate_subscripts(tk, 1) AS pos
+            FROM toks
+        ),
+        sh AS (
+            SELECT doc_id, unnest(s) AS s, generate_subscripts(s, 1) AS spos
+            FROM (SELECT doc_id,
+                         {X.oracle_shingles("tk", _SPAN_K)} AS s
+                  FROM toks)
+        ),
+        ex AS (SELECT doc_id, spos, {X.oracle_hash56("s")} AS h FROM sh),
+        dup AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) >= 2),
+        cov AS (
+            SELECT DISTINCT e.doc_id, e.spos + r.range AS pos
+            FROM ex e JOIN dup USING (h), range({_SPAN_K}) r
+        ),
+        per_doc AS (
+            SELECT t.doc_id, t.lang,
+                   COUNT(*)::BIGINT AS n_tok,
+                   CAST(SUM(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_cov,
+                   COALESCE(string_agg(CASE WHEN c.pos IS NULL THEN t.tok END,
+                                       ' ' ORDER BY t.pos), '') AS trimmed
+            FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+            GROUP BY t.doc_id, t.lang
+        )
+        SELECT lang,
+               COUNT(*)::BIGINT AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_cov) AS BIGINT) AS covered_tokens,
+               CAST(SUM(CASE WHEN n_cov > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_docs_affected,
+               CAST(SUM(({X.oracle_hash56("trimmed")}) % {_TRIM_MOD}) AS BIGINT)
+                   AS trim_checksum,
+               MIN(CASE WHEN n_cov > 0 THEN doc_id END) AS min_affected_id
+        FROM per_doc
+        GROUP BY lang
+    """,
+    tags=("llm", "dedup", "span", "transform"),
+)
+def q_llm_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup that REWRITES the corpus — the trim step
+    of Lee et al.'s ExactSubstr dedup (*Deduplicating Training Data
+    Makes Language Models Better*), at token-shingle granularity (the
+    distributed stand-in for their suffix array): every token position
+    covered by an 8-token span occurring >= 2 times in the corpus is
+    removed, and each document is rebuilt from its surviving tokens.
+    :func:`q_llm_span_dedup` reports the signal; this operator applies
+    it — the output pins both the trim accounting (covered-token
+    counts) and a checksum over the REWRITTEN texts, so the transform
+    itself is hash-verified, not just its row count (the
+    pii_redact/multimodal_resize integrity convention).
+
+    Determinism: everything is exact integer/string ops — positions,
+    hash56 span fingerprints, modular checksum of the rebuilt text.
+    No floats anywhere.
+
+    Scale shape: one shingle explode -> uniform-hash span count
+    (map-side combinable) -> join back (uniform 56-bit keys, no skew);
+    the k-wide position explode runs ONLY on duplicated span
+    occurrences (the small minority in a real corpus — the fixture's
+    duplicated-span mass is the worst case); covered positions
+    distinct + the rebuild aggregate both shuffle on doc_id (uniform).
+    Per-doc state in the rebuild is one token array — bounded by doc
+    length, the same bound pack_sequences already carries."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", X.tokens(F.col("text")).alias("tk"))
+    tok = toks.select(
+        "doc_id", "lang", F.posexplode("tk").alias("pos0", "tok")
+    ).select("doc_id", "lang", (F.col("pos0") + 1).alias("pos"), "tok")
+    ex = toks.select(
+        "doc_id", F.posexplode(X.shingles(F.col("tk"), _SPAN_K)).alias("spos0", "s")
+    ).select("doc_id", (F.col("spos0") + 1).alias("spos"), X.hash56(F.col("s")).alias("h"))
+    dup = ex.groupBy("h").agg(F.count("*").alias("n")).where(F.col("n") >= 2).select("h")
+    cov = (
+        ex.join(dup, "h")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("spos"), F.col("spos") + (_SPAN_K - 1))).alias("pos"),
+        )
+        .distinct()
+        .withColumn("covered", F.lit(True))
+    )
+    per_doc = (
+        tok.join(cov, ["doc_id", "pos"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tok"),
+            F.sum(F.when(F.col("covered"), 1).otherwise(0)).cast("bigint").alias("n_cov"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(F.col("covered").isNull(), F.struct("pos", "tok"))
+                        )
+                    ),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("trimmed"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum("n_cov").cast("bigint").alias("covered_tokens"),
+        F.sum(F.when(F.col("n_cov") > 0, 1).otherwise(0)).cast("bigint").alias("n_docs_affected"),
+        F.sum(X.hash56(F.col("trimmed")) % _TRIM_MOD).cast("bigint").alias("trim_checksum"),
+        F.min(F.when(F.col("n_cov") > 0, F.col("doc_id"))).alias("min_affected_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Vocabulary induction + coverage
 # ---------------------------------------------------------------------------

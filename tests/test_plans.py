@@ -327,3 +327,14 @@ def test_dsir_select_is_salted_join_no_cartesian(spark, sf_dir):
     assert "BroadcastExchange" in p, p
     # the corpus-side join must be a real equi-join, present in plan
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_span_trim_has_no_cross_join_and_partial_aggregates(spark, sf_dir):
+    """The span-count aggregate must combine map-side, the dup join
+    must be a real equi-join on the uniform span hash, and nothing may
+    degenerate into a cartesian / nested-loop product — the k-wide
+    position explode is gated behind the >=2-occurrence filter."""
+    p = plan(_q("q_llm_span_trim", spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("HashAggregate") >= 2, p

@@ -49,6 +49,7 @@ DOC_QUERIES = [
     "q_llm_bigram_logprob",
     "q_llm_dsir_select",
     "q_llm_weighted_sample",
+    "q_llm_span_trim",
     "q_llm_bpe_train",
     "q_llm_bpe_encode",
     "s_llm_minhash_dedup",
