@@ -205,6 +205,21 @@ def build_transform(cfg: Mapping[str, Any]) -> Handler:
             return df.withColumn(name, F.size(X.tokens(F.col(col))).cast("bigint"))
 
         return add_tokens
+    if kind == "stratified_sample":
+        id_col = cfg.get("id", "doc_id")
+        stratum = cfg.get("stratum", "lang")
+        rates = {k: int(v) for k, v in cfg.get("rates", {}).items()}
+        default = int(cfg.get("default", 0))
+        seed = cfg.get("seed", "sample:")
+
+        def keep_sample(df: DataFrame) -> DataFrame:
+            from cheetah_spark.queries.curation import sample_keep_expr
+
+            return df.where(
+                sample_keep_expr(F.col(id_col), F.col(stratum), rates, default, seed)
+            )
+
+        return keep_sample
     if kind == "content_fp":
         col = cfg.get("column", "text")
         name = cfg.get("as", "content_fp")

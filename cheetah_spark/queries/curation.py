@@ -53,6 +53,24 @@ _ORACLE_RATE = (
 )
 
 
+def sample_keep_expr(
+    id_col: "F.Column",
+    stratum_col: "F.Column",
+    rates: dict[str, int] = _SAMPLE_RATES,
+    default: int = _SAMPLE_DEFAULT,
+    seed: str = _SAMPLE_SEED,
+) -> "F.Column":
+    """The single-definition keep decision of the stratified sampler:
+    ``hash56(seed || id) mod 1000 < rate(stratum)``. Map-only codegen —
+    shared by :func:`q_llm_sample_stratified` and the declarative
+    ``stratified_sample`` config transform (config.py), batch or
+    streaming."""
+    rate = F.lit(default)
+    for lg, r in reversed(list(rates.items())):
+        rate = F.when(stratum_col == lg, F.lit(r)).otherwise(rate)
+    return X.hash56(F.concat(F.lit(seed), id_col.cast("string"))) % 1000 < rate
+
+
 @register(
     "q_llm_sample_stratified",
     oracle=f"""
@@ -81,12 +99,7 @@ def q_llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision is a map-only codegen expression: at 100 TB this is a pure
     scan-filter with the mixture knob as data, not code."""
     d = load_table(spark, sf_dir, "documents")
-    rate = F.lit(_SAMPLE_DEFAULT)
-    for lg, r in reversed(_SAMPLE_RATES.items()):
-        rate = F.when(F.col("lang") == lg, F.lit(r)).otherwise(rate)
-    kept = (
-        X.hash56(F.concat(F.lit(_SAMPLE_SEED), F.col("doc_id").cast("string"))) % 1000 < rate
-    )
+    kept = sample_keep_expr(F.col("doc_id"), F.col("lang"))
     return (
         d.select("lang", "doc_id", kept.alias("kept"))
         .groupBy("lang")

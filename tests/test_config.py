@@ -387,3 +387,30 @@ def test_curation_transforms_from_config(spark, sf_dir):
 
     redacted = build_transform({"type": "pii_redact"})(red).collect()[0].text
     assert "<EMAIL>" in redacted and "<PHONE>" in redacted
+
+
+def test_stratified_sample_transform_from_config(spark, sf_dir):
+    """The declarative stratified_sample transform keeps exactly the
+    rows the verified q_llm_sample_stratified expression keeps — the
+    domain-mixture knob as config data, map-only (streaming-safe)."""
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.catalog import table_path
+    from cheetah_spark.config import build_transform
+    from cheetah_spark.queries.curation import sample_keep_expr
+
+    rates = {"en": 500, "zh": 1000}
+    t = build_transform(
+        {"type": "stratified_sample", "rates": rates, "default": 100, "seed": "cfg:"}
+    )
+    d = spark.read.parquet(table_path(sf_dir, "documents"))
+    got = {r.doc_id for r in t(d).select("doc_id").collect()}
+    want = {
+        r.doc_id
+        for r in d.where(
+            sample_keep_expr(F.col("doc_id"), F.col("lang"), rates, 100, "cfg:")
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want and 0 < len(got) < d.count()
