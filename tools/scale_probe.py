@@ -68,6 +68,7 @@ EMB_QUERIES = [
 # the round-5 alpha>=0.8 cohort (plus the wide-simhash fix under test):
 # the only queries timed at the 25x tier
 HIGH_ALPHA = [
+    "q_llm_span_trim",
     "q_llm_simhash_dedup",
     "q_llm_simhash_wide",
     "q_llm_dup_clusters",
