@@ -276,6 +276,82 @@ def s_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_stream_watermark_dropped",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS win_start, COUNT(*)::BIGINT AS n
+        FROM events GROUP BY win_start
+    """,
+    tags=("streaming", "watermark", "conformance"),
+)
+def s_stream_watermark_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data EXCLUSION conformance — the half of the watermark
+    contract ``s_stream_watermark_late`` does not pin. That query
+    proves finalized windows emit exactly once and complete under an
+    in-order replay; this one proves data arriving BEHIND the
+    watermark is dropped rather than corrupting finalized results:
+    after the first sentinel pushes the watermark 2 h past every real
+    window, every 7th real event is RE-INJECTED with its original
+    (now hopelessly late) timestamp. A correct engine filters those
+    rows at the state-store boundary — the emitted window set and its
+    counts stay EXACTLY the batch GROUP BY over the original events
+    (the oracle); an engine that let late rows re-open evicted window
+    state would emit duplicate window rows (row-count mismatch) or
+    inflated counts (hash mismatch).
+
+    Scale: same plan as the tumbling-window aggregate; the point
+    pinned here is semantic, not physical — at 100 TB, late data is a
+    certainty and silently re-opened windows mean double-counted
+    metrics downstream."""
+    import shutil
+    import uuid
+
+    src_dir = events_stream_dir(spark, sf_dir)
+    ensure_instant_reads(spark)
+    base = spark.read.parquet(src_dir)
+    max_ts = base.agg(F.max("ts")).collect()[0][0]
+    stage = f"{FIXTURE_ROOT}/{_tag(sf_dir)}/events_stream_wmd_{uuid.uuid4().hex[:8]}"
+    os.makedirs(stage, exist_ok=True)
+    try:
+        for f in glob.glob(f"{src_dir}/*.parquet"):
+            os.link(f, f"{stage}/{os.path.basename(f)}")
+
+        def sentinel(hours: int):
+            def add() -> None:
+                (
+                    base.limit(1)
+                    .withColumn("ts", F.lit(max_ts) + F.expr(f"INTERVAL {hours} HOURS"))
+                    .write.mode("append")
+                    .parquet(stage)
+                )
+
+            return add
+
+        def late_replay() -> None:
+            # original timestamps, re-delivered far behind the
+            # watermark the first sentinel already advanced
+            base.where(F.col("event_id") % 7 == 0).coalesce(1).write.mode("append").parquet(
+                stage
+            )
+
+        stream = ParquetSource(stage, streaming=True, max_files_per_trigger=2).read(spark)
+        with scoped_state_partitions(spark):
+            out = run_stream_to_completion(
+                stream,
+                lambda df: (
+                    df.withWatermark("ts", "10 minutes")
+                    .groupBy(F.window("ts", "1 hour").alias("w"))
+                    .agg(F.count("*").alias("n"))
+                    .select(F.col("w.start").alias("win_start"), "n")
+                ),
+                output_mode="append",
+                extra_drains=(sentinel(2), late_replay, sentinel(4)),
+            )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return out.where(F.col("win_start") <= F.lit(max_ts)).orderBy("win_start")
+
+
+@register(
     "s_stream_batcher",
     oracle="""
         SELECT COUNT(*)::BIGINT AS n_rows,
