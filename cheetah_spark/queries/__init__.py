@@ -34,8 +34,8 @@ from cheetah_spark.queries import xmlio  # noqa: F401
 # SimHash, streaming embed dedup, refactored batch embed dedup, the
 # config-chain surface, and the BPE-encode warm-path fix), then the
 # 37-query cohort whose latest driver row still dates from round 3
-# (VERDICT r5 item 2). 18 new/changed + the first 32 stale fill the
-# driver's 50-query window; the 5 stale names that overflow it keep
+# (VERDICT r5 item 2). 19 new/changed + the first 31 stale fill the
+# driver's 50-query window; the 6 stale names that overflow it keep
 # their place at the head of the r7 rotation. Everything r4/r5-green
 # and unchanged rotates to the tail.
 CHECK_FIRST = [
@@ -46,6 +46,7 @@ CHECK_FIRST = [
     "q_llm_weighted_sample",
     "q_llm_span_trim",
     "s_stream_watermark_dropped",
+    "q_graph_pagerank",
     "q_llm_simhash_wide",
     "s_llm_embed_dedup",
     "q_config_curation",

@@ -1043,3 +1043,162 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the event-transition graph
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3  # fixed-iteration contract (the GD-regression convention)
+
+
+def _pr_oracle() -> str:
+    """Unrolled {_PR_ITERS}-iteration weighted PageRank in pure SQL —
+    generated, not hand-copied, so Spark and DuckDB share one
+    arithmetic spec: every rank is snapped to DECIMAL(38,12) per
+    iteration, every sum of contributions is an exact decimal sum, and
+    the damping expression is one fixed-association double chain."""
+    s12 = lambda e: f"CAST(CAST(({e}) AS DECIMAL(38,12)) AS DOUBLE)"  # noqa: E731
+    ds12 = lambda e: f"CAST(SUM(CAST(({e}) AS DECIMAL(38,12))) AS DOUBLE)"  # noqa: E731
+    parts = [
+        f"""
+        WITH edges AS (
+            SELECT event_type AS src, next_type AS dst, COUNT(*)::BIGINT AS w
+            FROM (SELECT event_type,
+                         lead(event_type) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS next_type
+                  FROM events)
+            WHERE next_type IS NOT NULL
+            GROUP BY src, dst
+        ),
+        outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+        nodes AS (SELECT DISTINCT event_type AS node FROM events),
+        nn AS (SELECT COUNT(*)::BIGINT AS n FROM nodes),
+        r0 AS (SELECT node, {s12('1.0 / nn.n')} AS r FROM nodes, nn)"""
+    ]
+    for i in range(_PR_ITERS):
+        parts.append(
+            f""",
+        d{i} AS (
+            SELECT COALESCE({ds12(f'r{i}.r')}, 0.0) AS d
+            FROM r{i} LEFT JOIN outw ON r{i}.node = outw.src
+            WHERE outw.src IS NULL
+        ),
+        c{i} AS (
+            SELECT e.dst AS node, {ds12(f'(r.r * e.w) / o.ow')} AS c
+            FROM edges e
+            JOIN r{i} r ON e.src = r.node
+            JOIN outw o ON e.src = o.src
+            GROUP BY e.dst
+        ),
+        r{i + 1} AS (
+            SELECT nd.node,
+                   {s12(f'(0.15 + 0.85 * d{i}.d) / nn.n + 0.85 * COALESCE(c{i}.c, 0.0)')} AS r
+            FROM nodes nd LEFT JOIN c{i} ON nd.node = c{i}.node, d{i}, nn
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT rf.node, rf.r AS pr,
+               COALESCE(o.ow, 0) AS out_weight,
+               COALESCE(ind.k, 0) AS n_in_edges
+        FROM r{_PR_ITERS} rf
+        LEFT JOIN outw o ON rf.node = o.src
+        LEFT JOIN (SELECT dst, COUNT(*)::BIGINT AS k FROM edges GROUP BY dst) ind
+               ON rf.node = ind.dst"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "q_graph_pagerank",
+    oracle=_pr_oracle(),
+    tags=("graph", "iterative", "analytics"),
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the event-transition digraph (nodes =
+    event types, edge weights = observed transition counts from
+    :func:`q_events_transitions`), fixed {_PR_ITERS} power iterations
+    with damping 0.85 and dangling-mass redistribution — the second
+    iterative graph operator next to connected components
+    (operators/graph.py), and the workload class (personalized
+    ranking / authority weighting over a derived graph) a curation
+    pipeline uses to weight interlinked domains.
+
+    Determinism (the GD-regression bit-match discipline,
+    queries/regression.py): ranks snap to DECIMAL(38,12) at every
+    iteration boundary, in-edge contribution sums are exact decimal
+    sums (order/partitioning-independent), and each damping update is
+    one fixed-association double chain — the oracle is GENERATED from
+    the same spec (:func:`_pr_oracle`), so Spark and DuckDB execute
+    identical arithmetic and the result hash-matches bit-for-bit.
+
+    Scale shape: per iteration, ONE equi-join of the edge relation
+    against the rank vector (both shuffle on src — at web scale this
+    is the canonical co-partitioned join; ranks and edges reuse the
+    same partitioning every round) and one map-side-combinable
+    aggregate onto dst; the dangling scalar and N broadcast. The
+    fixture graph is tiny; the plan is the one that runs at 10^9
+    edges, with localCheckpoint-per-round lineage control ready in
+    the components operator this mirrors."""
+    from pyspark.sql.window import Window as W
+
+    s12 = lambda c: c.cast("decimal(38,12)").cast("double")  # noqa: E731
+    ds12 = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "event_type", "ts", "event_id").withColumn(
+        "next_type", F.lead("event_type").over(w)
+    )
+    edges = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
+        .agg(F.count("*").alias("w"))
+        # materialize the (tiny, aggregate) edge relation ONCE — it
+        # feeds every iteration's dangling/contrib joins, and without
+        # the checkpoint Catalyst re-derives the corpus-sized window
+        # scan ~2x per iteration (the graph.py lineage discipline)
+        .localCheckpoint()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("ow"))
+    nodes = e.select(F.col("event_type").alias("node")).distinct()
+    nn = nodes.agg(F.count("*").cast("bigint").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", s12(F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        d = (
+            ranks.join(outw, ranks.node == outw.src, "left")
+            .where(F.col("src").isNull())
+            .agg(F.coalesce(ds12(F.col("r")), F.lit(0.0)).alias("d"))
+        )
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(outw, "src")
+            .groupBy("dst")
+            .agg(ds12((F.col("r") * F.col("w")) / F.col("ow")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(d))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                s12(
+                    (F.lit(0.15) + F.lit(0.85) * F.col("d")) / F.col("n")
+                    + F.lit(0.85) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    n_in = edges.groupBy("dst").agg(F.count("*").cast("bigint").alias("k"))
+    return (
+        ranks.join(outw, ranks.node == outw.src, "left")
+        .join(n_in, ranks.node == n_in.dst, "left")
+        .select(
+            "node",
+            F.col("r").alias("pr"),
+            F.coalesce(F.col("ow"), F.lit(0).cast("bigint")).alias("out_weight"),
+            F.coalesce(F.col("k"), F.lit(0).cast("bigint")).alias("n_in_edges"),
+        )
+    )
