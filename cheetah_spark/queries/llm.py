@@ -999,9 +999,9 @@ _EXACT_TOPK_PARAMS = f"topk={_TOPK};qmod={_QUERY_MOD};v1"
 
 
 def _exact_topk_rows(spark: SparkSession, sf_dir: str):
-    from cheetah_spark.anchors import _memo, anchor_df
+    from cheetah_spark.anchors import anchor_rows
 
-    anchor_df(
+    return anchor_rows(
         spark,
         sf_dir,
         "exact_topk",
@@ -1009,7 +1009,6 @@ def _exact_topk_rows(spark: SparkSession, sf_dir: str):
         q_llm_similarity_topk,
         params=_EXACT_TOPK_PARAMS,
     )
-    return _memo[(sf_dir, "exact_topk")]
 
 
 def _ann_contract(spark: SparkSession, sf_dir: str, approx: DataFrame, recall_floor: float) -> DataFrame:

@@ -84,6 +84,41 @@ def test_anchor_invalidated_when_builder_params_change(tmp_path, spark, sf_dir):
     assert calls["n"] == 2, "params change must invalidate the persisted anchor"
 
 
+def test_anchor_invalidated_when_builder_code_changes(tmp_path, spark, sf_dir):
+    """Round-6 verdict item #1: the key must encode the builder's CODE
+    identity, not just hand-bumped params — editing the builder (here:
+    a different aggregate) with identical params must miss the cache,
+    so a stale anchor can never fake a green correctness row."""
+    sfd = _fixture_dir(tmp_path, spark, sf_dir)
+    calls = {"n": 0}
+
+    def build(spark_, sf_):
+        calls["n"] += 1
+        return spark_.read.parquet(f"{sf_}/nation.parquet").agg(
+            F.count("*").alias("n")
+        )
+
+    anchors.anchor_df(spark, sfd, "t_code", ("nation",), build, params="v1")
+    assert calls["n"] == 1
+
+    def build(spark_, sf_):  # noqa: F811 — the "edited" revision
+        calls["n"] += 1
+        return spark_.read.parquet(f"{sf_}/nation.parquet").agg(
+            F.sum("n_nationkey").alias("n")
+        )
+
+    got = anchors.anchor_df(
+        spark, sfd, "t_code", ("nation",), build, params="v1"
+    ).collect()
+    assert calls["n"] == 2, "builder source change must invalidate the anchor"
+    assert got[0].n != 25, "values must come from the NEW builder, not the cache"
+
+    # and the new revision persists under its own identity
+    anchors._memo.clear()
+    anchors.anchor_df(spark, sfd, "t_code", ("nation",), build, params="v1")
+    assert calls["n"] == 2, "re-load after memo clear must hit the new parquet"
+
+
 def test_media_fixture_invalidated_when_documents_change(tmp_path, spark, sf_dir):
     """media_fixture_dir mirrors the anchor staleness policy: a
     regenerated documents fixture must rebuild the synthesized media
