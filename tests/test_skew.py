@@ -182,3 +182,37 @@ def test_hot_salted_join_matches_plain_and_spreads_hot_key(spark):
         big_s.where(FF.col("term") == "the").select(SALT_COL).distinct().count()
     )
     assert n_buckets > 1
+
+
+def test_hot_salted_join_broadcast_tags_large_hot_head(spark):
+    """Round-6 verdict item #5: for hot_k > _HOT_ISIN_MAX the hot head
+    must be tagged via a BroadcastHashJoin against a K-row hot-key
+    relation, NOT an isin literal list baked into both sides' codegen
+    — and results must still match the plain join exactly."""
+    import re
+
+    from cheetah_spark.functions.skew import _HOT_ISIN_MAX, hot_salted_join
+
+    tf = _planted_tf(spark, n=100_000)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    hot_k = _HOT_ISIN_MAX + 36  # forces the broadcast-tag path
+
+    plain = tf.join(dfreq, "term").groupBy("term").agg(
+        F.count("*").alias("n"), F.sum("df").alias("sd")
+    )
+    sj = hot_salted_join(
+        tf, dfreq, "term", freq_col="df", salt_on="doc_id", hot_k=hot_k, buckets=8
+    )
+    salted = sj.groupBy("term").agg(F.count("*").alias("n"), F.sum("df").alias("sd"))
+    assert sorted(map(str, plain.collect())) == sorted(map(str, salted.collect()))
+
+    plan = sj._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # no 100-literal In list on the join key anywhere in the plan
+    in_lists = re.findall(r"term#\d+L? IN \(([^)]*)\)", plan) + re.findall(
+        r"term#\d+L? INSET ([^)\n]*)", plan
+    )
+    for lst in in_lists:
+        assert lst.count(",") < _HOT_ISIN_MAX, (
+            "hot head leaked into codegen as literals:\n" + plan
+        )
