@@ -191,3 +191,29 @@ def test_minhash_sig_expr_matches_batch_and_handles_short_docs(spark):
     assert maponly[10] is None and maponly[11] is None
     for k, v in batch.items():
         assert maponly[k] == v, f"sig mismatch for doc {k}"
+
+
+def test_ann_contract_empty_embeddings_fails_loud(spark, tmp_path):
+    """Round-6 verdict item #6: a degenerate fixture (zero embeddings →
+    zero exact anchors) must raise a clear ValueError from the contract
+    constructor, not ZeroDivisionError — and must NOT return an empty
+    "green" DataFrame, which would hash-match an empty oracle and fake
+    a pass. Also documents the eager-execution semantics: the error
+    surfaces at query-construction time."""
+    import pytest
+
+    d = tmp_path / "sf_empty"
+    d.mkdir()
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(d / "embeddings.parquet"))
+
+    from cheetah_spark.queries.llm import _ann_contract
+
+    with pytest.raises(ValueError, match="non-empty exact top-k anchor"):
+        _ann_contract(
+            spark,
+            str(d),
+            spark.createDataFrame([], "query_id long, neighbor_id long"),
+            recall_floor=0.5,
+        )
