@@ -1053,7 +1053,7 @@ _PR_ITERS = 3  # fixed-iteration contract (the GD-regression convention)
 
 
 def _pr_oracle() -> str:
-    """Unrolled {_PR_ITERS}-iteration weighted PageRank in pure SQL —
+    """Unrolled fixed-iteration (``_PR_ITERS``) weighted PageRank in pure SQL —
     generated, not hand-copied, so Spark and DuckDB share one
     arithmetic spec: every rank is snapped to DECIMAL(38,12) per
     iteration, every sum of contributions is an exact decimal sum, and
@@ -1118,7 +1118,7 @@ def _pr_oracle() -> str:
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the event-transition digraph (nodes =
     event types, edge weights = observed transition counts from
-    :func:`q_events_transitions`), fixed {_PR_ITERS} power iterations
+    :func:`q_events_transitions`), a fixed 3 (``_PR_ITERS``) power iterations
     with damping 0.85 and dangling-mass redistribution — the second
     iterative graph operator next to connected components
     (operators/graph.py), and the workload class (personalized

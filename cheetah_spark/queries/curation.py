@@ -973,7 +973,12 @@ def q_llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TRIM_MOD = 1000000007  # checksum modulus: 5e3..1e12 doc hashes sum < 2^63
+# Checksum modulus. Residues average ~_TRIM_MOD/2 ≈ 5e8, so an int64
+# sum would wrap near ~1.8e10 docs (and Spark's non-ANSI SUM wraps
+# SILENTLY while DuckDB promotes to HUGEINT, diverging the hash) —
+# both engines therefore sum the residues as DECIMAL(38,0), which is
+# exact to ~2e29 docs (round-6 advice).
+_TRIM_MOD = 1000000007
 
 
 @register(
@@ -1015,7 +1020,8 @@ _TRIM_MOD = 1000000007  # checksum modulus: 5e3..1e12 doc hashes sum < 2^63
                CAST(SUM(n_cov) AS BIGINT) AS covered_tokens,
                CAST(SUM(CASE WHEN n_cov > 0 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_docs_affected,
-               CAST(SUM(({X.oracle_hash56("trimmed")}) % {_TRIM_MOD}) AS BIGINT)
+               CAST(SUM(CAST(({X.oracle_hash56("trimmed")}) % {_TRIM_MOD}
+                             AS DECIMAL(38,0))) AS DECIMAL(38,0))
                    AS trim_checksum,
                MIN(CASE WHEN n_cov > 0 THEN doc_id END) AS min_affected_id
         FROM per_doc
@@ -1090,7 +1096,9 @@ def q_llm_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
         F.sum("n_cov").cast("bigint").alias("covered_tokens"),
         F.sum(F.when(F.col("n_cov") > 0, 1).otherwise(0)).cast("bigint").alias("n_docs_affected"),
-        F.sum(X.hash56(F.col("trimmed")) % _TRIM_MOD).cast("bigint").alias("trim_checksum"),
+        F.sum((X.hash56(F.col("trimmed")) % _TRIM_MOD).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("trim_checksum"),
         F.min(F.when(F.col("n_cov") > 0, F.col("doc_id"))).alias("min_affected_id"),
     )
 
@@ -1653,6 +1661,7 @@ _WS_U_DIV = 72057594037927936  # 2^56 — hash56 range, exact in a double
                        + f") + 1 AS DOUBLE) / CAST({_WS_U_DIV} AS DOUBLE))", 6)}
                        / n_chars AS es_key
             FROM documents
+            WHERE n_chars > 0
         ),
         ranked AS (
             SELECT lang, doc_id, n_chars, es_key,
@@ -1694,7 +1703,12 @@ def q_llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (
         X.hash56(F.concat(F.lit(_WS_SEED), F.col("doc_id").cast("string"))) + F.lit(1)
     ).cast("double") / F.lit(float(_WS_U_DIV))
-    keyed = d.select(
+    # weight guard (round-6 advice): w = n_chars = 0 would divide the
+    # snapped ln(u) by zero — NULL in Spark, -inf under DuckDB's IEEE
+    # division — a latent cross-engine ordering divergence. A 0-weight
+    # doc has zero selection probability under A-ES semantics anyway,
+    # so both plans exclude it up front.
+    keyed = d.where(F.col("n_chars") > 0).select(
         "lang", "doc_id", "n_chars", (snap(F.log(u), 6) / F.col("n_chars")).alias("es_key")
     )
     w = Window.partitionBy("lang").orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
