@@ -32,6 +32,7 @@ from cheetah_spark.streaming import (
     events_stream_dir,
     fixture_stale,
     run_stream_to_completion,
+    staged_replay,
 )
 
 
@@ -157,30 +158,13 @@ def s_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the output equals the batch GROUP BY the oracle runs. The
     sentinels' own windows can never finalize (watermark trails them)
     and are filtered by timestamp bound regardless."""
-    import shutil
-    import uuid
-
     src_dir = events_stream_dir(spark, sf_dir)
     ensure_instant_reads(spark)
-    base = spark.read.parquet(src_dir)
-    max_ts = base.agg(F.max("ts")).collect()[0][0]
-    stage = f"{FIXTURE_ROOT}/{_tag(sf_dir)}/events_stream_wm_{uuid.uuid4().hex[:8]}"
-    os.makedirs(stage, exist_ok=True)
-    try:
-        for f in glob.glob(f"{src_dir}/*.parquet"):
-            os.link(f, f"{stage}/{os.path.basename(f)}")
-
-        def sentinel(hours: int):
-            def add() -> None:
-                (
-                    base.limit(1)
-                    .withColumn("ts", F.lit(max_ts) + F.expr(f"INTERVAL {hours} HOURS"))
-                    .write.mode("append")
-                    .parquet(stage)
-                )
-
-            return add
-
+    with staged_replay(spark, sf_dir, "events_stream_wm", src_dir) as (
+        stage,
+        sentinel,
+        max_ts,
+    ):
         stream = ParquetSource(stage, streaming=True, max_files_per_trigger=2).read(spark)
         with scoped_state_partitions(spark):
             out = run_stream_to_completion(
@@ -194,8 +178,6 @@ def s_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
                 output_mode="append",
                 extra_drains=(sentinel(2), sentinel(4)),
             )
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
     return out.where(F.col("win_start") <= F.lit(max_ts)).orderBy("win_start")
 
 
@@ -227,30 +209,13 @@ def s_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY.md §1.3). State per user is one (start, end, count, sum)
     record per OPEN session, evicted at watermark — bounded by active
     users, not corpus size."""
-    import shutil
-    import uuid
-
     src_dir = events_stream_dir(spark, sf_dir)
     ensure_instant_reads(spark)
-    base = spark.read.parquet(src_dir)
-    max_ts = base.agg(F.max("ts")).collect()[0][0]
-    stage = f"{FIXTURE_ROOT}/{_tag(sf_dir)}/events_stream_sess_{uuid.uuid4().hex[:8]}"
-    os.makedirs(stage, exist_ok=True)
-    try:
-        for f in glob.glob(f"{src_dir}/*.parquet"):
-            os.link(f, f"{stage}/{os.path.basename(f)}")
-
-        def sentinel(hours: int):
-            def add() -> None:
-                (
-                    base.limit(1)
-                    .withColumn("ts", F.lit(max_ts) + F.expr(f"INTERVAL {hours} HOURS"))
-                    .write.mode("append")
-                    .parquet(stage)
-                )
-
-            return add
-
+    with staged_replay(spark, sf_dir, "events_stream_sess", src_dir) as (
+        stage,
+        sentinel,
+        max_ts,
+    ):
         stream = ParquetSource(stage, streaming=True, max_files_per_trigger=2).read(spark)
         with scoped_state_partitions(spark):
             out = run_stream_to_completion(
@@ -270,8 +235,6 @@ def s_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
                 output_mode="append",
                 extra_drains=(sentinel(2), sentinel(4)),
             )
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
     return out.where(F.col("session_start") <= F.lit(max_ts))
 
 
@@ -302,36 +265,20 @@ def s_stream_watermark_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned here is semantic, not physical — at 100 TB, late data is a
     certainty and silently re-opened windows mean double-counted
     metrics downstream."""
-    import shutil
-    import uuid
-
     src_dir = events_stream_dir(spark, sf_dir)
     ensure_instant_reads(spark)
-    base = spark.read.parquet(src_dir)
-    max_ts = base.agg(F.max("ts")).collect()[0][0]
-    stage = f"{FIXTURE_ROOT}/{_tag(sf_dir)}/events_stream_wmd_{uuid.uuid4().hex[:8]}"
-    os.makedirs(stage, exist_ok=True)
-    try:
-        for f in glob.glob(f"{src_dir}/*.parquet"):
-            os.link(f, f"{stage}/{os.path.basename(f)}")
-
-        def sentinel(hours: int):
-            def add() -> None:
-                (
-                    base.limit(1)
-                    .withColumn("ts", F.lit(max_ts) + F.expr(f"INTERVAL {hours} HOURS"))
-                    .write.mode("append")
-                    .parquet(stage)
-                )
-
-            return add
+    with staged_replay(spark, sf_dir, "events_stream_wmd", src_dir) as (
+        stage,
+        sentinel,
+        max_ts,
+    ):
 
         def late_replay() -> None:
             # original timestamps, re-delivered far behind the
             # watermark the first sentinel already advanced
-            base.where(F.col("event_id") % 7 == 0).coalesce(1).write.mode("append").parquet(
-                stage
-            )
+            spark.read.parquet(src_dir).where(
+                F.col("event_id") % 7 == 0
+            ).coalesce(1).write.mode("append").parquet(stage)
 
         stream = ParquetSource(stage, streaming=True, max_files_per_trigger=2).read(spark)
         with scoped_state_partitions(spark):
@@ -346,8 +293,6 @@ def s_stream_watermark_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
                 output_mode="append",
                 extra_drains=(sentinel(2), late_replay, sentinel(4)),
             )
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
     return out.where(F.col("win_start") <= F.lit(max_ts)).orderBy("win_start")
 
 

@@ -11,6 +11,8 @@ bounded stream to completion synchronously.
 
 from __future__ import annotations
 
+import contextlib as _contextlib
+import glob as _glob
 import os
 import shutil
 import uuid
@@ -129,6 +131,46 @@ def events_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str
         f"events_stream_{n_files}_o2",
         drop_legacy=(f"events_stream_{n_files}",),
     )
+
+
+@_contextlib.contextmanager
+def staged_replay(spark: SparkSession, sf_dir: str, prefix: str, src_dir: str):
+    """Disposable hard-linked copy of a replay fixture, for queries
+    that APPEND to the feed mid-run (watermark-advancing sentinels,
+    late re-injections) without touching the shared fixture.
+
+    Yields ``(stage, sentinel, max_ts)``: the stage directory a
+    streaming source should read, a ``sentinel(hours)`` factory whose
+    thunks append one far-future row (``max_ts + hours``) suitable for
+    ``run_stream_to_completion(extra_drains=...)``, and the fixture's
+    max event-time for filtering sentinel windows out of the result.
+    The stage dir is removed on exit. Extracted from the three
+    watermark/session queries that had copy-pasted it (round-6 advice).
+    """
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(src_dir)
+    max_ts = base.agg(F.max("ts")).collect()[0][0]
+    stage = f"{FIXTURE_ROOT}/{_tag(sf_dir)}/{prefix}_{uuid.uuid4().hex[:8]}"
+    os.makedirs(stage, exist_ok=True)
+
+    def sentinel(hours: int):
+        def add() -> None:
+            (
+                base.limit(1)
+                .withColumn("ts", F.lit(max_ts) + F.expr(f"INTERVAL {hours} HOURS"))
+                .write.mode("append")
+                .parquet(stage)
+            )
+
+        return add
+
+    try:
+        for f in _glob.glob(f"{src_dir}/*.parquet"):
+            os.link(f, f"{stage}/{os.path.basename(f)}")
+        yield stage, sentinel, max_ts
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def run_stream_to_completion(
