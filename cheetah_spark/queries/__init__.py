@@ -29,73 +29,69 @@ from cheetah_spark.queries import tokenizer  # noqa: F401
 from cheetah_spark.queries import windows  # noqa: F401
 from cheetah_spark.queries import xmlio  # noqa: F401
 
-# Round-6 window: the new/changed operators first (streaming session
-# windows, DSIR selection, weighted sampling, wide-fingerprint
-# SimHash, streaming embed dedup, refactored batch embed dedup, the
-# config-chain surface, and the BPE-encode warm-path fix), then the
-# 37-query cohort whose latest driver row still dates from round 3
-# (VERDICT r5 item 2). 19 new/changed + the first 31 stale fill the
-# driver's 50-query window; the 6 stale names that overflow it keep
-# their place at the head of the r7 rotation. Everything r4/r5-green
-# and unchanged rotates to the tail.
+# STANDING POLICY (round-6 verdict item #2): CHECK_FIRST is rebuilt
+# every round as (1) operators new or changed this round — their
+# latest driver row predates the code — then (2) the stale cohort,
+# oldest latest-row first, so no query's most recent driver evidence
+# ever ages past ~3 rounds (50-query window / 140 queries ≈ 2.8-round
+# full rotation when nothing changes).
+#
+# Round-7 window: 4 changed (span_trim's checksum went DECIMAL(38,0),
+# weighted_sample gained the zero-weight guard, session/dropped ride
+# the extracted staged_replay helper) + the full 44-query stale cohort
+# (6 r3 rows + 38 r4 rows — VERDICT r6 item #2) = 48 of 50 slots;
+# operators added later this round are inserted at the head as they
+# land. After r7's driver window every latest row is r5+.
 CHECK_FIRST = [
-    # new or changed this round: no driver row yet / evidence predates
-    # the change
-    "s_stream_session",
-    "q_llm_dsir_select",
-    "q_llm_weighted_sample",
+    # changed this round: evidence predates the change
     "q_llm_span_trim",
+    "q_llm_weighted_sample",
+    "s_stream_session",
     "s_stream_watermark_dropped",
-    "q_graph_pagerank",
-    "q_llm_simhash_wide",
-    "s_llm_embed_dedup",
-    "q_config_curation",
-    "s_config_curation",
-    "q_llm_bigram_logprob",
-    "q_multimodal_resize",
-    "q_multimodal_framesample",
-    "q_llm_dup_clusters_wide",
-    "q_llm_embed_dedup",
-    "q_config_pipeline",
-    "q_llm_bpe_encode",
-    "q_multimodal_decode",
-    "q_multimodal_codec_roundtrip",
-    # r3-stale cohort: every query whose latest driver row is r3
-    "q_approx_heavy_cmsketch",
-    "q_arrow_surface",
-    "q_asof_join",
-    "q_broadcast_join",
-    "q_bucketed_join",
-    "q_deser_json",
-    "q_events_funnel",
-    "q_events_histogram",
-    "q_events_path_topk",
-    "q_events_retention",
-    "q_events_transitions",
-    "q_filter_pred",
-    "q_flatmap_explode",
-    "q_hash_join_inner",
-    "q_hypertable_rollup",
-    "q_latest_by_key",
-    "q_llm_bloom_decontaminate",
-    "q_llm_unigram_logprob",
-    "q_multiway_join_tpch",
-    "q_outer_joins",
-    "q_scalar_datetime",
-    "q_scan_binary_files",
-    "q_scan_project",
-    "q_scan_schema_merge",
-    "q_scd2_history",
-    "q_sec_anomaly_zscore",
-    "q_sec_beacon_detect",
-    "q_semi_anti_join",
-    "q_session_window",
-    "q_sink_partition_prune",
-    "q_theta_range_join",
+    # r3-stale cohort (latest driver row: round 3)
     "q_time_window_sliding",
     "q_time_window_tumbling",
     "q_timeseries_gapfill",
     "q_timeseries_m4",
     "q_timeseries_rate",
     "q_window_range_frame",
+    # r4-stale cohort (latest driver row: round 4)
+    "q_agg_distinct",
+    "q_array_map_ops",
+    "q_cube_agg",
+    "q_distinct_dedup",
+    "q_grouping_sets",
+    "q_hash_agg",
+    "q_having_filter",
+    "q_json_ops",
+    "q_llm_ann_bruteforce",
+    "q_llm_bpe_train",
+    "q_llm_domain_mix",
+    "q_llm_dup_clusters",
+    "q_llm_exact_dedup",
+    "q_llm_fingerprint",
+    "q_llm_incremental_dedup",
+    "q_llm_kmeans",
+    "q_llm_lang_id",
+    "q_llm_minhash_dedup",
+    "q_llm_quality_regression",
+    "q_llm_quality_score",
+    "q_llm_token_count",
+    "q_multimodal_meta",
+    "q_pivot_events",
+    "q_scalar_conditional",
+    "q_scalar_math",
+    "q_scalar_string",
+    "q_scan_text_lines",
+    "q_sec_cidr_match",
+    "q_set_ops",
+    "q_skew_salted_agg",
+    "q_sort_limit_topk",
+    "q_sql_interface",
+    "q_udf_surface",
+    "q_union_fanin",
+    "q_unpivot_events",
+    "s_stream_batcher",
+    "s_stream_rate",
+    "s_stream_watermark_late",
 ]
