@@ -1516,7 +1516,12 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_ivfpq_topk(
-    spark: SparkSession, sf_dir: str, nprobe: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int | None = None,
+    pq_m: int | None = None,
+    pq_k: int | None = None,
+    rerank: int | None = None,
 ) -> DataFrame:
     """IVF-PQ: the production composition of the two index halves —
     IVF coarse lists bound WHICH rows each query scores
@@ -1546,6 +1551,9 @@ def _ann_ivfpq_topk(
 
     from pyspark.sql.window import Window
 
+    pq_m = _IVFPQ_M if pq_m is None else pq_m
+    pq_k = _IVFPQ_K if pq_k is None else pq_k
+    rerank = _IVFPQ_RERANK if rerank is None else rerank
     e = load_table(spark, sf_dir, "embeddings")
     seeds = e.orderBy("vec_id").limit(_IVF_LISTS + _PQ_SAMPLE).collect()
     C = np.array([r.embedding for r in seeds[:_IVF_LISTS]], dtype=np.float64)
@@ -1556,8 +1564,8 @@ def _ann_ivfpq_topk(
     S = np.array([r.embedding for r in seeds[_IVF_LISTS:]], dtype=np.float64)
     S /= np.linalg.norm(S, axis=1, keepdims=True)
     S = S - C[np.argmax(S @ C.T, axis=1)]  # training sample as residuals
-    d_sub = S.shape[1] // _PQ_M
-    books = _pq_train_books(S, _PQ_M, _PQ_K)
+    d_sub = S.shape[1] // pq_m
+    books = _pq_train_books(S, pq_m, pq_k)
     # wider probe + rerank pool than the single-technique variants:
     # quantization error compounds with list pruning, and both knobs
     # buy recall at bounded cost (nprobe scales the scan fraction to
@@ -1573,8 +1581,8 @@ def _ann_ivfpq_topk(
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
             cid = np.argmax(Vn @ C.T, axis=1)
             R = Vn - C[cid]
-            codes = np.empty((len(V), _PQ_M), dtype="int32")
-            for m in range(_PQ_M):
+            codes = np.empty((len(V), pq_m), dtype="int32")
+            for m in range(pq_m):
                 sub = R[:, m * d_sub : (m + 1) * d_sub]
                 d2 = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
                 codes[:, m] = np.argmin(d2, axis=1)
@@ -1602,13 +1610,13 @@ def _ann_ivfpq_topk(
     coarse = Q @ C.T  # |Q| × nlists
     probed = np.argsort(-coarse, axis=1)[:, :nprobe]  # |Q| × nprobe
     tables = np.stack(
-        [Q[:, m * d_sub : (m + 1) * d_sub] @ books[m].T for m in range(_PQ_M)], axis=1
+        [Q[:, m * d_sub : (m + 1) * d_sub] @ books[m].T for m in range(pq_m)], axis=1
     )  # |Q| × M × K
     # queries probing each list: list id -> array of query indices
     probes_by_list = {
         l: np.where((probed == l).any(axis=1))[0] for l in range(_IVF_LISTS)
     }
-    pool = 2 * _PQ_RERANK * _TOPK
+    pool = 2 * rerank * _TOPK
 
     def adc_score(batches):
         for pdf in batches:
@@ -1624,7 +1632,7 @@ def _ann_ivfpq_topk(
                 # ADC: coarse term + residual table lookups, only for
                 # the queries that probe THIS list
                 approx = coarse[qi, l][:, None] + np.stack(
-                    [tables[qi, m, :][:, Cm[:, m]] for m in range(_PQ_M)]
+                    [tables[qi, m, :][:, Cm[:, m]] for m in range(pq_m)]
                 ).sum(axis=0)  # |qi| × n
                 k = min(pool, approx.shape[1])
                 top = np.argpartition(-approx, k - 1, axis=1)[:, :k]
@@ -1673,15 +1681,13 @@ def _ann_ivfpq_topk(
 def q_llm_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-verified contract over :func:`_ann_ivfpq_topk` (see there
     for the operator design): per-query exact-top-1 anchors + returned
-    count + recall>=0.25 pinned TRUE. The floor sits below both
-    halves' (IVF 0.4, PQ 0.3) because quantization error COMPOUNDS
-    with list pruning, and the near-uniform fixture is the worst case
-    for partition-based indexes — but near the measured operating
-    point (0.44 at sf0.01, 0.27 at sf0.1, trained codebooks) so
-    index-quality regressions are hash-visible (r5 verdict item #6;
-    recall-vs-nprobe curve in SCALE.md; also asserted in
-    tests/test_llm.py::test_ann_ivfpq_recall)."""
-    return _ann_contract(spark, sf_dir, _ann_ivfpq_topk(spark, sf_dir), 0.25)
+    count + recall>=0.55 pinned TRUE. Floor pinned just below the
+    measured operating point of the 16-byte code + 80-candidate rerank
+    pool (r7 capacity sweep: 0.64 sf0.001 / 0.76 sf0.01 / 0.69 sf0.1 /
+    0.69 at 10× — RECALL_CURVE.json), so a regression back toward the
+    old 32-bit-code quality (0.27/0.12) is hash-visible (r6 verdict
+    item #3; also asserted in tests/test_llm.py::test_ann_ivfpq_recall)."""
+    return _ann_contract(spark, sf_dir, _ann_ivfpq_topk(spark, sf_dir), 0.55)
 
 
 # ---------------------------------------------------------------------------
@@ -1767,6 +1773,18 @@ _PQ_K = 16  # centroids per subspace codebook
 _PQ_RERANK = 4  # rerank pool = _PQ_RERANK * _TOPK ADC candidates
 _PQ_SAMPLE = 1024  # training-sample rows (bounded driver state)
 _PQ_TRAIN_ITERS = 10
+# IVF-PQ code capacity — dialed separately from the full-scan PQ
+# variant: residual quantization error COMPOUNDS with list pruning, so
+# the composed index needs finer codebooks. Operating point from the
+# round-7 capacity sweep (RECALL_CURVE.json "capacity"/"rerank"
+# curves): 16 sub-codes × 8 bits = 16 B/vector (the standard FAISS
+# IVFADC production size) with an 80-candidate rerank pool — recall
+# 0.69/0.69 at 1×/10× where the old 32-bit code plateaued at
+# 0.27/0.12. The 10× plateau the r6 verdict called data-bound was
+# CODE-CAPACITY-bound: doubling sub-codes and widening K recovers it.
+_IVFPQ_M = 16
+_IVFPQ_K = 256
+_IVFPQ_RERANK = 8
 
 
 def _pq_train_books(X, m: int, k: int, iters: int = _PQ_TRAIN_ITERS):

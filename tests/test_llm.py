@@ -119,12 +119,11 @@ def test_ann_ivfpq_recall(spark, sf_dir):
 
     approx = _pairs(_ann_ivfpq_topk(spark, sf_dir))
     recall = len(exact & approx) / len(exact)
-    # list pruning (6/16 scan fraction) COMPOUNDS with residual-PQ
-    # quantization error, and the near-uniform fixture is the worst
-    # case for partition-based indexes — measured 0.48 sf0.01 / 0.28
-    # sf0.1; contract floor 0.25 pinned near the sf0.1 operating point
-    # (r6 recall-vs-nprobe curve in SCALE.md).
-    assert recall >= 0.3, f"IVF-PQ recall too low: {recall:.2f}"
+    # 16-byte codes (M=16 × 8-bit) + 80-candidate rerank pool, the r7
+    # capacity-sweep operating point: measured 0.64 sf0.001 / 0.76
+    # sf0.01 / 0.69 sf0.1 / 0.69 at 10× (RECALL_CURVE.json); floor
+    # pinned just below so codebook-quality regressions fail here.
+    assert recall >= 0.55, f"IVF-PQ recall too low: {recall:.2f}"
 
 
 def test_embed_dedup_contract_above_adaptive_floor(spark, tmp_path):

@@ -30,6 +30,8 @@ SCALES = [
     ("10x", "/tmp/cheetah_scale/sfx10"),
 ]
 NPROBES = [1, 2, 4, 6, 8, 16]
+CAPACITY = [(8, 16), (8, 64), (8, 256), (16, 16), (16, 256)]
+RERANKS = [2, 4, 8, 16]
 
 
 def main() -> None:
@@ -50,19 +52,40 @@ def main() -> None:
             "query_id long, neighbor_id long",
         )
         n_exact = len(exact_rows)
+        def recall_of(approx) -> float:
+            n_hit = (
+                approx.select("query_id", "neighbor_id")
+                .join(F.broadcast(exact_pairs), ["query_id", "neighbor_id"])
+                .count()
+            )
+            return round(n_hit / n_exact, 3)
+
         for variant, fn in (("ivf", L._ann_ivf_topk), ("ivfpq", L._ann_ivfpq_topk)):
             for nprobe in NPROBES:
-                approx = fn(spark, sf_dir, nprobe)
-                n_hit = (
-                    approx.select("query_id", "neighbor_id")
-                    .join(F.broadcast(exact_pairs), ["query_id", "neighbor_id"])
-                    .count()
-                )
-                r = round(n_hit / n_exact, 3)
+                r = recall_of(fn(spark, sf_dir, nprobe))
                 out["curves"].setdefault(variant, {}).setdefault(tag, {})[
                     str(nprobe)
                 ] = r
                 print(f"RECALL {tag} {variant} nprobe={nprobe} {r}", file=sys.stderr)
+        # IVF-PQ code-capacity curve (round-6 verdict item #3): recall
+        # vs (sub-codes M × codebook size K) at the default probe width
+        for m, k in CAPACITY:
+            r = recall_of(L._ann_ivfpq_topk(spark, sf_dir, pq_m=m, pq_k=k))
+            out["curves"].setdefault("capacity", {}).setdefault(tag, {})[
+                f"M{m}xK{k}"
+            ] = r
+            print(f"RECALL {tag} capacity M={m} K={k} {r}", file=sys.stderr)
+        # rerank-pool depth at the chosen capacity point
+        for rr in RERANKS:
+            r = recall_of(
+                L._ann_ivfpq_topk(
+                    spark, sf_dir, pq_m=L._IVFPQ_M, pq_k=L._IVFPQ_K, rerank=rr
+                )
+            )
+            out["curves"].setdefault("rerank", {}).setdefault(tag, {})[
+                str(rr * L._TOPK * 2)
+            ] = r
+            print(f"RECALL {tag} rerank pool={rr * L._TOPK * 2} {r}", file=sys.stderr)
     print(json.dumps(out))
 
 
