@@ -43,6 +43,8 @@ from cheetah_spark.queries import xmlio  # noqa: F401
 # operators added later this round are inserted at the head as they
 # land. After r7's driver window every latest row is r5+.
 CHECK_FIRST = [
+    # new this round: no driver row yet
+    "s_llm_bloom_decontaminate",
     # changed this round: evidence predates the change
     "q_llm_span_trim",
     "q_llm_weighted_sample",

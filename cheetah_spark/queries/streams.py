@@ -881,3 +881,116 @@ def _stream_embed_hits(
         .select("vec_id", "m")
         .distinct()
     )
+
+
+from cheetah_spark.queries.curation import _BLOOM_ORACLE as _BLOOM_BATCH_ORACLE
+
+
+@register(
+    "s_llm_bloom_decontaminate",
+    # the literal batch oracle: a fully-drained complete-mode aggregate
+    # over the replay must equal the batch decontamination bit-for-bit
+    oracle=_BLOOM_BATCH_ORACLE,
+    tags=("streaming", "llm", "decontamination", "bloom"),
+)
+def s_llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING decontamination — the ingest-time execution of
+    :func:`~cheetah_spark.queries.curation.q_llm_bloom_decontaminate`,
+    hash-verified against the SAME batch oracle: probing a
+    constant-memory Bloom filter is a pure per-row function, so a
+    fully-drained complete-mode aggregate over the replay must equal
+    the batch result bit-for-bit.
+
+    Shape (the 100 TB ingest posture): the filter is built ONCE in
+    batch from the bounded eval set (m/32 words, 32 KiB — the bounded
+    driver-state class), densified into a single ``array<bigint>`` row
+    and attached to the stream by a broadcast stream-static join on a
+    constant key — one map-side hash join of every micro-batch against
+    a 1-row build side, no shuffle. The k probe positions and word/bit
+    tests then run INSIDE ``F.filter`` lambdas over each doc's shingle
+    array (pure codegen expressions — md5/conv/element_at/shiftleft),
+    so a document never explodes into shingle rows and the only
+    stateful operator is the per-lang complete-mode aggregate
+    (O(|langs|) state rows). A new benchmark drop = rebuild the tiny
+    filter and restart the stream; the corpus is never rescanned.
+
+    Matches the batch semantics exactly: docs with zero shingles are
+    excluded (the batch explode drops them), hits count per-doc
+    DISTINCT shingles (``array_distinct`` upstream), and every doc
+    contributes exactly one row so ``COUNT(*)`` equals the batch
+    ``COUNT(DISTINCT doc_id)`` without a streaming-illegal DISTINCT
+    aggregate."""
+    import functools
+    import operator
+
+    from cheetah_spark.functions import text as X
+    from cheetah_spark.queries import curation as C
+    from cheetah_spark.streaming import documents_stream_dir
+
+    # --- batch build: eval shingles -> OR-agg words -> dense array ---
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = (
+        X.hash56(F.concat(F.lit(C._DECON_SEED), F.col("doc_id").cast("string"))) % 1000
+        < C._EVAL_PERMIL
+    )
+    shl = F.array_distinct(X.shingles(X.tokens(F.col("text")), C._DECON_K))
+    eval_sh = d.where(is_eval).select(F.explode(shl).alias("s")).distinct()
+    pos = eval_sh.select(
+        F.explode(F.array(*C._bloom_positions_spark(F.col("s")))).alias("pos")
+    )
+    word_rows = (
+        pos.groupBy((F.col("pos") / 32).cast("bigint").alias("word_idx"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+            ).alias("word")
+        )
+        .collect()
+    )
+    words = [0] * (C._BLOOM_M // 32)
+    for r in word_rows:
+        words[int(r.word_idx)] = int(r.word)
+    bloom_row = spark.createDataFrame([(1, words)], "bk int, words array<bigint>")
+
+    def shingle_hits(s):
+        # all k bits set <-> Bloom membership; identical integer math
+        # to the batch probe joins, evaluated per array element
+        tests = []
+        for p in C._bloom_positions_spark(s):
+            word = F.element_at(F.col("words"), (p / 32).cast("int") + 1)
+            bit = F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"), (p % 32).cast("int")
+            )
+            tests.append(F.coalesce(word, F.lit(0)).bitwiseAND(bit) != 0)
+        return functools.reduce(operator.and_, tests)
+
+    src_dir = documents_stream_dir(spark, sf_dir)
+    stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=2).read(spark)
+
+    def probe(df: DataFrame) -> DataFrame:
+        per_doc = (
+            df.where(~is_eval)
+            .withColumn("shl", shl)
+            .where(F.size("shl") > 0)
+            .withColumn("bk", F.lit(1))
+            .join(F.broadcast(bloom_row), "bk")
+            .select(
+                "doc_id",
+                "lang",
+                F.size(F.filter(F.col("shl"), shingle_hits)).alias("n_hit"),
+            )
+        )
+        return per_doc.groupBy("lang").agg(
+            F.count("*").alias("n_train_docs"),
+            F.sum("n_hit").cast("bigint").alias("n_hit_shingles"),
+            F.sum(F.when(F.col("n_hit") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged_docs"),
+            F.min(F.when(F.col("n_hit") > 0, F.col("doc_id"))).alias("min_flagged_id"),
+        )
+
+    with scoped_state_partitions(spark):
+        out = run_stream_to_completion(stream, probe, output_mode="complete")
+    return out.select(
+        "lang", "n_train_docs", "n_hit_shingles", "n_flagged_docs", "min_flagged_id"
+    )

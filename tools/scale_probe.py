@@ -54,6 +54,7 @@ DOC_QUERIES = [
     "q_llm_bpe_encode",
     "s_llm_minhash_dedup",
     "s_llm_embed_dedup",
+    "s_config_curation",
 ]
 EMB_QUERIES = [
     "q_llm_embed_dedup",
@@ -75,6 +76,10 @@ HIGH_ALPHA = [
     "q_llm_ann_lsh",
     "s_llm_minhash_dedup",
     "s_llm_embed_dedup",
+    # round-6 item #8: the full STREAMING curation chain at the top
+    # tier (the batch chain was probed in r6; this bounds the
+    # streaming-engine constant on the same transforms)
+    "s_config_curation",
 ]
 
 
@@ -127,6 +132,12 @@ def main() -> None:
         from cheetah_spark.queries.tokenizer import _trained
 
         _trained(spark, sf_dir)
+        # replay feeds for the streaming queries are one-time fixture
+        # builds, same policy as the anchors above
+        from cheetah_spark.streaming import documents_stream_dir, embeddings_stream_dir
+
+        documents_stream_dir(spark, sf_dir)
+        embeddings_stream_dir(spark, sf_dir)
         spark.catalog.clearCache()
 
         probe_queries = HIGH_ALPHA if tag == "25x" else DOC_QUERIES + EMB_QUERIES
@@ -228,6 +239,12 @@ def main() -> None:
 
     _schema, rows = _exact_topk_rows(spark, top_dir)
     out["driver_state"]["exact_topk_anchor_rows_top"] = len(rows)
+    # streaming-curation state: every transform in the chain is
+    # map-only, so the only state store is the complete-mode per-lang
+    # aggregate — one row per lang regardless of corpus size
+    out["driver_state"]["s_config_curation_state_rows_top"] = (
+        load_table(spark, top_dir, "documents").select("lang").distinct().count()
+    )
 
     # scaling exponents base->10x: alpha = log(t10/t1) / log(10)
     import math
