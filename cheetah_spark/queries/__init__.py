@@ -45,6 +45,7 @@ from cheetah_spark.queries import xmlio  # noqa: F401
 CHECK_FIRST = [
     # new this round: no driver row yet
     "s_llm_bloom_decontaminate",
+    "q_llm_entropy_filter",
     # changed this round: evidence predates the change
     "q_llm_span_trim",
     "q_llm_weighted_sample",

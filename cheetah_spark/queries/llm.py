@@ -29,7 +29,17 @@ from pyspark.sql import types as T
 from cheetah_spark.catalog import load_table
 from cheetah_spark.functions import text as X
 from cheetah_spark.functions import vectors as V
-from cheetah_spark.queries._util import DEC as _util_DEC, davg, oracle_davg
+from cheetah_spark.queries._util import (
+    DEC as _util_DEC,
+    davg,
+    dsum,
+    dsum2,
+    oracle_davg,
+    oracle_dsum,
+    oracle_dsum2,
+    oracle_snap,
+    snap,
+)
 from cheetah_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -198,6 +208,86 @@ def q_llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ft["uniq_ratio"].alias("uniq_ratio"),
         quality.alias("quality"),
         (quality >= 0.5).alias("keep"),
+    )
+
+
+_ENT_LOW = 2.75  # nats; flags the repetitive/gibberish tail (natural
+# English sits near 2.8-3.0 nats/char; the fixture spans 2.55-2.93)
+
+
+@register(
+    "q_llm_entropy_filter",
+    oracle=f"""
+        WITH ch AS (
+            SELECT doc_id, lang,
+                   unnest(regexp_extract_all(lower(text), '[\\s\\S]')) AS c
+            FROM documents
+        ),
+        cnt AS (
+            SELECT doc_id, lang, c, COUNT(*)::BIGINT AS n
+            FROM ch GROUP BY doc_id, lang, c
+        ),
+        per_doc AS (
+            SELECT doc_id, lang,
+                   CAST(SUM(n) AS BIGINT) AS n_chars_t,
+                   {oracle_snap('ln(SUM(n))', 6)}
+                       - {oracle_dsum("n * (" + oracle_snap('ln(n)', 6) + ")")}
+                         / SUM(n) AS entropy
+            FROM cnt GROUP BY doc_id, lang
+        )
+        SELECT lang,
+               COUNT(*)::BIGINT AS n_docs,
+               {oracle_dsum2('entropy', 4)} AS sum_entropy,
+               {oracle_snap('MIN(entropy)', 6)} AS min_entropy,
+               CAST(SUM(CASE WHEN entropy < {_ENT_LOW} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_low_entropy,
+               MIN(CASE WHEN entropy < {_ENT_LOW} THEN doc_id END)
+                   AS min_low_id
+        FROM per_doc GROUP BY lang
+    """,
+    tags=("llm", "quality", "entropy"),
+)
+def q_llm_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy gibberish gate — the information-theoretic
+    member of the quality family (C4/Gopher-class signal): documents
+    whose character distribution is too predictable (repeated runs,
+    boilerplate, binary-as-text) sit far below natural language's
+    ~2.8-3.0 nats/char and are flagged.
+
+    Per-doc Shannon entropy uses the shuffle-friendly identity
+    H = ln(n) - (Σ c·ln c)/n, so the whole operator is two map-side-
+    combinable hash aggregations: (doc, char) counts, then one
+    per-doc aggregate — no window, no join, and the second shuffle key
+    is doc_id (uniform). At 100 TB both shuffles carry one row per
+    DISTINCT (doc, char) — bounded by |alphabet| per doc, not text
+    length.
+
+    Determinism: ln of exact integers snapped to 6 decimals before the
+    DECIMAL(38,6) sum (_util rule 3), the /n division is IEEE on
+    identical operands, and the per-lang rollup uses the dsum2/snap
+    conventions."""
+    d = load_table(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit(r"[\s\S]"), 0)).alias("c"),
+    )
+    cnt = ch.groupBy("doc_id", "lang", "c").agg(F.count("*").alias("n"))
+    per_doc = cnt.groupBy("doc_id", "lang").agg(
+        F.sum("n").cast("bigint").alias("n_chars_t"),
+        (
+            snap(F.log(F.sum("n")), 6)
+            - dsum(F.col("n") * snap(F.log("n"), 6)) / F.sum("n")
+        ).alias("entropy"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        dsum2("entropy", 4).alias("sum_entropy"),
+        snap(F.min("entropy"), 6).alias("min_entropy"),
+        F.sum(F.when(F.col("entropy") < _ENT_LOW, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_low_entropy"),
+        F.min(F.when(F.col("entropy") < _ENT_LOW, F.col("doc_id"))).alias("min_low_id"),
     )
 
 
