@@ -72,7 +72,6 @@ HIGH_ALPHA = [
     "q_llm_span_trim",
     "q_llm_simhash_dedup",
     "q_llm_simhash_wide",
-    "q_llm_dup_clusters",
     "q_llm_ann_lsh",
     "s_llm_minhash_dedup",
     "s_llm_embed_dedup",
@@ -81,6 +80,15 @@ HIGH_ALPHA = [
     # streaming-engine constant on the same transforms)
     "s_config_curation",
 ]
+
+# Measured r6 (SCALE_PROBE.json at f2e5116: 299.85 s) and documented in
+# SCALE.md: the 56-bit DOC-pair graph saturates on homogeneous corpora
+# and its 25x run hits single-JVM heap limits under load (the r7 rerun
+# OOM'd the session mid-localCheckpoint). It is superseded at scale by
+# q_llm_dup_clusters_wide (rep-level edges, flat); re-timing the
+# saturating variant at 25x adds no information and risks the whole
+# probe, so it is recorded as a sentinel instead.
+SKIP_25X = {"q_llm_dup_clusters": "jvm-heap-saturation; superseded by _wide (r6: 299.85s)"}
 
 
 def force(df) -> None:
@@ -142,8 +150,19 @@ def main() -> None:
 
         probe_queries = HIGH_ALPHA if tag == "25x" else DOC_QUERIES + EMB_QUERIES
         for name in probe_queries:
+            if tag == "25x" and name in SKIP_25X:
+                out["timings"].setdefault(name, {})[tag] = {"skipped": SKIP_25X[name]}
+                continue
             t0 = time.time()
-            force(REGISTRY[name].fn(spark, sf_dir))
+            try:
+                force(REGISTRY[name].fn(spark, sf_dir))
+            except Exception as exc:  # record, don't kill the probe
+                out["timings"].setdefault(name, {})[tag] = {
+                    "error": f"{type(exc).__name__}: {str(exc)[:200]}"
+                }
+                print(f"FAILED {tag} {name}: {exc}", file=sys.stderr)
+                spark.catalog.clearCache()
+                continue
             dt = time.time() - t0
             n_in = n_vecs if name in EMB_QUERIES else n_docs
             out["timings"].setdefault(name, {})[tag] = {
@@ -250,11 +269,12 @@ def main() -> None:
     import math
 
     for name, per in out["timings"].items():
-        if "1x" not in per or "10x" not in per:
-            continue  # a skipped tier must not sink the whole probe output
+        # skipped/failed tiers carry no "sec" and must not sink the probe
+        if "sec" not in per.get("1x", {}) or "sec" not in per.get("10x", {}):
+            continue
         t1, t10 = per["1x"]["sec"], per["10x"]["sec"]
         per["alpha_1x_to_10x"] = round(math.log(max(t10, 0.01) / max(t1, 0.01)) / math.log(10), 2)
-        if "25x" in per:
+        if "sec" in per.get("25x", {}):
             t25 = per["25x"]["sec"]
             per["alpha_10x_to_25x"] = round(
                 math.log(max(t25, 0.01) / max(t10, 0.01)) / math.log(2.5), 2
