@@ -95,6 +95,18 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def drop_stream_sinks(spark) -> None:
+    """Release memory-sink tables left by streaming queries (the
+    bench.py hygiene): they pin their rows in driver memory, and over
+    a 24-query × 4-tier session the accumulated sinks push the 48 GiB
+    driver JVM into GC thrash — measured: q_llm_simhash_wide at 25×
+    read 8 s in a fresh session vs 77-115 s (or an outright OOM) late
+    in a session that never dropped them."""
+    for t in spark.catalog.listTables():
+        if t.name.startswith("sink_"):
+            spark.catalog.dropTempView(t.name)
+
+
 def main() -> None:
     _ensure_loaded()
     spark = get_spark(app_name="cheetah_scale_probe", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -161,6 +173,7 @@ def main() -> None:
                     "error": f"{type(exc).__name__}: {str(exc)[:200]}"
                 }
                 print(f"FAILED {tag} {name}: {exc}", file=sys.stderr)
+                drop_stream_sinks(spark)
                 spark.catalog.clearCache()
                 continue
             dt = time.time() - t0
@@ -169,6 +182,7 @@ def main() -> None:
                 "sec": round(dt, 2),
                 "rows_per_sec": round(n_in / dt),
             }
+            drop_stream_sinks(spark)
             spark.catalog.clearCache()
             print(f"TIMED {tag} {name} {dt:.2f}s", file=sys.stderr)
 
