@@ -291,6 +291,111 @@ def q_llm_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WIN_K = 4  # winnowing k-gram width (token shingles, the dedup family's unit)
+_WIN_W = 4  # winnowing window: any shared run of >= w+k-1 tokens shares a fingerprint
+
+
+@register(
+    "q_llm_winnow_fingerprint",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang, {X.oracle_tokens("text")} AS tk FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, lang, unnest(s) AS s, generate_subscripts(s, 1) AS pos
+            FROM (SELECT doc_id, lang,
+                         {X.oracle_shingles("tk", _WIN_K)} AS s
+                  FROM toks)
+        ),
+        ex AS (SELECT doc_id, lang, pos, {X.oracle_hash56("s")} AS h FROM sh),
+        sel AS (
+            SELECT doc_id, lang, pos,
+                   min([h, -pos]) OVER (PARTITION BY doc_id ORDER BY pos
+                                        ROWS BETWEEN {_WIN_W - 1} PRECEDING
+                                        AND CURRENT ROW) AS m
+            FROM ex
+        ),
+        fp AS (
+            SELECT DISTINCT doc_id, lang, m[1] AS h, -m[2] AS fpos
+            FROM sel WHERE pos >= {_WIN_W}
+        ),
+        dup AS (
+            SELECT h FROM fp GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+        )
+        SELECT f.lang,
+               COUNT(DISTINCT f.doc_id)::BIGINT AS n_docs,
+               COUNT(*)::BIGINT AS n_fps,
+               COUNT(DISTINCT f.h)::BIGINT AS n_distinct_fps,
+               CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared_fps,
+               MIN(CASE WHEN d.h IS NOT NULL THEN f.doc_id END) AS min_shared_id
+        FROM fp f LEFT JOIN dup d ON f.h = d.h
+        GROUP BY f.lang
+    """,
+    tags=("llm", "dedup", "fingerprint"),
+)
+def q_llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm; public method): per document,
+    k-gram hashes slide under a w-wide window and each window selects
+    its MINIMUM hash (rightmost on ties), giving a position-robust
+    fingerprint set with two guarantees the uniform-sampling
+    fingerprints (q_llm_fingerprint) lack: any shared substring of at
+    least w+k-1 tokens shares a selected fingerprint (no-miss), and
+    expected density is 2/(w+1) of all k-grams — the local-similarity
+    detector between MinHash (whole-doc) and span dedup (exact).
+
+    All integer/hash arithmetic, zero floats — the tie-break is
+    encoded structurally as min(struct(h, -pos)): Spark's struct
+    ordering and DuckDB's list ordering are both lexicographic, so the
+    selected (hash, position) set is bit-identical by construction.
+
+    Scale shape: one posexplode, ONE doc-partitioned running-min
+    window (doc_id is uniform; per-partition state is the w-row
+    frame), a per-doc distinct, and a self-aggregation on the uniform
+    56-bit hash for the shared-fingerprint rollup. No all-pairs
+    anywhere: cross-doc sharing is detected by hash-groupBy exactly
+    like the span-dedup family, so the plan survives 100 TB."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", X.tokens(F.col("text")).alias("tk"))
+    ex = toks.select(
+        "doc_id",
+        "lang",
+        F.posexplode(X.shingles(F.col("tk"), _WIN_K)).alias("pos0", "s"),
+    ).select(
+        "doc_id", "lang", (F.col("pos0") + 1).alias("pos"), X.hash56(F.col("s")).alias("h")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_WIN_W - 1), Window.currentRow)
+    )
+    sel = ex.withColumn(
+        "m", F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(w)
+    )
+    fp = (
+        sel.where(F.col("pos") >= _WIN_W)
+        .select("doc_id", "lang", F.col("m.h").alias("h"), (-F.col("m.np")).alias("fpos"))
+        .distinct()
+    )
+    dup = fp.groupBy("h").agg(F.countDistinct("doc_id").alias("nd")).where(
+        F.col("nd") >= 2
+    ).select("h", F.lit(True).alias("shared"))
+    return (
+        fp.join(dup, "h", "left")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_fps"),
+            F.countDistinct("h").alias("n_distinct_fps"),
+            F.sum(F.when(F.col("shared"), 1).otherwise(0)).cast("bigint").alias("n_shared_fps"),
+            F.min(F.when(F.col("shared"), F.col("doc_id"))).alias("min_shared_id"),
+        )
+    )
+
+
 @register(
     "q_llm_fingerprint",
     oracle=f"""
