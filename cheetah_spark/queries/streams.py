@@ -905,8 +905,9 @@ def s_llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch from the bounded eval set (m/32 words, 32 KiB — the bounded
     driver-state class), densified into a single ``array<bigint>`` row
     and attached to the stream by a broadcast stream-static join on a
-    constant key — one map-side hash join of every micro-batch against
-    a 1-row build side, no shuffle. The k probe positions and word/bit
+    constant key — Catalyst folds it to a BroadcastNestedLoopJoin with
+    a ONE-ROW build side (pinned in tests/test_plans.py), i.e. a pure
+    broadcast cross-attach: zero comparisons, no shuffle. The k probe positions and word/bit
     tests then run INSIDE ``F.filter`` lambdas over each doc's shingle
     array (pure codegen expressions — md5/conv/element_at/shiftleft),
     so a document never explodes into shingle rows and the only

@@ -338,3 +338,68 @@ def test_span_trim_has_no_cross_join_and_partial_aggregates(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_entropy_filter_partial_aggs_no_window(spark, sf_dir):
+    """q_llm_entropy_filter must be pure hash aggregation: partial
+    (map-side) aggregation at every level, no window, no join — the
+    H = ln(n) − (Σ c·ln c)/n identity folds entropy into one per-doc
+    aggregate instead of a per-row p=c/n window pass."""
+    p = plan(_q("q_llm_entropy_filter", spark, sf_dir))
+    assert "partial_count" in p or "partial_sum" in p, p
+    assert "Window" not in p, p
+    assert "Join" not in p, p
+    # column pruning: the scan must not read n_chars/source
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "source" not in read_schema[0], read_schema
+
+
+def test_winnow_fingerprint_single_window_no_allpairs(spark, sf_dir):
+    """q_llm_winnow_fingerprint: exactly ONE window operator (the
+    doc-partitioned running min) and no cartesian/nested-loop join —
+    cross-doc sharing is a hash aggregate, never an all-pairs."""
+    p = plan(_q("q_llm_winnow_fingerprint", spark, sf_dir))
+    assert "Window" in p, p
+    # the running-min window partitions by doc_id (uniform key)
+    assert "windowspecdefinition(doc_id" in p.replace(" ", ""), p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_stream_bloom_probe_is_maponly_before_agg(spark, sf_dir):
+    """s_llm_bloom_decontaminate's micro-batch plan: the Bloom probe
+    must reach the stateful aggregate WITHOUT a shingle explode
+    (no Generate) and attach the filter as a 1-row BROADCAST build —
+    Catalyst folds the constant-key equi-join to a
+    BroadcastNestedLoopJoin, which with a single build row is exactly
+    the broadcast cross-attach intended (zero comparisons, no
+    shuffle); per-doc rows stay 1:1, so the only shuffle is the
+    per-lang aggregate."""
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.queries.streams import s_llm_bloom_decontaminate  # noqa: F401
+    from cheetah_spark.queries import curation as C
+    from cheetah_spark.functions import text as X
+
+    # rebuild the probe-side plan in batch (identical expressions; the
+    # streaming plan differs only in the source/state wrappers)
+    d = REGISTRY["q_scan_project"].fn(spark, sf_dir).sparkSession.read.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    import cheetah_spark.queries.streams as S
+
+    words = [0] * (C._BLOOM_M // 32)
+    bloom_row = spark.createDataFrame([(1, words)], "bk int, words array<bigint>")
+    shl = F.array_distinct(X.shingles(X.tokens(F.col("text")), C._DECON_K))
+    per_doc = (
+        d.withColumn("shl", shl)
+        .where(F.size("shl") > 0)
+        .withColumn("bk", F.lit(1))
+        .join(F.broadcast(bloom_row), "bk")
+        .select("doc_id", "lang", F.size("shl").alias("n"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    p = plan(per_doc)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "BuildRight" in p, p  # the 1-row words relation is the build side
+    assert "Generate" not in p, p  # no shingle explode
