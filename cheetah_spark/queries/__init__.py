@@ -47,6 +47,7 @@ CHECK_FIRST = [
     "s_llm_bloom_decontaminate",
     "q_llm_entropy_filter",
     "q_llm_winnow_fingerprint",
+    "s_stream_topk_talkers",
     # changed this round: evidence predates the change
     "q_llm_span_trim",
     "q_llm_weighted_sample",
@@ -92,13 +93,14 @@ CHECK_FIRST = [
     "q_skew_salted_agg",
     "q_sort_limit_topk",
     "q_sql_interface",
-    "q_union_fanin",
     "q_unpivot_events",
     "s_stream_batcher",
     "s_stream_rate",
     "s_stream_watermark_late",
-    # overflow: 3 new + 4 changed + 44 stale = 51 > the 50-slot window;
-    # q_udf_surface (r4, scalar-UDF parity — the most change-inert of
-    # the cohort) sits at slot 51 and heads the r8 rotation
+    # overflow: 4 new + 4 changed + 44 stale = 52 > the 50-slot window;
+    # the two most change-inert r4 names (scalar-UDF parity and the
+    # plain unionByName fan-in) sit at slots 51-52 and head the r8
+    # rotation
     "q_udf_surface",
+    "q_union_fanin",
 ]

@@ -995,3 +995,63 @@ def s_llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "lang", "n_train_docs", "n_hit_shingles", "n_flagged_docs", "min_flagged_id"
     )
+
+
+_TOPTALK_K = 10
+
+
+@register(
+    "s_stream_topk_talkers",
+    oracle=f"""
+        WITH agg AS (
+            SELECT user_id,
+                   COUNT(*)::BIGINT AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY user_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id ASC) AS rk
+            FROM agg
+        )
+        SELECT rk, user_id, n_events, sum_value
+        FROM ranked WHERE rk <= {_TOPTALK_K}
+    """,
+    tags=("streaming", "topk", "security"),
+)
+def s_stream_topk_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING top-K talkers — the canonical security-telemetry
+    dashboard query (which principal generates the most events) as a
+    live view: complete-mode per-key aggregation over the replay, with
+    the rank cut applied to the drained state. The reference's
+    pipeline shape (MQTT/EventLog → transform → destination,
+    README.md:164-299) feeds exactly this kind of rolling leaderboard;
+    here it is hash-verified: a fully-drained complete-mode aggregate
+    must equal the batch GROUP BY, so the emitted top-K (count desc,
+    user_id asc ties) matches the batch ranking bit-for-bit —
+    sum_value uses the exact decimal-sum convention, so even the
+    double column survives the cross-engine hash.
+
+    Scale: state is one (count, decimal-sum) pair per active principal
+    — O(|principals|), not corpus size; the rank cut costs one
+    TakeOrderedAndProject over the bounded state table. At 100 TB the
+    same plan holds with state sharded across executors by user_id."""
+    src_dir = events_stream_dir(spark, sf_dir)
+    stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=2).read(spark)
+    with scoped_state_partitions(spark):
+        out = run_stream_to_completion(
+            stream,
+            lambda df: df.groupBy("user_id").agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(38,6)")).alias("sv"),
+            ),
+            output_mode="complete",
+        )
+    from pyspark.sql.window import Window as W
+
+    ranked = out.withColumn(
+        "rk",
+        F.row_number().over(W.orderBy(F.col("n_events").desc(), F.col("user_id").asc())),
+    )
+    return ranked.where(F.col("rk") <= _TOPTALK_K).select(
+        "rk", "user_id", "n_events", F.col("sv").cast("double").alias("sum_value")
+    )
