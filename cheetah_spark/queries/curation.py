@@ -1021,7 +1021,7 @@ _TRIM_MOD = 1000000007
                CAST(SUM(CASE WHEN n_cov > 0 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_docs_affected,
                CAST(SUM(CAST(({X.oracle_hash56("trimmed")}) % {_TRIM_MOD}
-                             AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                             AS DECIMAL(38,0))) % {_TRIM_MOD} AS BIGINT)
                    AS trim_checksum,
                MIN(CASE WHEN n_cov > 0 THEN doc_id END) AS min_affected_id
         FROM per_doc
@@ -1096,8 +1096,8 @@ def q_llm_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
         F.sum("n_cov").cast("bigint").alias("covered_tokens"),
         F.sum(F.when(F.col("n_cov") > 0, 1).otherwise(0)).cast("bigint").alias("n_docs_affected"),
-        F.sum((X.hash56(F.col("trimmed")) % _TRIM_MOD).cast("decimal(38,0)"))
-        .cast("decimal(38,0)")
+        (F.sum((X.hash56(F.col("trimmed")) % _TRIM_MOD).cast("decimal(38,0)")) % _TRIM_MOD)
+        .cast("bigint")
         .alias("trim_checksum"),
         F.min(F.when(F.col("n_cov") > 0, F.col("doc_id"))).alias("min_affected_id"),
     )

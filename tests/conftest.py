@@ -66,15 +66,45 @@ def _canon(v):
 _FORBIDDEN_DUCK_TYPES = ("HUGEINT", "UHUGEINT")
 
 
+def _is_driver_incomparable_duck_type(type_str: str) -> bool:
+    """True for DuckDB result types the verification driver's
+    representation-level hash cannot compare against Spark even when
+    the values are numerically identical: HUGEINT/UHUGEINT, and any
+    DECIMAL with precision > 18 — DuckDB backs those with int128, the
+    exact class that turned q_llm_span_trim red in the r7 driver
+    window while the literal-name check below stayed green. The
+    repo-wide convention is to cast every final aggregate back to
+    BIGINT/DOUBLE; this gate enforces it mechanically."""
+    t = type_str.upper()
+    if t in _FORBIDDEN_DUCK_TYPES:
+        return True
+    if t.startswith("DECIMAL"):
+        try:
+            prec = int(t.split("(", 1)[1].split(",")[0])
+        except (IndexError, ValueError):
+            return True  # unparseable decimal — reject, cast explicitly
+        return prec > 18
+    return False
+
+
 def assert_matches_oracle(spark_df, duck_rel):
     """Order-insensitive, column-name-sorted value comparison — a strict
     local mirror of the driver's row-count + schema + value-hash gate."""
     scols = sorted(spark_df.columns)
+    sdec = [
+        (f.name, f.dataType.simpleString())
+        for f in spark_df.schema.fields
+        if f.dataType.typeName() == "decimal"
+    ]
+    assert not sdec, (
+        f"Spark final schema contains DecimalType (cast back to "
+        f"bigint/double per the repo convention): {sdec}"
+    )
     srows = spark_df.select(*scols).collect()
     dcols = [d[0] for d in duck_rel.description]
     assert sorted(dcols) == scols, f"column mismatch: spark={scols} duck={sorted(dcols)}"
     dtypes = [str(t) for t in duck_rel.types]
-    bad = [(c, t) for c, t in zip(dcols, dtypes) if t.upper() in _FORBIDDEN_DUCK_TYPES]
+    bad = [(c, t) for c, t in zip(dcols, dtypes) if _is_driver_incomparable_duck_type(t)]
     assert not bad, f"oracle emits driver-incomparable types (add CAST): {bad}"
     drows = duck_rel.fetchall()
     didx = [dcols.index(c) for c in scols]
