@@ -213,11 +213,26 @@ _CC_MAX_ITERS = 50
 )
 def q_llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS, not just pairs: connected components over the
-    SimHash near-dup pair graph via alternating large-star/small-star
+    SimHash near-dup graph via alternating large-star/small-star
     rounds (Kiveris et al., SoCC'14) — the step a real curation
     pipeline needs between pairwise similarity and "keep one doc per
     duplicate group" (pairs alone over-delete: A~B, B~C must collapse
     to ONE cluster {{A,B,C}}).
+
+    Since round 8 the Spark plan runs the REP-COLLAPSE composition
+    (the SCALE.md r6/r7 finding: the doc-pair graph emitted 1.9 B
+    block-collision candidates and OOM'd the 25× probe): exact
+    56-bit-fingerprint groups collapse to a representative (min
+    doc_id) BEFORE blocking, components run over rep-level edges, and
+    doc-level cluster accounting comes back by summing group sizes.
+    This is output-identical to the doc-pair form — hamming distance
+    depends only on fingerprints, so two docs are connected iff their
+    fingerprint groups are, identical-fingerprint docs (hamming 0) are
+    connected by construction, and min-rep per component equals min
+    doc_id per component because each rep IS its group's min doc_id.
+    The DuckDB oracle keeps the doc-pair recursive-closure form (the
+    simhash pair oracle reused verbatim as a CTE), so the hash gate
+    verifies exactly that equivalence end-to-end.
 
     The iteration (factored out as
     :func:`cheetah_spark.operators.graph.connected_components`, where
@@ -230,27 +245,74 @@ def q_llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is deliberately NOT a driver-side algorithm: each round is a
     distributed shuffle; the driver only checks the converged flag.
 
-    The DuckDB oracle computes the same components with a recursive
-    transitive-closure CTE and the IDENTICAL pair set (the simhash
-    oracle is reused verbatim as a CTE), so component ids (= min doc_id
-    per component) hash-match exactly. Output: multi-doc clusters only."""
-    pairs = REGISTRY["q_llm_simhash_dedup"].fn(spark, sf_dir).select("doc_id_a", "doc_id_b")
-    # symmetrize with ONE explode, not a self-union: a union's two
-    # branches would each re-evaluate the whole simhash pair plan
+    Output: multi-doc clusters only — (comp_id = min doc_id, n_docs,
+    max_doc_id). Multi-doc groups whose fingerprint has no near-dup
+    neighbor are edgeless components and are still emitted (coalesce
+    to the group's own rep)."""
+    from cheetah_spark.queries.llm import _SH_BLOCK_BITS, _SH_BLOCKS, _SH_K
+
+    d = load_table(spark, sf_dir, "documents")
+    # collapse identical fingerprints: one node per distinct simh,
+    # carrying the doc-level accounting the final rollup needs
+    grp = (
+        X.simhash_df(d)
+        .groupBy("simh")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.count("*").alias("grp_docs"),
+            F.max("doc_id").alias("grp_max"),
+        )
+        .persist()  # feeds blocking AND the final rollup
+    )
+    mask = (1 << _SH_BLOCK_BITS) - 1
+    blocks = grp.select(
+        "rep",
+        "simh",
+        F.explode(F.sequence(F.lit(0), F.lit(_SH_BLOCKS - 1))).alias("blk"),
+    ).select(
+        "rep",
+        "simh",
+        "blk",
+        F.call_function("shiftright", F.col("simh"), (F.col("blk") * _SH_BLOCK_BITS).cast("int"))
+        .bitwiseAND(F.lit(mask))
+        .alias("bval"),
+    )
+    a = blocks.select(F.col("rep").alias("rep_a"), F.col("simh").alias("simh_a"), "blk", "bval")
+    b = blocks.select(F.col("rep").alias("rep_b"), F.col("simh").alias("simh_b"), "blk", "bval")
+    # map-side hamming filter before the distinct shuffle (the
+    # q_llm_simhash_dedup discipline), over DISTINCT fingerprints — the
+    # quadratic that remains is the corpus's rep-level near-dup
+    # structure, not template-mass doc pairs
+    pairs = (
+        a.join(b, on=["blk", "bval"])
+        .where(F.col("rep_a") < F.col("rep_b"))
+        .where(X.hamming56(F.col("simh_a"), F.col("simh_b")) <= _SH_K)
+        .select("rep_a", "rep_b")
+        .distinct()
+    )
     sym = pairs.select(
         F.explode(
             F.array(
-                F.struct(F.col("doc_id_a").alias("s"), F.col("doc_id_b").alias("t")),
-                F.struct(F.col("doc_id_b").alias("s"), F.col("doc_id_a").alias("t")),
+                F.struct(F.col("rep_a").alias("s"), F.col("rep_b").alias("t")),
+                F.struct(F.col("rep_b").alias("s"), F.col("rep_a").alias("t")),
             )
         ).alias("e")
     ).select("e.s", "e.t")
     labels = connected_components(spark, sym, max_iters=_CC_MAX_ITERS).select(
-        F.col("node_id").alias("doc_id"), "comp_id"
+        F.col("node_id").alias("rep"), "comp_id"
     )
     return (
-        labels.groupBy("comp_id")
-        .agg(F.count("*").alias("n_docs"), F.max("doc_id").alias("max_doc_id"))
+        grp.join(labels, "rep", "left")
+        .select(
+            F.coalesce(F.col("comp_id"), F.col("rep")).alias("comp_id"),
+            "grp_docs",
+            "grp_max",
+        )
+        .groupBy("comp_id")
+        .agg(
+            F.sum("grp_docs").cast("bigint").alias("n_docs"),
+            F.max("grp_max").alias("max_doc_id"),
+        )
         .where(F.col("n_docs") > 1)
     )
 

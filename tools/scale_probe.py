@@ -70,6 +70,9 @@ EMB_QUERIES = [
 # the only queries timed at the 25x tier
 HIGH_ALPHA = [
     "q_llm_span_trim",
+    # r8: the rerouted rep-collapse plan — keep its 25x row measured
+    # now that the doc-pair sentinel is retired
+    "q_llm_dup_clusters",
     "q_llm_simhash_dedup",
     "q_llm_simhash_wide",
     "q_llm_ann_lsh",
@@ -81,14 +84,11 @@ HIGH_ALPHA = [
     "s_config_curation",
 ]
 
-# Measured r6 (SCALE_PROBE.json at f2e5116: 299.85 s) and documented in
-# SCALE.md: the 56-bit DOC-pair graph saturates on homogeneous corpora
-# and its 25x run hits single-JVM heap limits under load (the r7 rerun
-# OOM'd the session mid-localCheckpoint). It is superseded at scale by
-# q_llm_dup_clusters_wide (rep-level edges, flat); re-timing the
-# saturating variant at 25x adds no information and risks the whole
-# probe, so it is recorded as a sentinel instead.
-SKIP_25X = {"q_llm_dup_clusters": "jvm-heap-saturation; superseded by _wide (r6: 299.85s)"}
+# r8: q_llm_dup_clusters now runs the rep-collapse composition (the
+# doc-pair graph that OOM'd the r6/r7 25x probes is gone — measured
+# 24.81 s at 25x in a dedicated r8 session), so the sentinel skip is
+# retired and the operator probes at every tier again.
+SKIP_25X: dict = {}
 
 
 def force(df) -> None:
