@@ -54,7 +54,12 @@ from cheetah_spark.sources import (
 
 # The reference config spells these camelCase (README.md:210-216);
 # accept both spellings.
-_MQTT_KEY_ALIASES = {"clientID": "client_id", "userName": "username", "keepAlive": "keep_alive"}
+_MQTT_KEY_ALIASES = {
+    "clientID": "client_id",
+    "userName": "username",
+    "keepAlive": "keep_alive",
+    "contentType": "content_type",
+}
 
 
 def _alias(kw):
@@ -71,6 +76,12 @@ def _eventlog_live_source(**kw):
     from cheetah_spark.sources.eventlog_live import EventLogLiveSource
 
     return EventLogLiveSource(**kw)
+
+
+def _syslog_live_source(**kw):
+    from cheetah_spark.sources.syslog_live import SyslogSource
+
+    return SyslogSource(**_alias(kw))
 
 
 def _mqtt_live_sink(**kw):
@@ -92,6 +103,9 @@ _SOURCE_TYPES = {
     # production, replay in the sandbox via {"transport": "replay"}
     "mqtt": _mqtt_live_source,
     "eventlog": _eventlog_live_source,
+    # reference kawad README.md:168-177: {"type":"syslog","addr":...};
+    # contentType spelled camelCase there — _alias maps it
+    "syslog": _syslog_live_source,
 }
 
 _SINK_TYPES = {

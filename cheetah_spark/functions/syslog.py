@@ -1,0 +1,188 @@
+"""Syslog line parsing as pure Column expressions (reference kawad
+source config type ``syslog``, README.md:168-177 — addr + contentType;
+the Go implementation lives in the parent project, so the semantics
+here are built from the public RFCs).
+
+Two wire formats, both parsed JVM-side with ``regexp_extract`` (no
+Python in the hot path — a syslog firehose is exactly the 100 TB-class
+ingest where a per-row UDF would dominate):
+
+- **RFC 5424** (``<PRI>1 TIMESTAMP HOST APP PROCID MSGID SD MSG``) —
+  the modern structured format; ``-`` is the nil value.
+- **RFC 3164** (``<PRI>MMM dd HH:MM:SS HOST TAG[PID]: MSG``) — the
+  legacy BSD format (no year, no tz). The day may be space- or
+  zero-padded; both are accepted.
+
+``PRI`` encodes ``facility * 8 + severity`` — recovered with shifts
+(``pri >> 3`` / ``pri & 7``), identical integer ops in Spark and
+DuckDB.
+
+Every regex here is valid and equivalent in BOTH Java regex (Spark)
+and RE2 (DuckDB): numbered groups only, no backreferences, no
+lookaround, explicit character classes. The ``oracle_*`` mirrors embed
+the same pattern strings so the differential gate proves the parse
+cross-engine, not just the plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# group order: 1=pri 2=ts 3=host 4=app 5=procid 6=msgid 7=sd 8=msg
+RFC5424_RE = (
+    r"^<(\d{1,3})>1 (\S+) (\S+) (\S+) (\S+) (\S+) (-|\[[^\]]*\]) ?(.*)$"
+)
+# group order: 1=pri 2=mon 3=day 4=time 5=host 6=tag 7=pid 8=msg
+RFC3164_RE = (
+    r"^<(\d{1,3})>([A-Z][a-z]{2}) {1,2}(\d{1,2}) (\d{2}:\d{2}:\d{2})"
+    r" (\S+) ([A-Za-z0-9_.-]+)\[(\d+)\]: (.*)$"
+)
+
+
+def _raw(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def is_rfc5424(col: Column | str) -> Column:
+    return _raw(col).rlike(r"^<\d{1,3}>1 ")
+
+
+def pri(col: Column | str) -> Column:
+    """PRI as bigint from either format ('' → NULL on unparseable)."""
+    return F.nullif(F.regexp_extract(_raw(col), r"^<(\d{1,3})>", 1), F.lit("")).cast(
+        "bigint"
+    )
+
+
+def facility(col: Column | str) -> Column:
+    return F.call_function("shiftright", pri(col), F.lit(3)).cast("bigint")
+
+
+def severity(col: Column | str) -> Column:
+    return pri(col).bitwiseAND(F.lit(7)).cast("bigint")
+
+
+def _g5424(col: Column | str, n: int) -> Column:
+    return F.regexp_extract(_raw(col), RFC5424_RE, n)
+
+
+def _g3164(col: Column | str, n: int) -> Column:
+    return F.regexp_extract(_raw(col), RFC3164_RE, n)
+
+
+def host(col: Column | str) -> Column:
+    return F.when(is_rfc5424(col), _g5424(col, 3)).otherwise(_g3164(col, 5))
+
+
+def app(col: Column | str) -> Column:
+    """APP-NAME (5424) / TAG (3164)."""
+    return F.when(is_rfc5424(col), _g5424(col, 4)).otherwise(_g3164(col, 6))
+
+
+def procid(col: Column | str) -> Column:
+    """PROCID / bracketed PID, NULL when nil or absent."""
+    raw = F.when(is_rfc5424(col), _g5424(col, 5)).otherwise(_g3164(col, 7))
+    return F.nullif(F.nullif(raw, F.lit("-")), F.lit("")).cast("bigint")
+
+
+def msgid(col: Column | str) -> Column:
+    return F.when(is_rfc5424(col), F.nullif(_g5424(col, 6), F.lit("-")))
+
+
+def ts_raw(col: Column | str) -> Column:
+    """The timestamp field verbatim: RFC3339 for 5424, 'MMM dd
+    HH:MM:SS' re-joined for 3164 (no year on the wire — re-parsing to
+    a typed timestamp is the caller's policy decision)."""
+    return F.when(is_rfc5424(col), _g5424(col, 2)).otherwise(
+        F.concat_ws(" ", _g3164(col, 2), _g3164(col, 3), _g3164(col, 4))
+    )
+
+
+def message(col: Column | str) -> Column:
+    return F.when(is_rfc5424(col), _g5424(col, 8)).otherwise(_g3164(col, 8))
+
+
+def parsed(col: Column | str) -> Column:
+    """The full parse as one struct — what SyslogSource(content_type=
+    'auto') appends to the envelope."""
+    return F.struct(
+        pri(col).alias("pri"),
+        facility(col).alias("facility"),
+        severity(col).alias("severity"),
+        ts_raw(col).alias("ts_raw"),
+        host(col).alias("host"),
+        app(col).alias("app"),
+        procid(col).alias("procid"),
+        message(col).alias("message"),
+        is_rfc5424(col).alias("rfc5424"),
+    )
+
+
+# --- DuckDB mirrors (same pattern strings, RE2) ------------------------
+
+
+def _sq(rx: str) -> str:
+    # SQL single-quoted literal: only quotes need doubling (DuckDB does
+    # not backslash-escape inside standard string literals)
+    return rx.replace("'", "''")
+
+
+def oracle_is_rfc5424(expr: str) -> str:
+    return f"regexp_matches({expr}, '^<\\d{{1,3}}>1 ')"
+
+
+def oracle_pri(expr: str) -> str:
+    return f"CAST(nullif(regexp_extract({expr}, '^<(\\d{{1,3}})>', 1), '') AS BIGINT)"
+
+
+def oracle_facility(expr: str) -> str:
+    return f"({oracle_pri(expr)} >> 3)"
+
+
+def oracle_severity(expr: str) -> str:
+    return f"({oracle_pri(expr)} & 7)"
+
+
+def _o5424(expr: str, n: int) -> str:
+    return f"regexp_extract({expr}, '{_sq(RFC5424_RE)}', {n})"
+
+
+def _o3164(expr: str, n: int) -> str:
+    return f"regexp_extract({expr}, '{_sq(RFC3164_RE)}', {n})"
+
+
+def oracle_host(expr: str) -> str:
+    return (
+        f"CASE WHEN {oracle_is_rfc5424(expr)} THEN {_o5424(expr, 3)}"
+        f" ELSE {_o3164(expr, 5)} END"
+    )
+
+
+def oracle_app(expr: str) -> str:
+    return (
+        f"CASE WHEN {oracle_is_rfc5424(expr)} THEN {_o5424(expr, 4)}"
+        f" ELSE {_o3164(expr, 6)} END"
+    )
+
+
+def oracle_procid(expr: str) -> str:
+    raw = (
+        f"CASE WHEN {oracle_is_rfc5424(expr)} THEN {_o5424(expr, 5)}"
+        f" ELSE {_o3164(expr, 7)} END"
+    )
+    return f"CAST(nullif(nullif({raw}, '-'), '') AS BIGINT)"
+
+
+def oracle_ts_raw(expr: str) -> str:
+    return (
+        f"CASE WHEN {oracle_is_rfc5424(expr)} THEN {_o5424(expr, 2)}"
+        f" ELSE {_o3164(expr, 2)} || ' ' || {_o3164(expr, 3)} || ' ' || {_o3164(expr, 4)} END"
+    )
+
+
+def oracle_message(expr: str) -> str:
+    return (
+        f"CASE WHEN {oracle_is_rfc5424(expr)} THEN {_o5424(expr, 8)}"
+        f" ELSE {_o3164(expr, 8)} END"
+    )

@@ -24,6 +24,7 @@ from cheetah_spark.queries import relational  # noqa: F401
 from cheetah_spark.queries import scalars  # noqa: F401
 from cheetah_spark.queries import streams  # noqa: F401
 from cheetah_spark.queries import surface  # noqa: F401
+from cheetah_spark.queries import syslog  # noqa: F401
 from cheetah_spark.queries import timeseries  # noqa: F401
 from cheetah_spark.queries import tokenizer  # noqa: F401
 from cheetah_spark.queries import windows  # noqa: F401
@@ -36,71 +37,70 @@ from cheetah_spark.queries import xmlio  # noqa: F401
 # ever ages past ~3 rounds (50-query window / 140 queries ≈ 2.8-round
 # full rotation when nothing changes).
 #
-# Round-7 window: 4 changed (span_trim's checksum went DECIMAL(38,0),
-# weighted_sample gained the zero-weight guard, session/dropped ride
-# the extracted staged_replay helper) + the full 44-query stale cohort
-# (6 r3 rows + 38 r4 rows — VERDICT r6 item #2) = 48 of 50 slots;
-# operators added later this round are inserted at the head as they
-# land. After r7's driver window every latest row is r5+.
+# Round-8 window: 2 changed (span_trim's checksum reduced back to
+# BIGINT, dup_clusters rerouted through rep-collapse) + the 2 r4-latest
+# stragglers that overflowed the r7 window + the full 46-query r5-latest
+# cohort = exactly 50 slots; operators NEW this round are inserted at
+# the head as they land (each insertion pushes one r5 tail name to the
+# r9 rotation — new-op evidence beats one-round-earlier staleness).
+# After r8's driver window, max staleness is ≤2 rounds for everything
+# except any pushed-out tail names.
 CHECK_FIRST = [
-    # new this round: no driver row yet
-    "s_llm_bloom_decontaminate",
-    "q_llm_entropy_filter",
-    "q_llm_winnow_fingerprint",
-    "s_stream_topk_talkers",
+    # new this round: no driver row yet (inserted as they land)
+    "q_syslog_parse",
+    "q_journald_parse",
+    "q_webhook_sink_batches",
     # changed this round: evidence predates the change
     "q_llm_span_trim",
-    "q_llm_weighted_sample",
-    "s_stream_session",
-    "s_stream_watermark_dropped",
-    # r3-stale cohort (latest driver row: round 3)
-    "q_time_window_sliding",
-    "q_time_window_tumbling",
-    "q_timeseries_gapfill",
-    "q_timeseries_m4",
-    "q_timeseries_rate",
-    "q_window_range_frame",
-    # r4-stale cohort (latest driver row: round 4)
-    "q_agg_distinct",
-    "q_array_map_ops",
-    "q_cube_agg",
-    "q_distinct_dedup",
-    "q_grouping_sets",
-    "q_hash_agg",
-    "q_having_filter",
-    "q_json_ops",
-    "q_llm_ann_bruteforce",
-    "q_llm_bpe_train",
-    "q_llm_domain_mix",
     "q_llm_dup_clusters",
-    "q_llm_exact_dedup",
-    "q_llm_fingerprint",
-    "q_llm_incremental_dedup",
-    "q_llm_kmeans",
-    "q_llm_lang_id",
-    "q_llm_minhash_dedup",
-    "q_llm_quality_regression",
-    "q_llm_quality_score",
-    "q_llm_token_count",
-    "q_multimodal_meta",
-    "q_pivot_events",
-    "q_scalar_conditional",
-    "q_scalar_math",
-    "q_scalar_string",
-    "q_scan_text_lines",
-    "q_sec_cidr_match",
-    "q_set_ops",
-    "q_skew_salted_agg",
-    "q_sort_limit_topk",
-    "q_sql_interface",
-    "q_unpivot_events",
-    "s_stream_batcher",
-    "s_stream_rate",
-    "s_stream_watermark_late",
-    # overflow: 4 new + 4 changed + 44 stale = 52 > the 50-slot window;
-    # the two most change-inert r4 names (scalar-UDF parity and the
-    # plain unionByName fan-in) sit at slots 51-52 and head the r8
-    # rotation
+    # r4-stale stragglers (slots 51-52 of the r7 window)
     "q_udf_surface",
     "q_union_fanin",
+    # r5-stale cohort (latest driver row: round 5), oldest-first policy
+    "q_approx_distinct_hll",
+    "q_approx_quantile_cd",
+    "q_conditional_agg",
+    "q_deser_xml",
+    "q_exact_percentile",
+    "q_llm_ann_ivf",
+    "q_llm_ann_ivfpq",
+    "q_llm_ann_lsh",
+    "q_llm_ann_pq",
+    "q_llm_chunk_windows",
+    "q_llm_decontaminate",
+    "q_llm_dedup_pipeline",
+    "q_llm_embed_quantize",
+    "q_llm_ngram_jaccard",
+    "q_llm_pack_sequences",
+    "q_llm_pii_redact",
+    "q_llm_repetition",
+    "q_llm_sample_stratified",
+    "q_llm_semdedup",
+    "q_llm_shuffle_shards",
+    "q_llm_simhash_dedup",
+    "q_llm_similarity_topk",
+    "q_llm_span_dedup",
+    "q_llm_text_stats",
+    "q_llm_tfidf_topterms",
+    "q_llm_vocab_coverage",
+    "q_mqtt_envelope",
+    "q_null_semantics",
+    "q_scan_csv",
+    "q_scan_ndjson",
+    "q_scan_orc",
+    "q_sql_subqueries",
+    "q_stats_moments",
+    "q_udtf_surface",
+    "q_window_analytic",
+    "q_window_frame_running",
+    "q_window_ntile",
+    "q_window_rank",
+    "s_eventlog_live",
+    "s_llm_minhash_dedup",
+    "s_mqtt_live",
+    "s_stream_dedup",
+    "s_stream_identity",
+    "s_stream_stateful_counter",
+    "s_stream_static_join",
+    "s_stream_stream_join",
 ]
