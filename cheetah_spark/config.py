@@ -84,6 +84,12 @@ def _syslog_live_source(**kw):
     return SyslogSource(**_alias(kw))
 
 
+def _journald_live_source(**kw):
+    from cheetah_spark.sources.journald_live import JournaldSource
+
+    return JournaldSource(**_alias(kw))
+
+
 def _mqtt_live_sink(**kw):
     from cheetah_spark.sources.mqtt_live import MqttLiveSink
 
@@ -106,6 +112,8 @@ _SOURCE_TYPES = {
     # reference kawad README.md:168-177: {"type":"syslog","addr":...};
     # contentType spelled camelCase there — _alias maps it
     "syslog": _syslog_live_source,
+    # reference kawad README.md:179-185: {"type":"journald"} (no config)
+    "journald": _journald_live_source,
 }
 
 _SINK_TYPES = {

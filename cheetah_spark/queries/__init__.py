@@ -16,6 +16,7 @@ from cheetah_spark.queries import analytics  # noqa: F401
 from cheetah_spark.queries import curation  # noqa: F401
 from cheetah_spark.queries import declarative  # noqa: F401
 from cheetah_spark.queries import formats  # noqa: F401
+from cheetah_spark.queries import journald  # noqa: F401
 from cheetah_spark.queries import mqtt  # noqa: F401
 from cheetah_spark.queries import llm  # noqa: F401
 from cheetah_spark.queries import multimodal  # noqa: F401
