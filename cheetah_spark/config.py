@@ -39,6 +39,7 @@ from cheetah_spark.sinks import (
     MultiSink,
     NdjsonGzipSink,
     Sink,
+    WebhookSink,
 )
 from cheetah_spark.sources import (
     CsvSource,
@@ -59,6 +60,9 @@ _MQTT_KEY_ALIASES = {
     "userName": "username",
     "keepAlive": "keep_alive",
     "contentType": "content_type",
+    "webhookURL": "webhook_url",
+    "batchSize": "batch_size",
+    "maxRetries": "max_retries",
 }
 
 
@@ -122,6 +126,11 @@ _SINK_TYPES = {
     "ndjson_gzip": NdjsonGzipSink,
     "mqtt_replay": MqttReplaySink,
     "mqtt": _mqtt_live_sink,
+    # reference kawad README.md:244-250: {"type":"runreveal",
+    # "webhookURL":...} — an HTTP NDJSON webhook destination,
+    # generalized; "webhook" is the engine-native spelling
+    "runreveal": WebhookSink,
+    "webhook": WebhookSink,
 }
 
 
@@ -151,7 +160,7 @@ def build_sink(cfg: Mapping[str, Any]) -> Sink:
         cls = _SINK_TYPES[kind]
     except KeyError:
         raise ValueError(f"unknown sink type: {kind!r}") from None
-    return cls(**cfg)
+    return cls(**_alias(cfg))
 
 
 def build_transform(cfg: Mapping[str, Any]) -> Handler:

@@ -28,6 +28,7 @@ from cheetah_spark.queries import surface  # noqa: F401
 from cheetah_spark.queries import syslog  # noqa: F401
 from cheetah_spark.queries import timeseries  # noqa: F401
 from cheetah_spark.queries import tokenizer  # noqa: F401
+from cheetah_spark.queries import webhook  # noqa: F401
 from cheetah_spark.queries import windows  # noqa: F401
 from cheetah_spark.queries import xmlio  # noqa: F401
 
