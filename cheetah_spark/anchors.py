@@ -46,13 +46,27 @@ _memo: dict = {}
 
 def _builder_identity(build, params: str) -> str:
     """Code-identity component of the staleness key (round-6 verdict
-    item #1): hash of the builder function's SOURCE plus the explicit
-    ``params`` string, so editing a builder (new constant, different
-    tie-break) invalidates its persisted anchors even when the author
-    forgets to bump ``params``.  Source is the right granularity: it is
-    stable across processes/machines (unlike code-object hashes, which
-    vary with Python version and closure layout) and changes exactly
-    when the builder's definition changes.  Builders whose source is
+    item #1): hash of the builder function's OWN SOURCE plus the
+    explicit ``params`` string, so editing the builder's body (new
+    constant, different tie-break) invalidates its persisted anchors
+    even when the author forgets to bump ``params``.
+
+    Scope (r7 advice): the guarantee covers the builder's own body and
+    ``params`` — NOT transitive helpers the builder calls (X.hash56,
+    _bloom_positions_spark, load_table) or captured module constants
+    not echoed into ``params``. An edit to a shared helper must either
+    ride in ``params`` or bump ``_ANCHOR_FORMAT_VERSION`` above (the
+    knob for anything that shifts every builder's output at once).
+    Hashing the transitive closure was considered and rejected: source
+    capture of a call graph is brittle (import cycles, decorators) and
+    the helpers in question are the differential-tested primitives the
+    oracle itself pins — a silent change there fails the hash gate
+    loudly anyway.
+
+    Source is the right granularity: it is stable across
+    processes/machines (unlike code-object hashes, which vary with
+    Python version and closure layout) and changes exactly when the
+    builder's definition changes.  Builders whose source is
     unavailable (C extensions, exec'd code) degrade to their qualified
     name — ``params`` then carries the versioning burden, as before."""
     try:

@@ -220,7 +220,7 @@ _ENT_LOW = 2.75  # nats; flags the repetitive/gibberish tail (natural
     oracle=f"""
         WITH ch AS (
             SELECT doc_id, lang,
-                   unnest(regexp_extract_all(lower(text), '[\\s\\S]')) AS c
+                   unnest(regexp_extract_all(lower(text), '[\\x00-\\x7f]')) AS c
             FROM documents
         ),
         cnt AS (
@@ -270,7 +270,13 @@ def q_llm_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = d.select(
         "doc_id",
         "lang",
-        F.explode(F.regexp_extract_all(F.lower("text"), F.lit(r"[\s\S]"), 0)).alias("c"),
+        # explicit ASCII class, NOT [\s\S]: Java regex iterates UTF-16
+        # code units (a non-BMP char would count as two surrogate
+        # "chars") while RE2 iterates UTF-8 codepoints — the one
+        # per-character operator in the suite must pin a range both
+        # engines segment identically (r7 advice). Non-ASCII chars are
+        # excluded from the entropy alphabet on BOTH sides.
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit(r"[\x00-\x7f]"), 0)).alias("c"),
     )
     cnt = ch.groupBy("doc_id", "lang", "c").agg(F.count("*").alias("n"))
     per_doc = cnt.groupBy("doc_id", "lang").agg(

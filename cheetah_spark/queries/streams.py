@@ -886,6 +886,65 @@ def _stream_embed_hits(
 from cheetah_spark.queries.curation import _BLOOM_ORACLE as _BLOOM_BATCH_ORACLE
 
 
+def bloom_probe_transform(df: DataFrame, bloom_row: DataFrame) -> DataFrame:
+    """The probe half of :func:`s_llm_bloom_decontaminate`, factored to
+    module level so tests/test_plans.py plans the REAL transform (r7
+    advice: the old test re-built an analogue by hand, which could
+    drift from the shipped probe path).
+
+    ``df``: a documents frame (streaming or batch — the expressions are
+    identical; only the source/state wrappers differ). ``bloom_row``:
+    the ONE-ROW densified filter ``(bk int, words array<bigint>)``.
+    Eval-set exclusion, shingle assembly, the broadcast 1-row attach,
+    the k probe positions inside ``F.filter`` lambdas, and the
+    per-lang aggregate all live here — one code path for the query and
+    its plan pin."""
+    import functools
+    import operator
+
+    from cheetah_spark.functions import text as X
+    from cheetah_spark.queries import curation as C
+
+    is_eval = (
+        X.hash56(F.concat(F.lit(C._DECON_SEED), F.col("doc_id").cast("string"))) % 1000
+        < C._EVAL_PERMIL
+    )
+    shl = F.array_distinct(X.shingles(X.tokens(F.col("text")), C._DECON_K))
+
+    def shingle_hits(s):
+        # all k bits set <-> Bloom membership; identical integer math
+        # to the batch probe joins, evaluated per array element
+        tests = []
+        for p in C._bloom_positions_spark(s):
+            word = F.element_at(F.col("words"), (p / 32).cast("int") + 1)
+            bit = F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"), (p % 32).cast("int")
+            )
+            tests.append(F.coalesce(word, F.lit(0)).bitwiseAND(bit) != 0)
+        return functools.reduce(operator.and_, tests)
+
+    per_doc = (
+        df.where(~is_eval)
+        .withColumn("shl", shl)
+        .where(F.size("shl") > 0)
+        .withColumn("bk", F.lit(1))
+        .join(F.broadcast(bloom_row), "bk")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(F.filter(F.col("shl"), shingle_hits)).alias("n_hit"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_train_docs"),
+        F.sum("n_hit").cast("bigint").alias("n_hit_shingles"),
+        F.sum(F.when(F.col("n_hit") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged_docs"),
+        F.min(F.when(F.col("n_hit") > 0, F.col("doc_id"))).alias("min_flagged_id"),
+    )
+
+
 @register(
     "s_llm_bloom_decontaminate",
     # the literal batch oracle: a fully-drained complete-mode aggregate
@@ -921,9 +980,6 @@ def s_llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributes exactly one row so ``COUNT(*)`` equals the batch
     ``COUNT(DISTINCT doc_id)`` without a streaming-illegal DISTINCT
     aggregate."""
-    import functools
-    import operator
-
     from cheetah_spark.functions import text as X
     from cheetah_spark.queries import curation as C
     from cheetah_spark.streaming import documents_stream_dir
@@ -963,55 +1019,20 @@ def s_llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         params=f"m={C._BLOOM_M};k={C._BLOOM_K};shingle={C._DECON_K};"
         f"permil={C._EVAL_PERMIL};v1",
     )
-    is_eval = (
-        X.hash56(F.concat(F.lit(C._DECON_SEED), F.col("doc_id").cast("string"))) % 1000
-        < C._EVAL_PERMIL
-    )
-    shl = F.array_distinct(X.shingles(X.tokens(F.col("text")), C._DECON_K))
     words = [0] * (C._BLOOM_M // 32)
     for r in word_rows:
         words[int(r.word_idx)] = int(r.word)
     bloom_row = spark.createDataFrame([(1, words)], "bk int, words array<bigint>")
 
-    def shingle_hits(s):
-        # all k bits set <-> Bloom membership; identical integer math
-        # to the batch probe joins, evaluated per array element
-        tests = []
-        for p in C._bloom_positions_spark(s):
-            word = F.element_at(F.col("words"), (p / 32).cast("int") + 1)
-            bit = F.call_function(
-                "shiftleft", F.lit(1).cast("bigint"), (p % 32).cast("int")
-            )
-            tests.append(F.coalesce(word, F.lit(0)).bitwiseAND(bit) != 0)
-        return functools.reduce(operator.and_, tests)
-
     src_dir = documents_stream_dir(spark, sf_dir)
     stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=2).read(spark)
 
-    def probe(df: DataFrame) -> DataFrame:
-        per_doc = (
-            df.where(~is_eval)
-            .withColumn("shl", shl)
-            .where(F.size("shl") > 0)
-            .withColumn("bk", F.lit(1))
-            .join(F.broadcast(bloom_row), "bk")
-            .select(
-                "doc_id",
-                "lang",
-                F.size(F.filter(F.col("shl"), shingle_hits)).alias("n_hit"),
-            )
-        )
-        return per_doc.groupBy("lang").agg(
-            F.count("*").alias("n_train_docs"),
-            F.sum("n_hit").cast("bigint").alias("n_hit_shingles"),
-            F.sum(F.when(F.col("n_hit") > 0, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_flagged_docs"),
-            F.min(F.when(F.col("n_hit") > 0, F.col("doc_id"))).alias("min_flagged_id"),
-        )
-
     with scoped_state_partitions(spark):
-        out = run_stream_to_completion(stream, probe, output_mode="complete")
+        out = run_stream_to_completion(
+            stream,
+            lambda df: bloom_probe_transform(df, bloom_row),
+            output_mode="complete",
+        )
     return out.select(
         "lang", "n_train_docs", "n_hit_shingles", "n_flagged_docs", "min_flagged_id"
     )

@@ -359,9 +359,15 @@ def test_winnow_fingerprint_single_window_no_allpairs(spark, sf_dir):
     doc-partitioned running min) and no cartesian/nested-loop join —
     cross-doc sharing is a hash aggregate, never an all-pairs."""
     p = plan(_q("q_llm_winnow_fingerprint", spark, sf_dir))
-    assert "Window" in p, p
-    # the running-min window partitions by doc_id (uniform key)
-    assert "windowspecdefinition(doc_id" in p.replace(" ", ""), p
+    # Count the specs, don't just probe for presence (r7 advice): every
+    # windowspecdefinition must be the doc_id-partitioned running min —
+    # a regression adding a DIFFERENT window (e.g. a per-lang rank)
+    # must fail. The same spec legitimately appears twice: the fp
+    # subtree feeds both the fingerprint and dup branches and Spark
+    # does no cross-branch CSE.
+    flat = p.replace(" ", "")
+    total = flat.count("windowspecdefinition(")
+    assert total == flat.count("windowspecdefinition(doc_id") and 1 <= total <= 2, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
 
 
@@ -374,32 +380,17 @@ def test_stream_bloom_probe_is_maponly_before_agg(spark, sf_dir):
     the broadcast cross-attach intended (zero comparisons, no
     shuffle); per-doc rows stay 1:1, so the only shuffle is the
     per-lang aggregate."""
-    from pyspark.sql import functions as F
-
-    from cheetah_spark.queries.streams import s_llm_bloom_decontaminate  # noqa: F401
     from cheetah_spark.queries import curation as C
-    from cheetah_spark.functions import text as X
+    from cheetah_spark.queries.streams import bloom_probe_transform
 
-    # rebuild the probe-side plan in batch (identical expressions; the
-    # streaming plan differs only in the source/state wrappers)
-    d = REGISTRY["q_scan_project"].fn(spark, sf_dir).sparkSession.read.parquet(
-        f"{sf_dir}/documents.parquet"
-    )
-    import cheetah_spark.queries.streams as S
-
+    # plan the REAL probe transform (the module-level helper the
+    # streaming query itself runs — r7 advice: a hand-rebuilt analogue
+    # could drift from the shipped path) over the batch documents
+    # scan; the streaming plan differs only in source/state wrappers
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     words = [0] * (C._BLOOM_M // 32)
     bloom_row = spark.createDataFrame([(1, words)], "bk int, words array<bigint>")
-    shl = F.array_distinct(X.shingles(X.tokens(F.col("text")), C._DECON_K))
-    per_doc = (
-        d.withColumn("shl", shl)
-        .where(F.size("shl") > 0)
-        .withColumn("bk", F.lit(1))
-        .join(F.broadcast(bloom_row), "bk")
-        .select("doc_id", "lang", F.size("shl").alias("n"))
-        .groupBy("lang")
-        .agg(F.count("*").alias("n_docs"))
-    )
-    p = plan(per_doc)
+    p = plan(bloom_probe_transform(d, bloom_row))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
     assert "BuildRight" in p, p  # the 1-row words relation is the build side
     assert "Generate" not in p, p  # no shingle explode
