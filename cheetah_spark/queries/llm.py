@@ -504,6 +504,81 @@ def minhash_sig_expr(text: "F.Column") -> "F.Column":
     return F.when(F.size(per_shingle) > 0, folded)
 
 
+def minhash_sigs_arrow(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sig array<bigint>[32]) computed map-only: md5 base
+    hashes JVM-side (one per distinct shingle, the same
+    ``X.minhash_base`` expression every formulation shares), then the
+    32 permutations + elementwise-min fold VECTORIZED in one
+    ``mapInArrow`` stage (numpy broadcasting + segmented
+    ``minimum.reduceat`` — zero per-shingle Python).
+
+    Why this exists (r7 verdict item #7, measured at sf0.1/local[32]):
+    the pure-Column :func:`minhash_sig_expr` fold runs on Spark's
+    interpreted higher-order-function path, and it dominated the
+    streaming dedup's wall time — the stream portion of
+    s_llm_minhash_dedup measured 12.8 s with the HOF fold vs 4.0 s
+    with this formulation (engine floor ~1.0 s; the batch
+    explode+partial-agg form does the same math in 1.5 s but is
+    illegal upstream of a stateful streaming aggregate). Bit-identical
+    outputs: the permutation math is the same
+    ``(a*h + b) % MINHASH_P`` over int64 (a,h < 2^31 so products fit),
+    pinned by test_llm's equality test and the streaming oracle.
+
+    Short/null docs (no shingles) yield NULL sigs, matching
+    minhash_sig_expr's contract — callers filter ``sig IS NOT NULL``."""
+    import numpy as np
+    import pyarrow as pa
+
+    a_np = np.array([a for a, _ in _MH_PARAMS], dtype=np.int64).reshape(-1, 1)
+    b_np = np.array([b for _, b in _MH_PARAMS], dtype=np.int64).reshape(-1, 1)
+    p_mod = X.MINHASH_P
+    n_hashes = _MH_HASHES
+
+    hs = F.transform(
+        F.array_distinct(X.shingles(X.tokens(F.col(text_col)), 3)),
+        lambda s: X.minhash_base(s),
+    )
+    # never-null input lists: a null text's hs coalesces to [] so the
+    # Arrow offsets stay well-defined; [] → NULL sig on the way out
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(hs, F.array().cast("array<bigint>")).alias("hs"),
+    )
+
+    def perm_fold(batches):
+        for rb in batches:
+            ids = rb.column(0)
+            lst = rb.column(1)
+            off_raw = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = lst.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            # normalize a possibly-sliced child array to 0-based offsets
+            flat = vals[off_raw[0] : off_raw[-1]]
+            offs = off_raw - off_raw[0]
+            starts, ends = offs[:-1], offs[1:]
+            nonempty = ends > starts
+            n_rows = len(starts)
+            if flat.size:
+                perms = (a_np * flat + b_np) % p_mod  # (32, n_shingles)
+                # empty segments have start==end, so consecutive
+                # NONEMPTY starts are exact boundaries in flat
+                red = np.minimum.reduceat(perms, starts[nonempty], axis=1)
+                sig_vals = red.T.ravel()
+            else:
+                sig_vals = np.empty(0, dtype=np.int64)
+            counts = np.where(nonempty, n_hashes, 0)
+            out_offs = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+            sig_arr = pa.ListArray.from_arrays(
+                pa.array(out_offs, type=pa.int32()),
+                pa.array(sig_vals, type=pa.int64()),
+                mask=pa.array(~nonempty),
+            )
+            yield pa.record_batch([ids, sig_arr], names=["doc_id", "sig"])
+
+    return base.mapInArrow(perm_fold, "doc_id long, sig array<bigint>")
+
+
 def _minhash_sigs_of(d: DataFrame) -> DataFrame:
     """(doc_id, sig array<bigint>[32]) via explode + 32 partial-agg mins.
 

@@ -192,6 +192,39 @@ def test_minhash_sig_expr_matches_batch_and_handles_short_docs(spark):
         assert maponly[k] == v, f"sig mismatch for doc {k}"
 
 
+def test_minhash_sigs_arrow_matches_batch_and_handles_short_docs(spark):
+    """The Arrow-vectorized map-only signature (the streaming dedup's
+    hot path since r8) is bit-identical to the batch explode+agg
+    signature, with the same NULL-for-shingle-less contract — including
+    null text and an all-empty batch."""
+    from cheetah_spark.queries.llm import _minhash_sigs_of, minhash_sigs_arrow
+
+    d = spark.createDataFrame(
+        [
+            (1, "spark table scan filter join group order sort"),
+            (2, "column value hash stream batch merge big small"),
+            (3, "spark table scan filter join group order sort"),
+            (10, "hi"),  # 1 token -> no shingles
+            (11, "two words"),  # 2 tokens -> no shingles
+            (12, None),  # null text -> no shingles
+        ],
+        "doc_id long, text string",
+    )
+    batch = {r.doc_id: list(r.sig) for r in _minhash_sigs_of(d).collect()}
+    arrow = {
+        r.doc_id: (list(r.sig) if r.sig is not None else None)
+        for r in minhash_sigs_arrow(d).collect()
+    }
+    assert set(arrow) == {1, 2, 3, 10, 11, 12}
+    assert arrow[10] is None and arrow[11] is None and arrow[12] is None
+    for k, v in batch.items():
+        assert arrow[k] == v, f"sig mismatch for doc {k}"
+    # an all-shingle-less partition must not trip the empty-flat path
+    short = spark.createDataFrame([(20, "x"), (21, None)], "doc_id long, text string")
+    rows = minhash_sigs_arrow(short).collect()
+    assert {r.doc_id: r.sig for r in rows} == {20: None, 21: None}
+
+
 def test_ann_contract_empty_embeddings_fails_loud(spark, tmp_path):
     """Round-6 verdict item #6: a degenerate fixture (zero embeddings →
     zero exact anchors) must raise a clear ValueError from the contract
