@@ -50,6 +50,7 @@ from cheetah_spark.queries import xmlio  # noqa: F401
 CHECK_FIRST = [
     # new this round: no driver row yet (inserted as they land)
     "q_syslog_parse",
+    "s_syslog_live",
     "q_journald_parse",
     "q_webhook_sink_batches",
     # changed this round: evidence predates the change

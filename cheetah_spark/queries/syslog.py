@@ -133,21 +133,10 @@ def _syslog_oracle() -> str:
     """
 
 
-@register("q_syslog_parse", oracle=_syslog_oracle(), tags=("syslog", "source", "parse"))
-def q_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parse the mixed RFC 5424 / RFC 3164 / malformed capture and roll
-    up per (facility, severity): message counts, format split, distinct
-    hosts/apps, max PID, a modular checksum over the extracted MSG
-    field, and the earliest RFC 3339 timestamp — covering PRI shifts,
-    both grammars' field extraction, nil/'' → NULL normalization, and
-    the unparseable-line path (facility NULL group).
-
-    The Spark side reads the capture back as text (the same files the
-    replay transport feeds the live source from) so the round trip is
-    writer → files → parser; the oracle derives the identical lines
-    relationally and parses with the same regexes under RE2."""
-    cap = spark.read.text(syslog_capture_dir(spark, sf_dir))
-    raw = F.col("value")
+def _parse_rollup(cap: DataFrame, raw: F.Column) -> DataFrame:
+    """The parse + per-(facility,severity) rollup shared by the batch
+    scan and the live-source streaming run — one code path, one
+    oracle."""
     p = cap.select(
         SL.facility(raw).alias("facility"),
         SL.severity(raw).alias("severity"),
@@ -169,3 +158,47 @@ def q_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("msg_checksum"),
         F.min(F.when(F.col("rfc5424"), F.col("ts_raw"))).alias("min_ts5424"),
     )
+
+
+@register("q_syslog_parse", oracle=_syslog_oracle(), tags=("syslog", "source", "parse"))
+def q_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the mixed RFC 5424 / RFC 3164 / malformed capture and roll
+    up per (facility, severity): message counts, format split, distinct
+    hosts/apps, max PID, a modular checksum over the extracted MSG
+    field, and the earliest RFC 3339 timestamp — covering PRI shifts,
+    both grammars' field extraction, nil/'' → NULL normalization, and
+    the unparseable-line path (facility NULL group).
+
+    The Spark side reads the capture back as text (the same files the
+    replay transport feeds the live source from) so the round trip is
+    writer → files → parser; the oracle derives the identical lines
+    relationally and parses with the same regexes under RE2."""
+    cap = spark.read.text(syslog_capture_dir(spark, sf_dir))
+    return _parse_rollup(cap, F.col("value"))
+
+
+@register(
+    "s_syslog_live",
+    oracle=_syslog_oracle(),
+    tags=("syslog", "streaming", "live-transport"),
+)
+def s_syslog_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE syslog transport driven as a real StreamingQuery: the
+    ``cheetah-syslog`` streaming data source over the replay transport
+    — the exact reader/offset/ack-on-commit code the socket listener
+    uses, minus only the datagram edge (which tests/test_syslog.py
+    exercises over real loopback UDP/TCP) — delivers the capture
+    through micro-batches into a memory sink, and the parse rollup
+    must hash-match the SAME oracle as the batch q_syslog_parse.
+    Proves the streaming admission path delivers every line
+    byte-for-byte (the s_mqtt_live discipline)."""
+    from cheetah_spark.sources.syslog_live import SyslogSource
+    from cheetah_spark.streaming import run_stream_to_completion
+
+    src = SyslogSource(
+        transport="replay",
+        capture_path=syslog_capture_dir(spark, sf_dir),
+        chunk_size=2000,
+    )
+    env = run_stream_to_completion(src.read(spark), lambda df: df)
+    return _parse_rollup(env, F.col("raw"))
