@@ -52,6 +52,7 @@ CHECK_FIRST = [
     "q_syslog_parse",
     "s_syslog_live",
     "q_journald_parse",
+    "s_journald_live",
     "q_webhook_sink_batches",
     # changed this round: evidence predates the change
     "q_llm_span_trim",

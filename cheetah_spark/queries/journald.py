@@ -103,23 +103,9 @@ def _journald_oracle() -> str:
     """
 
 
-@register(
-    "q_journald_parse",
-    oracle=_journald_oracle(),
-    tags=("journald", "source", "parse"),
-)
-def q_journald_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame the export capture at the scan (lineSep '\\n\\n'), extract
-    typed fields with anchored per-key regexps, and roll up per
-    (priority, unit): entry counts, distinct hosts, max PID, the
-    realtime-timestamp range in microseconds, a modular checksum over
-    MESSAGE, and the lexicographic-min cursor (the resume token)."""
-    cap = (
-        spark.read.option("lineSep", "\n\n")
-        .text(journald_capture_dir(spark, sf_dir))
-        .where(F.length(F.trim(F.col("value"))) > 0)
-    )
-    e = F.col("value")
+def _parse_rollup(cap: DataFrame, e: F.Column) -> DataFrame:
+    """Field extraction + per-(priority,unit) rollup shared by the
+    batch scan and the live-source streaming run."""
     p = cap.select(
         JD.priority(e).alias("priority"),
         JD.field(e, "_SYSTEMD_UNIT").alias("unit"),
@@ -140,3 +126,48 @@ def q_journald_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("msg_checksum"),
         F.min("cursor").alias("min_cursor"),
     )
+
+
+@register(
+    "q_journald_parse",
+    oracle=_journald_oracle(),
+    tags=("journald", "source", "parse"),
+)
+def q_journald_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame the export capture at the scan (lineSep '\\n\\n'), extract
+    typed fields with anchored per-key regexps, and roll up per
+    (priority, unit): entry counts, distinct hosts, max PID, the
+    realtime-timestamp range in microseconds, a modular checksum over
+    MESSAGE, and the lexicographic-min cursor (the resume token)."""
+    cap = (
+        spark.read.option("lineSep", "\n\n")
+        .text(journald_capture_dir(spark, sf_dir))
+        .where(F.length(F.trim(F.col("value"))) > 0)
+    )
+    return _parse_rollup(cap, F.col("value"))
+
+
+@register(
+    "s_journald_live",
+    oracle=_journald_oracle(),
+    tags=("journald", "streaming", "live-transport"),
+)
+def s_journald_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE journald transport driven as a real StreamingQuery:
+    the ``cheetah-journald`` streaming data source over the replay
+    transport — the exact framing/offset/commit code the journalctl
+    subprocess transport uses, minus only the pipe — delivers the
+    export capture through micro-batches into a memory sink, and the
+    field-extraction rollup must hash-match the SAME oracle as the
+    batch q_journald_parse (the s_mqtt_live / s_syslog_live
+    discipline)."""
+    from cheetah_spark.sources.journald_live import JournaldSource
+    from cheetah_spark.streaming import run_stream_to_completion
+
+    src = JournaldSource(
+        transport="replay",
+        capture_path=journald_capture_dir(spark, sf_dir),
+        chunk_size=2000,
+    )
+    env = run_stream_to_completion(src.read(spark), lambda df: df)
+    return _parse_rollup(env, F.col("entry"))
