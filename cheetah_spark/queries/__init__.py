@@ -39,14 +39,14 @@ from cheetah_spark.queries import xmlio  # noqa: F401
 # ever ages past ~3 rounds (50-query window / 140 queries ≈ 2.8-round
 # full rotation when nothing changes).
 #
-# Round-8 window: 2 changed (span_trim's checksum reduced back to
-# BIGINT, dup_clusters rerouted through rep-collapse) + the 2 r4-latest
-# stragglers that overflowed the r7 window + the full 46-query r5-latest
-# cohort = exactly 50 slots; operators NEW this round are inserted at
-# the head as they land (each insertion pushes one r5 tail name to the
-# r9 rotation — new-op evidence beats one-round-earlier staleness).
-# After r8's driver window, max staleness is ≤2 rounds for everything
-# except any pushed-out tail names.
+# Round-8 window: 5 new (syslog/journald parse + live, webhook sink) +
+# 2 changed (span_trim's checksum reduced back to BIGINT, dup_clusters
+# rerouted through rep-collapse) + the 2 r4-latest stragglers that
+# overflowed the r7 window + the 46-query r5-latest cohort = 55 names
+# for 50 slots: the 5 r5 tail names (the s_stream_* streaming quintet,
+# unchanged since r5 and re-verified by pytest every round) roll to
+# the r9 rotation head — new-op evidence beats one-round-earlier
+# staleness.
 CHECK_FIRST = [
     # new this round: no driver row yet (inserted as they land)
     "q_syslog_parse",
