@@ -394,3 +394,54 @@ def test_stream_bloom_probe_is_maponly_before_agg(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
     assert "BuildRight" in p, p  # the 1-row words relation is the build side
     assert "Generate" not in p, p  # no shingle explode
+
+
+def test_syslog_parse_is_maponly_regex_plus_one_rollup(spark, sf_dir):
+    """q_syslog_parse: per-line parsing must be pure projection over
+    the text scan (no join, no window, no Python stage) with map-side
+    partial aggregation around the single facility×severity rollup
+    exchange — the shape that makes a 100 TB syslog archive parse
+    embarrassingly parallel."""
+    p = plan(_q("q_syslog_parse", spark, sf_dir))
+    assert "Join" not in p and "Window" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    # partial + final (sort-based here: the two countDistincts expand
+    # the rollup into distinct-aggregate form)
+    assert p.count("HashAggregate") + p.count("SortAggregate") >= 2, p
+
+
+def test_journald_parse_frames_at_scan_no_python(spark, sf_dir):
+    """q_journald_parse: export-format entries are framed by the text
+    scan's lineSep (no Generate/explode for framing), fields extracted
+    with JVM regexp — no Python anywhere, one rollup exchange."""
+    p = plan(_q("q_journald_parse", spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "Generate" not in p, p  # framing happens at the scan, not via explode
+    assert "Join" not in p and "Window" not in p, p
+    assert p.count("HashAggregate") + p.count("SortAggregate") >= 2, p
+
+
+def test_webhook_readback_single_pass(spark, sf_dir):
+    """q_webhook_sink_batches: the spool readback is one scan → distinct
+    → global aggregate, no Python stage (serialization happened JVM-side
+    at delivery time; readback is plain spark.read.json)."""
+    p = plan(_q("q_webhook_sink_batches", spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "Join" not in p and "Window" not in p, p
+
+
+def test_stream_minhash_sig_is_single_arrow_stage(spark, sf_dir):
+    """The r8 signature path: exactly ONE Arrow python stage (the
+    vectorized permutation fold), md5 base hashes JVM-side beneath it,
+    and no row-at-a-time Python — pinned so a refactor can't silently
+    stack a second Python round trip into the streaming hot path."""
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.queries.llm import minhash_sigs_arrow
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan(minhash_sigs_arrow(d))
+    # tree-line occurrences only ("MapInArrow (n)"); formatted mode
+    # repeats each node once more in the detail section
+    assert p.count("MapInArrow (") == 1, p
+    assert "BatchEvalPython" not in p, p  # no row-at-a-time Python
