@@ -54,6 +54,7 @@ CHECK_FIRST = [
     "q_journald_parse",
     "s_journald_live",
     "q_webhook_sink_batches",
+    "s_webhook_live",
     # changed this round: evidence predates the change
     "q_llm_span_trim",
     "q_llm_dup_clusters",

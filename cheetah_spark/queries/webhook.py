@@ -102,31 +102,39 @@ def webhook_spool_dir(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-@register(
-    "q_webhook_sink_batches",
-    oracle=f"""
-        WITH got AS (
-            SELECT DISTINCT event_id, user_id FROM events WHERE event_type = 'error'
-        )
-        SELECT COUNT(*)::BIGINT AS n_delivered,
-               MIN(event_id) AS min_id,
-               MAX(event_id) AS max_id,
-               COUNT(DISTINCT user_id)::BIGINT AS n_users,
-               CAST(SUM(CAST(({X.oracle_hash56("CAST(event_id AS VARCHAR)")}) % {_MOD}
-                        AS DECIMAL(38,0))) % {_MOD} AS BIGINT) AS id_checksum
-        FROM got
-    """,
-    tags=("webhook", "sink", "delivery"),
-)
-def q_webhook_sink_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read back what the webhook receiver actually got and prove it is
-    exactly the error-events projection that was sent: distinct-id
-    count, id range, distinct users, and a modular checksum over the
-    delivered ids. The oracle computes the same from the source table —
-    any dropped chunk, truncated body, or corrupted row breaks the
-    hash."""
-    spool = webhook_spool_dir(spark, sf_dir)
-    got = spark.read.json(f"{spool}/req_*.ndjson")
+def webhook_stream_spool_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Deliver (once) the same error-events projection through the
+    STREAMING path — events replay feed → foreachBatch → partition
+    POSTs, availableNow — to its own loopback receiver."""
+    from cheetah_spark.sinks import WebhookSink
+    from cheetah_spark.sources import ParquetSource
+    from cheetah_spark.streaming import events_stream_dir
+
+    out = f"{FIXTURE_ROOT}/{_tag(sf_dir)}/webhook_stream_spool"
+    ready = f"{out}/_FIXTURE_READY"
+    if not os.path.exists(ready):
+        recv = SpoolReceiver(out)
+        try:
+            src_dir = events_stream_dir(spark, sf_dir)
+            stream = ParquetSource(
+                src_dir, streaming=True, max_files_per_trigger=2
+            ).read(spark)
+            payload = stream.where(F.col("event_type") == "error").select(
+                "event_id", "user_id", "event_type"
+            )
+            q = WebhookSink(
+                webhook_url=recv.url,
+                batch_size=100,
+                checkpoint=f"{out}/_checkpoint",
+            ).write(payload)
+            q.awaitTermination(300)
+        finally:
+            recv.close()
+        open(ready, "w").close()
+    return out
+
+
+def _spool_rollup(got: DataFrame) -> DataFrame:
     d = got.select("event_id", "user_id").distinct()
     return d.agg(
         F.count("*").cast("bigint").alias("n_delivered"),
@@ -140,3 +148,51 @@ def q_webhook_sink_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("id_checksum"),
     )
+
+
+_WEBHOOK_ORACLE = f"""
+    WITH got AS (
+        SELECT DISTINCT event_id, user_id FROM events WHERE event_type = 'error'
+    )
+    SELECT COUNT(*)::BIGINT AS n_delivered,
+           MIN(event_id) AS min_id,
+           MAX(event_id) AS max_id,
+           COUNT(DISTINCT user_id)::BIGINT AS n_users,
+           CAST(SUM(CAST(({X.oracle_hash56("CAST(event_id AS VARCHAR)")}) % {_MOD}
+                    AS DECIMAL(38,0))) % {_MOD} AS BIGINT) AS id_checksum
+    FROM got
+"""
+
+
+@register(
+    "s_webhook_live",
+    oracle=_WEBHOOK_ORACLE,
+    tags=("webhook", "streaming", "sink", "delivery"),
+)
+def s_webhook_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING webhook delivery under the hash gate: the events
+    replay feed runs through foreachBatch → per-partition NDJSON POSTs
+    to a real loopback receiver across multiple micro-batches
+    (availableNow), each batch acking only after its POSTs succeed;
+    the received spool must roll up to exactly the source projection.
+    The duplicate-tolerant rollup (DISTINCT ids) keeps the contract
+    honest for at-least-once semantics — a batch retry after a
+    delivered-but-unacked POST may double-send, never lose."""
+    spool = webhook_stream_spool_dir(spark, sf_dir)
+    return _spool_rollup(spark.read.json(f"{spool}/req_*.ndjson"))
+
+
+@register(
+    "q_webhook_sink_batches",
+    oracle=_WEBHOOK_ORACLE,
+    tags=("webhook", "sink", "delivery"),
+)
+def q_webhook_sink_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read back what the webhook receiver actually got and prove it is
+    exactly the error-events projection that was sent: distinct-id
+    count, id range, distinct users, and a modular checksum over the
+    delivered ids. The oracle computes the same from the source table —
+    any dropped chunk, truncated body, or corrupted row breaks the
+    hash."""
+    spool = webhook_spool_dir(spark, sf_dir)
+    return _spool_rollup(spark.read.json(f"{spool}/req_*.ndjson"))
