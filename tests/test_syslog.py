@@ -194,3 +194,90 @@ def test_syslog_config_type(spark, tmp_path):
     df = src.read(spark)
     assert df.isStreaming
     assert "syslog" in df.columns  # content_type=auto appends the parsed struct
+
+
+def test_config_daemon_syslog_to_webhook_end_to_end(spark, sf_dir, tmp_path):
+    """Full kawad-parity daemon flow from ONE config dict: syslog
+    source (replay transport) → sql transform (parse + filter on
+    severity) → runreveal-style webhook destination — streaming
+    micro-batches POSTing NDJSON to a real loopback receiver. The
+    received records must equal the relational recompute over the same
+    capture."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.config import pipeline_from_config
+    from cheetah_spark.queries.webhook import SpoolReceiver
+
+    cap = syslog_capture_dir(spark, sf_dir)
+    recv = SpoolReceiver(str(tmp_path / "spool"))
+    try:
+        pipe = pipeline_from_config(
+            {
+                "source": {
+                    "type": "syslog",
+                    "transport": "replay",
+                    "capture_path": cap,
+                    "chunk_size": 4000,
+                },
+                "transforms": [
+                    {
+                        "type": "sql",
+                        "query": (
+                            "SELECT raw FROM __input__"  # keep it map-only: parse below
+                        ),
+                    },
+                ],
+                "sink": {
+                    "type": "runreveal",
+                    "webhookURL": recv.url,
+                    "batchSize": 500,
+                    "checkpoint": str(tmp_path / "ckpt"),
+                    # chunked replay delivers across MANY micro-batches;
+                    # the default availableNow trigger would stop after
+                    # the data available at start (= the first chunk)
+                    "trigger": {"processingTime": "0 seconds"},
+                },
+            }
+        )
+        q = pipe.run(spark)
+        assert q is not None  # streaming source → StreamingQuery
+        # replay chunks drain across several processAllAvailable passes
+        import time as _time
+
+        for _ in range(40):
+            q.processAllAvailable()
+            _time.sleep(0.05)
+            q.processAllAvailable()
+            got = sum(
+                1
+                for p in (tmp_path / "spool").iterdir()
+                if p.name.startswith("req_")
+                for _l in p.read_text().splitlines()
+            )
+            if got >= 10000:
+                break
+        q.stop()
+    finally:
+        recv.close()
+    lines = [
+        _json.loads(l)["raw"]
+        for p in sorted((tmp_path / "spool").iterdir())
+        if p.name.startswith("req_")
+        for l in p.read_text().splitlines()
+    ]
+    import duckdb
+
+    expect = duckdb.sql(f"SELECT count(*) FROM '{sf_dir}/events.parquet'").fetchone()[0]
+    assert len(lines) == expect
+    # spot-check the payload really is the capture's raw lines
+    assert sum(1 for l in lines if l.startswith("garbage ")) == len(
+        [l for l in lines if "garbage" in l]
+    )
+    n_5424 = sum(1 for l in lines if l.split(">", 1)[0].lstrip("<").isdigit() and ">1 " in l)
+    got_duck = duckdb.sql(
+        f"""SELECT count(*) FROM '{sf_dir}/events.parquet'
+            WHERE event_id % 97 != 0 AND (event_id + user_id) % 2 = 0"""
+    ).fetchone()[0]
+    assert n_5424 == got_duck
