@@ -209,6 +209,33 @@ def main() -> None:
             .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias("c"))
             .collect()[0]["c"]
         )
+        # r8: q_llm_dup_clusters now blocks DISTINCT 56-bit fingerprints
+        # (rep-collapse) — measure the rep-level candidate set that the
+        # rerouted operator actually shuffles (vs sh_cand's doc-level
+        # saturation that OOM'd the r6/r7 25x probes)
+        rep_blocks = (
+            fp.groupBy("simh")
+            .agg(F.min("doc_id").alias("rep"))
+            .select(
+                "simh",
+                F.explode(F.sequence(F.lit(0), F.lit(_SH_BLOCKS - 1))).alias("blk"),
+            )
+            .select(
+                "blk",
+                F.call_function(
+                    "shiftright", F.col("simh"), (F.col("blk") * _SH_BLOCK_BITS).cast("int")
+                )
+                .bitwiseAND(F.lit(mask))
+                .alias("bval"),
+            )
+        )
+        rep_cand = (
+            rep_blocks.groupBy("blk", "bval")
+            .agg(F.count("*").alias("n"))
+            .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias("c"))
+            .collect()[0]["c"]
+        )
+        out["candidates"].setdefault("dup_clusters_rep_block_pairs", {})[tag] = int(rep_cand)
         # wide simhash: candidates are block pairs over DISTINCT
         # fingerprints (exact-dup groups collapsed to one rep each) —
         # the r6 saturation fix, measured
