@@ -167,7 +167,7 @@ def s_journald_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = JournaldSource(
         transport="replay",
         capture_path=journald_capture_dir(spark, sf_dir),
-        chunk_size=2000,
+        chunk_size=10000,
     )
     env = run_stream_to_completion(src.read(spark), lambda df: df)
     return _parse_rollup(env, F.col("entry"))
