@@ -43,7 +43,10 @@ def field(col: Column | str, key: str) -> Column:
 
 
 def field_bigint(col: Column | str, key: str) -> Column:
-    return F.nullif(field(col, key), F.lit("")).cast("bigint")
+    # try_cast: journald field values are arbitrary text; a
+    # non-numeric PRIORITY/_PID must become NULL, not an ANSI cast
+    # error (tests/test_syslog_fuzz.py)
+    return F.nullif(field(col, key), F.lit("")).try_cast("bigint")
 
 
 def priority(col: Column | str) -> Column:
@@ -81,4 +84,4 @@ def oracle_field(expr: str, key: str) -> str:
 
 
 def oracle_field_bigint(expr: str, key: str) -> str:
-    return f"CAST(nullif({oracle_field(expr, key)}, '') AS BIGINT)"
+    return f"TRY_CAST(nullif({oracle_field(expr, key)}, '') AS BIGINT)"

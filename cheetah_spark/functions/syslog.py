@@ -81,9 +81,13 @@ def app(col: Column | str) -> Column:
 
 
 def procid(col: Column | str) -> Column:
-    """PROCID / bracketed PID, NULL when nil or absent."""
+    """PROCID / bracketed PID as bigint, NULL when nil, absent, or
+    non-numeric — RFC 5424 permits any PRINTUSASCII PROCID (e.g. a
+    worker name), so the numeric coercion must be try_cast, not a
+    hard ANSI cast (found by tests/test_syslog_fuzz.py: a literal
+    'p' PROCID crashed the parse)."""
     raw = F.when(is_rfc5424(col), _g5424(col, 5)).otherwise(_g3164(col, 7))
-    return F.nullif(F.nullif(raw, F.lit("-")), F.lit("")).cast("bigint")
+    return F.nullif(F.nullif(raw, F.lit("-")), F.lit("")).try_cast("bigint")
 
 
 def msgid(col: Column | str) -> Column:
@@ -171,7 +175,7 @@ def oracle_procid(expr: str) -> str:
         f"CASE WHEN {oracle_is_rfc5424(expr)} THEN {_o5424(expr, 5)}"
         f" ELSE {_o3164(expr, 7)} END"
     )
-    return f"CAST(nullif(nullif({raw}, '-'), '') AS BIGINT)"
+    return f"TRY_CAST(nullif(nullif({raw}, '-'), '') AS BIGINT)"
 
 
 def oracle_ts_raw(expr: str) -> str:
