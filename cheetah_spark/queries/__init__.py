@@ -55,6 +55,7 @@ CHECK_FIRST = [
     "s_journald_live",
     "q_webhook_sink_batches",
     "s_webhook_live",
+    "q_llm_dedup_keep",
     # changed this round: evidence predates the change
     "q_llm_span_trim",
     "q_llm_dup_clusters",

@@ -186,6 +186,77 @@ def q_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CC_MAX_ITERS = 50
 
+# Checksum modulus (shared by every *_checksum aggregate in this
+# module). Residues average ~_TRIM_MOD/2 ≈ 5e8, so an int64 sum would
+# wrap near ~1.8e10 docs (and Spark's non-ANSI SUM wraps SILENTLY
+# while DuckDB promotes to HUGEINT, diverging the hash) — both engines
+# therefore sum the residues as DECIMAL(38,0), exact to ~2e29 docs
+# (round-6 advice), then reduce % _TRIM_MOD back into BIGINT (round-7
+# advice: a raw decimal final column is driver-incomparable).
+_TRIM_MOD = 1000000007
+
+
+def _simhash_rep_components(spark: SparkSession, sf_dir: str):
+    """(grp, labels) for the rep-collapse SimHash component machinery
+    shared by :func:`q_llm_dup_clusters` and :func:`q_llm_dedup_keep`:
+
+    - ``grp``: one row per DISTINCT 56-bit fingerprint — (simh, rep =
+      min doc_id, grp_docs, grp_max), persisted (feeds blocking AND
+      the callers' rollups/joins).
+    - ``labels``: (rep, comp_id) from connected components over
+      rep-level near-dup edges (pigeonhole block join over distinct
+      fingerprints, map-side hamming filter before the distinct
+      shuffle — the r8 fix for the doc-pair graph that OOM'd the 25×
+      probe; reps without edges are absent, callers coalesce to the
+      group's own rep)."""
+    from cheetah_spark.queries.llm import _SH_BLOCK_BITS, _SH_BLOCKS, _SH_K
+
+    d = load_table(spark, sf_dir, "documents")
+    grp = (
+        X.simhash_df(d)
+        .groupBy("simh")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.count("*").alias("grp_docs"),
+            F.max("doc_id").alias("grp_max"),
+        )
+        .persist()
+    )
+    mask = (1 << _SH_BLOCK_BITS) - 1
+    blocks = grp.select(
+        "rep",
+        "simh",
+        F.explode(F.sequence(F.lit(0), F.lit(_SH_BLOCKS - 1))).alias("blk"),
+    ).select(
+        "rep",
+        "simh",
+        "blk",
+        F.call_function("shiftright", F.col("simh"), (F.col("blk") * _SH_BLOCK_BITS).cast("int"))
+        .bitwiseAND(F.lit(mask))
+        .alias("bval"),
+    )
+    a = blocks.select(F.col("rep").alias("rep_a"), F.col("simh").alias("simh_a"), "blk", "bval")
+    b = blocks.select(F.col("rep").alias("rep_b"), F.col("simh").alias("simh_b"), "blk", "bval")
+    pairs = (
+        a.join(b, on=["blk", "bval"])
+        .where(F.col("rep_a") < F.col("rep_b"))
+        .where(X.hamming56(F.col("simh_a"), F.col("simh_b")) <= _SH_K)
+        .select("rep_a", "rep_b")
+        .distinct()
+    )
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("rep_a").alias("s"), F.col("rep_b").alias("t")),
+                F.struct(F.col("rep_b").alias("s"), F.col("rep_a").alias("t")),
+            )
+        ).alias("e")
+    ).select("e.s", "e.t")
+    labels = connected_components(spark, sym, max_iters=_CC_MAX_ITERS).select(
+        F.col("node_id").alias("rep"), "comp_id"
+    )
+    return grp, labels
+
 
 @register(
     "q_llm_dup_clusters",
@@ -249,58 +320,7 @@ def q_llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_doc_id). Multi-doc groups whose fingerprint has no near-dup
     neighbor are edgeless components and are still emitted (coalesce
     to the group's own rep)."""
-    from cheetah_spark.queries.llm import _SH_BLOCK_BITS, _SH_BLOCKS, _SH_K
-
-    d = load_table(spark, sf_dir, "documents")
-    # collapse identical fingerprints: one node per distinct simh,
-    # carrying the doc-level accounting the final rollup needs
-    grp = (
-        X.simhash_df(d)
-        .groupBy("simh")
-        .agg(
-            F.min("doc_id").alias("rep"),
-            F.count("*").alias("grp_docs"),
-            F.max("doc_id").alias("grp_max"),
-        )
-        .persist()  # feeds blocking AND the final rollup
-    )
-    mask = (1 << _SH_BLOCK_BITS) - 1
-    blocks = grp.select(
-        "rep",
-        "simh",
-        F.explode(F.sequence(F.lit(0), F.lit(_SH_BLOCKS - 1))).alias("blk"),
-    ).select(
-        "rep",
-        "simh",
-        "blk",
-        F.call_function("shiftright", F.col("simh"), (F.col("blk") * _SH_BLOCK_BITS).cast("int"))
-        .bitwiseAND(F.lit(mask))
-        .alias("bval"),
-    )
-    a = blocks.select(F.col("rep").alias("rep_a"), F.col("simh").alias("simh_a"), "blk", "bval")
-    b = blocks.select(F.col("rep").alias("rep_b"), F.col("simh").alias("simh_b"), "blk", "bval")
-    # map-side hamming filter before the distinct shuffle (the
-    # q_llm_simhash_dedup discipline), over DISTINCT fingerprints — the
-    # quadratic that remains is the corpus's rep-level near-dup
-    # structure, not template-mass doc pairs
-    pairs = (
-        a.join(b, on=["blk", "bval"])
-        .where(F.col("rep_a") < F.col("rep_b"))
-        .where(X.hamming56(F.col("simh_a"), F.col("simh_b")) <= _SH_K)
-        .select("rep_a", "rep_b")
-        .distinct()
-    )
-    sym = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("rep_a").alias("s"), F.col("rep_b").alias("t")),
-                F.struct(F.col("rep_b").alias("s"), F.col("rep_a").alias("t")),
-            )
-        ).alias("e")
-    ).select("e.s", "e.t")
-    labels = connected_components(spark, sym, max_iters=_CC_MAX_ITERS).select(
-        F.col("node_id").alias("rep"), "comp_id"
-    )
+    grp, labels = _simhash_rep_components(spark, sf_dir)
     return (
         grp.join(labels, "rep", "left")
         .select(
@@ -397,6 +417,87 @@ def q_llm_dup_clusters_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("comp_id")
         .agg(F.count("*").alias("n_reps"), F.sum("n_docs").cast("bigint").alias("n_docs"))
         .where(F.col("n_reps") > 1)
+    )
+
+
+@register(
+    "q_llm_dedup_keep",
+    oracle=f"""
+        WITH RECURSIVE pairs AS ({REGISTRY["q_llm_simhash_dedup"].oracle}),
+        edges AS (
+            SELECT doc_id_a AS s, doc_id_b AS t FROM pairs
+            UNION ALL
+            SELECT doc_id_b, doc_id_a FROM pairs
+        ),
+        reach(s, t) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+        ),
+        labeled AS (SELECT s AS doc_id, MIN(t) AS comp_id FROM reach GROUP BY s)
+        SELECT d.lang,
+               COUNT(*)::BIGINT AS n_docs,
+               CAST(SUM(CASE WHEN l.comp_id = d.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN l.comp_id <> d.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped,
+               CAST(SUM(CASE WHEN l.comp_id = d.doc_id
+                             THEN CAST(({X.oracle_hash56("CAST(d.doc_id AS VARCHAR)")})
+                                       % {_TRIM_MOD} AS DECIMAL(38,0))
+                             ELSE CAST(0 AS DECIMAL(38,0)) END) % {_TRIM_MOD}
+                    AS BIGINT) AS kept_checksum,
+               MIN(CASE WHEN l.comp_id <> d.doc_id THEN d.doc_id END)
+                   AS min_dropped_id
+        FROM documents d JOIN labeled l USING (doc_id)
+        GROUP BY d.lang
+    """,
+    tags=("llm", "dedup", "transform", "iterative"),
+)
+def q_llm_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus REWRITE that duplicate clustering exists for: keep
+    exactly ONE document per near-duplicate cluster (the cluster's min
+    doc_id — a deterministic canonical-representative rule), drop the
+    rest, and pin the kept set with a checksum — the step a real
+    curation pipeline runs between :func:`q_llm_dup_clusters`'s
+    accounting and training-data materialization (pairs alone
+    over-delete; keep-one-per-component is the correct deletion set).
+
+    Spark plan: the shared rep-collapse component machinery
+    (:func:`_simhash_rep_components` — distinct-fingerprint nodes,
+    pigeonhole block edges, O(log n) large/small-star rounds), then
+    ONE fingerprint-keyed join maps every document to its component
+    and the keep rule is a pure comparison ``doc_id == comp_id`` (the
+    component label IS the kept doc by construction: min-rep over the
+    component = min doc_id). Per-lang rollup: doc counts, kept/dropped
+    split, a modular checksum over KEPT doc_ids, and the first dropped
+    id. The DuckDB oracle recomputes components from the doc-pair
+    closure and applies the identical rule — hash equality proves the
+    rep-collapse plan picks exactly the same survivors."""
+    grp, labels = _simhash_rep_components(spark, sf_dir)
+    comp = grp.join(labels, "rep", "left").select(
+        "simh", F.coalesce(F.col("comp_id"), F.col("rep")).alias("comp_id")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    doc = X.simhash_df(d).join(d.select("doc_id", "lang"), "doc_id").join(comp, "simh")
+    kept = F.col("doc_id") == F.col("comp_id")
+    return doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(~kept, 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+        (
+            F.sum(
+                F.when(
+                    kept,
+                    (X.hash56(F.col("doc_id").cast("string")) % _TRIM_MOD).cast(
+                        "decimal(38,0)"
+                    ),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            )
+            % _TRIM_MOD
+        )
+        .cast("bigint")
+        .alias("kept_checksum"),
+        F.min(F.when(~kept, F.col("doc_id"))).alias("min_dropped_id"),
     )
 
 
@@ -1033,14 +1134,6 @@ def q_llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_docs_affected"),
         F.min(F.when(F.col("n_dup_spans") > 0, F.col("doc_id"))).alias("min_affected_id"),
     )
-
-
-# Checksum modulus. Residues average ~_TRIM_MOD/2 ≈ 5e8, so an int64
-# sum would wrap near ~1.8e10 docs (and Spark's non-ANSI SUM wraps
-# SILENTLY while DuckDB promotes to HUGEINT, diverging the hash) —
-# both engines therefore sum the residues as DECIMAL(38,0), which is
-# exact to ~2e29 docs (round-6 advice).
-_TRIM_MOD = 1000000007
 
 
 @register(
