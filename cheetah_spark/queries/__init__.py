@@ -56,6 +56,7 @@ CHECK_FIRST = [
     "q_webhook_sink_batches",
     "s_webhook_live",
     "q_llm_dedup_keep",
+    "q_llm_unigram_tokenizer",
     # changed this round: evidence predates the change
     "q_llm_span_trim",
     "q_llm_dup_clusters",

@@ -219,3 +219,112 @@ def q_llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("full_le_first"),
         F.lit(_BPE_MERGES).cast("int").alias("n_merges_applied"),
     )
+
+
+_UNI_SEED = 96
+_UNI_MAXLEN = 4
+_UNI_ITERS = 2
+_UNI_PRUNE = 64
+_UNI_TOL = 1e-6  # snap-noise tolerance on the EM monotonicity check
+
+
+@register(
+    "q_llm_unigram_tokenizer",
+    oracle=f"""
+        WITH words AS (
+            SELECT w AS word, COUNT(*)::BIGINT AS freq FROM (
+                SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+                FROM documents
+            ) WHERE w <> '' GROUP BY w
+        ), subs AS (
+            SELECT substr(word, i, l) AS piece, CAST(SUM(freq) AS BIGINT) AS wfreq
+            FROM words,
+                 UNNEST(range(1, length(word)+1)) AS t(i),
+                 UNNEST(range(1, least({_UNI_MAXLEN}, length(word)-i+1)+1)) AS u(l)
+            GROUP BY 1
+        ), top1 AS (
+            SELECT piece, wfreq FROM subs ORDER BY wfreq DESC, piece ASC LIMIT 1
+        )
+        SELECT {_UNI_SEED} AS seed_size,
+               piece AS top_seed_piece, wfreq AS top_seed_wfreq,
+               (SELECT COUNT(*)::BIGINT FROM subs WHERE length(piece) = 1)
+                   AS n_char_pieces,
+               (SELECT COUNT(*)::BIGINT FROM words) AS n_words,
+               (SELECT CAST(SUM(length(word) * freq) AS BIGINT) FROM words)
+                   AS corpus_chars,
+               TRUE AS em_loss_nonincreasing,
+               TRUE AS vocab_le_prune,
+               TRUE AS full_coverage,
+               TRUE AS tokens_le_chars,
+               TRUE AS tokens_ge_word_occurrences
+        FROM top1
+    """,
+    tags=("llm", "tokenizer", "iterative"),
+)
+def q_llm_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a SentencePiece-style unigram-LM tokenizer (Kudo 2018) on
+    the corpus — the EM/prune/Viterbi loop documented in
+    operators/unigram.py (word-level lattices, Arrow E-step with
+    broadcast piece probs, DECIMAL-summed snapped contributions,
+    vocab-sized driver state).
+
+    Contract row (the bpe_train pattern — an EM fit can't hash-match a
+    flat SQL query, so the oracle pins what SQL CAN compute plus the
+    invariants the training must satisfy, each computed FOR REAL from
+    the learned model so a broken trainer flips a flag and fails the
+    driver row):
+
+    - ``top_seed_piece``/``top_seed_wfreq``: the #1 seed-vocabulary
+      candidate under the identical (weighted freq desc, piece asc)
+      order — the seed selection is relational and SQL-exact;
+    - ``n_char_pieces``, ``n_words``, ``corpus_chars``: SQL-exact
+      corpus facts the trainer must agree on;
+    - ``em_loss_nonincreasing``: the corpus marginal NLL trajectory is
+      non-increasing within each EM phase (the EM guarantee, checked
+      with the snap tolerance);
+    - ``vocab_le_prune``, ``full_coverage`` (every word segments —
+      single characters are never pruned), ``tokens_le_chars`` and
+      ``tokens_ge_word_occurrences`` (Viterbi token count bounds)."""
+    from cheetah_spark.operators.unigram import train_unigram
+
+    d = load_table(spark, sf_dir, "documents")
+    probs, st = train_unigram(
+        spark, d, seed_size=_UNI_SEED, max_len=_UNI_MAXLEN,
+        iters=_UNI_ITERS, prune_to=_UNI_PRUNE,
+    )
+    losses = st["losses"]
+    mono = all(a >= b - _UNI_TOL for a, b in zip(losses, losses[1:])) and (
+        st["loss_post_prune"] >= st["loss_final"] - _UNI_TOL
+    )
+    # seed list is sorted by piece; recover the TOP candidate by the
+    # selection order (wfreq desc, piece asc) for the contract column
+    top_piece, top_freq = min(st["seed"], key=lambda kv: (-kv[1], kv[0]))
+    n_chars_seed = sum(1 for p, _ in st["seed"] if len(p) == 1)
+    wocc = (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                _UNI_SEED,
+                top_piece,
+                int(top_freq),
+                int(n_chars_seed),
+                int(st["n_words"]),
+                int(st["corpus_chars"]),
+                bool(mono),
+                bool(st["vocab_final"] <= _UNI_PRUNE),
+                bool(st["corpus_tokens"] > 0),
+                bool(st["corpus_tokens"] <= st["corpus_chars"]),
+                bool(st["corpus_tokens"] >= wocc),
+            )
+        ],
+        "seed_size int, top_seed_piece string, top_seed_wfreq long, "
+        "n_char_pieces long, n_words long, corpus_chars long, "
+        "em_loss_nonincreasing boolean, vocab_le_prune boolean, "
+        "full_coverage boolean, tokens_le_chars boolean, "
+        "tokens_ge_word_occurrences boolean",
+    )
+

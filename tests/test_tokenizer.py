@@ -121,3 +121,92 @@ def _reference_bpe_apply(word_freqs, merges):
                     i += 1
             words[w] = res
     return merges, words
+
+
+def _ref_unigram_estep(word_freqs, probs, max_len):
+    """Independent single-process forward-backward reference for the
+    unigram E-step (snapped the same way)."""
+    import math
+
+    counts, loss = {}, 0.0
+    for word, freq in word_freqs.items():
+        n = len(word)
+        alpha = [0.0] * (n + 1)
+        alpha[0] = 1.0
+        for i in range(1, n + 1):
+            alpha[i] = sum(
+                alpha[j] * probs.get(word[j:i], 0.0)
+                for j in range(max(0, i - max_len), i)
+            )
+        if alpha[n] <= 0:
+            continue
+        beta = [0.0] * (n + 1)
+        beta[n] = 1.0
+        for i in range(n - 1, -1, -1):
+            beta[i] = sum(
+                probs.get(word[i:j], 0.0) * beta[j]
+                for j in range(i + 1, min(n, i + max_len) + 1)
+            )
+        for i in range(n):
+            for j in range(i + 1, min(n, i + max_len) + 1):
+                p = probs.get(word[i:j], 0.0)
+                if p:
+                    c = alpha[i] * p * beta[j] / alpha[n]
+                    if c > 0:
+                        counts[word[i:j]] = counts.get(word[i:j], 0.0) + round(
+                            c * freq, 9
+                        )
+        loss += round(-math.log(alpha[n]) * freq, 9)
+    return counts, loss
+
+
+def test_unigram_estep_matches_reference(spark):
+    """The distributed Arrow E-step equals the single-process
+    forward-backward on the same word table and prob dict."""
+    from cheetah_spark.operators.unigram import _estep, word_table
+
+    d = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the cat ran",), ("a mat",)],
+        "text string",
+    )
+    words = word_table(d)
+    wf = {r["word"]: r["freq"] for r in words.collect()}
+    probs = {}
+    for w in wf:
+        for i in range(len(w)):
+            for l in (1, 2):
+                if i + l <= len(w):
+                    probs[w[i : i + l]] = 1.0
+    z = sum(probs.values())
+    probs = {k: v / z for k, v in probs.items()}
+    got_counts, got_loss = _estep(words, probs, 2)
+    ref_counts, ref_loss = _ref_unigram_estep(wf, probs, 2)
+    assert abs(got_loss - ref_loss) < 1e-6
+    assert set(got_counts) == set(ref_counts)
+    for k in ref_counts:
+        assert abs(got_counts[k] - ref_counts[k]) < 1e-6, k
+
+
+def test_unigram_training_invariants(spark):
+    """EM loss non-increasing, full coverage, frequent bigram learned,
+    deterministic across reruns."""
+    from cheetah_spark.operators.unigram import train_unigram, viterbi_stats, word_table
+
+    d = spark.createDataFrame(
+        [("ababab ababab abab",), ("ababab cd",), ("abab cd cd",)],
+        "text string",
+    )
+    probs1, st1 = train_unigram(spark, d, seed_size=24, max_len=3, iters=2, prune_to=16)
+    probs2, st2 = train_unigram(spark, d, seed_size=24, max_len=3, iters=2, prune_to=16)
+    assert probs1 == probs2 and st1["corpus_tokens"] == st2["corpus_tokens"]
+    losses = st1["losses"]
+    assert all(a >= b - 1e-6 for a, b in zip(losses, losses[1:]))
+    assert st1["loss_post_prune"] >= st1["loss_final"] - 1e-6
+    # the dominant repeated bigram must survive pruning with real mass
+    assert "ab" in probs1 and probs1["ab"] > probs1.get("cd", 0) / 10
+    # compression: Viterbi tokens strictly fewer than characters
+    assert 0 < st1["corpus_tokens"] < st1["corpus_chars"]
+    # coverage: an unseen-at-training word of seen chars still segments
+    extra = spark.createDataFrame([("ba dc",)], "text string")
+    toks, chars = viterbi_stats(word_table(extra), probs1, 3)
+    assert toks > 0
