@@ -39,12 +39,13 @@ from cheetah_spark.queries import xmlio  # noqa: F401
 # ever ages past ~3 rounds (50-query window / 140 queries ≈ 2.8-round
 # full rotation when nothing changes).
 #
-# Round-8 window: 5 new (syslog/journald parse + live, webhook sink) +
-# 2 changed (span_trim's checksum reduced back to BIGINT, dup_clusters
-# rerouted through rep-collapse) + the 2 r4-latest stragglers that
-# overflowed the r7 window + the 46-query r5-latest cohort = 55 names
-# for 50 slots: the 5 r5 tail names (the s_stream_* streaming quintet,
-# unchanged since r5 and re-verified by pytest every round) roll to
+# Round-8 window: 8 new (syslog/journald parse + live, webhook batch +
+# live, dedup_keep, unigram tokenizer) + 2 changed (span_trim's
+# checksum reduced back to BIGINT, dup_clusters rerouted through
+# rep-collapse) + the 2 r4-latest stragglers that overflowed the r7
+# window + the 46-query r5-latest cohort = 58 names for 50 slots: the
+# 8 r5 tail names (the s_stream_* conformance family, unchanged since
+# r5 and re-verified by pytest + the local drive every round) roll to
 # the r9 rotation head — new-op evidence beats one-round-earlier
 # staleness.
 CHECK_FIRST = [

@@ -50,8 +50,10 @@ DOC_QUERIES = [
     "q_llm_dsir_select",
     "q_llm_weighted_sample",
     "q_llm_span_trim",
+    "q_llm_dedup_keep",
     "q_llm_bpe_train",
     "q_llm_bpe_encode",
+    "q_llm_unigram_tokenizer",
     "s_llm_minhash_dedup",
     "s_llm_embed_dedup",
     "s_config_curation",
