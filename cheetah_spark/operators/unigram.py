@@ -206,6 +206,68 @@ def viterbi_stats(words: DataFrame, probs: dict[str, float], max_len: int):
     return int(out["t"]), int(out["c"])
 
 
+def word_table_by_lang(d: DataFrame) -> DataFrame:
+    """(lang, word, freq) — the keyed variant of :func:`word_table`
+    for per-lang encode rollups."""
+    w = F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+    return (
+        d.select("lang", w)
+        .where(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .select("lang", F.col("w").alias("word"), "freq")
+    )
+
+
+def viterbi_stats_by_lang(words: DataFrame, probs: dict[str, float], max_len: int) -> DataFrame:
+    """(lang, toks, chars, occurrences): Viterbi-tokenize per distinct
+    (lang, word), weighted by frequency — one Arrow stage + one tiny
+    per-lang aggregate."""
+    spark = words.sparkSession
+    probs_b = spark.sparkContext.broadcast(probs)
+
+    def run(batches):
+        import math
+
+        import pandas as pd
+
+        pr = {k: math.log(v) for k, v in probs_b.value.items() if v > 0}
+        for pdf in batches:
+            acc: dict[str, list[int]] = {}
+            for lang, word, freq in zip(pdf["lang"], pdf["word"], pdf["freq"]):
+                n = len(word)
+                best = [(-float("inf"), 0)] * (n + 1)
+                best[0] = (0.0, 0)
+                for i in range(1, n + 1):
+                    for j in range(max(0, i - max_len), i):
+                        lp = pr.get(word[j:i])
+                        if lp is not None and best[j][0] > -float("inf"):
+                            cand = (best[j][0] + lp, best[j][1] + 1)
+                            if cand[0] > best[i][0] or (
+                                cand[0] == best[i][0] and cand[1] < best[i][1]
+                            ):
+                                best[i] = cand
+                a = acc.setdefault(lang, [0, 0, 0])
+                a[0] += best[n][1] * int(freq)
+                a[1] += n * int(freq)
+                a[2] += int(freq)
+            if acc:
+                yield pd.DataFrame(
+                    [(lg, v[0], v[1], v[2]) for lg, v in acc.items()],
+                    columns=["lang", "toks", "chars", "occ"],
+                )
+
+    return (
+        words.mapInPandas(run, "lang string, toks long, chars long, occ long")
+        .groupBy("lang")
+        .agg(
+            F.sum("toks").cast("bigint").alias("toks"),
+            F.sum("chars").cast("bigint").alias("chars"),
+            F.sum("occ").cast("bigint").alias("occ"),
+        )
+    )
+
+
 def train_unigram(
     spark: SparkSession,
     d: DataFrame,

@@ -58,6 +58,7 @@ CHECK_FIRST = [
     "s_webhook_live",
     "q_llm_dedup_keep",
     "q_llm_unigram_tokenizer",
+    "q_llm_unigram_encode",
     # changed this round: evidence predates the change
     "q_llm_span_trim",
     "q_llm_dup_clusters",

@@ -328,3 +328,87 @@ def q_llm_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens_ge_word_occurrences boolean",
     )
 
+
+
+_uni_memo: dict = {}  # sf_dir -> probs dict
+
+
+def _uni_model(spark: SparkSession, sf_dir: str) -> dict:
+    """The trained unigram model per fixture: anchor-persisted as a
+    (piece, prob) table (code-identity keyed like the BPE anchor),
+    memoized per process. Probs snap to 12 decimals at persist time so
+    the stored model is bit-stable across sessions."""
+    if sf_dir in _uni_memo:
+        return _uni_memo[sf_dir]
+    from cheetah_spark.anchors import anchor_rows
+
+    def _build(spark_, sf_):
+        from cheetah_spark.operators.unigram import train_unigram
+
+        d_ = load_table(spark_, sf_, "documents")
+        probs, _ = train_unigram(
+            spark_, d_, seed_size=_UNI_SEED, max_len=_UNI_MAXLEN,
+            iters=_UNI_ITERS, prune_to=_UNI_PRUNE,
+        )
+        return spark_.createDataFrame(
+            [(p, round(v, 12)) for p, v in sorted(probs.items())],
+            "piece string, prob double",
+        )
+
+    _schema, rows = anchor_rows(
+        spark,
+        sf_dir,
+        "unigram_model",
+        ("documents",),
+        _build,
+        params=f"seed={_UNI_SEED};maxlen={_UNI_MAXLEN};iters={_UNI_ITERS};"
+        f"prune={_UNI_PRUNE};v1",
+    )
+    probs = {r.piece: float(r.prob) for r in rows}
+    _uni_memo[sf_dir] = probs
+    return probs
+
+
+@register(
+    "q_llm_unigram_encode",
+    oracle="""
+        WITH words AS (
+            SELECT lang, w AS word, COUNT(*)::BIGINT AS freq FROM (
+                SELECT lang, unnest(string_split_regex(lower(text), '\\s+')) AS w
+                FROM documents
+            ) WHERE w <> '' GROUP BY lang, w
+        )
+        SELECT lang,
+               CAST(SUM(freq) AS BIGINT) AS n_word_occurrences,
+               CAST(SUM(length(word) * freq) AS BIGINT) AS n_chars,
+               TRUE AS tokens_le_chars,
+               TRUE AS tokens_ge_words,
+               TRUE AS compressed
+        FROM words
+        GROUP BY lang
+    """,
+    tags=("llm", "tokenizer"),
+)
+def q_llm_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the TRAINED unigram model corpus-wide (the bpe_encode
+    mirror): Viterbi-tokenize every distinct (lang, word) in one Arrow
+    stage against the anchor-persisted model and roll up per lang.
+    Contract rows: word-occurrence and character totals are SQL-exact
+    per lang; the Viterbi token count is pinned through computed
+    bounds — tokens ≤ chars (pieces are ≥1 char), tokens ≥ word
+    occurrences (every word is ≥1 piece), and tokens < chars
+    (``compressed``: the model must actually merge something on this
+    corpus — a degenerate all-chars segmentation flips the flag)."""
+    from cheetah_spark.operators.unigram import viterbi_stats_by_lang, word_table_by_lang
+
+    probs = _uni_model(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    stats = viterbi_stats_by_lang(word_table_by_lang(d), probs, _UNI_MAXLEN)
+    return stats.select(
+        "lang",
+        F.col("occ").alias("n_word_occurrences"),
+        F.col("chars").alias("n_chars"),
+        (F.col("toks") <= F.col("chars")).alias("tokens_le_chars"),
+        (F.col("toks") >= F.col("occ")).alias("tokens_ge_words"),
+        (F.col("toks") < F.col("chars")).alias("compressed"),
+    )
