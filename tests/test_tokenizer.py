@@ -210,3 +210,27 @@ def test_unigram_training_invariants(spark):
     extra = spark.createDataFrame([("ba dc",)], "text string")
     toks, chars = viterbi_stats(word_table(extra), probs1, 3)
     assert toks > 0
+
+
+def test_unigram_encode_by_lang_consistent_with_global(spark):
+    """Per-lang Viterbi totals must sum to the unkeyed totals on a
+    shared-word-free corpus, and the keyed stats carry exact
+    occurrence counts."""
+    from cheetah_spark.operators.unigram import (
+        train_unigram,
+        viterbi_stats,
+        viterbi_stats_by_lang,
+        word_table,
+        word_table_by_lang,
+    )
+
+    d = spark.createDataFrame(
+        [("aaa bbb aaa", "en"), ("ccc ddd", "fr"), ("aaa", "en")],
+        "text string, lang string",
+    )
+    probs, _ = train_unigram(spark, d, seed_size=16, max_len=3, iters=1, prune_to=12)
+    toks, chars = viterbi_stats(word_table(d), probs, 3)
+    rows = {r.lang: r for r in viterbi_stats_by_lang(word_table_by_lang(d), probs, 3).collect()}
+    assert sum(r.toks for r in rows.values()) == toks
+    assert sum(r.chars for r in rows.values()) == chars
+    assert rows["en"].occ == 4 and rows["fr"].occ == 2
