@@ -29,14 +29,25 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# group order: 1=pri 2=ts 3=host 4=app 5=procid 6=msgid 7=sd 8=msg
+# group order: 1=pri 2=ts 3=host 4=app 5=procid 6=msgid 7=sd 8=msg.
+# SD is one-or-more [..] elements (rsyslog commonly emits several) and
+# PARAM-VALUE may contain RFC 5424 §6.3.3 escaped characters (\" \\ \]),
+# hence the ([^\]\\]|\\.)* element body — a plain [^\]]* would end the
+# element at an ESCAPED bracket and leak SD fragments into MSG (r8
+# self-review finding).
 RFC5424_RE = (
-    r"^<(\d{1,3})>1 (\S+) (\S+) (\S+) (\S+) (\S+) (-|\[[^\]]*\]) ?(.*)$"
+    r"^<(\d{1,3})>1 (\S+) (\S+) (\S+) (\S+) (\S+)"
+    r" (-|(?:\[(?:[^\]\\]|\\.)*\])+) ?(.*)$"
 )
-# group order: 1=pri 2=mon 3=day 4=time 5=host 6=tag 7=pid 8=msg
+# group order: 1=pri 2=mon 3=day 4=time 5=host 6=tag 7=pid 8=msg.
+# The bracketed PID is OPTIONAL — the RFC 3164 specimen itself is
+# `su: 'su root' failed...`, and kernel:/CRON:-style pid-less tags are
+# the dominant legacy traffic (r8 self-review finding); a
+# non-participating group extracts as '' in BOTH engines, which the
+# procid() nullif already maps to NULL.
 RFC3164_RE = (
     r"^<(\d{1,3})>([A-Z][a-z]{2}) {1,2}(\d{1,2}) (\d{2}:\d{2}:\d{2})"
-    r" (\S+) ([A-Za-z0-9_.-]+)\[(\d+)\]: (.*)$"
+    r" (\S+) ([A-Za-z0-9_.-]+)(?:\[(\d+)\])?: (.*)$"
 )
 
 

@@ -478,8 +478,17 @@ def q_llm_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "simh", F.coalesce(F.col("comp_id"), F.col("rep")).alias("comp_id")
     )
     d = load_table(spark, sf_dir, "documents")
-    doc = X.simhash_df(d).join(d.select("doc_id", "lang"), "doc_id").join(comp, "simh")
-    kept = F.col("doc_id") == F.col("comp_id")
+    # LEFT joins end-to-end: a token-less document has no fingerprint
+    # row (simhash_df's explode emits nothing), but the oracle's
+    # closure seeds from ALL documents — such a doc is its own
+    # singleton component and must be KEPT, not silently dropped
+    # (r8 self-review finding)
+    doc = (
+        d.select("doc_id", "lang")
+        .join(X.simhash_df(d), "doc_id", "left")
+        .join(comp, "simh", "left")
+    )
+    kept = F.col("doc_id") == F.coalesce(F.col("comp_id"), F.col("doc_id"))
     return doc.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),

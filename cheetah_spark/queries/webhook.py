@@ -127,7 +127,17 @@ def webhook_stream_spool_dir(spark: SparkSession, sf_dir: str) -> str:
                 batch_size=100,
                 checkpoint=f"{out}/_checkpoint",
             ).write(payload)
-            q.awaitTermination(300)
+            try:
+                # awaitTermination returns False on timeout WITHOUT
+                # raising — falling through would pin an incomplete
+                # spool behind the ready flag forever (r8 self-review)
+                if not q.awaitTermination(300):
+                    raise TimeoutError(
+                        "webhook stream fixture did not drain within 300s; "
+                        "spool left unmarked for retry"
+                    )
+            finally:
+                q.stop()
         finally:
             recv.close()
         open(ready, "w").close()

@@ -189,9 +189,14 @@ class _ReplayAdapter:
 def _make_factory(options) -> Callable:
     transport = (options.get("transport") or "journalctl").lower()
     if transport == "journalctl":
+        extra = options.get("extra_args") or ""
         return JournalctlFactory(
             follow=(options.get("follow") or "true").lower() == "true",
             after_cursor=options.get("after_cursor") or "",
+            # comma-separated through the option channel, e.g.
+            # "--unit=sshd.service,--priority=4" — server-side
+            # filtering beats shipping everything
+            extra_args=tuple(a for a in extra.split(",") if a),
         )
     if transport == "replay":
         return JournaldReplayFactory(
@@ -301,6 +306,7 @@ class JournaldSource(Source):
     transport: str = "journalctl"
     follow: bool = True
     after_cursor: str = ""
+    extra_args: tuple = ()  # journalctl filters, e.g. ("--unit=sshd.service",)
     capture_path: str = ""
     chunk_size: int = 0
     content_type: str = "raw"  # raw | auto (append parsed struct)
@@ -313,6 +319,7 @@ class JournaldSource(Source):
             .option("transport", self.transport)
             .option("follow", str(self.follow).lower())
             .option("after_cursor", self.after_cursor)
+            .option("extra_args", ",".join(self.extra_args))
             .option("capture_path", self.capture_path)
             .option("chunk_size", str(self.chunk_size))
             .load()

@@ -34,6 +34,13 @@ Delivery contract: offsets are admitted-line counts ``{"seq": n}``;
 ``read`` drains the buffer, ``readBetweenOffsets`` replays a short
 in-memory window after a restart, ``commit`` acks replay records
 below the committed offset.
+
+Known debt (r8 self-review): the seq-window reader core and the
+chunked replay adapter are structurally repeated across
+mqtt_live/syslog_live/journald_live (same buffer/window/offset logic,
+different envelopes and lost-window policies); extracting a shared
+base reader is queued for the next round so a fix to the offset
+machinery lands once, not three times.
 """
 
 from __future__ import annotations
@@ -161,7 +168,14 @@ class _SocketAdapter:
         buf = b""
         with conn:
             while not self._closing:
-                chunk = conn.recv(65536)
+                try:
+                    chunk = conn.recv(65536)
+                except OSError:
+                    # connection reset mid-stream: treat like an abrupt
+                    # close — fall through to the trailing-buffer flush
+                    # instead of losing the partial line to an uncaught
+                    # thread exception (r8 self-review)
+                    break
                 if not chunk:
                     break
                 buf += chunk
@@ -169,7 +183,7 @@ class _SocketAdapter:
                     line, buf = buf.split(b"\n", 1)
                     if line:
                         self._on_record(line.decode("utf-8", "replace").rstrip("\r"), peer)
-        if buf.strip():  # sender closed without final LF — still a message
+        if buf.strip():  # sender closed/reset without final LF — still a message
             self._on_record(buf.decode("utf-8", "replace").rstrip("\r\n"), peer)
 
     def close(self) -> None:

@@ -135,3 +135,35 @@ def test_domain_mix_weights_are_a_distribution(spark, sf_dir):
         if r.token_share < mean_share * 0.95:
             assert r.mix_weight > r.token_share  # tail upsampled
         assert abs(r.upsample * r.token_share - r.mix_weight) < 1e-12
+
+
+def test_dedup_keep_counts_tokenless_docs(spark, tmp_path):
+    """A punctuation-only/empty document has no fingerprint row, but it
+    is its own singleton component and must be KEPT — the Spark plan
+    must agree with the oracle's all-documents closure (r8 self-review
+    finding: the inner fingerprint join silently deleted such docs)."""
+    import duckdb
+
+    from cheetah_spark.registry import REGISTRY
+    from conftest import assert_matches_oracle
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "en", "s0", 36),
+            (2, "alpha beta gamma delta epsilon zeta", "en", "s0", 36),
+            (3, "!!! ...", "en", "s0", 7),  # token-less: no [a-z0-9] run
+            (4, "totally different words here now", "fr", "s0", 32),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = REGISTRY["q_llm_dedup_keep"].fn(spark, sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'")
+    assert_matches_oracle(out, con.sql(REGISTRY["q_llm_dedup_keep"].oracle))
+    row = {r.lang: r for r in out.collect()}
+    # doc 3 (token-less) is a kept singleton; doc 2 is the dropped dup
+    assert row["en"].n_docs == 3 and row["en"].n_kept == 2 and row["en"].n_dropped == 1
+    con.close()

@@ -82,3 +82,16 @@ def test_journald_config_type(tmp_path):
         {"type": "journald", "transport": "replay", "capture_path": str(tmp_path)}
     )
     assert src2.transport == "replay"
+
+
+def test_journalctl_extra_args_reach_the_factory():
+    """extra_args (unit/priority filters — server-side filtering beats
+    shipping everything) must flow from the config/dataclass surface
+    through the option channel into the factory (r8 self-review: the
+    field existed but nothing ever passed it)."""
+    from cheetah_spark.sources.journald_live import JournaldSource, _make_factory
+
+    f = _make_factory({"extra_args": "--unit=sshd.service,--priority=4"})
+    assert f.extra_args == ("--unit=sshd.service", "--priority=4")
+    src = JournaldSource(extra_args=("--unit=sshd.service",))
+    assert ",".join(src.extra_args) == "--unit=sshd.service"

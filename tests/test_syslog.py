@@ -281,3 +281,26 @@ def test_config_daemon_syslog_to_webhook_end_to_end(spark, sf_dir, tmp_path):
             WHERE event_id % 97 != 0 AND (event_id + user_id) % 2 = 0"""
     ).fetchone()[0]
     assert n_5424 == got_duck
+
+
+def test_parse_rfc3164_pidless_tag_and_multi_sd(spark):
+    """The RFC 3164 specimen has NO bracketed pid (`su: ...`), and
+    RFC 5424 lines commonly carry several SD-elements with escaped
+    brackets — both must parse to clean fields (r8 self-review)."""
+    df = spark.createDataFrame(
+        [
+            Row(raw="<34>Oct 11 22:14:15 mymachine su: 'su root' failed for lonvick"),
+            Row(raw="<13>Aug 15 11:22:33 h kernel: oom-killer invoked"),
+            Row(raw='<34>1 2026-01-01T00:00:00Z h app 7 M [a@1 x="1"][b@2 k="v\\]w"] real msg'),
+        ]
+    )
+    out = df.select(
+        SL.host("raw").alias("host"),
+        SL.app("raw").alias("app"),
+        SL.procid("raw").alias("pid"),
+        SL.message("raw").alias("msg"),
+    ).collect()
+    assert out[0].host == "mymachine" and out[0].app == "su" and out[0].pid is None
+    assert out[0].msg == "'su root' failed for lonvick"
+    assert out[1].app == "kernel" and out[1].msg == "oom-killer invoked"
+    assert out[2].msg == "real msg" and out[2].pid == 7

@@ -32,7 +32,11 @@ _EDGE_LINES = [
     "<13>Dec 31 23:59:59 h tag[1]: eoy",
     "<13>Aug 15 11:22:33 host-x my.app-2[42]: dotted tag",
     "<13>Aug 15 11:22:33 h tag[]: empty pid does not match",
-    "<13>Aug 15 11:22:33 h tag: no pid does not match 3164",
+    "<13>Aug 15 11:22:33 h tag: pid-less tag (parses since r8)",
+    "<34>Oct 11 22:14:15 mymachine su: 'su root' failed for lonvick",
+    '<34>1 2026-01-01T00:00:00Z h app 7 M [a@1][b@2] two sd elements',
+    '<34>1 2026-01-01T00:00:00Z h app 7 M [a@1 k="v\\]w"] escaped bracket',
+    '<34>1 2026-01-01T00:00:00Z h app 7 M [a@1][b@2 x="y"] msg [not sd]',
     "no pri at all",
     "<notanum>1 x",
     "<34>2 2026-01-01T00:00:00Z h app 7 M - wrong version",
