@@ -134,6 +134,44 @@ def parsed(col: Column | str) -> Column:
     )
 
 
+def parsed_forced(col: Column | str, grammar: str) -> Column:
+    """Single-grammar parse (the reference's contentType dial forced to
+    one RFC): every field comes ONLY from the named RFC's regex, and a
+    line that doesn't match that grammar yields an all-NULL struct —
+    it is NOT silently handed to the sibling grammar the way
+    :func:`parsed`'s auto-detection would (r8 advice: the forced values
+    previously ran the same auto parse, so a 3164 line in a declared
+    'rfc5424' stream was parsed as 3164 instead of rejected).
+
+    Same field schema as :func:`parsed`; ``rfc5424`` is the grammar
+    constant when the line matches, NULL when it doesn't.
+    """
+    if grammar == "rfc5424":
+        matched = _raw(col).rlike(RFC5424_RE)
+        ts = _g5424(col, 2)
+        host_c, app_c = _g5424(col, 3), _g5424(col, 4)
+        procid_raw, msg_c = _g5424(col, 5), _g5424(col, 8)
+    elif grammar == "rfc3164":
+        matched = _raw(col).rlike(RFC3164_RE)
+        ts = F.concat_ws(" ", _g3164(col, 2), _g3164(col, 3), _g3164(col, 4))
+        host_c, app_c = _g3164(col, 5), _g3164(col, 6)
+        procid_raw, msg_c = _g3164(col, 7), _g3164(col, 8)
+    else:
+        raise ValueError(f"syslog: unknown forced grammar {grammar!r} (rfc3164|rfc5424)")
+    procid_c = F.nullif(F.nullif(procid_raw, F.lit("-")), F.lit("")).try_cast("bigint")
+    return F.struct(
+        F.when(matched, pri(col)).alias("pri"),
+        F.when(matched, facility(col)).alias("facility"),
+        F.when(matched, severity(col)).alias("severity"),
+        F.when(matched, ts).alias("ts_raw"),
+        F.when(matched, host_c).alias("host"),
+        F.when(matched, app_c).alias("app"),
+        F.when(matched, procid_c).alias("procid"),
+        F.when(matched, msg_c).alias("message"),
+        F.when(matched, F.lit(grammar == "rfc5424")).alias("rfc5424"),
+    )
+
+
 # --- DuckDB mirrors (same pattern strings, RE2) ------------------------
 
 

@@ -165,9 +165,14 @@ def _estep(words: DataFrame, probs: dict[str, float], max_len: int):
 
 
 def viterbi_stats(words: DataFrame, probs: dict[str, float], max_len: int):
-    """(corpus_tokens, corpus_chars): Viterbi-tokenize every distinct
-    word (max product of piece probs; ties → fewer pieces, then the
-    DP's deterministic scan order) and weight by frequency."""
+    """(corpus_tokens, corpus_chars, uncovered_words): Viterbi-tokenize
+    every distinct word (max product of piece probs; ties → fewer
+    pieces, then the DP's deterministic scan order) and weight by
+    frequency. ``uncovered_words`` counts DISTINCT words whose lattice
+    has no path (best[n] stays -inf) — the full-coverage invariant
+    ("every word segments"; single chars are never pruned, so this must
+    be 0) is measured here FOR REAL rather than inferred (r8 advice:
+    the contract flag was only corpus_tokens > 0)."""
     spark = words.sparkSession
     probs_b = spark.sparkContext.broadcast(probs)
 
@@ -180,6 +185,7 @@ def viterbi_stats(words: DataFrame, probs: dict[str, float], max_len: int):
         for pdf in batches:
             toks = 0
             chars = 0
+            uncovered = 0
             for word, freq in zip(pdf["word"], pdf["freq"]):
                 n = len(word)
                 best = [(-float("inf"), 0)] * (n + 1)
@@ -194,16 +200,20 @@ def viterbi_stats(words: DataFrame, probs: dict[str, float], max_len: int):
                                 cand[0] == best[i][0] and cand[1] < best[i][1]
                             ):
                                 best[i] = cand
+                if n > 0 and best[n][0] == -float("inf"):
+                    uncovered += 1
                 toks += best[n][1] * int(freq)
                 chars += n * int(freq)
-            yield pd.DataFrame([(toks, chars)], columns=["toks", "chars"])
+            yield pd.DataFrame(
+                [(toks, chars, uncovered)], columns=["toks", "chars", "unc"]
+            )
 
     out = (
-        words.mapInPandas(run, "toks long, chars long")
-        .agg(F.sum("toks").alias("t"), F.sum("chars").alias("c"))
+        words.mapInPandas(run, "toks long, chars long, unc long")
+        .agg(F.sum("toks").alias("t"), F.sum("chars").alias("c"), F.sum("unc").alias("u"))
         .collect()[0]
     )
-    return int(out["t"]), int(out["c"])
+    return int(out["t"]), int(out["c"]), int(out["u"])
 
 
 def word_table_by_lang(d: DataFrame) -> DataFrame:
@@ -327,7 +337,7 @@ def train_unigram(
         probs = {p: v / z for p, v in probs.items()}
     _, loss_final = _estep(words, probs, max_len)
 
-    toks, chars_n = viterbi_stats(words, probs, max_len)
+    toks, chars_n, uncovered = viterbi_stats(words, probs, max_len)
     n_words = words.count()
     words.unpersist()
     stats = {
@@ -337,6 +347,7 @@ def train_unigram(
         "loss_final": loss_final,
         "corpus_tokens": toks,
         "corpus_chars": chars_n,
+        "uncovered_words": uncovered,
         "n_words": n_words,
         "vocab_final": len(probs),
     }

@@ -201,8 +201,13 @@ def _simhash_rep_components(spark: SparkSession, sf_dir: str):
     shared by :func:`q_llm_dup_clusters` and :func:`q_llm_dedup_keep`:
 
     - ``grp``: one row per DISTINCT 56-bit fingerprint — (simh, rep =
-      min doc_id, grp_docs, grp_max), persisted (feeds blocking AND
-      the callers' rollups/joins).
+      min doc_id, grp_docs, grp_max). Persisted only WHILE the
+      component rounds read it (blocking a/b sides + seeds), then
+      unpersisted before returning: ``labels`` is localCheckpointed
+      inside connected_components, so it no longer depends on grp, and
+      the callers' final joins recompute grp with one documents scan —
+      cheaper than leaking a cached frame per invocation for the
+      session lifetime (r8 advice; the train_unigram discipline).
     - ``labels``: (rep, comp_id) from connected components over
       rep-level near-dup edges (pigeonhole block join over distinct
       fingerprints, map-side hamming filter before the distinct
@@ -255,6 +260,10 @@ def _simhash_rep_components(spark: SparkSession, sf_dir: str):
     labels = connected_components(spark, sym, max_iters=_CC_MAX_ITERS).select(
         F.col("node_id").alias("rep"), "comp_id"
     )
+    # CC's iterative rounds (the multi-read consumers) are done — the
+    # labels lineage is truncated by localCheckpoint, so release the
+    # cache now rather than leak it for the session lifetime
+    grp.unpersist()
     return grp, labels
 
 

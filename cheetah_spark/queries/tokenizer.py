@@ -316,7 +316,9 @@ def q_llm_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
                 int(st["corpus_chars"]),
                 bool(mono),
                 bool(st["vocab_final"] <= _UNI_PRUNE),
-                bool(st["corpus_tokens"] > 0),
+                # measured for real: zero lattice-unreachable words
+                # (r8 advice — was only corpus_tokens > 0)
+                bool(st["uncovered_words"] == 0 and st["corpus_tokens"] > 0),
                 bool(st["corpus_tokens"] <= st["corpus_chars"]),
                 bool(st["corpus_tokens"] >= wocc),
             )

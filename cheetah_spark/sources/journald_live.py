@@ -28,12 +28,14 @@ mechanism.
 
 from __future__ import annotations
 
+import base64
 import os
 import shutil
+import struct
 import subprocess
 import threading
 from dataclasses import dataclass
-from typing import Callable, Iterator, Optional, Tuple
+from typing import BinaryIO, Callable, Iterator, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,8 +48,11 @@ JOURNALD_STREAM_SCHEMA = "entry string, cursor string"
 
 
 def _frame_entries(lines: Iterator[str]) -> Iterator[str]:
-    """Blank-line framing of an export stream: yield each entry as the
-    newline-joined block of its KEY=VALUE lines."""
+    """Blank-line framing of a TEXT export stream: yield each entry as
+    the newline-joined block of its KEY=VALUE lines. Text subset only —
+    the live and replay paths frame through
+    :func:`_frame_entries_bytes`, which understands the export format's
+    length-prefixed binary fields (this helper would mis-frame them)."""
     block: list[str] = []
     for line in lines:
         line = line.rstrip("\n")
@@ -57,6 +62,69 @@ def _frame_entries(lines: Iterator[str]) -> Iterator[str]:
                 block = []
         else:
             block.append(line)
+    if block:
+        yield "\n".join(block)
+
+
+def _read_exact(stream: BinaryIO, n: int) -> bytes:
+    """Read exactly n bytes (loop over short reads — a pipe's raw reads
+    may return early even when more data is coming)."""
+    chunks: list[bytes] = []
+    while n > 0:
+        chunk = stream.read(n)
+        if not chunk:
+            break
+        chunks.append(chunk)
+        n -= len(chunk)
+    return b"".join(chunks)
+
+
+def _frame_entries_bytes(stream: BinaryIO) -> Iterator[str]:
+    """Binary-safe framing of a ``journalctl -o export`` stream
+    (systemd Journal Export Format, a public spec): entries are
+    blank-line-separated field blocks where a field is EITHER
+
+    - ``NAME=VALUE\\n`` (text), or
+    - ``NAME\\n`` + uint64-LE byte length + that many raw bytes +
+      ``\\n`` (binary — e.g. a non-UTF-8 MESSAGE), whose payload may
+      itself contain ``\\n\\n`` and invalid UTF-8.
+
+    Round-8 advice: the previous text-mode reader decoded the pipe with
+    the strict locale codec and framed purely on blank lines, so one
+    binary journal field could raise UnicodeDecodeError in the pump
+    thread (fataling the stream) or silently mis-frame entries. This
+    framer reads bytes, decodes text fields with errors='replace', and
+    re-emits binary fields as ``NAME=b64:<base64>`` so the entry stays
+    one string and no payload byte can break framing.
+    """
+    block: list[str] = []
+    while True:
+        line = stream.readline()
+        if line == b"":  # EOF
+            break
+        if line == b"\n":
+            if block:
+                yield "\n".join(block)
+                block = []
+            continue
+        line = line.rstrip(b"\n")
+        if b"=" in line:
+            block.append(line.decode("utf-8", errors="replace"))
+            continue
+        # binary field: the name line is followed by a u64-LE size,
+        # the raw payload, and a trailing newline
+        size_raw = _read_exact(stream, 8)
+        if len(size_raw) < 8:
+            block = []  # truncated mid-field: drop the partial entry
+            break
+        (size,) = struct.unpack("<Q", size_raw)
+        data = _read_exact(stream, size)
+        if len(data) < size:
+            block = []
+            break
+        _read_exact(stream, 1)  # the newline terminating the payload
+        name = line.decode("utf-8", errors="replace")
+        block.append(name + "=b64:" + base64.b64encode(data).decode("ascii"))
     if block:
         yield "\n".join(block)
 
@@ -92,14 +160,14 @@ class JournalctlFactory:
             args += ["--after-cursor", self.after_cursor]
         args += list(self.extra_args)
         proc = subprocess.Popen(
-            args, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True
+            args, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL
         )
         adapter = _ProcAdapter(proc)
 
         def pump():
             try:
                 assert proc.stdout is not None
-                for entry in _frame_entries(proc.stdout):
+                for entry in _frame_entries_bytes(proc.stdout):
                     if adapter.closing:
                         return
                     on_entry(entry)
@@ -160,8 +228,10 @@ class _ReplayAdapter:
             else [path]
         )
         for fp in files:
-            with open(fp) as fh:
-                yield from _frame_entries(iter(fh))
+            # binary-safe: a recorded capture can carry the export
+            # format's length-prefixed binary fields too
+            with open(fp, "rb") as fh:
+                yield from _frame_entries_bytes(fh)
 
     def _deliveries(self):
         delivered = 0

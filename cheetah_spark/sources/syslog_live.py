@@ -237,11 +237,20 @@ class _ReplayAdapter:
                     line = line.rstrip("\n")
                     if not line:
                         continue
+                    # NDJSON record if it parses as one; otherwise the
+                    # line IS the message — a bare-text capture may
+                    # legitimately contain syslog messages that start
+                    # with '{' (JSON-payload syslog is common), and a
+                    # prefix-only gate would JSONDecodeError and kill
+                    # the replay pump (r8 advice)
                     if line.startswith("{"):
-                        rec = json.loads(line)
-                        yield rec["raw"], rec.get("peer", "replay:0")
-                    else:
-                        yield line, "replay:0"
+                        try:
+                            rec = json.loads(line)
+                            yield rec["raw"], rec.get("peer", "replay:0")
+                            continue
+                        except (json.JSONDecodeError, KeyError, TypeError):
+                            pass
+                    yield line, "replay:0"
 
     def _deliveries(self):
         delivered = 0
@@ -404,7 +413,12 @@ class SyslogSource(Source):
     severity, host, app, procid, message, ts_raw — pure Column
     expressions from :mod:`cheetah_spark.functions.syslog`) so config
     pipelines get typed fields without a separate transform; ``"raw"``
-    leaves the envelope alone (the reference's contentType dial)."""
+    leaves the envelope alone (the reference's contentType dial).
+    ``"rfc3164"`` / ``"rfc5424"`` FORCE that single grammar: only the
+    named RFC's regex is applied, and a line of the other format
+    parses to an all-NULL struct rather than being silently handled by
+    the sibling grammar (r8 advice: the forced values previously
+    aliased auto-detection, so the dial was not honored)."""
 
     addr: str = "127.0.0.1:0"
     proto: str = "udp"
@@ -430,8 +444,19 @@ class SyslogSource(Source):
             .option("addr_file", self.addr_file)
             .load()
         )
-        if self.content_type in ("auto", "rfc3164", "rfc5424"):
+        if self.content_type == "auto":
             from cheetah_spark.functions import syslog as SL
 
             df = df.withColumn("syslog", SL.parsed(F.col("raw")))
+        elif self.content_type in ("rfc3164", "rfc5424"):
+            from cheetah_spark.functions import syslog as SL
+
+            df = df.withColumn(
+                "syslog", SL.parsed_forced(F.col("raw"), self.content_type)
+            )
+        elif self.content_type != "raw":
+            raise ValueError(
+                f"syslog: unknown content_type {self.content_type!r} "
+                "(raw|auto|rfc3164|rfc5424)"
+            )
         return df

@@ -17,6 +17,7 @@ from cheetah_spark.sources.journald_live import (
     JournaldSource,
     JournalctlFactory,
     _frame_entries,
+    _frame_entries_bytes,
 )
 
 
@@ -39,6 +40,48 @@ def test_frame_entries_blank_line_separated():
         "__CURSOR=s=b\nMESSAGE=two",
         "__CURSOR=s=c\nMESSAGE=three",
     ]
+
+
+def test_frame_entries_bytes_binary_fields():
+    """Export-format binary fields (NAME\\n + u64-LE size + raw bytes +
+    \\n) must not break framing even when the payload contains \\n\\n
+    and invalid UTF-8 (round-8 advice: the text-mode reader would
+    UnicodeDecodeError or mis-frame). The payload comes back base64ed
+    as NAME=b64:... so the entry stays one lossless string."""
+    import base64
+    import io
+    import struct
+
+    payload = b"bad \xff\xfe utf8\n\nwith blank line"
+    raw = (
+        b"__CURSOR=s=a\n"
+        b"MESSAGE\n" + struct.pack("<Q", len(payload)) + payload + b"\n"
+        b"UNIT=x.service\n"
+        b"\n"
+        b"__CURSOR=s=b\n"
+        b"MESSAGE=plain text\n"
+        b"\n"
+    )
+    entries = list(_frame_entries_bytes(io.BytesIO(raw)))
+    assert len(entries) == 2
+    first = dict(line.split("=", 1) for line in entries[0].split("\n"))
+    assert first["__CURSOR"] == "s=a"
+    assert first["UNIT"] == "x.service"
+    assert base64.b64decode(first["MESSAGE"][len("b64:") :]) == payload
+    assert entries[1] == "__CURSOR=s=b\nMESSAGE=plain text"
+
+
+def test_frame_entries_bytes_truncated_binary_field():
+    """A stream cut mid-binary-payload drops the partial entry instead
+    of hanging or raising."""
+    import io
+    import struct
+
+    raw = (
+        b"__CURSOR=s=a\nMESSAGE=ok\n\n"
+        b"__CURSOR=s=b\nDATA\n" + struct.pack("<Q", 100) + b"short"
+    )
+    assert list(_frame_entries_bytes(io.BytesIO(raw))) == ["__CURSOR=s=a\nMESSAGE=ok"]
 
 
 def test_journald_replay_end_to_end(spark, sf_dir):

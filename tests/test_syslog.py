@@ -173,6 +173,60 @@ def test_parse_rfc5424_nil_and_sd(spark):
     assert out[2].fac is None and not out[2].v1 and out[2].msg == ""
 
 
+def test_parsed_forced_single_grammar(spark):
+    """content_type='rfc5424'/'rfc3164' must force the named grammar:
+    a line of the OTHER format yields an all-NULL struct instead of
+    being silently parsed by the sibling regex (r8 advice — the forced
+    values previously aliased auto-detection)."""
+    line_3164 = "<13>Aug 15 11:22:33 db01 postgres[99]: msg a"
+    line_5424 = "<34>1 2026-01-01T00:00:00Z h app 7 M - body2"
+    df = spark.createDataFrame([Row(raw=line_3164), Row(raw=line_5424)])
+    out = df.select(
+        SL.parsed_forced("raw", "rfc5424").alias("f54"),
+        SL.parsed_forced("raw", "rfc3164").alias("f31"),
+    ).collect()
+    # row 0 is 3164: forced-5424 all NULL, forced-3164 parses
+    assert out[0].f54.pri is None and out[0].f54.message is None
+    assert out[0].f54.rfc5424 is None
+    assert out[0].f31.host == "db01" and out[0].f31.procid == 99
+    assert out[0].f31.rfc5424 is False
+    # row 1 is 5424: forced-3164 all NULL, forced-5424 parses
+    assert out[1].f31.pri is None and out[1].f31.message is None
+    assert out[1].f54.host == "h" and out[1].f54.procid == 7
+    assert out[1].f54.message == "body2" and out[1].f54.rfc5424 is True
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="forced grammar"):
+        SL.parsed_forced("raw", "rfc9999")
+    from cheetah_spark.sources.syslog_live import SyslogSource as _S
+
+    with _pytest.raises(ValueError, match="content_type"):
+        _S(transport="replay", capture_path="/tmp/x", content_type="bogus").read(spark)
+
+
+def test_replay_bare_text_json_payload_line(tmp_path, spark):
+    """A bare-text capture whose message starts with '{' (JSON-payload
+    syslog) must replay as a raw record, not JSONDecodeError the pump
+    (r8 advice)."""
+    from cheetah_spark.sources.syslog_live import SyslogReplayFactory
+
+    cap = tmp_path / "cap.txt"
+    cap.write_text(
+        '{"not": "an ndjson capture record"\n'  # malformed JSON too
+        '{"raw": "<13>Aug 15 11:22:33 h app: x", "peer": "1.2.3.4:514"}\n'
+        "<13>Aug 15 11:22:33 h app: plain\n"
+    )
+    got: list[tuple[str, str]] = []
+    f = SyslogReplayFactory(capture_path=str(cap))
+    f(None, lambda raw, peer: got.append((raw, peer)), lambda e: None)
+    assert got == [
+        ('{"not": "an ndjson capture record"', "replay:0"),
+        ("<13>Aug 15 11:22:33 h app: x", "1.2.3.4:514"),
+        ("<13>Aug 15 11:22:33 h app: plain", "replay:0"),
+    ]
+
+
 def test_syslog_config_type(spark, tmp_path):
     """kawad config parity: {"type":"syslog","addr":...} builds the
     live source through the daemon config surface (README.md:168-177),

@@ -206,10 +206,18 @@ def test_unigram_training_invariants(spark):
     assert "ab" in probs1 and probs1["ab"] > probs1.get("cd", 0) / 10
     # compression: Viterbi tokens strictly fewer than characters
     assert 0 < st1["corpus_tokens"] < st1["corpus_chars"]
-    # coverage: an unseen-at-training word of seen chars still segments
+    # coverage measured for real: zero lattice-unreachable words on the
+    # training corpus (r8 advice), and an unseen-at-training word of
+    # seen chars still segments
+    assert st1["uncovered_words"] == 0
     extra = spark.createDataFrame([("ba dc",)], "text string")
-    toks, chars = viterbi_stats(word_table(extra), probs1, 3)
-    assert toks > 0
+    toks, chars, uncovered = viterbi_stats(word_table(extra), probs1, 3)
+    assert toks > 0 and uncovered == 0
+    # a word with a NEVER-seen character has no lattice path and must
+    # be counted uncovered, not silently contribute zero tokens
+    alien = spark.createDataFrame([("zzz",)], "text string")
+    _, _, unc_alien = viterbi_stats(word_table(alien), probs1, 3)
+    assert unc_alien == 1
 
 
 def test_unigram_encode_by_lang_consistent_with_global(spark):
@@ -229,7 +237,7 @@ def test_unigram_encode_by_lang_consistent_with_global(spark):
         "text string, lang string",
     )
     probs, _ = train_unigram(spark, d, seed_size=16, max_len=3, iters=1, prune_to=12)
-    toks, chars = viterbi_stats(word_table(d), probs, 3)
+    toks, chars, _ = viterbi_stats(word_table(d), probs, 3)
     rows = {r.lang: r for r in viterbi_stats_by_lang(word_table_by_lang(d), probs, 3).collect()}
     assert sum(r.toks for r in rows.values()) == toks
     assert sum(r.chars for r in rows.values()) == chars

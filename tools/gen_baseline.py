@@ -52,6 +52,11 @@ def main() -> None:
         "",
         f"- sample counts: {json.dumps(full.get('n_samples', {}))} (pass2={full.get('pass2')})",
         f"- identity samples (sec per 1e6 rows, median-of-3 reported): {ident_samples}",
+        f"- contention_ratio (identity median / committed 0.044 s quiet-window",
+        f"  baseline): {full.get('contention_ratio', 'n/a')} — >~1.5 marks the whole",
+        "  run host-contended; single-sample >2x per-query rows from such a run",
+        "  are `weak` (not regressions) until re-measured min-of-N in a quiet",
+        "  window (tools/resample.py, SCALE.md discipline).",
         "- one-time derivations excluded from per-query timings by the measured",
         f"  warm-up (`warmed`): {', '.join(warmed)}. A cross-framework",
         "  comparison must grant its harness the same warm-up; the reference's",
