@@ -43,6 +43,7 @@ from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 from pyspark.sql.types import StructType
 
 from cheetah_spark.sources import Source
+from cheetah_spark.sources.seqwindow import SeqWindowStreamReader
 
 JOURNALD_STREAM_SCHEMA = "entry string, cursor string"
 
@@ -276,77 +277,31 @@ def _make_factory(options) -> Callable:
     raise ValueError(f"journald: unknown transport {transport!r} (journalctl|replay)")
 
 
-class _JournaldSimpleStreamReader(SimpleDataSourceStreamReader):
-    """Seq-offset buffering reader (the cheetah-mqtt/-syslog scheme).
-    commit() is positional: journald's own resume mechanism is the
-    cursor, which rides in every row — there is no per-entry ack to
-    fire."""
+class _JournaldSimpleStreamReader(SeqWindowStreamReader):
+    """Seq-offset buffering reader on the shared
+    :class:`~cheetah_spark.sources.seqwindow.SeqWindowStreamReader`
+    core. commit() is effectively positional: journald's own resume
+    mechanism is the cursor, which rides in every row — there is no
+    per-entry ack to fire (``_ack_of`` stays None)."""
+
+    _PICKLE_FIELDS = ("_factory",)
 
     def __init__(self, options):
         self._factory = _make_factory(options)
         self._init_runtime()
 
-    def _init_runtime(self):
-        self._lock = threading.Lock()
-        self._buffer: list[str] = []
-        self._window: dict[int, list[tuple]] = {}
-        self._fatal: Optional[Exception] = None
-        self._listener = None
+    def _make_listener(self):
+        return self._factory(self._on_item, self._on_error)
 
-    def __getstate__(self):
-        return {"_factory": self._factory}
+    def _row_of(self, entry: str) -> tuple:
+        return (entry, _cursor_of(entry))
 
-    def __setstate__(self, state):
-        self.__dict__.update(state)
-        self._init_runtime()
-
-    def _on_entry(self, entry: str) -> None:
-        with self._lock:
-            self._buffer.append(entry)
-
-    def _on_error(self, exc: Exception) -> None:
-        self._fatal = exc
-
-    def _ensure_listener(self):
-        if self._listener is None:
-            self._listener = self._factory(self._on_entry, self._on_error)
-        return self._listener
-
-    def initialOffset(self) -> dict:
-        self._ensure_listener()
-        return {"seq": 0}
-
-    def read(self, start: dict) -> Tuple[Iterator[tuple], dict]:
-        listener = self._ensure_listener()
-        pump = getattr(listener, "pump", None)
-        if pump is not None:
-            pump()
-        if self._fatal is not None:
-            raise RuntimeError(str(self._fatal))
-        with self._lock:
-            drained, self._buffer = self._buffer, []
-        start_seq = start["seq"]
-        rows = [(entry, _cursor_of(entry)) for entry in drained]
-        self._window[start_seq] = rows
-        for k in sorted(self._window)[:-8]:
-            del self._window[k]
-        return iter(rows), {"seq": start_seq + len(rows)}
-
-    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        rows = self._window.get(start["seq"])
-        if rows is not None:
-            return iter(rows[: end["seq"] - start["seq"]])
-        n = end["seq"] - start["seq"]
-        if n > 0:
-            raise RuntimeError(
-                f"journald: replay window lost for offsets [{start['seq']},{end['seq']}) "
-                "after restart — resume from the last committed row's cursor "
-                "(journalctl --after-cursor) instead of replaying offsets"
-            )
-        return iter(())
-
-    def commit(self, end: dict) -> None:
-        pass  # positional; cursor-based resume rides in the rows
+    def _lost_window_error(self, start_seq: int, end_seq: int) -> Exception:
+        return RuntimeError(
+            f"journald: replay window lost for offsets [{start_seq},{end_seq}) "
+            "after restart — resume from the last committed row's cursor "
+            "(journalctl --after-cursor) instead of replaying offsets"
+        )
 
 
 class JournaldStreamDataSource(DataSource):

@@ -66,6 +66,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 from pyspark.sql.types import StructType
 
+from cheetah_spark.sources.seqwindow import SeqWindowStreamReader
+
 from cheetah_spark.sources import Source
 from cheetah_spark.sinks import Sink
 
@@ -341,18 +343,19 @@ MQTT_STREAM_SCHEMA = (
 )
 
 
-class _MqttSimpleStreamReader(SimpleDataSourceStreamReader):
-    """Driver-side reader: buffers pushed messages, serves them as
-    seq-numbered micro-batch slices, acks on commit.
+class _MqttSimpleStreamReader(SeqWindowStreamReader):
+    """Driver-side reader on the shared
+    :class:`~cheetah_spark.sources.seqwindow.SeqWindowStreamReader`
+    core: buffers pushed messages, serves them as seq-numbered
+    micro-batch slices, acks on commit.
 
     Offsets are ``{"seq": n}`` — the count of messages admitted so
-    far. ``read(start)`` drains the buffer (the prefetch path);
-    ``readBetweenOffsets`` replays a recent slice after a restart
-    (Spark's simple-reader cache normally serves this; the local
-    window is a second line of defense). ``commit(end)`` fires the
-    manual acks for every message below ``end`` — at-least-once,
-    ack-after-sink (T4): an unacked QoS≥1 message is redelivered by
-    the broker on reconnect."""
+    far. ``commit(end)`` fires the manual acks for every message below
+    ``end`` — at-least-once, ack-after-sink (T4): an unacked QoS≥1
+    message is redelivered by the broker on reconnect. The lost-window
+    policy is QoS-aware (see ``_on_lost_window``)."""
+
+    _PICKLE_FIELDS = ("_opts", "_factory")
 
     def __init__(self, options):
         self._opts = _opts_from(options)
@@ -361,43 +364,10 @@ class _MqttSimpleStreamReader(SimpleDataSourceStreamReader):
         self._factory = _make_factory(options)
         self._init_runtime()
 
-    def _init_runtime(self):
-        self._lock = threading.Lock()
-        self._buffer: list[MqttMessage] = []  # admitted, not yet read
-        self._pending: dict[int, MqttMessage] = {}  # seq -> read, unacked
-        self._window: dict[int, list[tuple]] = {}  # start_seq -> rows
-        self._fatal: Optional[Exception] = None
-        self._client = None
+    def _make_listener(self):
+        return self._factory(self._opts, self._on_item, self._on_error)
 
-    # Spark pickles the reader into the python-data-source runner
-    # process before first use; runtime state (lock, client, buffers)
-    # must not travel — only the declarative config does.
-    def __getstate__(self):
-        return {"_opts": self._opts, "_factory": self._factory}
-
-    def __setstate__(self, state):
-        self.__dict__.update(state)
-        self._init_runtime()
-
-    # -- transport callbacks ------------------------------------------------
-    def _on_message(self, msg: MqttMessage) -> None:
-        with self._lock:
-            self._buffer.append(msg)
-
-    def _on_connection_lost(self, exc: Exception) -> None:
-        self._fatal = exc
-
-    def _ensure_client(self):
-        if self._client is None:
-            self._client = self._factory(self._opts, self._on_message, self._on_connection_lost)
-        return self._client
-
-    # -- SimpleDataSourceStreamReader contract ------------------------------
-    def initialOffset(self) -> dict:
-        self._ensure_client()
-        return {"seq": 0}
-
-    def _row(self, msg: MqttMessage) -> tuple:
+    def _row_of(self, msg: MqttMessage) -> tuple:
         return (
             str(msg.mid),
             bytes(msg.payload),
@@ -405,64 +375,31 @@ class _MqttSimpleStreamReader(SimpleDataSourceStreamReader):
             {"qos": str(msg.qos), "retained": str(msg.retained).lower()},
         )
 
-    def read(self, start: dict) -> Tuple[Iterator[tuple], dict]:
-        client = self._ensure_client()
-        pump = getattr(client, "pump", None)
-        if pump is not None:
-            pump()
-        if self._fatal is not None:
-            # fatal contract: surface the lost connection as a query
-            # error (mqtt.go:156-165) — offsets stay uncommitted
-            raise RuntimeError(str(self._fatal))
-        with self._lock:
-            drained, self._buffer = self._buffer, []
-        rows = []
-        start_seq = start["seq"]
-        seq = start_seq
-        for msg in drained:
-            self._pending[seq] = msg
-            rows.append(self._row(msg))
-            seq += 1
-        self._window[start_seq] = rows
-        # keep a short replay window only
-        for k in sorted(self._window)[:-8]:
-            del self._window[k]
-        return iter(rows), {"seq": seq}
+    def _ack_of(self, msg: MqttMessage, seq: int, listener):
+        return msg  # MqttMessage carries its own ack closure
 
-    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        rows = self._window.get(start["seq"])
-        if rows is not None:
-            return iter(rows[: end["seq"] - start["seq"]])
+    def _on_lost_window(self, start_seq: int, end_seq: int) -> None:
         # The replay window lives in this reader process's memory, so a
         # driver restart loses it. For QoS>=1 the unacked messages come
         # back via broker redelivery (at-least-once holds); at QoS 0
         # there is no redelivery, so committing this empty range is
         # silent data loss — fail the query instead of hiding it, and
         # make the QoS>=1 reliance on redelivery visible in the log.
-        n = end["seq"] - start["seq"]
-        if n > 0:
-            if int(self._opts.qos) == 0:
-                raise RuntimeError(
-                    f"mqtt: replay window lost for offsets [{start['seq']},{end['seq']}) "
-                    "after restart and qos=0 has no broker redelivery — rows are "
-                    "unrecoverable; use qos>=1 for at-least-once recovery"
-                )
-            import warnings
-
-            warnings.warn(
-                f"mqtt: replay window lost for offsets [{start['seq']},{end['seq']}) "
-                f"({n} rows) — relying on broker QoS>=1 redelivery of unacked "
-                "messages for delivery",
-                RuntimeWarning,
-                stacklevel=2,
+        if int(self._opts.qos) == 0:
+            raise RuntimeError(
+                f"mqtt: replay window lost for offsets [{start_seq},{end_seq}) "
+                "after restart and qos=0 has no broker redelivery — rows are "
+                "unrecoverable; use qos>=1 for at-least-once recovery"
             )
-        return iter(())
+        import warnings
 
-    def commit(self, end: dict) -> None:
-        for seq in sorted(self._pending):
-            if seq >= end["seq"]:
-                break
-            self._pending.pop(seq).ack()
+        warnings.warn(
+            f"mqtt: replay window lost for offsets [{start_seq},{end_seq}) "
+            f"({end_seq - start_seq} rows) — relying on broker QoS>=1 redelivery "
+            "of unacked messages for delivery",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
 class MqttStreamDataSource(DataSource):

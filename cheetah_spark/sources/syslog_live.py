@@ -35,12 +35,12 @@ Delivery contract: offsets are admitted-line counts ``{"seq": n}``;
 in-memory window after a restart, ``commit`` acks replay records
 below the committed offset.
 
-Known debt (r8 self-review): the seq-window reader core and the
-chunked replay adapter are structurally repeated across
-mqtt_live/syslog_live/journald_live (same buffer/window/offset logic,
-different envelopes and lost-window policies); extracting a shared
-base reader is queued for the next round so a fix to the offset
-machinery lands once, not three times.
+The seq-window reader core (buffer/window/offset/commit) is shared
+with mqtt_live/journald_live via
+:class:`cheetah_spark.sources.seqwindow.SeqWindowStreamReader` — an
+offset-machinery fix lands once (the r8 self-declared debt, closed
+r9); this module supplies only the transports and the envelope/ack/
+lost-window hooks.
 """
 
 from __future__ import annotations
@@ -58,6 +58,7 @@ from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 from pyspark.sql.types import StructType
 
 from cheetah_spark.sources import Source
+from cheetah_spark.sources.seqwindow import SeqWindowStreamReader
 
 SYSLOG_STREAM_SCHEMA = "raw string, peer string"
 
@@ -294,12 +295,15 @@ def _make_factory(options) -> Callable:
     raise ValueError(f"syslog: unknown transport {transport!r} (socket|replay)")
 
 
-class _SyslogSimpleStreamReader(SimpleDataSourceStreamReader):
-    """Driver-side reader: buffers listener-pushed lines, serves them
-    as seq-numbered micro-batch slices (the _MqttSimpleStreamReader
-    offset scheme), acks replay records on commit. UDP records have no
-    ack by nature — the wire protocol has no redelivery — so commit
-    only fires the replay-transport ack log."""
+class _SyslogSimpleStreamReader(SeqWindowStreamReader):
+    """Driver-side reader on the shared
+    :class:`~cheetah_spark.sources.seqwindow.SeqWindowStreamReader`
+    core: buffers listener-pushed lines, serves them as seq-numbered
+    micro-batch slices, acks replay records on commit. UDP records
+    have no ack by nature — the wire protocol has no redelivery — so
+    commit only fires the replay-transport ack log."""
+
+    _PICKLE_FIELDS = ("_opts", "_factory")
 
     def __init__(self, options):
         self._opts = SyslogOpts(
@@ -310,80 +314,28 @@ class _SyslogSimpleStreamReader(SimpleDataSourceStreamReader):
         self._factory = _make_factory(options)
         self._init_runtime()
 
-    def _init_runtime(self):
-        self._lock = threading.Lock()
-        self._buffer: list[tuple[str, str]] = []
-        self._pending: dict[int, SyslogRecord] = {}
-        self._window: dict[int, list[tuple]] = {}
-        self._fatal: Optional[Exception] = None
-        self._listener = None
-
-    def __getstate__(self):
-        return {"_opts": self._opts, "_factory": self._factory}
-
-    def __setstate__(self, state):
-        self.__dict__.update(state)
-        self._init_runtime()
+    def _make_listener(self):
+        return self._factory(self._opts, self._on_record, self._on_error)
 
     def _on_record(self, raw: str, peer: str) -> None:
-        with self._lock:
-            self._buffer.append((raw, peer))
+        self._on_item((raw, peer))
 
-    def _on_error(self, exc: Exception) -> None:
-        self._fatal = exc
+    def _row_of(self, item: tuple) -> tuple:
+        return item
 
-    def _ensure_listener(self):
-        if self._listener is None:
-            self._listener = self._factory(self._opts, self._on_record, self._on_error)
-        return self._listener
+    def _ack_of(self, item: tuple, seq: int, listener):
+        raw, peer = item
+        return SyslogRecord(raw, peer, seq, ack=getattr(listener, "log_ack", None))
 
-    def initialOffset(self) -> dict:
-        self._ensure_listener()
-        return {"seq": 0}
-
-    def read(self, start: dict) -> Tuple[Iterator[tuple], dict]:
-        listener = self._ensure_listener()
-        pump = getattr(listener, "pump", None)
-        if pump is not None:
-            pump()
-        if self._fatal is not None:
-            raise RuntimeError(str(self._fatal))
-        with self._lock:
-            drained, self._buffer = self._buffer, []
-        rows = []
-        start_seq = start["seq"]
-        seq = start_seq
-        for raw, peer in drained:
-            ack = getattr(listener, "log_ack", None)
-            self._pending[seq] = SyslogRecord(raw, peer, seq, ack=ack)
-            rows.append((raw, peer))
-            seq += 1
-        self._window[start_seq] = rows
-        for k in sorted(self._window)[:-8]:
-            del self._window[k]
-        return iter(rows), {"seq": seq}
-
-    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        rows = self._window.get(start["seq"])
-        if rows is not None:
-            return iter(rows[: end["seq"] - start["seq"]])
-        n = end["seq"] - start["seq"]
-        if n > 0:
-            # datagram transports have no redelivery; surface the gap
-            # instead of silently committing an empty range
-            raise RuntimeError(
-                f"syslog: replay window lost for offsets [{start['seq']},{end['seq']}) "
-                "after restart — datagram transport has no redelivery; rows are "
-                "unrecoverable (use the replay transport or durable upstream relay "
-                "for at-least-once)"
-            )
-        return iter(())
-
-    def commit(self, end: dict) -> None:
-        for seq in sorted(self._pending):
-            if seq >= end["seq"]:
-                break
-            self._pending.pop(seq).ack()
+    def _lost_window_error(self, start_seq: int, end_seq: int) -> Exception:
+        # datagram transports have no redelivery; surface the gap
+        # instead of silently committing an empty range
+        return RuntimeError(
+            f"syslog: replay window lost for offsets [{start_seq},{end_seq}) "
+            "after restart — datagram transport has no redelivery; rows are "
+            "unrecoverable (use the replay transport or durable upstream relay "
+            "for at-least-once)"
+        )
 
 
 class SyslogStreamDataSource(DataSource):
