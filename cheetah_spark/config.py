@@ -63,6 +63,13 @@ _MQTT_KEY_ALIASES = {
     "webhookURL": "webhook_url",
     "batchSize": "batch_size",
     "maxRetries": "max_retries",
+    # kafka (wishlist connector, README.md:301-311) — kawad-style
+    # camelCase keys for the Spark Kafka integration's options
+    "bootstrapServers": "bootstrap_servers",
+    "groupID": "group_id",
+    "topicPattern": "topic_pattern",
+    "startingOffsets": "starting_offsets",
+    "capturePath": "capture_path",
 }
 
 
@@ -94,10 +101,45 @@ def _journald_live_source(**kw):
     return JournaldSource(**_alias(kw))
 
 
+def _kafka_source(**kw):
+    from cheetah_spark.sources.kafka import KafkaSource
+
+    return KafkaSource(**_alias(kw))
+
+
+def _kafka_sink(**kw):
+    from cheetah_spark.sources.kafka import KafkaSink
+
+    return KafkaSink(**_alias(kw))
+
+
 def _mqtt_live_sink(**kw):
     from cheetah_spark.sources.mqtt_live import MqttLiveSink
 
     return MqttLiveSink(**_alias(kw))
+
+
+# reference kawad s3 destination (README.md:254-269): bucketName is the
+# only required key; bucketRegion / customEndpoint / batchSize /
+# accessKeyID / secretAccessKey are optional. The engine sink is
+# path-addressed, so bucketName(+keyPrefix) becomes an s3a:// path.
+_S3_KEY_ALIASES = {
+    "bucketRegion": "bucket_region",
+    "customEndpoint": "custom_endpoint",
+    "accessKeyID": "access_key_id",
+    "secretAccessKey": "secret_access_key",
+    "batchSize": "batch_size",
+}
+
+
+def _s3_sink(**kw):
+    bucket = kw.pop("bucketName", None) or kw.pop("bucket_name", None)
+    if not bucket:
+        raise ValueError("s3 sink: bucketName is required (README.md:258)")
+    prefix = kw.pop("keyPrefix", None) or kw.pop("key_prefix", None)
+    path = f"s3a://{bucket}" + (f"/{str(prefix).strip('/')}" if prefix else "")
+    kw = {_S3_KEY_ALIASES.get(k, k): v for k, v in kw.items()}
+    return NdjsonGzipSink(path=path, **kw)
 
 
 _SOURCE_TYPES = {
@@ -105,6 +147,10 @@ _SOURCE_TYPES = {
     "json": JsonSource,
     "csv": CsvSource,
     "text": TextScannerSource,
+    # reference kawad README.md:188-196: {"type":"scanner"} reads
+    # STDIN (spooled driver-side — see TextScannerSource); with a
+    # "path" key it is the delimiter-split file scan (S2)
+    "scanner": TextScannerSource,
     "rate": RateSource,
     "memory": MemorySource,
     "mqtt_replay": MqttReplaySource,
@@ -118,12 +164,22 @@ _SOURCE_TYPES = {
     "syslog": _syslog_live_source,
     # reference kawad README.md:179-185: {"type":"journald"} (no config)
     "journald": _journald_live_source,
+    # the reference's own #1 wishlist connector (README.md:301-311):
+    # Spark's native format("kafka") + the Message envelope; replay
+    # transport where no broker/connector exists
+    "kafka": _kafka_source,
 }
 
 _SINK_TYPES = {
     "console": ConsoleSink,
+    # reference kawad README.md:271-278: {"type":"printer"} → stdout
+    "printer": ConsoleSink,
     "memory": MemorySink,
     "ndjson_gzip": NdjsonGzipSink,
+    # reference kawad README.md:254-269: bucketName/bucketRegion/
+    # customEndpoint/batchSize camelCase keys → the partitioned
+    # gzip-NDJSON sink on an s3a:// path
+    "s3": _s3_sink,
     "mqtt_replay": MqttReplaySink,
     "mqtt": _mqtt_live_sink,
     # reference kawad README.md:244-250: {"type":"runreveal",
@@ -131,6 +187,8 @@ _SINK_TYPES = {
     # generalized; "webhook" is the engine-native spelling
     "runreveal": WebhookSink,
     "webhook": WebhookSink,
+    # wishlist connector (README.md:301-311)
+    "kafka": _kafka_sink,
 }
 
 

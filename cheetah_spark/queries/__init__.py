@@ -17,6 +17,7 @@ from cheetah_spark.queries import curation  # noqa: F401
 from cheetah_spark.queries import declarative  # noqa: F401
 from cheetah_spark.queries import formats  # noqa: F401
 from cheetah_spark.queries import journald  # noqa: F401
+from cheetah_spark.queries import kafka  # noqa: F401
 from cheetah_spark.queries import mqtt  # noqa: F401
 from cheetah_spark.queries import llm  # noqa: F401
 from cheetah_spark.queries import multimodal  # noqa: F401

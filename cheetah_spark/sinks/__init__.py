@@ -115,6 +115,9 @@ class NdjsonGzipSink(Sink):
     access_key_id: Optional[str] = None
     secret_access_key: Optional[str] = None
     bucket_region: Optional[str] = None
+    # reference batchSize (x/s3/s3.go: messages per flushed gz object,
+    # default 100) → Spark's per-file row cap; None = one file per task
+    batch_size: Optional[int] = None
 
     def s3a_conf(self) -> dict:
         """The hadoop conf this sink requires, keyed per-bucket.
@@ -161,13 +164,17 @@ class NdjsonGzipSink(Sink):
                 .partitionBy("y", "m", "d", "h")
                 .outputMode("append")
             )
+            if self.batch_size:
+                w = w.option("maxRecordsPerFile", self.batch_size)
             return _start(w, self.checkpoint or f"{self.path}/_checkpoint", self.trigger)
-        (
+        w = (
             out.write.mode(self.mode)
             .partitionBy("y", "m", "d", "h")
             .option("compression", "gzip")
-            .json(self.path)
         )
+        if self.batch_size:
+            w = w.option("maxRecordsPerFile", self.batch_size)
+        w.json(self.path)
         return None
 
 

