@@ -44,24 +44,32 @@ _ANCHOR_FORMAT_VERSION = "2"
 _memo: dict = {}
 
 
-def _builder_identity(build, params: str) -> str:
+def _src_digest(fn) -> str:
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        src = getattr(fn, "__qualname__", repr(fn))
+    return hashlib.sha256(src.encode()).hexdigest()[:16]
+
+
+def _builder_identity(build, params: str, helpers: tuple = ()) -> str:
     """Code-identity component of the staleness key (round-6 verdict
     item #1): hash of the builder function's OWN SOURCE plus the
     explicit ``params`` string, so editing the builder's body (new
     constant, different tie-break) invalidates its persisted anchors
     even when the author forgets to bump ``params``.
 
-    Scope (r7 advice): the guarantee covers the builder's own body and
-    ``params`` — NOT transitive helpers the builder calls (X.hash56,
-    _bloom_positions_spark, load_table) or captured module constants
-    not echoed into ``params``. An edit to a shared helper must either
-    ride in ``params`` or bump ``_ANCHOR_FORMAT_VERSION`` above (the
-    knob for anything that shifts every builder's output at once).
-    Hashing the transitive closure was considered and rejected: source
-    capture of a call graph is brittle (import cycles, decorators) and
-    the helpers in question are the differential-tested primitives the
-    oracle itself pins — a silent change there fails the hash gate
-    loudly anyway.
+    ``helpers`` (r8 verdict item #9, promoting the r7 advice nit):
+    DECLARED value-defining callables the builder delegates to
+    (X.hash56, a shared expression builder, an operator entry point)
+    are source-hashed into the identity too, so editing a helper's
+    body invalidates its dependents' persisted anchors without a
+    manual ``params`` bump. Declaration beats automatic
+    transitive-closure capture (considered and rejected: source
+    capture of a call graph is brittle across import cycles and
+    decorators); anything NOT declared still needs ``params`` or the
+    ``_ANCHOR_FORMAT_VERSION`` knob, and the differential hash gate
+    remains the loud backstop for silent helper drift.
 
     Source is the right granularity: it is stable across
     processes/machines (unlike code-object hashes, which vary with
@@ -69,12 +77,11 @@ def _builder_identity(build, params: str) -> str:
     builder's definition changes.  Builders whose source is
     unavailable (C extensions, exec'd code) degrade to their qualified
     name — ``params`` then carries the versioning burden, as before."""
-    try:
-        src = inspect.getsource(build)
-    except (OSError, TypeError):
-        src = getattr(build, "__qualname__", repr(build))
-    digest = hashlib.sha256(src.encode()).hexdigest()[:16]
-    return f"fmt:{_ANCHOR_FORMAT_VERSION};code:{digest};params:{params}"
+    digest = _src_digest(build)
+    helper_part = ""
+    if helpers:
+        helper_part = ";helpers:" + ",".join(_src_digest(h) for h in helpers)
+    return f"fmt:{_ANCHOR_FORMAT_VERSION};code:{digest}{helper_part};params:{params}"
 
 
 def _source_key(sf_dir: str, source_tables: tuple[str, ...]) -> str:
@@ -101,6 +108,7 @@ def anchor_df(
     source_tables: tuple[str, ...],
     build,
     params: str = "",
+    helpers: tuple = (),
 ) -> DataFrame:
     """Return the anchor table ``name`` for ``sf_dir``, building it
     with ``build(spark, sf_dir) -> DataFrame`` only when no fresh
@@ -115,7 +123,7 @@ def anchor_df(
     or param changes invalidate persisted anchors, so a code revision
     can never be silently served values computed by an older builder
     (round-5 advice + round-6 verdict item #1)."""
-    schema, rows = anchor_rows(spark, sf_dir, name, source_tables, build, params)
+    schema, rows = anchor_rows(spark, sf_dir, name, source_tables, build, params, helpers)
     return spark.createDataFrame(rows, schema)
 
 
@@ -126,11 +134,12 @@ def anchor_rows(
     source_tables: tuple[str, ...],
     build,
     params: str = "",
+    helpers: tuple = (),
 ) -> tuple:
     """Like ``anchor_df`` but returns the raw ``(schema, rows)`` memo
     entry for callers that assemble contract rows driver-side
     (``_ann_contract``) without paying a createDataFrame."""
-    identity = _builder_identity(build, params)
+    identity = _builder_identity(build, params, helpers)
     memo_key = (sf_dir, name, identity)
     if memo_key not in _memo:
         _memo[memo_key] = _load_or_build(

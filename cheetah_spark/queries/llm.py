@@ -825,49 +825,74 @@ def q_llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Guaranteed lossless for the distance bound (pigeonhole, not
     probabilistic).
 
-    Fixture-scale variant: 14-bit blocks saturate on homogeneous
-    corpora (SCALE.md round-5 finding — candidate growth ≈ n² beyond
-    ~10⁵ docs). The production dial is :func:`q_llm_simhash_wide`
-    (128-bit fingerprint, 32-bit blocks, exact-dup groups collapsed
-    before blocking)."""
+    Since round 9 the plan runs REP-COLLAPSE (the q_llm_dup_clusters
+    r8 playbook, r8 verdict item #5): the doc-level block join
+    measured α≈0.74 candidate growth at 10→25× (SCALE_PROBE) because
+    web-corpus fixtures are dominated by exact-duplicate fingerprint
+    groups that saturate 14-bit blocks. Blocking now runs over
+    DISTINCT fingerprints only; qualifying rep pairs expand back to
+    doc pairs through two fingerprint-keyed joins, and within-group
+    (hamming-0) pairs come from a group self-join — both
+    OUTPUT-bounded (only qualifying pairs are materialized), where the
+    old plan shuffled every block-collision candidate. Hamming
+    distance depends only on fingerprints, so the doc-level pair set
+    is exactly the old plan's (and the oracle's, which keeps the
+    doc-level DISTINCT-then-WHERE form)."""
     d = load_table(spark, sf_dir, "documents")
     fp = X.simhash_df(d)
+    grp = fp.select("simh").distinct()
     mask = (1 << _SH_BLOCK_BITS) - 1
-    blocks = fp.select(
-        "doc_id",
+    blocks = grp.select(
         "simh",
         F.explode(F.sequence(F.lit(0), F.lit(_SH_BLOCKS - 1))).alias("blk"),
     ).select(
-        "doc_id",
         "simh",
         "blk",
         F.call_function("shiftright", F.col("simh"), (F.col("blk") * _SH_BLOCK_BITS).cast("int"))
         .bitwiseAND(F.lit(mask))
         .alias("bval"),
     )
-    a = blocks.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("simh").alias("simh_a"), "blk", "bval"
-    )
-    b = blocks.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("simh").alias("simh_b"), "blk", "bval"
-    )
-    # Score INSIDE the block join and filter BEFORE the distinct: the
-    # hamming test is 2 integer ops per candidate, while .distinct()
-    # is a full shuffle of every candidate row — on an overloaded
-    # bucket distribution (SCALE.md finding #3: 306M candidates at 10×
-    # the fixture) the pre-filter shrinks that shuffle to just the
-    # qualifying pairs. A pair colliding in several blocks is scored
-    # identically each time, so distinct-after-filter returns exactly
-    # the distinct-then-filter rows (the r4 LSH map-side-scoring
-    # pattern; the oracle keeps the equivalent DISTINCT-then-WHERE).
+    a = blocks.select(F.col("simh").alias("simh_a"), "blk", "bval")
+    b = blocks.select(F.col("simh").alias("simh_b"), "blk", "bval")
+    # Score INSIDE the block join and filter BEFORE the distinct (the
+    # r4 LSH map-side-scoring pattern): the hamming test is 2 integer
+    # ops per candidate; .distinct() is a full shuffle of every
+    # candidate row, so it runs on qualifying pairs only.
     ham = X.hamming56(F.col("simh_a"), F.col("simh_b"))
-    return (
+    rep_pairs = (
         a.join(b, on=["blk", "bval"])
-        .where(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b", ham.alias("hamming"))
+        .where(F.col("simh_a") < F.col("simh_b"))
+        .select("simh_a", "simh_b", ham.alias("hamming"))
         .where(F.col("hamming") <= _SH_K)
         .distinct()
     )
+    # expand rep pairs to doc pairs: every doc of group(simh_a) pairs
+    # with every doc of group(simh_b) — two broadcast-eligible
+    # fingerprint-keyed joins against the (doc_id, simh) table
+    da = fp.select(F.col("simh").alias("simh_a"), F.col("doc_id").alias("da"))
+    db = fp.select(F.col("simh").alias("simh_b"), F.col("doc_id").alias("db"))
+    cross = (
+        rep_pairs.join(da, "simh_a")
+        .join(db, "simh_b")
+        .select(
+            F.least("da", "db").alias("doc_id_a"),
+            F.greatest("da", "db").alias("doc_id_b"),
+            "hamming",
+        )
+    )
+    # within-group pairs: identical fingerprints are hamming 0 ≤ k
+    x = fp.select("simh", F.col("doc_id").alias("doc_id_a"))
+    y = fp.select("simh", F.col("doc_id").alias("doc_id_b"))
+    within = (
+        x.join(y, "simh")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            X.hamming56(F.lit(0), F.lit(0)).alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 _SHW_BLK = ["blk0", "blk1", "blk2", "blk3"]
@@ -1265,6 +1290,7 @@ def _exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("embeddings",),
         q_llm_similarity_topk,
         params=_EXACT_TOPK_PARAMS,
+        helpers=(V.dot, V.l2_norm_sq),  # scoring semantics
     )
 
 
@@ -1284,6 +1310,7 @@ def _exact_topk_rows(spark: SparkSession, sf_dir: str):
         ("embeddings",),
         q_llm_similarity_topk,
         params=_EXACT_TOPK_PARAMS,
+        helpers=(V.dot, V.l2_norm_sq),  # scoring semantics
     )
 
 

@@ -1021,6 +1021,8 @@ def s_llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bloom_words_build,
         params=f"m={C._BLOOM_M};k={C._BLOOM_K};shingle={C._DECON_K};"
         f"permil={C._EVAL_PERMIL};v1",
+        # the bit layout is defined by these shared expression helpers
+        helpers=(C._bloom_positions_spark, X.shingles, X.tokens),
     )
     words = [0] * (C._BLOOM_M // 32)
     for r in word_rows:

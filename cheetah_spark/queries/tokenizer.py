@@ -135,6 +135,7 @@ def _trained(spark: SparkSession, sf_dir: str):
             ("documents",),
             _bpe_anchor_build,
             params=f"merges={_BPE_MERGES};v2",  # v2: rank -1 stats sentinel row
+            helpers=(train_bpe,),  # merge semantics live in the operator
         ).collect()
         rows.sort(key=lambda r: r.rank)
         merges = [(r.rank, r.left, r.right, r.freq) for r in rows if r.rank >= 0]
@@ -357,6 +358,8 @@ def _uni_model(spark: SparkSession, sf_dir: str) -> dict:
             "piece string, prob double",
         )
 
+    from cheetah_spark.operators.unigram import train_unigram as _tu
+
     _schema, rows = anchor_rows(
         spark,
         sf_dir,
@@ -365,6 +368,7 @@ def _uni_model(spark: SparkSession, sf_dir: str) -> dict:
         _build,
         params=f"seed={_UNI_SEED};maxlen={_UNI_MAXLEN};iters={_UNI_ITERS};"
         f"prune={_UNI_PRUNE};v1",
+        helpers=(_tu,),  # EM/prune semantics live in the operator
     )
     probs = {r.piece: float(r.prob) for r in rows}
     _uni_memo[sf_dir] = probs

@@ -119,6 +119,41 @@ def test_anchor_invalidated_when_builder_code_changes(tmp_path, spark, sf_dir):
     assert calls["n"] == 2, "re-load after memo clear must hit the new parquet"
 
 
+def test_anchor_invalidated_when_declared_helper_changes(tmp_path, spark, sf_dir):
+    """r8 verdict item #9 (promoting the r7 advice nit): a builder's
+    DECLARED helpers are part of the identity key — editing a helper's
+    source with an unchanged builder body and params must miss the
+    cache, so helper edits can't serve stale persisted anchors."""
+    sfd = _fixture_dir(tmp_path, spark, sf_dir)
+    calls = {"n": 0}
+
+    def helper(c):
+        return F.count(c)
+
+    def build(spark_, sf_):
+        calls["n"] += 1
+        return spark_.read.parquet(f"{sf_}/nation.parquet").agg(
+            helper(F.col("n_nationkey")).alias("n")
+        )
+
+    anchors.anchor_df(spark, sfd, "t_helper", ("nation",), build, params="v1", helpers=(helper,))
+    assert calls["n"] == 1
+    # same helper object → cache hit across memo clear
+    anchors._memo.clear()
+    anchors.anchor_df(spark, sfd, "t_helper", ("nation",), build, params="v1", helpers=(helper,))
+    assert calls["n"] == 1
+
+    def helper(c):  # noqa: F811 — the "edited" helper revision
+        return F.sum(c)
+
+    anchors._memo.clear()
+    got = anchors.anchor_df(
+        spark, sfd, "t_helper", ("nation",), build, params="v1", helpers=(helper,)
+    ).collect()
+    assert calls["n"] == 2, "declared helper source change must invalidate the anchor"
+    assert got[0].n != 25, "values must come from the NEW helper, not the cache"
+
+
 def test_media_fixture_invalidated_when_documents_change(tmp_path, spark, sf_dir):
     """media_fixture_dir mirrors the anchor staleness policy: a
     regenerated documents fixture must rebuild the synthesized media
