@@ -37,80 +37,85 @@ from cheetah_spark.queries import xmlio  # noqa: F401
 # every round as (1) operators new or changed this round — their
 # latest driver row predates the code — then (2) the stale cohort,
 # oldest latest-row first, so no query's most recent driver evidence
-# ever ages past ~3 rounds (50-query window / 140 queries ≈ 2.8-round
+# ever ages past ~3 rounds (50-query window / 155 queries ≈ 3.1-round
 # full rotation when nothing changes).
 #
-# Round-8 window: 8 new (syslog/journald parse + live, webhook batch +
-# live, dedup_keep, unigram tokenizer) + 2 changed (span_trim's
-# checksum reduced back to BIGINT, dup_clusters rerouted through
-# rep-collapse) + the 2 r4-latest stragglers that overflowed the r7
-# window + the 46-query r5-latest cohort = 58 names for 50 slots: the
-# 8 r5 tail names (the s_stream_* conformance family, unchanged since
-# r5 and re-verified by pytest + the local drive every round) roll to
-# the r9 rotation head — new-op evidence beats one-round-earlier
-# staleness.
+# Round-9 window: 2 new (kafka) + 6 changed (simhash_dedup rerouted
+# through rep-collapse; unigram_tokenizer's full_coverage now
+# measured; dup_clusters' rep-components persist discipline; the
+# three seq-window live sources refactored onto the shared base) +
+# the 8 remaining r5-latest names that rolled out of the r8 window
+# (r8 verdict item #4) + the r6-latest cohort oldest-first. 2+6+8=16
+# fixed slots leave 34 for the 46-name r6 cohort; the 12 tail names
+# (alphabetical order, so the roll is deterministic) move to the r10
+# head.
 CHECK_FIRST = [
-    # new this round: no driver row yet (inserted as they land)
-    "q_syslog_parse",
-    "s_syslog_live",
-    "q_journald_parse",
-    "s_journald_live",
-    "q_webhook_sink_batches",
-    "s_webhook_live",
-    "q_llm_dedup_keep",
-    "q_llm_unigram_tokenizer",
-    "q_llm_unigram_encode",
+    # new this round: no driver row yet
+    "q_kafka_envelope",
+    "s_kafka_replay",
     # changed this round: evidence predates the change
-    "q_llm_span_trim",
-    "q_llm_dup_clusters",
-    # r4-stale stragglers (slots 51-52 of the r7 window)
-    "q_udf_surface",
-    "q_union_fanin",
-    # r5-stale cohort (latest driver row: round 5), oldest-first policy
-    "q_approx_distinct_hll",
-    "q_approx_quantile_cd",
-    "q_conditional_agg",
-    "q_deser_xml",
-    "q_exact_percentile",
-    "q_llm_ann_ivf",
-    "q_llm_ann_ivfpq",
-    "q_llm_ann_lsh",
-    "q_llm_ann_pq",
-    "q_llm_chunk_windows",
-    "q_llm_decontaminate",
-    "q_llm_dedup_pipeline",
-    "q_llm_embed_quantize",
-    "q_llm_ngram_jaccard",
-    "q_llm_pack_sequences",
-    "q_llm_pii_redact",
-    "q_llm_repetition",
-    "q_llm_sample_stratified",
-    "q_llm_semdedup",
-    "q_llm_shuffle_shards",
     "q_llm_simhash_dedup",
-    "q_llm_similarity_topk",
-    "q_llm_span_dedup",
-    "q_llm_text_stats",
-    "q_llm_tfidf_topterms",
-    "q_llm_vocab_coverage",
-    "q_mqtt_envelope",
-    "q_null_semantics",
-    "q_scan_csv",
-    "q_scan_ndjson",
-    "q_scan_orc",
-    "q_sql_subqueries",
-    "q_stats_moments",
-    "q_udtf_surface",
-    "q_window_analytic",
-    "q_window_frame_running",
-    "q_window_ntile",
+    "q_llm_unigram_tokenizer",
+    "q_llm_dup_clusters",
+    "s_syslog_live",
+    "s_journald_live",
+    "s_mqtt_live",
+    # r5-stale cohort (rolled out of the r8 window; s_mqtt_live above)
     "q_window_rank",
     "s_eventlog_live",
     "s_llm_minhash_dedup",
-    "s_mqtt_live",
     "s_stream_dedup",
     "s_stream_identity",
     "s_stream_stateful_counter",
     "s_stream_static_join",
     "s_stream_stream_join",
+    # r6-stale cohort (latest driver row: round 6), alphabetical
+    "q_approx_heavy_cmsketch",
+    "q_arrow_surface",
+    "q_asof_join",
+    "q_broadcast_join",
+    "q_bucketed_join",
+    "q_config_curation",
+    "q_config_pipeline",
+    "q_deser_json",
+    "q_events_funnel",
+    "q_events_histogram",
+    "q_events_path_topk",
+    "q_events_retention",
+    "q_events_transitions",
+    "q_filter_pred",
+    "q_flatmap_explode",
+    "q_graph_pagerank",
+    "q_hash_join_inner",
+    "q_hypertable_rollup",
+    "q_latest_by_key",
+    "q_llm_bigram_logprob",
+    "q_llm_bloom_decontaminate",
+    "q_llm_bpe_encode",
+    "q_llm_dsir_select",
+    "q_llm_dup_clusters_wide",
+    "q_llm_embed_dedup",
+    "q_llm_simhash_wide",
+    "q_llm_unigram_logprob",
+    "q_multimodal_codec_roundtrip",
+    "q_multimodal_decode",
+    "q_multimodal_framesample",
+    "q_multimodal_resize",
+    "q_multiway_join_tpch",
+    "q_outer_joins",
+    "q_scalar_datetime",
+    # --- slot 50 boundary is here when every name above registers;
+    # the r6 tail below rolls to the r10 rotation head ---
+    "q_scan_binary_files",
+    "q_scan_project",
+    "q_scan_schema_merge",
+    "q_scd2_history",
+    "q_sec_anomaly_zscore",
+    "q_sec_beacon_detect",
+    "q_semi_anti_join",
+    "q_session_window",
+    "q_sink_partition_prune",
+    "q_theta_range_join",
+    "s_config_curation",
+    "s_llm_embed_dedup",
 ]
