@@ -64,9 +64,16 @@ def force(df) -> None:
 def drop_stream_sinks(spark) -> None:
     """Release memory-sink tables left by streaming queries — they pin
     their rows in driver memory and skew later measurements."""
+    import glob as _glob
+    import shutil as _shutil
+
     for t in spark.catalog.listTables():
         if t.name.startswith("sink_"):
             spark.catalog.dropTempView(t.name)
+    # parquet spools from run_stream_to_files (already materialized by
+    # the time a query finishes) — same hygiene, disk instead of heap
+    for d in _glob.glob("/tmp/cheetah_spark_ckpt/spool_*"):
+        _shutil.rmtree(d, ignore_errors=True)
 
 
 # One-time derivations excluded from per-query timings by warm_up —

@@ -668,6 +668,19 @@ def _stream_minhash_flagged(
         src_dir, streaming=True, max_files_per_trigger=max_files_per_trigger
     ).read(spark)
 
+    # a file-stream micro-batch has ONE partition per admitted file
+    # (the replay fixtures write one row group each, so the scan can't
+    # split them) — at mfpt=2 the Arrow signature stage would run on 2
+    # of 32 cores. Fan the batch out to every core BEFORE the sig
+    # compute: the shuffle moves raw text once per micro-batch (cheap),
+    # the compute parallelism goes cluster-wide, and batch membership —
+    # the unit the state machine sees — is untouched, so the flagged
+    # set is unchanged. Measured at the 25× probe: 63 s of the 68 s
+    # wall was the 2-core signature stage; repartitioned it reads
+    # 17.2 s warm. On a real Kafka/file ingest with many source
+    # partitions this is a no-op-sized rebalance, not a new cost.
+    fanout = spark.sparkContext.defaultParallelism
+
     def banded(df):
         # map-only signature: Spark rejects an aggregation (the batch
         # _minhash_sigs_of shape) ahead of a streaming agg, and the
@@ -675,7 +688,7 @@ def _stream_minhash_flagged(
         # 12.8 s vs 4.0 s for the Arrow-vectorized fold at sf0.1 (r7
         # verdict item #7; engine floor ~1 s, so the sig WAS the wall)
         return (
-            minhash_sigs_arrow(df)
+            minhash_sigs_arrow(df.repartition(fanout))
             # shingle-less docs have NULL sigs (no near-dup identity) —
             # same as the batch formulation dropping them
             .where(F.col("sig").isNotNull())
@@ -695,8 +708,15 @@ def _stream_minhash_flagged(
             )
         )
 
+    # foreachBatch parquet spool, NOT the memory sink (r9): the
+    # update-mode aggregation emits ~|occupied buckets| rows per
+    # micro-batch (12 M/batch at the 25× probe, billions at 100 TB) —
+    # a memory sink pins all of that in driver memory, the spool keeps
+    # it distributed (and measured mildly faster at 25×)
+    from cheetah_spark.streaming import run_stream_to_files
+
     with scoped_state_partitions(spark):
-        sunk = run_stream_to_completion(
+        sunk = run_stream_to_files(
             stream,
             lambda df: banded(df)
             .groupBy("b", "bucket")

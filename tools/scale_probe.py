@@ -104,9 +104,16 @@ def drop_stream_sinks(spark) -> None:
     driver JVM into GC thrash — measured: q_llm_simhash_wide at 25×
     read 8 s in a fresh session vs 77-115 s (or an outright OOM) late
     in a session that never dropped them."""
+    import glob as _glob
+    import shutil as _shutil
+
     for t in spark.catalog.listTables():
         if t.name.startswith("sink_"):
             spark.catalog.dropTempView(t.name)
+    # parquet spools from run_stream_to_files (already materialized by
+    # the time a query finishes) — same hygiene, disk instead of heap
+    for d in _glob.glob("/tmp/cheetah_spark_ckpt/spool_*"):
+        _shutil.rmtree(d, ignore_errors=True)
 
 
 def main() -> None:
