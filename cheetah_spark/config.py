@@ -239,6 +239,23 @@ def build_transform(cfg: Mapping[str, Any]) -> Handler:
         col = cfg["column"]
         alias = cfg.get("alias", col)
         return lambda df: df.withColumn(alias, F.explode(F.col(col)))
+    if kind == "repartition":
+        # declarative parallelism binding: fan the (micro-)batch out to
+        # `n` partitions (default: the cluster's defaultParallelism)
+        # before compute-heavy transforms. A file-stream micro-batch
+        # carries one scan partition per admitted file, so without this
+        # a heavy map chain runs on #files cores regardless of cluster
+        # width (measured on s_config_curation at the 25× probe —
+        # see SCALE.md, r9). Optional `columns` hash-partitions by key
+        # instead of round-robin (pre-shuffling for a downstream agg).
+        n = cfg.get("n")
+        cols = list(cfg.get("columns", []))
+
+        def fan_out(df: DataFrame) -> DataFrame:
+            num = int(n) if n is not None else df.sparkSession.sparkContext.defaultParallelism
+            return df.repartition(num, *cols) if cols else df.repartition(num)
+
+        return fan_out
     if kind == "sql":
         query = cfg["query"]
         view = cfg.get("view", "__input__")

@@ -275,6 +275,12 @@ def s_config_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_files_per_trigger": 2,
         },
         "transforms": [
+            # fan each micro-batch out to every core BEFORE the regex
+            # chain: the file stream admits 2 single-row-group files
+            # per trigger = 2 scan partitions, which starves the map
+            # chain on a wide cluster (the s_llm_minhash_dedup r9
+            # finding, SCALE.md) — row placement is agg-irrelevant
+            {"type": "repartition"},
             {"type": "quality_score", "column": "text", "as": "quality", "threshold": 0.5},
             {"type": "with_column", "name": "text", "expr": _PLANT_EXPR},
             {"type": "pii_redact", "column": "text"},

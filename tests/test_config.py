@@ -502,3 +502,36 @@ def test_stratified_sample_transform_from_config(spark, sf_dir):
         .collect()
     }
     assert got == want and 0 < len(got) < d.count()
+
+
+def test_repartition_transform_from_config(spark, sf_dir):
+    """The declarative repartition transform fans a narrow scan out to
+    the requested width (or defaultParallelism when n is omitted)
+    without changing the rows — the micro-batch starvation fix as
+    config data (SCALE.md r9: a file-stream batch has one partition
+    per admitted file, so a heavy map chain runs on #files cores
+    unless fanned out)."""
+    from cheetah_spark.catalog import table_path
+    from cheetah_spark.config import build_transform
+
+    d = spark.read.parquet(table_path(sf_dir, "documents")).coalesce(1)
+    assert d.rdd.getNumPartitions() == 1
+
+    out = build_transform({"type": "repartition", "n": 7})(d)
+    assert out.rdd.getNumPartitions() == 7
+    assert out.count() == d.count()
+
+    default = build_transform({"type": "repartition"})(d)
+    assert default.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    # keyed variant pre-shuffles by column: every lang lands in one
+    # partition (hash partitioning), row multiset unchanged
+    keyed = build_transform({"type": "repartition", "n": 4, "columns": ["lang"]})(d)
+    spread = (
+        keyed.rdd.mapPartitions(lambda it: [len({r.lang for r in it})])
+        .filter(lambda n: n > 0)
+        .collect()
+    )
+    n_langs = d.select("lang").distinct().count()
+    assert sum(spread) == n_langs  # each lang in exactly one partition
+    assert keyed.count() == d.count()
