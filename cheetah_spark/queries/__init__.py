@@ -37,7 +37,7 @@ from cheetah_spark.queries import xmlio  # noqa: F401
 # every round as (1) operators new or changed this round — their
 # latest driver row predates the code — then (2) the stale cohort,
 # oldest latest-row first, so no query's most recent driver evidence
-# ever ages past ~3 rounds (50-query window / 155 queries ≈ 3.1-round
+# ever ages past ~3 rounds (50-query window / 156 queries ≈ 3.1-round
 # full rotation when nothing changes).
 #
 # Round-9 window: 2 new (kafka) + 6 changed (simhash_dedup rerouted
@@ -53,6 +53,7 @@ CHECK_FIRST = [
     # new this round: no driver row yet
     "q_kafka_envelope",
     "s_kafka_replay",
+    "q_llm_embed_pca",
     # changed this round: evidence predates the change
     "q_llm_simhash_dedup",
     "q_llm_unigram_tokenizer",

@@ -2732,3 +2732,188 @@ def q_llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_incoming") - F.coalesce(F.col("n_novel"), F.lit(0))).alias("n_hit_index"),
         F.coalesce(F.col("n_new_unique"), F.lit(0)).alias("n_new_unique"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA over the embedding corpus (dimensionality reduction / whitening ahead
+# of PQ or ANN indexing — the OPQ-style preprocessing step)
+# ---------------------------------------------------------------------------
+
+_PCA_D = 16  # components kept (of _ED_DIM=64)
+_PCA_SNAP = 1 << 20  # q = floor(x·2^20 + 0.5): one IEEE mul+floor per element
+_PCA_EVR_FLOOR = 0.25  # measured top-16/64 EVR ≈ 0.28-0.33 at sf0.001-0.1
+
+
+@register(
+    "q_llm_embed_pca",
+    oracle=f"""
+        WITH x AS (
+            SELECT CAST(i - 1 AS INT) AS dim,
+                   CAST(floor(CAST(embedding AS DOUBLE[])[i] * {_PCA_SNAP} + 0.5)
+                        AS BIGINT) AS q
+            FROM embeddings, UNNEST(range(1, 65)) AS t(i)
+        )
+        SELECT dim,
+               COUNT(*)::BIGINT AS n_vecs,
+               SUM(q)::BIGINT AS sum_q,
+               SUM(q * q)::BIGINT AS sum_q2,
+               {_PCA_D} AS pca_d,
+               TRUE AS orthonormal,
+               TRUE AS eigs_nonincreasing,
+               TRUE AS explained_ge_floor,
+               TRUE AS pythagoras_ok,
+               TRUE AS proj_centered,
+               TRUE AS proj_var_matches
+        FROM x GROUP BY dim
+    """,
+    tags=("llm", "vector", "iterative"),
+)
+def q_llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide PCA over the embedding table — the standard
+    dimensionality-reduction / decorrelation step a training-data
+    pipeline runs before product quantization or ANN indexing (the
+    rotation half of OPQ; Ge et al., CVPR 2013 — public description).
+
+    The fit is one distributed pass with BOUNDED driver state, the
+    same shape every 100 TB-safe model fit in this module uses
+    (kmeans, unigram): each partition emits ONE partial (count, Σx,
+    Gram XᵀX) row via mapInPandas (a d×d numpy matmul per Arrow
+    batch), the driver folds ≤ #partitions such rows into the d×d
+    covariance — never a vector of corpus size — and `numpy.eigh` on
+    the 64×64 matrix is microseconds. Applying the rotation is a
+    second map-only pass (broadcast μ and V; batch matmul).
+
+    Contract (the unigram/bpe pattern — an eigendecomposition is not
+    SQL-expressible, so the oracle pins what SQL CAN compute plus
+    invariants measured FOR REAL from the fitted model, one row per
+    input dimension):
+
+    - ``n_vecs``/``sum_q``/``sum_q2``: per-dimension snapped-integer
+      first/second moments, hash-exact in both engines (one IEEE
+      multiply + floor per element, exact BIGINT sums) — proves the
+      distributed moment pass reads every value the oracle reads;
+    - ``orthonormal`` (max |VᵀV − I| < 1e-8), ``eigs_nonincreasing``,
+      ``pythagoras_ok`` (Σ all eigenvalues = trace(Cov) within 1e-8);
+    - ``explained_ge_floor``: top-16/64 explained-variance ratio
+      ≥ 0.25 (_PCA_EVR_FLOOR) — the floor sits just under the measured
+      operating point so an index-quality regression flips the hash;
+    - ``proj_centered`` / ``proj_var_matches``: the rotation APPLIED
+      corpus-wide (second distributed pass) has per-component mean 0
+      and variance equal to its eigenvalue — decimal-exact
+      order-independent sums, compared on the driver at 16 scalars.
+    """
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    # --- pass 1a: hash-exact per-dim snapped moments (the SQL mirror)
+    xd = e.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"))
+    q = F.floor(F.col("x") * F.lit(float(_PCA_SNAP)) + F.lit(0.5)).cast("long")
+    moments = (
+        xd.select(F.col("dim").cast("int").alias("dim"), q.alias("q"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum("q").cast("bigint").alias("sum_q"),
+            F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sum_q2"),
+        )
+    )
+
+    # --- pass 1b: covariance from one partial (n, Σx, XᵀX) row per
+    # partition (driver folds ≤ #partitions rows — bounded state)
+    def gram_partial(batches):
+        G = None
+        s = None
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Vm = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            if G is None:
+                G = Vm.T @ Vm
+                s = Vm.sum(axis=0)
+            else:
+                G += Vm.T @ Vm
+                s += Vm.sum(axis=0)
+            n += len(Vm)
+        if n:
+            yield pd.DataFrame({"g": [G.ravel().tolist()], "s": [s.tolist()], "n": [n]})
+
+    parts = (
+        e.select("embedding")
+        .mapInPandas(gram_partial, "g array<double>, s array<double>, n long")
+        .collect()
+    )
+    dim = len(parts[0].s)
+    G = np.zeros((dim, dim))
+    s = np.zeros(dim)
+    n = 0
+    for r in parts:
+        G += np.array(r.g).reshape(dim, dim)
+        s += np.array(r.s)
+        n += r.n
+    mu = s / n
+    cov = G / n - np.outer(mu, mu)  # population covariance
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    lam = evals[::-1].copy()  # descending
+    d = min(_PCA_D, dim)  # degenerate corpora (dim < 16) still fit
+    W = evecs[:, ::-1][:, :d].copy()
+
+    total_var = float(np.trace(cov))
+    orthonormal = bool(np.abs(W.T @ W - np.eye(d)).max() < 1e-8)
+    eigs_nonincreasing = bool(np.all(np.diff(lam) <= 1e-12))
+    evr = float(lam[:d].sum()) / max(total_var, 1e-12)
+    explained_ge_floor = bool(evr >= _PCA_EVR_FLOOR)
+    pythagoras_ok = bool(abs(float(lam.sum()) - total_var) <= 1e-8 * max(1.0, total_var))
+
+    # --- pass 2: APPLY the rotation corpus-wide; per-component
+    # decimal-exact sums (order-independent) vs the eigenvalues
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Vm = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            P = (Vm - mu) @ W
+            m = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "comp": np.tile(np.arange(d, dtype=np.int32), m),
+                    "p": P.ravel(),
+                }
+            )
+
+    psums = (
+        e.select("embedding")
+        .mapInPandas(project, "comp int, p double")
+        .groupBy("comp")
+        .agg(
+            dsum("p").alias("sp"),
+            dsum(F.col("p") * F.col("p")).alias("sp2"),
+        )
+        .collect()
+    )
+    proj_centered = True
+    proj_var_matches = True
+    for r in psums:
+        mean_j = r.sp / n
+        var_j = r.sp2 / n - mean_j * mean_j
+        if abs(mean_j) > 1e-5:
+            proj_centered = False
+        # measured deviation ≈ 1e-6 relative (decimal-truncation of p²
+        # at 6 places, n-scaled); 1e-4 rel + 1e-8 abs is ~100× headroom
+        if abs(var_j - lam[r.comp]) > 1e-4 * max(lam[r.comp], 1e-9) + 1e-8:
+            proj_var_matches = False
+
+    return moments.select(
+        "dim",
+        "n_vecs",
+        "sum_q",
+        "sum_q2",
+        F.lit(d).cast("int").alias("pca_d"),
+        F.lit(orthonormal).alias("orthonormal"),
+        F.lit(eigs_nonincreasing).alias("eigs_nonincreasing"),
+        F.lit(explained_ge_floor).alias("explained_ge_floor"),
+        F.lit(pythagoras_ok).alias("pythagoras_ok"),
+        F.lit(proj_centered).alias("proj_centered"),
+        F.lit(proj_var_matches).alias("proj_var_matches"),
+    )
