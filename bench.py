@@ -48,13 +48,13 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 WARM_SF_DIR = "/root/testdata/sf0.001"  # tiny: warm-up work, not load
 
 # Committed quiet-window identity baseline (sec per 1e6 rows, median of
-# [0.0428, 0.044, 0.0461] — BASELINE.md r8 table). The identity pipeline
+# [0.0449, 0.0374, 0.0369] — BASELINE.md r9 table). The identity pipeline
 # is pure codegen with zero per-round code drift, so THIS run's identity
 # median divided by the committed value is a pure host-contention canary:
 # ~1.0 means a quiet window; the r8 driver pass read 3.07x and its 8
 # apparent >2x per-query "regressions" were all contention (verdict r8
 # item 3). Updated only when BASELINE.md's identity row is re-baselined.
-BASELINE_IDENTITY_SEC = 0.044
+BASELINE_IDENTITY_SEC = 0.0374
 
 
 def force(df) -> None:

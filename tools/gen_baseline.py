@@ -19,6 +19,15 @@ REPO = Path(__file__).resolve().parent.parent
 MARK = "## Self-baseline"
 
 
+def _ident_base() -> float:
+    """The canary denominator, read from bench.py so the disclosure
+    cannot drift from the constant the ratio was computed with."""
+    import re
+
+    src = (REPO / "bench.py").read_text()
+    return float(re.search(r"BASELINE_IDENTITY_SEC = ([0-9.]+)", src).group(1))
+
+
 def main() -> None:
     full = json.loads((REPO / "BENCH_FULL.json").read_text())
     md = (REPO / "BASELINE.md").read_text()
@@ -52,7 +61,7 @@ def main() -> None:
         "",
         f"- sample counts: {json.dumps(full.get('n_samples', {}))} (pass2={full.get('pass2')})",
         f"- identity samples (sec per 1e6 rows, median-of-3 reported): {ident_samples}",
-        f"- contention_ratio (identity median / committed 0.044 s quiet-window",
+        f"- contention_ratio (identity median / committed {_ident_base()} s quiet-window",
         f"  baseline): {full.get('contention_ratio', 'n/a')} — >~1.5 marks the whole",
         "  run host-contended; single-sample >2x per-query rows from such a run",
         "  are `weak` (not regressions) until re-measured min-of-N in a quiet",

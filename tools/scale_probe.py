@@ -62,6 +62,7 @@ EMB_QUERIES = [
     "q_llm_embed_dedup",
     "q_llm_semdedup",
     "q_llm_kmeans",
+    "q_llm_embed_pca",  # r9: two-pass fit/apply — should track n_vecs linearly
     "q_llm_ann_lsh",
     "q_llm_ann_ivf",
     "q_llm_ann_pq",
