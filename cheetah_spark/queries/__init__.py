@@ -37,23 +37,24 @@ from cheetah_spark.queries import xmlio  # noqa: F401
 # every round as (1) operators new or changed this round — their
 # latest driver row predates the code — then (2) the stale cohort,
 # oldest latest-row first, so no query's most recent driver evidence
-# ever ages past ~3 rounds (50-query window / 156 queries ≈ 3.1-round
+# ever ages past ~3 rounds (50-query window / 157 queries ≈ 3.1-round
 # full rotation when nothing changes).
 #
-# Round-9 window: 2 new (kafka) + 6 changed (simhash_dedup rerouted
-# through rep-collapse; unigram_tokenizer's full_coverage now
-# measured; dup_clusters' rep-components persist discipline; the
-# three seq-window live sources refactored onto the shared base) +
-# the 8 remaining r5-latest names that rolled out of the r8 window
-# (r8 verdict item #4) + the r6-latest cohort oldest-first. 2+6+8=16
-# fixed slots leave 34 for the 46-name r6 cohort; the 12 tail names
-# (alphabetical order, so the roll is deterministic) move to the r10
-# head.
+# Round-9 window: 4 new (kafka envelope/replay, batch+streaming PCA)
+# + 6 changed (simhash_dedup rerouted through rep-collapse;
+# unigram_tokenizer's full_coverage now measured; dup_clusters'
+# rep-components persist discipline; the three seq-window live
+# sources refactored onto the shared base) + the 8 remaining
+# r5-latest names that rolled out of the r8 window (r8 verdict item
+# #4) + the r6-latest cohort oldest-first. 4+6+8=18 fixed slots leave
+# 32 for the 46-name r6 cohort; the 14 tail names (alphabetical
+# order, so the roll is deterministic) move to the r10 head.
 CHECK_FIRST = [
     # new this round: no driver row yet
     "q_kafka_envelope",
     "s_kafka_replay",
     "q_llm_embed_pca",
+    "s_llm_embed_pca",
     # changed this round: evidence predates the change
     "q_llm_simhash_dedup",
     "q_llm_unigram_tokenizer",
@@ -103,10 +104,10 @@ CHECK_FIRST = [
     "q_multimodal_framesample",
     "q_multimodal_resize",
     "q_multiway_join_tpch",
-    "q_outer_joins",
-    "q_scalar_datetime",
     # --- slot 50 boundary is here when every name above registers;
     # the r6 tail below rolls to the r10 rotation head ---
+    "q_outer_joins",
+    "q_scalar_datetime",
     "q_scan_binary_files",
     "q_scan_project",
     "q_scan_schema_merge",

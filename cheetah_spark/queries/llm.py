@@ -2744,28 +2744,122 @@ _PCA_SNAP = 1 << 20  # q = floor(x·2^20 + 0.5): one IEEE mul+floor per element
 _PCA_EVR_FLOOR = 0.25  # measured top-16/64 EVR ≈ 0.28-0.33 at sf0.001-0.1
 
 
+# shared by the batch operator and s_llm_embed_pca (queries/streams.py):
+# same contract, same oracle — the streaming fit must land on the same
+# moments and the same invariant flags as the batch fit
+_PCA_ORACLE = f"""
+    WITH x AS (
+        SELECT CAST(i - 1 AS INT) AS dim,
+               CAST(floor(CAST(embedding AS DOUBLE[])[i] * {_PCA_SNAP} + 0.5)
+                    AS BIGINT) AS q
+        FROM embeddings, UNNEST(range(1, 65)) AS t(i)
+    )
+    SELECT dim,
+           COUNT(*)::BIGINT AS n_vecs,
+           SUM(q)::BIGINT AS sum_q,
+           SUM(q * q)::BIGINT AS sum_q2,
+           {_PCA_D} AS pca_d,
+           TRUE AS orthonormal,
+           TRUE AS eigs_nonincreasing,
+           TRUE AS explained_ge_floor,
+           TRUE AS pythagoras_ok,
+           TRUE AS proj_centered,
+           TRUE AS proj_var_matches
+    FROM x GROUP BY dim
+"""
+
+
+def _pca_eigfit(G, s, n):
+    """Fold raw moments (Gram G = ΣxxT, s = Σx, count n) into the fitted
+    model + the four fit-invariant flags. Driver-side on a d×d matrix."""
+    import numpy as np
+
+    dim = len(s)
+    mu = s / n
+    cov = G / n - np.outer(mu, mu)  # population covariance
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    lam = evals[::-1].copy()  # descending
+    d = min(_PCA_D, dim)  # degenerate corpora (dim < 16) still fit
+    W = evecs[:, ::-1][:, :d].copy()
+
+    total_var = float(np.trace(cov))
+    flags = {
+        "orthonormal": bool(np.abs(W.T @ W - np.eye(d)).max() < 1e-8),
+        "eigs_nonincreasing": bool(np.all(np.diff(lam) <= 1e-12)),
+        "explained_ge_floor": bool(
+            float(lam[:d].sum()) / max(total_var, 1e-12) >= _PCA_EVR_FLOOR
+        ),
+        "pythagoras_ok": bool(
+            abs(float(lam.sum()) - total_var) <= 1e-8 * max(1.0, total_var)
+        ),
+    }
+    return mu, W, lam, d, flags
+
+
+def _pca_apply_flags(e: DataFrame, mu, W, lam, n: int, d: int):
+    """APPLY the rotation corpus-wide (map-only pass, broadcast μ/W);
+    per-component decimal-exact sums (order-independent) checked
+    against the eigenvalues on the driver at d scalars."""
+    import numpy as np
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Vm = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            P = (Vm - mu) @ W
+            m = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "comp": np.tile(np.arange(d, dtype=np.int32), m),
+                    "p": P.ravel(),
+                }
+            )
+
+    psums = (
+        e.select("embedding")
+        .mapInPandas(project, "comp int, p double")
+        .groupBy("comp")
+        .agg(
+            dsum("p").alias("sp"),
+            dsum(F.col("p") * F.col("p")).alias("sp2"),
+        )
+        .collect()
+    )
+    proj_centered = True
+    proj_var_matches = True
+    for r in psums:
+        mean_j = r.sp / n
+        var_j = r.sp2 / n - mean_j * mean_j
+        if abs(mean_j) > 1e-5:
+            proj_centered = False
+        # measured deviation ≈ 1e-6 relative (decimal-truncation of p²
+        # at 6 places, n-scaled); 1e-4 rel + 1e-8 abs is ~100× headroom
+        if abs(var_j - lam[r.comp]) > 1e-4 * max(lam[r.comp], 1e-9) + 1e-8:
+            proj_var_matches = False
+    return proj_centered, proj_var_matches
+
+
+def _pca_output(moments: DataFrame, d: int, flags: dict, proj_centered: bool,
+                proj_var_matches: bool) -> DataFrame:
+    return moments.select(
+        "dim",
+        "n_vecs",
+        "sum_q",
+        "sum_q2",
+        F.lit(d).cast("int").alias("pca_d"),
+        F.lit(flags["orthonormal"]).alias("orthonormal"),
+        F.lit(flags["eigs_nonincreasing"]).alias("eigs_nonincreasing"),
+        F.lit(flags["explained_ge_floor"]).alias("explained_ge_floor"),
+        F.lit(flags["pythagoras_ok"]).alias("pythagoras_ok"),
+        F.lit(proj_centered).alias("proj_centered"),
+        F.lit(proj_var_matches).alias("proj_var_matches"),
+    )
+
+
 @register(
     "q_llm_embed_pca",
-    oracle=f"""
-        WITH x AS (
-            SELECT CAST(i - 1 AS INT) AS dim,
-                   CAST(floor(CAST(embedding AS DOUBLE[])[i] * {_PCA_SNAP} + 0.5)
-                        AS BIGINT) AS q
-            FROM embeddings, UNNEST(range(1, 65)) AS t(i)
-        )
-        SELECT dim,
-               COUNT(*)::BIGINT AS n_vecs,
-               SUM(q)::BIGINT AS sum_q,
-               SUM(q * q)::BIGINT AS sum_q2,
-               {_PCA_D} AS pca_d,
-               TRUE AS orthonormal,
-               TRUE AS eigs_nonincreasing,
-               TRUE AS explained_ge_floor,
-               TRUE AS pythagoras_ok,
-               TRUE AS proj_centered,
-               TRUE AS proj_var_matches
-        FROM x GROUP BY dim
-    """,
+    oracle=_PCA_ORACLE,
     tags=("llm", "vector", "iterative"),
 )
 def q_llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2852,68 +2946,8 @@ def q_llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         G += np.array(r.g).reshape(dim, dim)
         s += np.array(r.s)
         n += r.n
-    mu = s / n
-    cov = G / n - np.outer(mu, mu)  # population covariance
-    evals, evecs = np.linalg.eigh(cov)  # ascending
-    lam = evals[::-1].copy()  # descending
-    d = min(_PCA_D, dim)  # degenerate corpora (dim < 16) still fit
-    W = evecs[:, ::-1][:, :d].copy()
+    mu, W, lam, d, flags = _pca_eigfit(G, s, n)
 
-    total_var = float(np.trace(cov))
-    orthonormal = bool(np.abs(W.T @ W - np.eye(d)).max() < 1e-8)
-    eigs_nonincreasing = bool(np.all(np.diff(lam) <= 1e-12))
-    evr = float(lam[:d].sum()) / max(total_var, 1e-12)
-    explained_ge_floor = bool(evr >= _PCA_EVR_FLOOR)
-    pythagoras_ok = bool(abs(float(lam.sum()) - total_var) <= 1e-8 * max(1.0, total_var))
-
-    # --- pass 2: APPLY the rotation corpus-wide; per-component
-    # decimal-exact sums (order-independent) vs the eigenvalues
-    def project(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            Vm = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            P = (Vm - mu) @ W
-            m = len(pdf)
-            yield pd.DataFrame(
-                {
-                    "comp": np.tile(np.arange(d, dtype=np.int32), m),
-                    "p": P.ravel(),
-                }
-            )
-
-    psums = (
-        e.select("embedding")
-        .mapInPandas(project, "comp int, p double")
-        .groupBy("comp")
-        .agg(
-            dsum("p").alias("sp"),
-            dsum(F.col("p") * F.col("p")).alias("sp2"),
-        )
-        .collect()
-    )
-    proj_centered = True
-    proj_var_matches = True
-    for r in psums:
-        mean_j = r.sp / n
-        var_j = r.sp2 / n - mean_j * mean_j
-        if abs(mean_j) > 1e-5:
-            proj_centered = False
-        # measured deviation ≈ 1e-6 relative (decimal-truncation of p²
-        # at 6 places, n-scaled); 1e-4 rel + 1e-8 abs is ~100× headroom
-        if abs(var_j - lam[r.comp]) > 1e-4 * max(lam[r.comp], 1e-9) + 1e-8:
-            proj_var_matches = False
-
-    return moments.select(
-        "dim",
-        "n_vecs",
-        "sum_q",
-        "sum_q2",
-        F.lit(d).cast("int").alias("pca_d"),
-        F.lit(orthonormal).alias("orthonormal"),
-        F.lit(eigs_nonincreasing).alias("eigs_nonincreasing"),
-        F.lit(explained_ge_floor).alias("explained_ge_floor"),
-        F.lit(pythagoras_ok).alias("pythagoras_ok"),
-        F.lit(proj_centered).alias("proj_centered"),
-        F.lit(proj_var_matches).alias("proj_var_matches"),
-    )
+    # --- pass 2: APPLY the rotation corpus-wide (see _pca_apply_flags)
+    proj_centered, proj_var_matches = _pca_apply_flags(e, mu, W, lam, n, d)
+    return _pca_output(moments, d, flags, proj_centered, proj_var_matches)

@@ -1121,3 +1121,116 @@ def s_stream_topk_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where(F.col("rk") <= _TOPTALK_K).select(
         "rk", "user_id", "n_events", F.col("sv").cast("double").alias("sum_value")
     )
+
+
+from cheetah_spark.queries.llm import _PCA_ORACLE as _PCA_ORACLE_SHARED  # noqa: E402
+
+
+@register(
+    "s_llm_embed_pca",
+    # the batch operator's oracle verbatim (same string object — no
+    # drift possible): a fully-drained streaming moment accumulation
+    # must land on the identical fitted model
+    oracle=_PCA_ORACLE_SHARED,
+    tags=("streaming", "llm", "vector", "stateful", "iterative"),
+)
+def s_llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING PCA fit over the embedding ingest — the moment
+    accumulation a 100 TB pipeline would run AT INGEST so the rotation
+    model is ready the moment the corpus is: as vectors arrive, each
+    micro-batch explodes into (key, measure) rows for the d first
+    moments, the d snapped integer moment pairs, and the d² Gram
+    products, and ONE complete-mode streaming aggregation carries the
+    running sums — O(d + d²) state rows (4,160 at d=64) REGARDLESS of
+    corpus size, the covariance-tracking analogue of the per-bucket
+    min state the streaming dedup family keeps.
+
+    Exactness: the integer moment sums are exact by construction; the
+    Σx / Σx·y measures use decimal(38,12) casts (each product is one
+    IEEE multiply on identical operands, and decimal sums are
+    order/partitioning/micro-batch-slicing independent), so the
+    drained state is BIT-EQUAL to the batch pass regardless of
+    admission granularity — which is why this query can share
+    q_llm_embed_pca's oracle verbatim. The eigendecomposition + the
+    corpus-wide rotation check then reuse the batch helpers
+    (_pca_eigfit / _pca_apply_flags) on the drained state.
+
+    The micro-batch is fanned out to defaultParallelism before the
+    explode (the r9 starvation finding, SCALE.md): the d²-row explode
+    is the compute-heavy stage, and the file stream admits 2 scan
+    partitions per trigger."""
+    import numpy as np
+
+    from cheetah_spark.catalog import table_path
+    from cheetah_spark.queries.llm import (
+        _PCA_SNAP,
+        _pca_apply_flags,
+        _pca_eigfit,
+        _pca_output,
+    )
+    from cheetah_spark.streaming import embeddings_raw_stream_dir
+
+    src_dir = embeddings_raw_stream_dir(spark, sf_dir)
+    stream = ParquetSource(
+        src_dir, streaming=True, max_files_per_trigger=2
+    ).read(spark)
+    fanout = spark.sparkContext.defaultParallelism
+    dim = len(
+        spark.read.parquet(table_path(sf_dir, "embeddings"))
+        .select("embedding").head().embedding
+    )
+
+    _DEC12 = "decimal(38,12)"
+
+    def moment_rows(df):
+        df = df.repartition(fanout)
+        arr = F.col("embedding").cast("array<double>")
+        # keys 0..dim-1: per-dim moments (snapped ints ride along)
+        per_dim = df.select(F.posexplode(arr).alias("i", "x")).select(
+            F.col("i").cast("long").alias("key"),
+            F.floor(F.col("x") * F.lit(float(_PCA_SNAP)) + F.lit(0.5))
+            .cast("long")
+            .alias("q"),
+            F.col("x").alias("x"),
+        )
+        # keys dim..dim+dim²-1: Gram products x_i·x_j (flattened i*dim+j)
+        prods = F.flatten(
+            F.transform(arr, lambda xi: F.transform(arr, lambda xj: xi * xj))
+        )
+        gram = df.select(F.posexplode(prods).alias("g", "x")).select(
+            (F.col("g").cast("long") + F.lit(dim)).alias("key"),
+            F.lit(None).cast("long").alias("q"),
+            F.col("x").alias("x"),
+        )
+        return per_dim.unionByName(gram).groupBy("key").agg(
+            F.count("q").cast("bigint").alias("n"),
+            F.sum("q").cast("bigint").alias("sum_q"),
+            F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sum_q2"),
+            F.sum(F.col("x").cast(_DEC12)).cast("double").alias("sum_x"),
+        )
+
+    with scoped_state_partitions(spark):
+        drained = run_stream_to_completion(
+            stream, moment_rows, output_mode="complete"
+        ).collect()
+
+    by_key = {int(r.key): r for r in drained}
+    n = int(by_key[0].n)
+    s = np.array([by_key[i].sum_x for i in range(dim)])
+    G = np.array(
+        [by_key[dim + i * dim + j].sum_x for i in range(dim) for j in range(dim)]
+    ).reshape(dim, dim)
+    mu, W, lam, d, flags = _pca_eigfit(G, s, n)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    proj_centered, proj_var_matches = _pca_apply_flags(e, mu, W, lam, n, d)
+
+    moments = spark.createDataFrame(
+        [
+            (i, int(by_key[i].n), int(by_key[i].sum_q), int(by_key[i].sum_q2))
+            for i in range(dim)
+        ],
+        "dim int, n_vecs bigint, sum_q bigint, sum_q2 bigint",
+    )
+    return _pca_output(moments, d, flags, proj_centered, proj_var_matches)
+

@@ -285,6 +285,17 @@ def documents_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> 
     )
 
 
+def embeddings_raw_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """UNaugmented embeddings replay feed (the table as-is, vec_id
+    slice per file): for streaming operators whose oracle reads the
+    `embeddings` table verbatim (s_llm_embed_pca) — the dedup feed
+    above plants perturbed copies and would shift every moment."""
+    return _ordered_stream_dir(
+        spark, sf_dir, "embeddings", ("vec_id",), n_files,
+        f"embeddings_raw_stream_{n_files}",
+    )
+
+
 def embeddings_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     """Embeddings replay feed, augmented with the SAME deterministic
     perturbed copies as q_llm_embed_dedup (vec_id + offset, component 1
