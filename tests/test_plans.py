@@ -445,3 +445,49 @@ def test_stream_minhash_sig_is_single_arrow_stage(spark, sf_dir):
     # repeats each node once more in the detail section
     assert p.count("MapInArrow (") == 1, p
     assert "BatchEvalPython" not in p, p  # no row-at-a-time Python
+
+
+def test_embed_pca_moments_partial_agg_and_pruned_scan(spark, sf_dir):
+    """q_llm_embed_pca's hash-exact moment pass: per-dim integer sums
+    must partially aggregate map-side (the shuffle carries 64 partial
+    rows per task, not n×64 exploded rows) and the parquet scan must
+    read ONLY the embedding column."""
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.queries.llm import _PCA_SNAP
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    xd = e.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"))
+    q = F.floor(F.col("x") * F.lit(float(_PCA_SNAP)) + F.lit(0.5)).cast("long")
+    moments = (
+        xd.select(F.col("dim").cast("int").alias("dim"), q.alias("q"))
+        .groupBy("dim")
+        .agg(F.sum("q").alias("sum_q"))
+    )
+    p = plan(moments)
+    assert "partial_sum" in p or "partial sum" in p.lower(), p
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "vec_id" not in read_schema[0], read_schema
+
+
+def test_stream_minhash_fans_out_before_arrow_stage(spark, sf_dir):
+    """The r9 starvation fix: the streaming signature plan must carry a
+    round-robin Exchange (the micro-batch fan-out) BENEATH the Arrow
+    stage, so a refactor can't silently pin the sig compute back to
+    #admitted-files cores."""
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.queries.llm import minhash_sigs_arrow
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fanout = spark.sparkContext.defaultParallelism
+    p = plan(minhash_sigs_arrow(d.repartition(fanout)))
+    assert "MapInArrow" in p, p
+    assert "RoundRobinPartitioning" in p, p
+    # the exchange must be BELOW the Arrow stage (executes first):
+    # formatted-plan node numbering increases downward in the tree,
+    # so assert order in the simple string form instead
+    simple = plan(minhash_sigs_arrow(d.repartition(fanout)), "simple")
+    arrow_at = simple.index("MapInArrow")
+    exch_at = simple.index("RoundRobinPartitioning")
+    assert exch_at > arrow_at, simple  # deeper in the tree = printed later
