@@ -1052,10 +1052,19 @@ def s_llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = documents_stream_dir(spark, sf_dir)
     stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=2).read(spark)
 
+    # micro-batch fan-out BEFORE the probe chain (the r9 starvation
+    # finding, SCALE.md): the file stream admits 2 single-row-group
+    # files per trigger = 2 scan partitions, and the shingle-assembly
+    # + k-bit-probe expressions are the compute-heavy stage — measured
+    # min-of-2: 8.0 → 5.3 s at 1×, 145.1 → 64.7 s at 25×. Streaming
+    # side only: the shared bloom_probe_transform stays map-only (its
+    # plan pin), batch scans already partition properly.
+    fanout = spark.sparkContext.defaultParallelism
+
     with scoped_state_partitions(spark):
         out = run_stream_to_completion(
             stream,
-            lambda df: bloom_probe_transform(df, bloom_row),
+            lambda df: bloom_probe_transform(df.repartition(fanout), bloom_row),
             output_mode="complete",
         )
     return out.select(
