@@ -46,9 +46,9 @@ from cheetah_spark.queries import xmlio  # noqa: F401
 # rep-components persist discipline; the three seq-window live
 # sources refactored onto the shared base) + the 8 remaining
 # r5-latest names that rolled out of the r8 window (r8 verdict item
-# #4) + the r6-latest cohort oldest-first. 4+6+8=18 fixed slots leave
-# 32 for the 46-name r6 cohort; the 14 tail names (alphabetical
-# order, so the roll is deterministic) move to the r10 head.
+# #4) + the r6-latest cohort oldest-first. 4+8+8=20 fixed slots leave
+# 30 for the r6 cohort; the tail names (alphabetical order, so the
+# roll is deterministic) move to the r10 head.
 CHECK_FIRST = [
     # new this round: no driver row yet
     "q_kafka_envelope",
@@ -62,6 +62,9 @@ CHECK_FIRST = [
     "s_syslog_live",
     "s_journald_live",
     "s_mqtt_live",
+    # changed this round (micro-batch fan-out; latest rows r6/r7)
+    "s_config_curation",
+    "s_llm_bloom_decontaminate",
     # r5-stale cohort (rolled out of the r8 window; s_mqtt_live above)
     "q_window_rank",
     "s_eventlog_live",
@@ -102,10 +105,10 @@ CHECK_FIRST = [
     "q_multimodal_codec_roundtrip",
     "q_multimodal_decode",
     "q_multimodal_framesample",
-    "q_multimodal_resize",
-    "q_multiway_join_tpch",
     # --- slot 50 boundary is here when every name above registers;
     # the r6 tail below rolls to the r10 rotation head ---
+    "q_multimodal_resize",
+    "q_multiway_join_tpch",
     "q_outer_joins",
     "q_scalar_datetime",
     "q_scan_binary_files",
@@ -118,6 +121,5 @@ CHECK_FIRST = [
     "q_session_window",
     "q_sink_partition_prune",
     "q_theta_range_join",
-    "s_config_curation",
     "s_llm_embed_dedup",
 ]

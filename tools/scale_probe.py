@@ -85,6 +85,10 @@ HIGH_ALPHA = [
     # tier (the batch chain was probed in r6; this bounds the
     # streaming-engine constant on the same transforms)
     "s_config_curation",
+    # r9: the remaining fanned-out streaming chains + the new
+    # streaming PCA — keep their 25× rows measured per-round
+    "s_llm_bloom_decontaminate",
+    "s_llm_embed_pca",
 ]
 
 # r8: q_llm_dup_clusters now runs the rep-collapse composition (the
