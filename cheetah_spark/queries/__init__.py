@@ -40,14 +40,15 @@ from cheetah_spark.queries import xmlio  # noqa: F401
 # ever ages past ~3 rounds (50-query window / 157 queries ≈ 3.1-round
 # full rotation when nothing changes).
 #
-# Round-9 window: 4 new (kafka envelope/replay, batch+streaming PCA)
+# Round-9 window: 6 new (kafka envelope/replay, batch+streaming PCA,
+# window distinct-count, dataset card)
 # + 6 changed (simhash_dedup rerouted through rep-collapse;
 # unigram_tokenizer's full_coverage now measured; dup_clusters'
 # rep-components persist discipline; the three seq-window live
 # sources refactored onto the shared base) + the 8 remaining
 # r5-latest names that rolled out of the r8 window (r8 verdict item
-# #4) + the r6-latest cohort oldest-first. 4+8+8=20 fixed slots leave
-# 30 for the r6 cohort; the tail names (alphabetical order, so the
+# #4) + the r6-latest cohort oldest-first. 6+8+8=22 fixed slots leave
+# 28 for the r6 cohort; the tail names (alphabetical order, so the
 # roll is deterministic) move to the r10 head.
 CHECK_FIRST = [
     # new this round: no driver row yet
@@ -55,6 +56,8 @@ CHECK_FIRST = [
     "s_kafka_replay",
     "q_llm_embed_pca",
     "s_llm_embed_pca",
+    "q_window_distinct_count",
+    "q_llm_dataset_card",
     # changed this round: evidence predates the change
     "q_llm_simhash_dedup",
     "q_llm_unigram_tokenizer",
@@ -103,10 +106,10 @@ CHECK_FIRST = [
     "q_llm_simhash_wide",
     "q_llm_unigram_logprob",
     "q_multimodal_codec_roundtrip",
-    "q_multimodal_decode",
-    "q_multimodal_framesample",
     # --- slot 50 boundary is here when every name above registers;
     # the r6 tail below rolls to the r10 rotation head ---
+    "q_multimodal_decode",
+    "q_multimodal_framesample",
     "q_multimodal_resize",
     "q_multiway_join_tpch",
     "q_outer_joins",

@@ -2034,3 +2034,70 @@ def q_llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(sel, F.col("doc_id"))).alias("max_sel_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_llm_dataset_card",
+    oracle=f"""
+        SELECT lang,
+               COUNT(*)::BIGINT AS n_docs,
+               COUNT(DISTINCT source)::BIGINT AS n_sources,
+               CAST(SUM(len({X.oracle_tokens("text", X.TOKEN_RE)})) AS BIGINT)
+                   AS total_tokens,
+               SUM(n_chars)::BIGINT AS total_chars,
+               {oracle_snap("quantile_cont(n_chars, 0.5)")} AS p50_chars,
+               {oracle_snap("quantile_cont(n_chars, 0.9)")} AS p90_chars,
+               COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+                   ::BIGINT AS n_distinct_fp
+        FROM documents GROUP BY lang
+    """,
+    tags=("llm", "curation", "report"),
+)
+def q_llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-language dataset card every training-data pipeline
+    publishes with a corpus drop: volume (docs, chars, BPE-ish
+    tokens), provenance breadth (distinct sources), length shape
+    (exact p50/p90 chars, the q_exact_percentile shared-buffer +
+    snap convention), and exact-duplicate structure (distinct
+    content fingerprints — n_docs − n_distinct_fp IS the removable
+    exact-dup mass, the first number a dedup pass is sized by).
+
+    One hash-partial aggregation per language: every measure is
+    map-side combinable except the two COUNT(DISTINCT)s, which Spark
+    plans as expand+two-phase aggregation — still one shuffle keyed
+    by lang, no per-doc pairs materialized. At 100 TB this is a scan
+    + one lang-keyed exchange."""
+    from cheetah_spark.functions.text import norm_text
+
+    d = load_table(spark, sf_dir, "documents")
+    pcts = F.percentile("n_chars", F.array(F.lit(0.5), F.lit(0.9)))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.sum(F.size(X.tokens(F.col("text"), X.TOKEN_RE)))
+            .cast("bigint")
+            .alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            pcts.alias("pcts"),
+            F.countDistinct(F.md5(norm_text(F.col("text"))))
+            .cast("bigint")
+            .alias("n_distinct_fp"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_sources",
+            "total_tokens",
+            "total_chars",
+            snap(F.element_at("pcts", 1)).alias("p50_chars"),
+            snap(F.element_at("pcts", 2)).alias("p90_chars"),
+            "n_distinct_fp",
+        )
+    )

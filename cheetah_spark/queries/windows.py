@@ -293,3 +293,51 @@ def _quantile_cd_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return parts_cd.join(orders_cd, "l_returnflag").join(bands, "l_returnflag")
+
+
+@register(
+    "q_window_distinct_count",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(COUNT(DISTINCT event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS INT) AS running_types,
+               CAST(COUNT(DISTINCT user_id) OVER (
+                   PARTITION BY date_trunc('hour', ts)
+               ) AS INT) AS hour_users
+        FROM events
+    """,
+    tags=("window", "distinct"),
+)
+def q_window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregates over window frames — a real engine-surface
+    gap: Spark has no native ``COUNT(DISTINCT ...) OVER``, so the
+    declared formulation is ``size(collect_set(...))`` over the same
+    frame, exactly equal by definition (a set's size IS the distinct
+    count) and hash-verified against DuckDB's native DISTINCT window
+    aggregate. Two frame shapes:
+
+    - ``running_types``: running distinct event types per user over a
+      fully tie-broken (ts, event_id) order — the "how many distinct
+      actions has this principal taken so far" security rollup;
+    - ``hour_users``: distinct active users per hour over the whole
+      partition (unordered frame).
+
+    Scale: collect_set keeps one set per frame in executor memory —
+    O(|distinct within partition|), NOT partition row count, and the
+    only shuffles are the two window sorts. For distinct cardinalities
+    that don't fit (100 TB security telemetry), the approximate tier
+    is q_approx_distinct_hll's sketch per group; this operator is the
+    exact tier."""
+    e = load_table(spark, sf_dir, "events")
+    running = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    hourly = W.partitionBy(F.date_trunc("hour", F.col("ts")))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(running)).cast("int").alias("running_types"),
+        F.size(F.collect_set("user_id").over(hourly)).cast("int").alias("hour_users"),
+    )
