@@ -70,6 +70,9 @@ _MQTT_KEY_ALIASES = {
     "topicPattern": "topic_pattern",
     "startingOffsets": "starting_offsets",
     "capturePath": "capture_path",
+    # redis (wishlist #2): camelCase keys for the RESP connector
+    "startID": "start_id",
+    "pollMs": "poll_ms",
 }
 
 
@@ -81,6 +84,18 @@ def _mqtt_live_source(**kw):  # lazy: keeps the paho gate out of import time
     from cheetah_spark.sources.mqtt_live import MqttLiveSource
 
     return MqttLiveSource(**_alias(kw))
+
+
+def _redis_source(**kw):
+    from cheetah_spark.sources.redis_live import RedisSource
+
+    return RedisSource(**_alias(kw))
+
+
+def _redis_sink(**kw):
+    from cheetah_spark.sources.redis_live import RedisStreamSink
+
+    return RedisStreamSink(**_alias(kw))
 
 
 def _eventlog_live_source(**kw):
@@ -168,6 +183,8 @@ _SOURCE_TYPES = {
     # Spark's native format("kafka") + the Message envelope; replay
     # transport where no broker/connector exists
     "kafka": _kafka_source,
+    # wishlist #2 (README.md:301-311): Redis Streams over stdlib RESP
+    "redis": _redis_source,
 }
 
 _SINK_TYPES = {
@@ -189,6 +206,7 @@ _SINK_TYPES = {
     "webhook": WebhookSink,
     # wishlist connector (README.md:301-311)
     "kafka": _kafka_sink,
+    "redis": _redis_sink,
 }
 
 

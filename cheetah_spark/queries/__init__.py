@@ -19,6 +19,7 @@ from cheetah_spark.queries import formats  # noqa: F401
 from cheetah_spark.queries import journald  # noqa: F401
 from cheetah_spark.queries import kafka  # noqa: F401
 from cheetah_spark.queries import mqtt  # noqa: F401
+from cheetah_spark.queries import redis  # noqa: F401
 from cheetah_spark.queries import llm  # noqa: F401
 from cheetah_spark.queries import multimodal  # noqa: F401
 from cheetah_spark.queries import regression  # noqa: F401
@@ -40,15 +41,15 @@ from cheetah_spark.queries import xmlio  # noqa: F401
 # ever ages past ~3 rounds (50-query window / 157 queries ≈ 3.1-round
 # full rotation when nothing changes).
 #
-# Round-9 window: 6 new (kafka envelope/replay, batch+streaming PCA,
-# window distinct-count, dataset card)
+# Round-9 window: 8 new (kafka envelope/replay, redis envelope/replay,
+# batch+streaming PCA, window distinct-count, dataset card)
 # + 6 changed (simhash_dedup rerouted through rep-collapse;
 # unigram_tokenizer's full_coverage now measured; dup_clusters'
 # rep-components persist discipline; the three seq-window live
 # sources refactored onto the shared base) + the 8 remaining
 # r5-latest names that rolled out of the r8 window (r8 verdict item
-# #4) + the r6-latest cohort oldest-first. 6+8+8=22 fixed slots leave
-# 28 for the r6 cohort; the tail names (alphabetical order, so the
+# #4) + the r6-latest cohort oldest-first. 8+8+8=24 fixed slots leave
+# 26 for the r6 cohort; the tail names (alphabetical order, so the
 # roll is deterministic) move to the r10 head.
 CHECK_FIRST = [
     # new this round: no driver row yet
@@ -58,6 +59,8 @@ CHECK_FIRST = [
     "s_llm_embed_pca",
     "q_window_distinct_count",
     "q_llm_dataset_card",
+    "q_redis_envelope",
+    "s_redis_replay",
     # changed this round: evidence predates the change
     "q_llm_simhash_dedup",
     "q_llm_unigram_tokenizer",
@@ -104,10 +107,10 @@ CHECK_FIRST = [
     "q_llm_dup_clusters_wide",
     "q_llm_embed_dedup",
     "q_llm_simhash_wide",
-    "q_llm_unigram_logprob",
-    "q_multimodal_codec_roundtrip",
     # --- slot 50 boundary is here when every name above registers;
     # the r6 tail below rolls to the r10 rotation head ---
+    "q_llm_unigram_logprob",
+    "q_multimodal_codec_roundtrip",
     "q_multimodal_decode",
     "q_multimodal_framesample",
     "q_multimodal_resize",
