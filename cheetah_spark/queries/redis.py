@@ -137,6 +137,7 @@ def s_redis_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         transport="replay",
         capture_path=redis_capture_dir(spark, sf_dir),
         stream=_STREAM,
+        chunk_size=10000,  # multi-batch admission: offset windows exercised
         streaming=True,
     )
     out = run_stream_to_completion(

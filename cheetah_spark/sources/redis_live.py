@@ -141,8 +141,6 @@ class MiniRedisServer:
         self._sock.listen(16)
         self.addr = "%s:%d" % self._sock.getsockname()
         self._streams: dict[str, list] = {}
-        self._auto_ms = 0
-        self._auto_seq = 0
         self._lock = threading.Lock()
         self._closing = False
         threading.Thread(target=self._accept_loop, daemon=True).start()
@@ -195,8 +193,14 @@ class MiniRedisServer:
             with self._lock:
                 rows = self._streams.setdefault(stream, [])
                 if sid == "*":
-                    self._auto_ms, self._auto_seq = self._auto_ms, self._auto_seq + 1
-                    sid = f"{self._auto_ms}-{self._auto_seq}"
+                    # real Redis allocates max(top, wall-clock-ms)+1; the
+                    # loopback takes the deterministic half of that max —
+                    # strictly top+1 — so '*' always succeeds regardless
+                    # of any explicit <ms>-<seq> ids already in the
+                    # stream (round-10 advice: the old 0-n counter
+                    # collided with pre-populated explicit ids)
+                    top_ms, top_seq = _id_key(rows[-1][0]) if rows else (0, 0)
+                    sid = f"{top_ms}-{top_seq + 1}"
                 if rows and _id_key(sid) <= _id_key(rows[-1][0]):
                     raise ValueError(
                         "The ID specified in XADD is equal or smaller than the "
@@ -292,22 +296,36 @@ class _XReadPoller:
 
 @dataclass
 class RedisReplayFactory:
-    """NDJSON capture stand-in (schema: stream, id, fields)."""
+    """NDJSON capture stand-in (schema: stream, id, fields). Delivers
+    ``chunk_size`` entries per ``pump()`` call (one per micro-batch
+    ``read()``) so the streaming/batch agreement gate exercises
+    multi-batch admission and offset windows the way the syslog /
+    journald replay adapters do (round-10 advice: the old factory
+    drained the whole capture during construction, collapsing
+    ``s_redis_replay`` to a single micro-batch). ``chunk_size<=0``
+    keeps the drain-at-construction behavior."""
 
     capture_path: str = ""
+    chunk_size: int = 0
 
     def __call__(self, on_entry, on_error):
-        class _Pump:
-            def close(self_inner):
-                pass
+        adapter = _RedisReplayPump(self, on_entry)
+        if self.chunk_size <= 0:
+            adapter.pump_all()
+        return adapter
 
-        names = (
-            sorted(os.listdir(self.capture_path))
-            if os.path.isdir(self.capture_path)
-            else [""]
-        )
+
+class _RedisReplayPump:
+    def __init__(self, factory: RedisReplayFactory, on_entry):
+        self._factory = factory
+        self._on_entry = on_entry
+        self._gen = self._deliveries()
+
+    def _iter_capture(self):
+        path = self._factory.capture_path
+        names = sorted(os.listdir(path)) if os.path.isdir(path) else [""]
         for name in names:
-            fp = os.path.join(self.capture_path, name) if name else self.capture_path
+            fp = os.path.join(path, name) if name else path
             if name and not (name.endswith(".json") or name.endswith(".ndjson")):
                 continue
             with open(fp) as fh:
@@ -316,8 +334,29 @@ class RedisReplayFactory:
                     if not line:
                         continue
                     rec = json.loads(line)
-                    on_entry(rec["stream"], rec["id"], rec["fields"])
-        return _Pump()
+                    yield rec["stream"], rec["id"], rec["fields"]
+
+    def _deliveries(self):
+        delivered = 0
+        for stream, sid, fields in self._iter_capture():
+            self._on_entry(stream, sid, fields)
+            delivered += 1
+            cs = self._factory.chunk_size
+            if cs > 0 and delivered % cs == 0:
+                yield
+
+    def pump(self):
+        try:
+            next(self._gen)
+        except StopIteration:
+            pass
+
+    def pump_all(self):
+        for _ in self._gen:  # pragma: no cover - chunk_size=0 never yields
+            pass
+
+    def close(self):
+        pass
 
 
 def _redis_factory(options) -> Callable:
@@ -330,7 +369,10 @@ def _redis_factory(options) -> Callable:
             poll_ms=int(options.get("poll_ms") or 25),
         )
     if transport == "replay":
-        return RedisReplayFactory(capture_path=options.get("capture_path") or "")
+        return RedisReplayFactory(
+            capture_path=options.get("capture_path") or "",
+            chunk_size=int(options.get("chunk_size") or 0),
+        )
     raise ValueError(f"redis: unknown transport {transport!r} (socket|replay)")
 
 
@@ -394,6 +436,7 @@ class RedisSource(Source):
     poll_ms: int = 25
     transport: str = "socket"  # socket | replay
     capture_path: str = ""
+    chunk_size: int = 0  # replay: entries delivered per micro-batch (0 = all)
     streaming: bool = True
 
     def read(self, spark: SparkSession) -> DataFrame:
@@ -430,6 +473,7 @@ class RedisSource(Source):
             ("start_id", self.start_id),
             ("poll_ms", str(self.poll_ms)),
             ("capture_path", self.capture_path),
+            ("chunk_size", str(self.chunk_size) if self.chunk_size else ""),
         ):
             if v:
                 reader = reader.option(k, v)
@@ -448,8 +492,12 @@ class RedisStreamSink(Sink):
     stream: str = "out"
     transport: str = "socket"  # socket | replay
     capture_path: str = ""
+    checkpoint: Optional[str] = None
+    trigger: Optional[dict] = None
 
     def write(self, df: DataFrame):
+        from cheetah_spark.sinks import _start
+
         t = self.transport.lower()
         cols = set(df.columns)
         stream_col = F.col("stream") if "stream" in cols else F.lit(self.stream)
@@ -463,6 +511,18 @@ class RedisStreamSink(Sink):
             stream_col.alias("stream"), id_col.alias("id"), fields_col.alias("fields")
         )
         if t == "replay":
+            # streaming frames route through writeStream like KafkaSink's
+            # capture path (round-10 advice: a config pipeline with a
+            # streaming source and a redis sink must start, not raise)
+            if df.isStreaming:
+                w = (
+                    out.writeStream.format("json")
+                    .option("path", self.capture_path)
+                    .outputMode("append")
+                )
+                return _start(
+                    w, self.checkpoint or f"{self.capture_path}/_checkpoint", self.trigger
+                )
             out.write.mode("append").json(self.capture_path)
             return None
         if t != "socket":
@@ -480,5 +540,17 @@ class RedisStreamSink(Sink):
                 if client is not None:
                     client.close()
 
+        if df.isStreaming:
+            import uuid as _uuid
+
+            w = out.writeStream.foreachBatch(
+                lambda batch, _id: batch.foreachPartition(send)
+            ).outputMode("append")
+            return _start(
+                w,
+                self.checkpoint
+                or f"/tmp/cheetah_spark_ckpt/redis_{_uuid.uuid4().hex[:8]}",
+                self.trigger,
+            )
         out.foreachPartition(send)
         return None

@@ -123,6 +123,31 @@ def test_redis_live_socket_streaming_end_to_end(spark):
         srv.close()
 
 
+def test_miniserver_xadd_auto_id_interleaved():
+    """Real-Redis '*' semantics (round-10 advice): auto ids derive from
+    the stream's top entry, so interleaving explicit <ms>-<seq> XADDs
+    with '*' XADDs always succeeds — the old 0-n counter collided with
+    any pre-populated explicit id."""
+    srv = MiniRedisServer()
+    c = RedisClient(srv.addr)
+    try:
+        assert c.xadd("mix", "*", {"k": "a"}) == "0-1"  # empty stream
+        assert c.xadd("mix", "500-0", {"k": "b"}) == "500-0"
+        assert c.xadd("mix", "*", {"k": "c"}) == "500-1"  # top+1
+        assert c.xadd("mix", "500-7", {"k": "d"}) == "500-7"
+        assert c.xadd("mix", "*", {"k": "e"}) == "500-8"
+        assert [sid for sid, _ in c.xrange("mix")] == [
+            "0-1",
+            "500-0",
+            "500-1",
+            "500-7",
+            "500-8",
+        ]
+    finally:
+        c.close()
+        srv.close()
+
+
 def test_redis_sink_source_roundtrip_socket(spark):
     """RedisStreamSink XADDs per partition over real sockets; the
     batch RedisSource XRANGEs the identical entries back."""
@@ -161,6 +186,73 @@ def test_redis_config_types(spark):
 
     sink = build_sink({"type": "redis", "addr": "127.0.0.1:6379", "stream": "out"})
     assert isinstance(sink, RedisStreamSink)
+
+
+def test_redis_sink_streaming_socket(spark, tmp_path):
+    """A STREAMING frame through the socket sink (round-10 advice: the
+    sink must branch on isStreaming like every other registry sink) —
+    rows XADD'd per micro-batch via foreachBatch land on the loopback
+    server; ids are server-assigned ('*' path)."""
+    srv = MiniRedisServer()
+    try:
+        feed = tmp_path / "feed"
+        feed.mkdir()
+        (feed / "a.json").write_text(
+            "\n".join(
+                json.dumps({"stream": "sq", "id": f"{900 + i}-0", "fields": "{}"})
+                for i in range(6)
+            )
+        )
+        src = (
+            spark.readStream.schema("stream string, id string, fields string")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(feed))
+        )
+        q = RedisStreamSink(
+            addr=srv.addr,
+            transport="socket",
+            checkpoint=str(tmp_path / "ckpt"),
+        ).write(src)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        c = RedisClient(srv.addr)
+        try:
+            assert [sid for sid, _ in c.xrange("sq")] == [f"{900 + i}-0" for i in range(6)]
+        finally:
+            c.close()
+    finally:
+        srv.close()
+
+
+def test_redis_sink_streaming_replay(spark, tmp_path):
+    """The replay-transport streaming branch: capture written via
+    writeStream, readable back by the batch replay source."""
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "a.json").write_text(
+        "\n".join(
+            json.dumps(
+                {"stream": "cap", "id": f"{700 + i}-0", "fields": json.dumps({"i": str(i)})}
+            )
+            for i in range(5)
+        )
+    )
+    src = (
+        spark.readStream.schema("stream string, id string, fields string")
+        .json(str(feed))
+    )
+    cap_dir = str(tmp_path / "capture")
+    q = RedisStreamSink(transport="replay", capture_path=cap_dir).write(src)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = RedisSource(
+        transport="replay", capture_path=cap_dir, stream="cap", streaming=False
+    ).read(spark)
+    assert back.count() == 5
 
 
 def test_redis_replay_streaming_matches_batch(spark, sf_dir):
