@@ -73,6 +73,9 @@ _MQTT_KEY_ALIASES = {
     # redis (wishlist #2): camelCase keys for the RESP connector
     "startID": "start_id",
     "pollMs": "poll_ms",
+    # nats (wishlist #3): camelCase keys for the NATS connector
+    "chunkSize": "chunk_size",
+    "replyTo": "reply_to",
 }
 
 
@@ -96,6 +99,18 @@ def _redis_sink(**kw):
     from cheetah_spark.sources.redis_live import RedisStreamSink
 
     return RedisStreamSink(**_alias(kw))
+
+
+def _nats_source(**kw):
+    from cheetah_spark.sources.nats_live import NatsSource
+
+    return NatsSource(**_alias(kw))
+
+
+def _nats_sink(**kw):
+    from cheetah_spark.sources.nats_live import NatsSink
+
+    return NatsSink(**_alias(kw))
 
 
 def _eventlog_live_source(**kw):
@@ -185,6 +200,9 @@ _SOURCE_TYPES = {
     "kafka": _kafka_source,
     # wishlist #2 (README.md:301-311): Redis Streams over stdlib RESP
     "redis": _redis_source,
+    # wishlist #3 (README.md:301-311): NATS over the plain-text client
+    # protocol on stdlib sockets
+    "nats": _nats_source,
 }
 
 _SINK_TYPES = {
@@ -207,6 +225,7 @@ _SINK_TYPES = {
     # wishlist connector (README.md:301-311)
     "kafka": _kafka_sink,
     "redis": _redis_sink,
+    "nats": _nats_sink,
 }
 
 

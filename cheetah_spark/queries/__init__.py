@@ -19,6 +19,7 @@ from cheetah_spark.queries import formats  # noqa: F401
 from cheetah_spark.queries import journald  # noqa: F401
 from cheetah_spark.queries import kafka  # noqa: F401
 from cheetah_spark.queries import mqtt  # noqa: F401
+from cheetah_spark.queries import nats  # noqa: F401
 from cheetah_spark.queries import redis  # noqa: F401
 from cheetah_spark.queries import llm  # noqa: F401
 from cheetah_spark.queries import multimodal  # noqa: F401
@@ -41,91 +42,93 @@ from cheetah_spark.queries import xmlio  # noqa: F401
 # ever ages past ~3 rounds (50-query window / 157 queries ≈ 3.1-round
 # full rotation when nothing changes).
 #
-# Round-9 window: 8 new (kafka envelope/replay, redis envelope/replay,
-# batch+streaming PCA, window distinct-count, dataset card)
-# + 6 changed (simhash_dedup rerouted through rep-collapse;
-# unigram_tokenizer's full_coverage now measured; dup_clusters'
-# rep-components persist discipline; the three seq-window live
-# sources refactored onto the shared base) + the 8 remaining
-# r5-latest names that rolled out of the r8 window (r8 verdict item
-# #4) + the r6-latest cohort oldest-first. 8+8+8=24 fixed slots leave
-# 26 for the r6 cohort; the tail names (alphabetical order, so the
-# roll is deterministic) move to the r10 head.
+# Round-10 window: 2 new (NATS envelope/replay, wishlist #3) + the
+# ops changed this round (redis replay now chunk-pumped multi-batch;
+# plus any operator touched by the r10 verdict items — ann_lsh
+# fixed-|Q|, bloom-decontaminate spooling, embed-pca ingest, syslog
+# failure counters — appended as they land) + the r6-stale cohort
+# (latest driver row: round 6 — r9 verdict item #3 names these
+# explicitly, flagship q_multiway_join_tpch first) + the oldest
+# (r7-latest) names to fill the 50-slot window, alphabetical so the
+# roll is deterministic.
 CHECK_FIRST = [
     # new this round: no driver row yet
-    "q_kafka_envelope",
-    "s_kafka_replay",
-    "q_llm_embed_pca",
-    "s_llm_embed_pca",
-    "q_window_distinct_count",
-    "q_llm_dataset_card",
-    "q_redis_envelope",
-    "s_redis_replay",
+    "q_nats_envelope",
+    "s_nats_replay",
     # changed this round: evidence predates the change
-    "q_llm_simhash_dedup",
-    "q_llm_unigram_tokenizer",
-    "q_llm_dup_clusters",
-    "s_syslog_live",
-    "s_journald_live",
-    "s_mqtt_live",
-    # changed this round (micro-batch fan-out; latest rows r6/r7)
-    "s_config_curation",
+    "s_redis_replay",
+    "q_redis_envelope",
+    "q_llm_ann_lsh",
     "s_llm_bloom_decontaminate",
-    # r5-stale cohort (rolled out of the r8 window; s_mqtt_live above)
-    "q_window_rank",
-    "s_eventlog_live",
-    "s_llm_minhash_dedup",
-    "s_stream_dedup",
-    "s_stream_identity",
-    "s_stream_stateful_counter",
-    "s_stream_static_join",
-    "s_stream_stream_join",
-    # r6-stale cohort (latest driver row: round 6), alphabetical
-    "q_approx_heavy_cmsketch",
-    "q_arrow_surface",
-    "q_asof_join",
-    "q_broadcast_join",
-    "q_bucketed_join",
-    "q_config_curation",
-    "q_config_pipeline",
-    "q_deser_json",
-    "q_events_funnel",
-    "q_events_histogram",
-    "q_events_path_topk",
-    "q_events_retention",
-    "q_events_transitions",
-    "q_filter_pred",
-    "q_flatmap_explode",
-    "q_graph_pagerank",
-    "q_hash_join_inner",
-    "q_hypertable_rollup",
-    "q_latest_by_key",
-    "q_llm_bigram_logprob",
-    "q_llm_bloom_decontaminate",
-    "q_llm_bpe_encode",
-    "q_llm_dsir_select",
-    "q_llm_dup_clusters_wide",
-    "q_llm_embed_dedup",
-    "q_llm_simhash_wide",
-    # --- slot 50 boundary is here when every name above registers;
-    # the r6 tail below rolls to the r10 rotation head ---
-    "q_llm_unigram_logprob",
-    "q_multimodal_codec_roundtrip",
-    "q_multimodal_decode",
-    "q_multimodal_framesample",
-    "q_multimodal_resize",
+    "s_llm_embed_pca",
+    "s_syslog_live",
+    # r6-stale cohort (r9 verdict item #3 — rotate ALL of these)
     "q_multiway_join_tpch",
     "q_outer_joins",
+    "q_scan_project",
+    "q_semi_anti_join",
+    "q_theta_range_join",
+    "q_session_window",
     "q_scalar_datetime",
     "q_scan_binary_files",
-    "q_scan_project",
     "q_scan_schema_merge",
     "q_scd2_history",
     "q_sec_anomaly_zscore",
     "q_sec_beacon_detect",
-    "q_semi_anti_join",
-    "q_session_window",
     "q_sink_partition_prune",
-    "q_theta_range_join",
+    "q_llm_unigram_logprob",
+    "q_multimodal_codec_roundtrip",
+    "q_multimodal_decode",
+    "q_multimodal_framesample",
+    "q_multimodal_meta",
+    "q_multimodal_resize",
     "s_llm_embed_dedup",
+    # r7-stale cohort (oldest remaining), alphabetical fill to 50
+    "q_agg_distinct",
+    "q_array_map_ops",
+    "q_cube_agg",
+    "q_distinct_dedup",
+    "q_grouping_sets",
+    "q_hash_agg",
+    "q_having_filter",
+    "q_json_ops",
+    "q_llm_ann_bruteforce",
+    "q_llm_bpe_train",
+    "q_llm_domain_mix",
+    "q_llm_entropy_filter",
+    "q_llm_exact_dedup",
+    "q_llm_fingerprint",
+    "q_llm_incremental_dedup",
+    "q_llm_kmeans",
+    "q_llm_lang_id",
+    "q_llm_minhash_dedup",
+    "q_llm_quality_regression",
+    "q_llm_quality_score",
+    "q_llm_token_count",
+    "q_llm_weighted_sample",
+    # --- slot 50 boundary (when every name above registers); the
+    # r7 tail below rolls to the r11 rotation head ---
+    "q_llm_winnow_fingerprint",
+    "q_pivot_events",
+    "q_scalar_conditional",
+    "q_scalar_math",
+    "q_scalar_string",
+    "q_scan_text_lines",
+    "q_sec_cidr_match",
+    "q_set_ops",
+    "q_skew_salted_agg",
+    "q_sort_limit_topk",
+    "q_sql_interface",
+    "q_time_window_sliding",
+    "q_time_window_tumbling",
+    "q_timeseries_gapfill",
+    "q_timeseries_m4",
+    "q_timeseries_rate",
+    "q_unpivot_events",
+    "s_stream_batcher",
+    "s_stream_rate",
+    "s_stream_session",
+    "s_stream_topk_talkers",
+    "s_stream_watermark_dropped",
+    "s_stream_watermark_late",
 ]
