@@ -55,6 +55,7 @@ CHECK_FIRST = [
     # new this round: no driver row yet
     "q_nats_envelope",
     "s_nats_replay",
+    "q_llm_ann_lsh_fixedq",
     # changed this round: evidence predates the change
     "s_redis_replay",
     "q_redis_envelope",

@@ -1314,7 +1314,13 @@ def _exact_topk_rows(spark: SparkSession, sf_dir: str):
     )
 
 
-def _ann_contract(spark: SparkSession, sf_dir: str, approx: DataFrame, recall_floor: float) -> DataFrame:
+def _ann_contract(
+    spark: SparkSession,
+    sf_dir: str,
+    approx: DataFrame,
+    recall_floor: float,
+    exact_rows_fn=None,
+) -> DataFrame:
     """Per-query contract rows for an approximate top-k result: exact
     top-1 anchors + returned-count + an aggregate recall>=floor
     boolean (pinned TRUE in the oracle).
@@ -1330,7 +1336,7 @@ def _ann_contract(spark: SparkSession, sf_dir: str, approx: DataFrame, recall_fl
     Eager-execution note: the approx pipeline runs at query-CONSTRUCTION
     time (the bounded per-query summary is collected here); the returned
     DataFrame is a precomputed local relation, not a lazy plan."""
-    _schema, exact_rows = _exact_topk_rows(spark, sf_dir)
+    _schema, exact_rows = (exact_rows_fn or _exact_topk_rows)(spark, sf_dir)
     if not exact_rows:
         # degenerate fixture (no queries / empty embeddings): fail loud
         # rather than ZeroDivisionError below — there is nothing for
@@ -1470,7 +1476,7 @@ _LSH_BITS = 4
 _LSH_DIM = 64
 
 
-def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ann_lsh_topk(spark: SparkSession, sf_dir: str, query_df=None) -> DataFrame:
     """Approximate nearest neighbors via sign-LSH banding + exact rerank.
 
     Each vector gets 16 band-bucket ids from 4-bit random-hyperplane
@@ -1534,8 +1540,11 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is a SEPARATE plan branch — bucketing it from the pre-filtered
     # scan keeps the full-corpus Arrow/numpy assign to ONE pass
     # (previously the broadcast build re-ran assign over all rows just
-    # to keep 1%; measured ~2x on the whole query).
-    q = bucketed(e.where(F.col("vec_id") % _QUERY_MOD == 0)).select(
+    # to keep 1%; measured ~2x on the whole query). query_df overrides
+    # the query side (the fixed-|Q| production mode below).
+    if query_df is None:
+        query_df = e.where(F.col("vec_id") % _QUERY_MOD == 0)
+    q = bucketed(query_df).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("nsq").alias("nsq_q"),
@@ -1588,6 +1597,113 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-visible; r6 recall curve in SCALE.md; floor also asserted in
     tests/test_llm.py::test_ann_lsh_recall)."""
     return _ann_contract(spark, sf_dir, _ann_lsh_topk(spark, sf_dir), 0.8)
+
+
+# --- fixed-|Q| LSH: the production operating point -----------------------
+#
+# q_llm_ann_lsh's contract query set GROWS with the corpus (vec_id %
+# 100 == 0 → ~1%), so total candidate work is ~n²/buckets and the
+# measured wall is superlinear (alpha 1.24 at 10→25x, r8; SCALE.md).
+# That is the evaluation contract, not how an ANN index is served: a
+# production workload is a FIXED query set (or a fixed-rate query
+# stream) against a growing corpus, where per-query cost grows only
+# with collisions-per-bucket. This operator pins |Q| = _FIXEDQ_N (the
+# smallest vec_ids — deterministic and present at every scale tier) and
+# is measured LINEAR-at-worst in corpus size in SCALE_PROBE.json
+# (r9 verdict item #1: ship the fixed-|Q| story as code, not prose).
+
+_FIXEDQ_N = 64
+
+
+def _similarity_topk_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k ground truth for the fixed query set (the anchor
+    builder — q_llm_similarity_topk's shape with |Q| pinned)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (
+        e.orderBy("vec_id")
+        .limit(_FIXEDQ_N)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            V.l2_norm_sq(F.col("embedding")).alias("nsq_q"),
+        )
+    )
+    joined = (
+        F.broadcast(q)
+        .crossJoin(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("cv"),
+                V.l2_norm_sq(F.col("embedding")).alias("nsq_c"),
+            )
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    cos = V.dot(F.col("qv"), F.col("cv")) / (F.sqrt(F.col("nsq_q")) * F.sqrt(F.col("nsq_c")))
+    scored = joined.select("query_id", "neighbor_id", cos.alias("cos_sim"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= _TOPK)
+
+
+_EXACT_TOPK_FIXEDQ_PARAMS = f"topk={_TOPK};fixedq={_FIXEDQ_N};v1"
+
+
+def _exact_topk_fixedq_rows(spark: SparkSession, sf_dir: str):
+    from cheetah_spark.anchors import anchor_rows
+
+    return anchor_rows(
+        spark,
+        sf_dir,
+        "exact_topk_fixedq",
+        ("embeddings",),
+        _similarity_topk_fixedq,
+        params=_EXACT_TOPK_FIXEDQ_PARAMS,
+        helpers=(V.dot, V.l2_norm_sq),
+    )
+
+
+@register(
+    "q_llm_ann_lsh_fixedq",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_FIXEDQ_N}
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {V.oracle_cosine("q.embedding", "c.embedding")} AS cos_sim
+            FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+            FROM scored
+        )
+        SELECT query_id, CAST({_TOPK} AS BIGINT) AS n_ret,
+               neighbor_id AS exact_top1_id, cos_sim AS exact_top1_cos,
+               TRUE AS recall_ok
+        FROM ranked WHERE rk = 1
+    """,
+    tags=("llm", "vector"),
+)
+def q_llm_ann_lsh_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN at the production operating point: a FIXED
+    {_FIXEDQ_N}-query set (smallest vec_ids — a stand-in for the fixed
+    query workload an index serves) against the growing corpus. Same
+    index, same banding, same rerank as :func:`q_llm_ann_lsh`; only
+    the query side differs — a bounded broadcast table whose size does
+    NOT scale with the corpus, so total work is one linear bucketing
+    pass plus O(|Q| x collisions/bucket) candidate scoring. Measured
+    linear-at-worst in SCALE_PROBE.json (the grow-with-corpus contract
+    row q_llm_ann_lsh stays alongside as the evaluation-mode
+    semantics)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qdf = e.orderBy("vec_id").limit(_FIXEDQ_N)
+    approx = _ann_lsh_topk(spark, sf_dir, query_df=qdf)
+    return _ann_contract(
+        spark, sf_dir, approx, 0.8, exact_rows_fn=_exact_topk_fixedq_rows
+    )
 
 
 # ---------------------------------------------------------------------------

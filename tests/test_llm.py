@@ -35,6 +35,25 @@ def test_ann_lsh_recall(spark, sf_dir):
     assert recall >= 0.8, f"LSH recall too low: {recall:.2f}"
 
 
+def test_ann_lsh_fixedq_recall_and_bound(spark, sf_dir):
+    """The fixed-|Q| production mode: same index, query side pinned to
+    the smallest _FIXEDQ_N vec_ids — recall vs ITS exact top-k holds
+    the same floor, and |Q| really is bounded (the scale story)."""
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.catalog import load_table
+    from cheetah_spark.queries.llm import _FIXEDQ_N, _ann_lsh_topk, _similarity_topk_fixedq
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qdf = e.orderBy("vec_id").limit(_FIXEDQ_N)
+    approx_df = _ann_lsh_topk(spark, sf_dir, query_df=qdf)
+    approx = _pairs(approx_df)
+    exact = _pairs(_similarity_topk_fixedq(spark, sf_dir))
+    assert approx_df.select("query_id").distinct().count() <= _FIXEDQ_N
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"fixed-|Q| LSH recall too low: {recall:.2f}"
+
+
 def test_minhash_finds_planted_near_dups(spark, sf_dir):
     """The fixtures plant ~25 near-dup pairs (Jaccard ≥ 0.9); the banded
     MinHash path must surface them all (est_jaccard ≥ 0.5 cut)."""

@@ -64,6 +64,7 @@ EMB_QUERIES = [
     "q_llm_kmeans",
     "q_llm_embed_pca",  # r9: two-pass fit/apply — should track n_vecs linearly
     "q_llm_ann_lsh",
+    "q_llm_ann_lsh_fixedq",  # r10: the fixed-|Q| production operating point
     "q_llm_ann_ivf",
     "q_llm_ann_pq",
     "q_llm_ann_ivfpq",
@@ -79,6 +80,7 @@ HIGH_ALPHA = [
     "q_llm_simhash_dedup",
     "q_llm_simhash_wide",
     "q_llm_ann_lsh",
+    "q_llm_ann_lsh_fixedq",  # r10: must separate from ann_lsh above 10x
     "s_llm_minhash_dedup",
     "s_llm_embed_dedup",
     # round-6 item #8: the full STREAMING curation chain at the top
@@ -122,6 +124,11 @@ def drop_stream_sinks(spark) -> None:
 
 
 def main() -> None:
+    # argv filtering (r10): `python tools/scale_probe.py q_a q_b` times
+    # only the named queries (every tier they are listed for) and skips
+    # the candidate-count / driver-state sections — partial output for
+    # merging into SCALE_PROBE.json with tools/merge_probe.py
+    only = set(sys.argv[1:])
     _ensure_loaded()
     spark = get_spark(app_name="cheetah_scale_probe", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     from cheetah_spark.anchors import anchor_df
@@ -156,6 +163,9 @@ def main() -> None:
         # per-fixture one-time derivations OUT of the timings (the
         # bench.py warmed policy — disclosed)
         _exact_topk(spark, sf_dir)
+        from cheetah_spark.queries.llm import _exact_topk_fixedq_rows
+
+        _exact_topk_fixedq_rows(spark, sf_dir)
         _kmeans_centroids(spark, sf_dir, _KM_ITERS)
         # semdedup's K is corpus-size-adaptive: warm THAT model too, or
         # the large-scale samples alone pay Lloyd's training inside the
@@ -175,6 +185,8 @@ def main() -> None:
         spark.catalog.clearCache()
 
         probe_queries = HIGH_ALPHA if tag == "25x" else DOC_QUERIES + EMB_QUERIES
+        if only:
+            probe_queries = [n for n in probe_queries if n in only]
         for name in probe_queries:
             if tag == "25x" and name in SKIP_25X:
                 out["timings"].setdefault(name, {})[tag] = {"skipped": SKIP_25X[name]}
@@ -201,6 +213,9 @@ def main() -> None:
             print(f"TIMED {tag} {name} {dt:.2f}s", file=sys.stderr)
 
         # candidate-set sizes (the sub-quadratic claim, measured)
+        if only:
+            spark.catalog.clearCache()
+            continue
         sigs = _minhash_sigs_of(docs).persist()
         mh_cand = _minhash_band_candidates(sigs).count()
         sigs.unpersist()
@@ -303,7 +318,8 @@ def main() -> None:
     import numpy as np
 
     existing = [d for _t, d, _m in SCALES if os.path.isdir(d)]
-    if not existing:
+    if only or not existing:
+        _alphas(out)
         print(json.dumps(out))
         return
     top_dir = existing[-1]
@@ -320,7 +336,12 @@ def main() -> None:
         load_table(spark, top_dir, "documents").select("lang").distinct().count()
     )
 
-    # scaling exponents base->10x: alpha = log(t10/t1) / log(10)
+    _alphas(out)
+    print(json.dumps(out))
+
+
+def _alphas(out: dict) -> None:
+    """Scaling exponents base->10x: alpha = log(t10/t1) / log(10)."""
     import math
 
     for name, per in out["timings"].items():
@@ -334,8 +355,6 @@ def main() -> None:
             per["alpha_10x_to_25x"] = round(
                 math.log(max(t25, 0.01) / max(t10, 0.01)) / math.log(2.5), 2
             )
-
-    print(json.dumps(out))
 
 
 if __name__ == "__main__":
