@@ -968,10 +968,73 @@ def bloom_probe_transform(df: DataFrame, bloom_row: DataFrame) -> DataFrame:
     )
 
 
+def bloom_probe_partials(df: DataFrame, bloom: DataFrame) -> DataFrame:
+    """Per-lang PARTIAL of the Bloom probe over one micro-batch — the
+    batch-legal twin of :func:`bloom_probe_transform`, run INSIDE
+    foreachBatch by :func:`s_llm_bloom_decontaminate` (r10).
+
+    Why this exists: the streaming-legal shape must reach the stateful
+    aggregate map-only, which forces the k probe positions and word/bit
+    tests into ``F.filter`` lambdas — higher-order-function lambdas are
+    evaluated INTERPRETED per array element, outside whole-stage
+    codegen, and at the 25× probe that interpretation was the wall
+    (~34 M seeded md5 probes per pass). Inside foreachBatch the frame
+    is a batch frame, so this twin uses the batch operator's shape:
+    explode the (distinct) shingles and run each probe position as a
+    plain codegen projection + one BROADCAST hash join per hash
+    function against the m/32-row word table
+    (:func:`~cheetah_spark.queries.curation.q_llm_bloom_decontaminate`'s
+    probe — identical integer math, hash-verified against the same
+    oracle). Two-level aggregation (per-doc, then per-lang) is legal
+    here because a document never spans micro-batches; the emitted
+    partial is a monoid element (sums + min per lang, ≤|langs| rows per
+    batch) and the final rollup is the partials' merge."""
+    from cheetah_spark.functions import text as X
+    from cheetah_spark.queries import curation as C
+
+    is_eval = (
+        X.hash56(F.concat(F.lit(C._DECON_SEED), F.col("doc_id").cast("string"))) % 1000
+        < C._EVAL_PERMIL
+    )
+    shl = F.array_distinct(X.shingles(X.tokens(F.col("text")), C._DECON_K))
+    # explode the EXPRESSION directly (the batch operator's shape):
+    # aliasing the array into a projection first makes Generate carry
+    # the materialized array through its child rows — measured 20×
+    # slower at the 25× tier (140 s vs 6.5 s for this stage alone).
+    # explode of an empty array emits nothing, which IS the
+    # zero-shingle-doc exclusion the batch semantics require.
+    train = df.where(~is_eval).select("doc_id", "lang", F.explode(shl).alias("s"))
+    probed = train
+    hit = F.lit(True)
+    for i, p in enumerate(C._bloom_positions_spark(F.col("s"))):
+        b = F.broadcast(
+            bloom.select(F.col("word_idx").alias(f"wi{i}"), F.col("word").alias(f"w{i}"))
+        )
+        probed = probed.withColumn(f"pos{i}", p).join(
+            b, (F.col(f"pos{i}") / 32).cast("bigint") == F.col(f"wi{i}"), "left"
+        )
+        bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos{i} % 32 AS INT))")
+        hit = hit & (F.coalesce(F.col(f"w{i}"), F.lit(0)).bitwiseAND(bit) != 0)
+    per_doc = (
+        probed.select("doc_id", "lang", hit.cast("int").alias("hit"))
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("hit").alias("n_hit"))
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_train_docs"),
+        F.sum("n_hit").cast("bigint").alias("n_hit_shingles"),
+        F.sum(F.when(F.col("n_hit") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged_docs"),
+        F.min(F.when(F.col("n_hit") > 0, F.col("doc_id"))).alias("min_flagged_id"),
+    )
+
+
 @register(
     "s_llm_bloom_decontaminate",
-    # the literal batch oracle: a fully-drained complete-mode aggregate
-    # over the replay must equal the batch decontamination bit-for-bit
+    # the literal batch oracle: the merged micro-batch partials over a
+    # fully-drained replay must equal the batch decontamination
+    # bit-for-bit
     oracle=_BLOOM_BATCH_ORACLE,
     tags=("streaming", "llm", "decontamination", "bloom"),
 )
@@ -979,30 +1042,38 @@ def s_llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING decontamination — the ingest-time execution of
     :func:`~cheetah_spark.queries.curation.q_llm_bloom_decontaminate`,
     hash-verified against the SAME batch oracle: probing a
-    constant-memory Bloom filter is a pure per-row function, so a
-    fully-drained complete-mode aggregate over the replay must equal
+    constant-memory Bloom filter is a pure per-row function, so the
+    merged micro-batch partials over a fully-drained replay must equal
     the batch result bit-for-bit.
 
     Shape (the 100 TB ingest posture): the filter is built ONCE in
     batch from the bounded eval set (m/32 words, 32 KiB — the bounded
-    driver-state class), densified into a single ``array<bigint>`` row
-    and attached to the stream by a broadcast stream-static join on a
-    constant key — Catalyst folds it to a BroadcastNestedLoopJoin with
-    a ONE-ROW build side (pinned in tests/test_plans.py), i.e. a pure
-    broadcast cross-attach: zero comparisons, no shuffle. The k probe positions and word/bit
-    tests then run INSIDE ``F.filter`` lambdas over each doc's shingle
-    array (pure codegen expressions — md5/conv/element_at/shiftleft),
-    so a document never explodes into shingle rows and the only
-    stateful operator is the per-lang complete-mode aggregate
-    (O(|langs|) state rows). A new benchmark drop = rebuild the tiny
+    driver-state class) and shipped to every micro-batch as the
+    broadcast build side of the probe joins. Each trigger reduces its
+    admitted documents to a per-lang PARTIAL (sums + min, ≤|langs|
+    rows) inside foreachBatch — :func:`bloom_probe_partials`, the
+    batch operator's explode + broadcast-word-slot-join probe, fully
+    whole-stage-codegen — and the partials parquet spool is merged by
+    one final rollup. ZERO streaming state: the per-doc unit never
+    spans micro-batches, so the per-lang partial is a monoid element
+    and the merge is exact. A new benchmark drop = rebuild the tiny
     filter and restart the stream; the corpus is never rescanned.
 
+    r10 reroute (r9 verdict item #2): the previous shape kept the
+    probe streaming-legal ahead of a complete-mode per-lang aggregate,
+    which forced the k probe positions into ``F.filter`` lambdas —
+    higher-order-function lambdas evaluate INTERPRETED per element,
+    and those ~34 M interpreted seeded-md5 probes were the 25× wall
+    (64.7 s min-of-2 after the r9 fan-out). The foreachBatch-partials
+    shape runs the identical integer math in codegen: 25× measured
+    ~24 s min-of-2 (SCALE.md). bloom_probe_transform (the map-only
+    streaming-legal probe) remains for pipelines that need the probe
+    INSIDE a larger streaming plan.
+
     Matches the batch semantics exactly: docs with zero shingles are
-    excluded (the batch explode drops them), hits count per-doc
-    DISTINCT shingles (``array_distinct`` upstream), and every doc
-    contributes exactly one row so ``COUNT(*)`` equals the batch
-    ``COUNT(DISTINCT doc_id)`` without a streaming-illegal DISTINCT
-    aggregate."""
+    excluded, hits count per-doc DISTINCT shingles (``array_distinct``
+    upstream), and per-doc rows collapse within their batch so the
+    summed partial counts equal the batch ``COUNT(DISTINCT doc_id)``."""
     from cheetah_spark.functions import text as X
     from cheetah_spark.queries import curation as C
     from cheetah_spark.streaming import documents_stream_dir
@@ -1044,31 +1115,32 @@ def s_llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the bit layout is defined by these shared expression helpers
         helpers=(C._bloom_positions_spark, X.shingles, X.tokens),
     )
-    words = [0] * (C._BLOOM_M // 32)
-    for r in word_rows:
-        words[int(r.word_idx)] = int(r.word)
-    bloom_row = spark.createDataFrame([(1, words)], "bk int, words array<bigint>")
+    bloom = spark.createDataFrame(
+        [(int(r.word_idx), int(r.word)) for r in word_rows],
+        "word_idx bigint, word bigint",
+    )
 
     src_dir = documents_stream_dir(spark, sf_dir)
     stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=2).read(spark)
 
     # micro-batch fan-out BEFORE the probe chain (the r9 starvation
     # finding, SCALE.md): the file stream admits 2 single-row-group
-    # files per trigger = 2 scan partitions, and the shingle-assembly
-    # + k-bit-probe expressions are the compute-heavy stage — measured
-    # min-of-2: 8.0 → 5.3 s at 1×, 145.1 → 64.7 s at 25×. Streaming
-    # side only: the shared bloom_probe_transform stays map-only (its
-    # plan pin), batch scans already partition properly.
+    # files per trigger = 2 scan partitions; repartition inside the
+    # batch transform spreads the explode+probe over every core.
     fanout = spark.sparkContext.defaultParallelism
 
+    from cheetah_spark.streaming import run_stream_batch_partials
+
     with scoped_state_partitions(spark):
-        out = run_stream_to_completion(
+        partials = run_stream_batch_partials(
             stream,
-            lambda df: bloom_probe_transform(df.repartition(fanout), bloom_row),
-            output_mode="complete",
+            lambda df: bloom_probe_partials(df.repartition(fanout), bloom),
         )
-    return out.select(
-        "lang", "n_train_docs", "n_hit_shingles", "n_flagged_docs", "min_flagged_id"
+    return partials.groupBy("lang").agg(
+        F.sum("n_train_docs").cast("bigint").alias("n_train_docs"),
+        F.sum("n_hit_shingles").cast("bigint").alias("n_hit_shingles"),
+        F.sum("n_flagged_docs").cast("bigint").alias("n_flagged_docs"),
+        F.min("min_flagged_id").alias("min_flagged_id"),
     )
 
 

@@ -275,6 +275,57 @@ def run_stream_to_files(
     return spark.read.schema(schema).parquet(out_dir)
 
 
+def run_stream_batch_partials(
+    df: DataFrame,
+    batch_transform,
+    trigger: dict | None = None,
+) -> DataFrame:
+    """Start stream → foreachBatch(batch_transform → parquet-append
+    spool), drain fully, stop; return the spool as a batch DataFrame.
+
+    Unlike :func:`run_stream_to_files` (whose transform runs on the
+    STREAMING frame and must be streaming-legal), ``batch_transform``
+    here runs INSIDE foreachBatch on each micro-batch's BATCH frame —
+    multi-level aggregations, exact distincts, and whole-stage-codegen
+    projections are all available, and there is ZERO streaming state.
+    This is the micro-batch-partials production pattern: each trigger
+    reduces its admitted rows to a bounded partial (a monoid element —
+    per-key counts/sums/mins), the spool accumulates partials, and the
+    caller's final rollup merges them. Correct whenever the unit of
+    aggregation (e.g. a document) never spans micro-batches and the
+    final rollup is the partials' monoid merge."""
+    spark = df.sparkSession
+    name = f"spool_{uuid.uuid4().hex[:12]}"
+    ckpt = f"/tmp/cheetah_spark_ckpt/{name}"
+    out_dir = f"/tmp/cheetah_spark_ckpt/{name}_files"
+    spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
+    schema_holder = {}
+
+    def append_batch(batch: DataFrame, _epoch: int) -> None:
+        out = batch_transform(batch)
+        schema_holder.setdefault("schema", out.schema)
+        out.write.mode("append").parquet(out_dir)
+
+    writer = df.writeStream.foreachBatch(append_batch).option("checkpointLocation", ckpt)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    query = writer.start()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        try:
+            spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        except Exception:
+            pass  # hygiene only; never fail the query over it
+        shutil.rmtree(ckpt, ignore_errors=True)
+    if "schema" not in schema_holder or not os.path.isdir(out_dir):
+        # zero-batch stream: derive the partial schema from an empty cut
+        empty = batch_transform(df.sparkSession.createDataFrame([], df.schema))
+        return spark.createDataFrame([], empty.schema)
+    return spark.read.schema(schema_holder["schema"]).parquet(out_dir)
+
+
 def documents_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     """Documents replay feed for streaming curation operators: file k
     holds the k-th doc_id slice, so replay (= arrival) order IS doc_id

@@ -396,6 +396,35 @@ def test_stream_bloom_probe_is_maponly_before_agg(spark, sf_dir):
     assert "Generate" not in p, p  # no shingle explode
 
 
+def test_stream_bloom_partials_plan(spark, sf_dir):
+    """s_llm_bloom_decontaminate's r10 foreachBatch micro-batch plan
+    (bloom_probe_partials): the corpus side never shuffles wide — each
+    of the k probe positions is a BROADCAST hash join against the
+    m/32-word table (BuildRight), the shingle explode feeds codegen
+    projections (no Python stage, no HOF-lambda filter path), and the
+    only exchanges are the two-level (doc, lang) aggregation."""
+    from cheetah_spark.queries import curation as C
+    from cheetah_spark.queries.streams import bloom_probe_partials
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bloom = spark.createDataFrame(
+        [(0, 0)], "word_idx bigint, word bigint"
+    )
+    p = plan(bloom_probe_partials(d, bloom))
+    assert p.count("BroadcastHashJoin LeftOuter BuildRight") == C._BLOOM_K, p
+    assert "BuildRight" in p, p
+    assert "Generate" in p, p  # the explode IS the batch-legal shape
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    # the expensive shingle expression must be exploded DIRECTLY: an
+    # alias-then-explode projection makes InferFiltersFromGenerate
+    # re-inline the whole regexp+transform chain into a pushed-down
+    # Filter over text (measured 20x at the 25x tier) — the Generate
+    # arguments must therefore carry the expression itself
+    gen = [ln for ln in p.splitlines() if "explode" in ln and "Arguments" in ln]
+    assert gen and "regexp_extract_all" in gen[0], p
+
+
 def test_syslog_parse_is_maponly_regex_plus_one_rollup(spark, sf_dir):
     """q_syslog_parse: per-line parsing must be pure projection over
     the text scan (no join, no window, no Python stage) with map-side
