@@ -1218,28 +1218,33 @@ from cheetah_spark.queries.llm import _PCA_ORACLE as _PCA_ORACLE_SHARED  # noqa:
 def s_llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING PCA fit over the embedding ingest — the moment
     accumulation a 100 TB pipeline would run AT INGEST so the rotation
-    model is ready the moment the corpus is: as vectors arrive, each
-    micro-batch explodes into (key, measure) rows for the d first
-    moments, the d snapped integer moment pairs, and the d² Gram
-    products, and ONE complete-mode streaming aggregation carries the
-    running sums — O(d + d²) state rows (4,160 at d=64) REGARDLESS of
-    corpus size, the covariance-tracking analogue of the per-bucket
-    min state the streaming dedup family keeps.
+    model is ready the moment the corpus is.
 
-    Exactness: the integer moment sums are exact by construction; the
-    Σx / Σx·y measures use decimal(38,12) casts (each product is one
-    IEEE multiply on identical operands, and decimal sums are
-    order/partitioning/micro-batch-slicing independent), so the
-    drained state is BIT-EQUAL to the batch pass regardless of
-    admission granularity — which is why this query can share
-    q_llm_embed_pca's oracle verbatim. The eigendecomposition + the
-    corpus-wide rotation check then reuse the batch helpers
-    (_pca_eigfit / _pca_apply_flags) on the drained state.
+    r10 reroute (r9 verdict item #6): each micro-batch now reduces to
+    Arrow GRAM PARTIALS inside foreachBatch — the batch operator's own
+    mapInPandas (n, Σx, XᵀX) pass (one d×d numpy matmul per Arrow
+    batch, ≤ #partitions rows per trigger) plus the hash-exact
+    per-dim snapped-integer moment partial — spooled to parquet and
+    merged by one final fold. The previous shape kept the accumulation
+    streaming-legal as a complete-mode aggregation, which forced the
+    Gram products through a d²-row explode per vector (4,160 ROW
+    operations and a shuffle where the batch twin does d² numpy FLOPs)
+    — measured 18.1 s at the 25× tier vs ~4 s for this shape
+    (SCALE.md comparison table). Streaming state is now ZERO (the
+    partial is a monoid element; vectors never span micro-batches);
+    the production posture is unchanged — the model is ready when the
+    stream drains, and a d²-bounded partial row per trigger replaces
+    the d²-bounded state store.
 
-    The micro-batch is fanned out to defaultParallelism before the
-    explode (the r9 starvation finding, SCALE.md): the d²-row explode
-    is the compute-heavy stage, and the file stream admits 2 scan
-    partitions per trigger."""
+    Exactness: the integer moment sums are exact by construction and
+    hash-anchor the shared oracle; the float Gram fold differs from
+    the batch pass only in partial grouping (micro-batch × partition
+    vs partition), and every oracle-visible float lands through
+    _pca_eigfit's flag tolerances / decimal snapping — which is why
+    this query still shares q_llm_embed_pca's oracle verbatim. The
+    eigendecomposition + the corpus-wide rotation check reuse the
+    batch helpers (_pca_eigfit / _pca_apply_flags) on the merged
+    partials."""
     import numpy as np
 
     from cheetah_spark.catalog import table_path
@@ -1249,7 +1254,7 @@ def s_llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pca_eigfit,
         _pca_output,
     )
-    from cheetah_spark.streaming import embeddings_raw_stream_dir
+    from cheetah_spark.streaming import embeddings_raw_stream_dir, run_stream_batch_partials
 
     src_dir = embeddings_raw_stream_dir(spark, sf_dir)
     stream = ParquetSource(
@@ -1261,56 +1266,97 @@ def s_llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("embedding").head().embedding
     )
 
-    _DEC12 = "decimal(38,12)"
+    def gram_partial(batches):
+        import pandas as pd  # local: shipped by value into the UDF closure
 
-    def moment_rows(df):
+        G = None
+        s = None
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Vm = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            if G is None:
+                G = Vm.T @ Vm
+                s = Vm.sum(axis=0)
+            else:
+                G += Vm.T @ Vm
+                s += Vm.sum(axis=0)
+            n += len(Vm)
+        if n:
+            yield pd.DataFrame(
+                {
+                    "kind": ["g"],
+                    "dim": [-1],
+                    "n": [n],
+                    "sum_q": [0],
+                    "sum_q2": [0],
+                    "g": [G.ravel().tolist()],
+                    "s": [s.tolist()],
+                }
+            )
+
+    _PARTIAL_SCHEMA = (
+        "kind string, dim int, n bigint, sum_q bigint, sum_q2 bigint, "
+        "g array<double>, s array<double>"
+    )
+
+    def pca_partials(df):
         df = df.repartition(fanout)
         arr = F.col("embedding").cast("array<double>")
-        # keys 0..dim-1: per-dim moments (snapped ints ride along)
-        per_dim = df.select(F.posexplode(arr).alias("i", "x")).select(
-            F.col("i").cast("long").alias("key"),
-            F.floor(F.col("x") * F.lit(float(_PCA_SNAP)) + F.lit(0.5))
-            .cast("long")
-            .alias("q"),
-            F.col("x").alias("x"),
+        q = F.floor(F.col("x") * F.lit(float(_PCA_SNAP)) + F.lit(0.5)).cast("long")
+        m = (
+            df.select(F.posexplode(arr).alias("i", "x"))
+            .select(F.col("i").cast("int").alias("dim"), q.alias("q"))
+            .groupBy("dim")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("q").cast("bigint").alias("sum_q"),
+                F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sum_q2"),
+            )
+            .select(
+                F.lit("m").alias("kind"),
+                "dim",
+                "n",
+                "sum_q",
+                "sum_q2",
+                F.lit(None).cast("array<double>").alias("g"),
+                F.lit(None).cast("array<double>").alias("s"),
+            )
         )
-        # keys dim..dim+dim²-1: Gram products x_i·x_j (flattened i*dim+j)
-        prods = F.flatten(
-            F.transform(arr, lambda xi: F.transform(arr, lambda xj: xi * xj))
-        )
-        gram = df.select(F.posexplode(prods).alias("g", "x")).select(
-            (F.col("g").cast("long") + F.lit(dim)).alias("key"),
-            F.lit(None).cast("long").alias("q"),
-            F.col("x").alias("x"),
-        )
-        return per_dim.unionByName(gram).groupBy("key").agg(
-            F.count("q").cast("bigint").alias("n"),
-            F.sum("q").cast("bigint").alias("sum_q"),
-            F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sum_q2"),
-            F.sum(F.col("x").cast(_DEC12)).cast("double").alias("sum_x"),
-        )
+        g = df.select("embedding").mapInPandas(gram_partial, _PARTIAL_SCHEMA)
+        return m.unionByName(g)
 
     with scoped_state_partitions(spark):
-        drained = run_stream_to_completion(
-            stream, moment_rows, output_mode="complete"
-        ).collect()
+        spool = run_stream_batch_partials(stream, pca_partials)
+    spool = spool.persist()
+    moment_rows = (
+        spool.where(F.col("kind") == "m")
+        .groupBy("dim")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_vecs"),
+            F.sum("sum_q").cast("bigint").alias("sum_q"),
+            F.sum("sum_q2").cast("bigint").alias("sum_q2"),
+        )
+        .collect()
+    )
+    gram_rows = spool.where(F.col("kind") == "g").select("n", "g", "s").collect()
+    spool.unpersist()
 
-    by_key = {int(r.key): r for r in drained}
-    n = int(by_key[0].n)
-    s = np.array([by_key[i].sum_x for i in range(dim)])
-    G = np.array(
-        [by_key[dim + i * dim + j].sum_x for i in range(dim) for j in range(dim)]
-    ).reshape(dim, dim)
+    G = np.zeros((dim, dim))
+    s = np.zeros(dim)
+    n = 0
+    for r in gram_rows:
+        G += np.array(r.g).reshape(dim, dim)
+        s += np.array(r.s)
+        n += int(r.n)
     mu, W, lam, d, flags = _pca_eigfit(G, s, n)
 
     e = load_table(spark, sf_dir, "embeddings")
     proj_centered, proj_var_matches = _pca_apply_flags(e, mu, W, lam, n, d)
 
     moments = spark.createDataFrame(
-        [
-            (i, int(by_key[i].n), int(by_key[i].sum_q), int(by_key[i].sum_q2))
-            for i in range(dim)
-        ],
+        [(int(r.dim), int(r.n_vecs), int(r.sum_q), int(r.sum_q2)) for r in moment_rows],
         "dim int, n_vecs bigint, sum_q bigint, sum_q2 bigint",
     )
     return _pca_output(moments, d, flags, proj_centered, proj_var_matches)
