@@ -59,6 +59,18 @@ def is_rfc5424(col: Column | str) -> Column:
     return _raw(col).rlike(r"^<\d{1,3}>1 ")
 
 
+def matches_rfc5424(col: Column | str) -> Column:
+    """Full-grammar RFC 5424 match (not just the version prefix) — the
+    per-grammar parse-failure signal: NOT matches == this line would
+    yield an all-NULL struct under a forced-5424 source."""
+    return _raw(col).rlike(RFC5424_RE)
+
+
+def matches_rfc3164(col: Column | str) -> Column:
+    """Full-grammar RFC 3164 match — see :func:`matches_rfc5424`."""
+    return _raw(col).rlike(RFC3164_RE)
+
+
 def pri(col: Column | str) -> Column:
     """PRI as bigint from either format ('' → NULL on unparseable)."""
     return F.nullif(F.regexp_extract(_raw(col), r"^<(\d{1,3})>", 1), F.lit("")).cast(
@@ -203,6 +215,14 @@ def _o5424(expr: str, n: int) -> str:
 
 def _o3164(expr: str, n: int) -> str:
     return f"regexp_extract({expr}, '{_sq(RFC3164_RE)}', {n})"
+
+
+def oracle_matches_rfc5424(expr: str) -> str:
+    return f"regexp_matches({expr}, '{_sq(RFC5424_RE)}')"
+
+
+def oracle_matches_rfc3164(expr: str) -> str:
+    return f"regexp_matches({expr}, '{_sq(RFC3164_RE)}')"
 
 
 def oracle_host(expr: str) -> str:

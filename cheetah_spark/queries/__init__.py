@@ -63,6 +63,7 @@ CHECK_FIRST = [
     "s_llm_bloom_decontaminate",
     "s_llm_embed_pca",
     "s_syslog_live",
+    "q_syslog_parse",
     # r6-stale cohort (r9 verdict item #3 — rotate ALL of these)
     "q_multiway_join_tpch",
     "q_outer_joins",

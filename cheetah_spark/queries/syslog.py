@@ -113,6 +113,8 @@ def _syslog_oracle() -> str:
                    {SL.oracle_facility(raw)} AS facility,
                    {SL.oracle_severity(raw)} AS severity,
                    {SL.oracle_is_rfc5424(raw)} AS rfc5424,
+                   {SL.oracle_matches_rfc5424(raw)} AS m5424,
+                   {SL.oracle_matches_rfc3164(raw)} AS m3164,
                    {SL.oracle_host(raw)} AS host,
                    {SL.oracle_app(raw)} AS app,
                    {SL.oracle_procid(raw)} AS procid,
@@ -123,6 +125,8 @@ def _syslog_oracle() -> str:
         SELECT facility, severity,
                COUNT(*)::BIGINT AS n_msgs,
                CAST(SUM(CASE WHEN rfc5424 THEN 1 ELSE 0 END) AS BIGINT) AS n_rfc5424,
+               CAST(SUM(CASE WHEN NOT m5424 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_rfc5424,
+               CAST(SUM(CASE WHEN NOT m3164 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_rfc3164,
                COUNT(DISTINCT host)::BIGINT AS n_hosts,
                COUNT(DISTINCT app)::BIGINT AS n_apps,
                MAX(procid) AS max_pid,
@@ -141,6 +145,8 @@ def _parse_rollup(cap: DataFrame, raw: F.Column) -> DataFrame:
         SL.facility(raw).alias("facility"),
         SL.severity(raw).alias("severity"),
         SL.is_rfc5424(raw).alias("rfc5424"),
+        SL.matches_rfc5424(raw).alias("m5424"),
+        SL.matches_rfc3164(raw).alias("m3164"),
         SL.host(raw).alias("host"),
         SL.app(raw).alias("app"),
         SL.procid(raw).alias("procid"),
@@ -150,6 +156,17 @@ def _parse_rollup(cap: DataFrame, raw: F.Column) -> DataFrame:
     return p.groupBy("facility", "severity").agg(
         F.count("*").cast("bigint").alias("n_msgs"),
         F.sum(F.when(F.col("rfc5424"), 1).otherwise(0)).cast("bigint").alias("n_rfc5424"),
+        # per-grammar parse-FAILURE counters (r9 verdict item #8): a
+        # mis-configured forced contentType shows up here as a moving
+        # counter in the stream output instead of silent NULL structs —
+        # n_fail_rfc5424 is exactly the lines a forced-5424 source
+        # would reject, and vice versa
+        F.sum(F.when(~F.col("m5424"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fail_rfc5424"),
+        F.sum(F.when(~F.col("m3164"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fail_rfc3164"),
         F.countDistinct("host").cast("bigint").alias("n_hosts"),
         F.countDistinct("app").cast("bigint").alias("n_apps"),
         F.max("procid").alias("max_pid"),

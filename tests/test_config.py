@@ -535,3 +535,112 @@ def test_repartition_transform_from_config(spark, sf_dir):
     n_langs = d.select("lang").distinct().count()
     assert sum(spread) == n_langs  # each lang in exactly one partition
     assert keyed.count() == d.count()
+
+
+def test_cli_run_kafka_replay_to_ndjson_config(tmp_path, spark, sf_dir):
+    """Daemon e2e over the kafka config type (r9 verdict item #7): a
+    {"type":"kafka"} replay source drives the partitioned gzip-NDJSON
+    sink (the class behind the literal {"type":"s3"} alias — same sink,
+    path-addressed; no object store exists in the sandbox, so the
+    s3a:// mapping itself is covered by test_ndjson_sink_s3a_conf_*)
+    through `python -m cheetah_spark run --config`, batch AND streaming
+    with graceful stop."""
+    from cheetah_spark.__main__ import main
+    from cheetah_spark.queries.kafka import kafka_capture_dir
+
+    cap = kafka_capture_dir(spark, sf_dir)
+    out_dir = tmp_path / "kafka_ndjson"
+    cfg = {
+        "source": {
+            "type": "kafka",
+            "topic": "logs/click",
+            "transport": "replay",
+            "capturePath": cap,
+            "streaming": False,
+        },
+        "transforms": [{"type": "select", "columns": ["topic", "key", "value"]}],
+        "sink": {"type": "ndjson_gzip", "path": str(out_dir)},
+    }
+    f = tmp_path / "cli_kafka.json"
+    f.write_text(json.dumps(cfg))
+    assert main(["run", "--config", str(f)]) == 0
+    got = spark.read.json(str(out_dir))
+    expect = (
+        spark.read.json(cap).where("topic = 'logs/click'").count()
+    )
+    assert got.count() == expect > 0
+    assert glob.glob(f"{out_dir}/**/*.gz", recursive=True)  # gzip NDJSON parts
+
+    # streaming run with graceful stop under --timeout
+    out_dir2 = tmp_path / "kafka_ndjson_stream"
+    cfg["source"]["streaming"] = True
+    cfg["sink"] = {"type": "ndjson_gzip", "path": str(out_dir2)}
+    f2 = tmp_path / "cli_kafka_stream.json"
+    f2.write_text(json.dumps(cfg))
+    assert main(["run", "--config", str(f2), "--timeout", "10"]) == 0
+    assert spark.read.json(str(out_dir2)).count() == expect
+
+
+def test_cli_run_redis_replay_to_printer(tmp_path, spark, sf_dir, capsys):
+    """Daemon e2e over the redis config type: batch replay → the
+    literal {"type":"printer"} destination (console), plus a streaming
+    run into memory with graceful stop — the redis counterpart of the
+    syslog→webhook daemon test."""
+    from cheetah_spark.__main__ import main
+    from cheetah_spark.queries.redis import redis_capture_dir
+
+    cap = redis_capture_dir(spark, sf_dir)
+    cfg = {
+        "source": {
+            "type": "redis",
+            "stream": "ev/click",
+            "transport": "replay",
+            "capturePath": cap,
+            "streaming": False,
+        },
+        "transforms": [{"type": "filter", "expr": "stream = 'ev/click'"}],
+        "sink": {"type": "printer", "num_rows": 5},
+    }
+    f = tmp_path / "cli_redis.json"
+    f.write_text(json.dumps(cfg))
+    assert main(["run", "--config", str(f)]) == 0
+    out = capsys.readouterr().out
+    assert "ev/click" in out  # rows actually printed
+
+    cfg["source"]["streaming"] = True
+    cfg["source"]["chunkSize"] = 5000
+    cfg["sink"] = {"type": "memory", "name": "cli_redis_stream"}
+    f2 = tmp_path / "cli_redis_stream.json"
+    f2.write_text(json.dumps(cfg))
+    assert main(["run", "--config", str(f2), "--timeout", "10"]) == 0
+    got = spark.table("cli_redis_stream")
+    assert got.count() > 0
+    assert got.select("stream").distinct().collect()[0].stream == "ev/click"
+
+
+def test_cli_run_nats_replay_to_memory(tmp_path, spark, sf_dir):
+    """Daemon e2e over the nats config type (wishlist #3): a streaming
+    replay subscription through the CLI with graceful stop."""
+    from cheetah_spark.__main__ import main
+    from cheetah_spark.queries.nats import nats_capture_dir
+
+    cap = nats_capture_dir(spark, sf_dir)
+    cfg = {
+        "source": {
+            "type": "nats",
+            "subject": ">",
+            "transport": "replay",
+            "capturePath": cap,
+            "chunkSize": 5000,
+            "streaming": True,
+        },
+        "transforms": [{"type": "filter", "expr": "subject LIKE 'ev.click.%'"}],
+        "sink": {"type": "memory", "name": "cli_nats_stream"},
+    }
+    f = tmp_path / "cli_nats.json"
+    f.write_text(json.dumps(cfg))
+    assert main(["run", "--config", str(f), "--timeout", "10"]) == 0
+    got = spark.table("cli_nats_stream")
+    assert got.count() > 0
+    subs = {r.subject.split(".")[1] for r in got.select("subject").distinct().collect()}
+    assert subs == {"click"}

@@ -358,3 +358,58 @@ def test_parse_rfc3164_pidless_tag_and_multi_sd(spark):
     assert out[0].msg == "'su root' failed for lonvick"
     assert out[1].app == "kernel" and out[1].msg == "oom-killer invoked"
     assert out[2].msg == "real msg" and out[2].pid == 7
+
+
+def test_forced_grammar_failure_counter_moves(tmp_path, spark):
+    """r9 verdict item #8: a mis-configured forced contentType must be
+    VISIBLE in the stream output, not silent NULLs. A forced-5424
+    source fed RFC 3164 traffic surfaces every 3164 line as a parse
+    failure (all-NULL struct → countable), and the shared rollup's
+    per-grammar n_fail_* counters move the same way."""
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.queries.syslog import _parse_rollup
+    from cheetah_spark.sources.syslog_live import SyslogSource
+
+    lines_3164 = [f"<13>Aug 15 11:22:3{i} db0{i} postgres[9{i}]: m{i}" for i in range(4)]
+    lines_5424 = [f"<34>1 2026-01-01T00:00:0{i}Z h app 7 M - body{i}" for i in range(2)]
+    cap = tmp_path / "mixed.txt"
+    cap.write_text("\n".join(lines_3164 + lines_5424) + "\n")
+
+    def drained(content_type):
+        src = SyslogSource(
+            transport="replay", capture_path=str(cap), content_type=content_type
+        )
+        name = f"sink_fg_{content_type}"
+        q = (
+            src.read(spark)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{content_type}"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name)
+
+    # forced-5424 source over mostly-3164 traffic: the failure count
+    # (rejected lines = all-NULL structs) equals the 3164 line count
+    out54 = drained("rfc5424")
+    fails54 = out54.where(F.col("syslog.pri").isNull()).count()
+    assert fails54 == len(lines_3164)
+    # and the counter MOVES when the forced grammar matches the traffic
+    out31 = drained("rfc3164")
+    fails31 = out31.where(F.col("syslog.pri").isNull()).count()
+    assert fails31 == len(lines_5424)
+    assert fails54 != fails31
+
+    # the shared rollup surfaces the same signal per grammar: total
+    # n_fail_rfc5424 over the mixed capture == the 3164 lines, and
+    # n_fail_rfc3164 == the 5424 lines
+    roll = _parse_rollup(spark.read.text(str(cap)), F.col("value"))
+    agg = roll.agg(
+        F.sum("n_fail_rfc5424").alias("f54"), F.sum("n_fail_rfc3164").alias("f31")
+    ).first()
+    assert agg.f54 == len(lines_3164) and agg.f31 == len(lines_5424)
