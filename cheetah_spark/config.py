@@ -76,6 +76,10 @@ _MQTT_KEY_ALIASES = {
     # nats (wishlist #3): camelCase keys for the NATS connector
     "chunkSize": "chunk_size",
     "replyTo": "reply_to",
+    # amqp (wishlist #4): camelCase keys for the AMQP 0-9-1 connector
+    "exchangeType": "exchange_type",
+    "bindingKey": "binding_key",
+    "routingKey": "routing_key",
 }
 
 
@@ -111,6 +115,18 @@ def _nats_sink(**kw):
     from cheetah_spark.sources.nats_live import NatsSink
 
     return NatsSink(**_alias(kw))
+
+
+def _amqp_source(**kw):
+    from cheetah_spark.sources.amqp_live import AmqpSource
+
+    return AmqpSource(**_alias(kw))
+
+
+def _amqp_sink(**kw):
+    from cheetah_spark.sources.amqp_live import AmqpSink
+
+    return AmqpSink(**_alias(kw))
 
 
 def _eventlog_live_source(**kw):
@@ -203,6 +219,8 @@ _SOURCE_TYPES = {
     # wishlist #3 (README.md:301-311): NATS over the plain-text client
     # protocol on stdlib sockets
     "nats": _nats_source,
+    # wishlist #4 (README.md:301-311): AMQP 0-9-1 over stdlib sockets
+    "amqp": _amqp_source,
 }
 
 _SINK_TYPES = {
@@ -226,6 +244,7 @@ _SINK_TYPES = {
     "kafka": _kafka_sink,
     "redis": _redis_sink,
     "nats": _nats_sink,
+    "amqp": _amqp_sink,
 }
 
 

@@ -12,6 +12,7 @@ listed keep registration order after the listed ones.
 """
 
 from cheetah_spark.queries import advanced  # noqa: F401
+from cheetah_spark.queries import amqp  # noqa: F401
 from cheetah_spark.queries import analytics  # noqa: F401
 from cheetah_spark.queries import curation  # noqa: F401
 from cheetah_spark.queries import declarative  # noqa: F401
@@ -53,6 +54,8 @@ from cheetah_spark.queries import xmlio  # noqa: F401
 # roll is deterministic.
 CHECK_FIRST = [
     # new this round: no driver row yet
+    "q_amqp_envelope",
+    "s_amqp_replay",
     "q_nats_envelope",
     "s_nats_replay",
     "q_llm_ann_lsh_fixedq",

@@ -417,7 +417,9 @@ def test_cli_run_streaming_mqtt_live_config(tmp_path, spark, sf_dir):
     }
     f = tmp_path / "cli_mqtt.json"
     f.write_text(json.dumps(cfg))
-    assert main(["run", "--config", str(f), "--timeout", "6"]) == 0
+    # 12 s: the replay drains in ~2 s alone, but under a saturated
+    # full-suite run the first micro-batch can take >6 s to schedule
+    assert main(["run", "--config", str(f), "--timeout", "12"]) == 0
     got = spark.table("cli_mqtt_out")
     assert got.count() > 0
     assert {r.topic.split("/")[-1] for r in got.select("topic").distinct().collect()} == {"3"}
