@@ -80,6 +80,8 @@ _MQTT_KEY_ALIASES = {
     "exchangeType": "exchange_type",
     "bindingKey": "binding_key",
     "routingKey": "routing_key",
+    # pubsub (wishlist #5): camelCase keys for the REST connector
+    "maxMessages": "max_messages",
 }
 
 
@@ -127,6 +129,18 @@ def _amqp_sink(**kw):
     from cheetah_spark.sources.amqp_live import AmqpSink
 
     return AmqpSink(**_alias(kw))
+
+
+def _pubsub_source(**kw):
+    from cheetah_spark.sources.pubsub_live import PubSubSource
+
+    return PubSubSource(**_alias(kw))
+
+
+def _pubsub_sink(**kw):
+    from cheetah_spark.sources.pubsub_live import PubSubSink
+
+    return PubSubSink(**_alias(kw))
 
 
 def _eventlog_live_source(**kw):
@@ -221,6 +235,8 @@ _SOURCE_TYPES = {
     "nats": _nats_source,
     # wishlist #4 (README.md:301-311): AMQP 0-9-1 over stdlib sockets
     "amqp": _amqp_source,
+    # wishlist #5 (README.md:301-311): Pub/Sub over the public REST API
+    "pubsub": _pubsub_source,
 }
 
 _SINK_TYPES = {
@@ -245,6 +261,7 @@ _SINK_TYPES = {
     "redis": _redis_sink,
     "nats": _nats_sink,
     "amqp": _amqp_sink,
+    "pubsub": _pubsub_sink,
 }
 
 

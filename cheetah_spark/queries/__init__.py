@@ -21,6 +21,7 @@ from cheetah_spark.queries import journald  # noqa: F401
 from cheetah_spark.queries import kafka  # noqa: F401
 from cheetah_spark.queries import mqtt  # noqa: F401
 from cheetah_spark.queries import nats  # noqa: F401
+from cheetah_spark.queries import pubsub  # noqa: F401
 from cheetah_spark.queries import redis  # noqa: F401
 from cheetah_spark.queries import llm  # noqa: F401
 from cheetah_spark.queries import multimodal  # noqa: F401
@@ -56,6 +57,8 @@ CHECK_FIRST = [
     # new this round: no driver row yet
     "q_amqp_envelope",
     "s_amqp_replay",
+    "q_pubsub_envelope",
+    "s_pubsub_replay",
     "q_nats_envelope",
     "s_nats_replay",
     "q_llm_ann_lsh_fixedq",
