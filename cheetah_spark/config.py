@@ -82,6 +82,10 @@ _MQTT_KEY_ALIASES = {
     "routingKey": "routing_key",
     # pubsub (wishlist #5): camelCase keys for the REST connector
     "maxMessages": "max_messages",
+    # kinesis (wishlist #6): camelCase keys for the Kinesis connector
+    "maxRecords": "max_records",
+    "shardCount": "shard_count",
+    "streamName": "stream",
 }
 
 
@@ -141,6 +145,18 @@ def _pubsub_sink(**kw):
     from cheetah_spark.sources.pubsub_live import PubSubSink
 
     return PubSubSink(**_alias(kw))
+
+
+def _kinesis_source(**kw):
+    from cheetah_spark.sources.kinesis_live import KinesisSource
+
+    return KinesisSource(**_alias(kw))
+
+
+def _kinesis_sink(**kw):
+    from cheetah_spark.sources.kinesis_live import KinesisSink
+
+    return KinesisSink(**_alias(kw))
 
 
 def _eventlog_live_source(**kw):
@@ -237,6 +253,8 @@ _SOURCE_TYPES = {
     "amqp": _amqp_source,
     # wishlist #5 (README.md:301-311): Pub/Sub over the public REST API
     "pubsub": _pubsub_source,
+    # wishlist #6 (README.md:301-311): Kinesis over the public JSON API
+    "kinesis": _kinesis_source,
 }
 
 _SINK_TYPES = {
@@ -262,6 +280,7 @@ _SINK_TYPES = {
     "nats": _nats_sink,
     "amqp": _amqp_sink,
     "pubsub": _pubsub_sink,
+    "kinesis": _kinesis_sink,
 }
 
 

@@ -19,6 +19,7 @@ from cheetah_spark.queries import declarative  # noqa: F401
 from cheetah_spark.queries import formats  # noqa: F401
 from cheetah_spark.queries import journald  # noqa: F401
 from cheetah_spark.queries import kafka  # noqa: F401
+from cheetah_spark.queries import kinesis  # noqa: F401
 from cheetah_spark.queries import mqtt  # noqa: F401
 from cheetah_spark.queries import nats  # noqa: F401
 from cheetah_spark.queries import pubsub  # noqa: F401
@@ -59,6 +60,8 @@ CHECK_FIRST = [
     "s_amqp_replay",
     "q_pubsub_envelope",
     "s_pubsub_replay",
+    "q_kinesis_envelope",
+    "s_kinesis_replay",
     "q_nats_envelope",
     "s_nats_replay",
     "q_llm_ann_lsh_fixedq",
