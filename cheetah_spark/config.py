@@ -159,6 +159,18 @@ def _kinesis_sink(**kw):
     return KinesisSink(**_alias(kw))
 
 
+def _nsq_source(**kw):
+    from cheetah_spark.sources.nsq_live import NsqSource
+
+    return NsqSource(**_alias(kw))
+
+
+def _nsq_sink(**kw):
+    from cheetah_spark.sources.nsq_live import NsqSink
+
+    return NsqSink(**_alias(kw))
+
+
 def _eventlog_live_source(**kw):
     from cheetah_spark.sources.eventlog_live import EventLogLiveSource
 
@@ -255,6 +267,8 @@ _SOURCE_TYPES = {
     "pubsub": _pubsub_source,
     # wishlist #6 (README.md:301-311): Kinesis over the public JSON API
     "kinesis": _kinesis_source,
+    # wishlist "NSQ?" (README.md:301-311): NSQ over the public TCP protocol
+    "nsq": _nsq_source,
 }
 
 _SINK_TYPES = {
@@ -281,6 +295,7 @@ _SINK_TYPES = {
     "amqp": _amqp_sink,
     "pubsub": _pubsub_sink,
     "kinesis": _kinesis_sink,
+    "nsq": _nsq_sink,
 }
 
 

@@ -22,6 +22,7 @@ from cheetah_spark.queries import kafka  # noqa: F401
 from cheetah_spark.queries import kinesis  # noqa: F401
 from cheetah_spark.queries import mqtt  # noqa: F401
 from cheetah_spark.queries import nats  # noqa: F401
+from cheetah_spark.queries import nsq  # noqa: F401
 from cheetah_spark.queries import pubsub  # noqa: F401
 from cheetah_spark.queries import redis  # noqa: F401
 from cheetah_spark.queries import llm  # noqa: F401
@@ -62,6 +63,8 @@ CHECK_FIRST = [
     "s_pubsub_replay",
     "q_kinesis_envelope",
     "s_kinesis_replay",
+    "q_nsq_envelope",
+    "s_nsq_replay",
     "q_nats_envelope",
     "s_nats_replay",
     "q_llm_ann_lsh_fixedq",

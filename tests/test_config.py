@@ -646,3 +646,99 @@ def test_cli_run_nats_replay_to_memory(tmp_path, spark, sf_dir):
     assert got.count() > 0
     subs = {r.subject.split(".")[1] for r in got.select("subject").distinct().collect()}
     assert subs == {"click"}
+
+
+def test_cli_run_amqp_replay_to_memory(tmp_path, spark, sf_dir):
+    """Daemon e2e over the amqp config type (wishlist #4): a streaming
+    replay consumer through the CLI with graceful stop, binding-key
+    narrowing applied as a transform."""
+    from cheetah_spark.__main__ import main
+    from cheetah_spark.queries.amqp import amqp_capture_dir
+
+    cap = amqp_capture_dir(spark, sf_dir)
+    cfg = {
+        "source": {
+            "type": "amqp",
+            "bindingKey": "#",
+            "transport": "replay",
+            "capturePath": cap,
+            "chunkSize": 5000,
+            "streaming": True,
+        },
+        "transforms": [{"type": "filter", "expr": "routing_key LIKE 'click.%'"}],
+        "sink": {"type": "memory", "name": "cli_amqp_stream"},
+    }
+    f = tmp_path / "cli_amqp.json"
+    f.write_text(json.dumps(cfg))
+    assert main(["run", "--config", str(f), "--timeout", "15"]) == 0
+    got = spark.table("cli_amqp_stream")
+    assert got.count() > 0
+    kinds = {r.routing_key.split(".")[0] for r in got.select("routing_key").distinct().collect()}
+    assert kinds == {"click"}
+
+
+def test_cli_run_pubsub_replay_to_printer(tmp_path, spark, sf_dir, capsys):
+    """Daemon e2e over the pubsub config type (wishlist #5): batch
+    replay with the subscription filter applied in-config → the
+    literal {"type":"printer"} destination."""
+    from cheetah_spark.__main__ import main
+    from cheetah_spark.queries.pubsub import pubsub_capture_dir
+
+    cap = pubsub_capture_dir(spark, sf_dir)
+    cfg = {
+        "source": {
+            "type": "pubsub",
+            "filter": 'attributes.event_type = "click"',
+            "transport": "replay",
+            "capturePath": cap,
+            "streaming": False,
+        },
+        # console show() truncates cells at 20 chars, so surface the
+        # filtered attribute as its own short column before printing
+        "transforms": [
+            {
+                "type": "sql",
+                "query": (
+                    "SELECT get_json_object(attributes, '$.event_type') AS et, "
+                    "count(*) AS n FROM __input__ GROUP BY et"
+                ),
+            }
+        ],
+        "sink": {"type": "printer", "num_rows": 5},
+    }
+    f = tmp_path / "cli_pubsub.json"
+    f.write_text(json.dumps(cfg))
+    assert main(["run", "--config", str(f)]) == 0
+    out = capsys.readouterr().out
+    assert "click" in out  # the filtered event type actually printed
+
+
+def test_cli_run_kinesis_replay_to_memory(tmp_path, spark, sf_dir):
+    """Daemon e2e over the kinesis config type (wishlist #6): a
+    streaming replay through the CLI with graceful stop; the MD5 shard
+    routing surfaces in the output rows."""
+    from cheetah_spark.__main__ import main
+    from cheetah_spark.queries.kinesis import kinesis_capture_dir
+
+    cap = kinesis_capture_dir(spark, sf_dir)
+    cfg = {
+        "source": {
+            "type": "kinesis",
+            "streamName": "events",
+            "transport": "replay",
+            "capturePath": cap,
+            "chunkSize": 5000,
+            "streaming": True,
+        },
+        "transforms": [{"type": "select", "columns": ["shard_id", "partition_key"]}],
+        "sink": {"type": "memory", "name": "cli_kinesis_stream"},
+    }
+    f = tmp_path / "cli_kinesis.json"
+    f.write_text(json.dumps(cfg))
+    assert main(["run", "--config", str(f), "--timeout", "15"]) == 0
+    got = spark.table("cli_kinesis_stream")
+    assert got.count() > 0
+    from cheetah_spark.sources.kinesis_live import shard_for_key, shard_id_str
+
+    for r in got.select("shard_id", "partition_key").distinct().collect():
+        assert r.shard_id == shard_id_str(shard_for_key(r.partition_key, 4))
