@@ -171,6 +171,21 @@ def _nsq_sink(**kw):
     return NsqSink(**_alias(kw))
 
 
+def _memcache_source(**kw):
+    from cheetah_spark.sources.memcache_live import MemcacheSource
+
+    kw = _alias(kw)
+    if "keys" in kw:
+        kw["keys"] = tuple(kw["keys"])
+    return MemcacheSource(**kw)
+
+
+def _memcache_sink(**kw):
+    from cheetah_spark.sources.memcache_live import MemcacheSink
+
+    return MemcacheSink(**_alias(kw))
+
+
 def _eventlog_live_source(**kw):
     from cheetah_spark.sources.eventlog_live import EventLogLiveSource
 
@@ -269,6 +284,8 @@ _SOURCE_TYPES = {
     "kinesis": _kinesis_source,
     # wishlist "NSQ?" (README.md:301-311): NSQ over the public TCP protocol
     "nsq": _nsq_source,
+    # wishlist "memcache?" (README.md:301-311): keyed multi-get reads
+    "memcache": _memcache_source,
 }
 
 _SINK_TYPES = {
@@ -296,6 +313,7 @@ _SINK_TYPES = {
     "pubsub": _pubsub_sink,
     "kinesis": _kinesis_sink,
     "nsq": _nsq_sink,
+    "memcache": _memcache_sink,
 }
 
 

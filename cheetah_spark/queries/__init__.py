@@ -26,6 +26,7 @@ from cheetah_spark.queries import nsq  # noqa: F401
 from cheetah_spark.queries import pubsub  # noqa: F401
 from cheetah_spark.queries import redis  # noqa: F401
 from cheetah_spark.queries import llm  # noqa: F401
+from cheetah_spark.queries import memcache  # noqa: F401
 from cheetah_spark.queries import multimodal  # noqa: F401
 from cheetah_spark.queries import regression  # noqa: F401
 from cheetah_spark.queries import relational  # noqa: F401
@@ -65,6 +66,8 @@ CHECK_FIRST = [
     "s_kinesis_replay",
     "q_nsq_envelope",
     "s_nsq_replay",
+    "q_memcache_roundtrip",
+    "s_memcache_sink",
     "q_nats_envelope",
     "s_nats_replay",
     "q_llm_ann_lsh_fixedq",
