@@ -186,6 +186,18 @@ def _memcache_sink(**kw):
     return MemcacheSink(**_alias(kw))
 
 
+def _zmq_source(**kw):
+    from cheetah_spark.sources.zmq_live import ZmqSource
+
+    return ZmqSource(**_alias(kw))
+
+
+def _zmq_sink(**kw):
+    from cheetah_spark.sources.zmq_live import ZmqSink
+
+    return ZmqSink(**_alias(kw))
+
+
 def _eventlog_live_source(**kw):
     from cheetah_spark.sources.eventlog_live import EventLogLiveSource
 
@@ -286,6 +298,8 @@ _SOURCE_TYPES = {
     "nsq": _nsq_source,
     # wishlist "memcache?" (README.md:301-311): keyed multi-get reads
     "memcache": _memcache_source,
+    # wishlist "zmq?" (README.md:301-311): ZMTP 3.0 on stdlib sockets
+    "zmq": _zmq_source,
 }
 
 _SINK_TYPES = {
@@ -314,6 +328,7 @@ _SINK_TYPES = {
     "kinesis": _kinesis_sink,
     "nsq": _nsq_sink,
     "memcache": _memcache_sink,
+    "zmq": _zmq_sink,
 }
 
 

@@ -39,6 +39,7 @@ from cheetah_spark.queries import tokenizer  # noqa: F401
 from cheetah_spark.queries import webhook  # noqa: F401
 from cheetah_spark.queries import windows  # noqa: F401
 from cheetah_spark.queries import xmlio  # noqa: F401
+from cheetah_spark.queries import zmq  # noqa: F401
 
 # STANDING POLICY (round-6 verdict item #2): CHECK_FIRST is rebuilt
 # every round as (1) operators new or changed this round — their
@@ -68,6 +69,8 @@ CHECK_FIRST = [
     "s_nsq_replay",
     "q_memcache_roundtrip",
     "s_memcache_sink",
+    "q_zmq_envelope",
+    "s_zmq_replay",
     "q_nats_envelope",
     "s_nats_replay",
     "q_llm_ann_lsh_fixedq",
