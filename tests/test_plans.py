@@ -520,3 +520,41 @@ def test_stream_minhash_fans_out_before_arrow_stage(spark, sf_dir):
     arrow_at = simple.index("MapInArrow")
     exch_at = simple.index("RoundRobinPartitioning")
     assert exch_at > arrow_at, simple  # deeper in the tree = printed later
+
+
+def test_connector_envelopes_stay_jvm_side(spark, sf_dir):
+    """Every r10 connector envelope plan is pure Catalyst: the
+    narrowing predicate (wildcard regex / attribute filter / prefix /
+    equality) compiles to JVM expressions — no Python eval node
+    anywhere, and the rollup keeps partial aggregation (map-side
+    combine before the exchange)."""
+    for name in (
+        "q_amqp_envelope",
+        "q_pubsub_envelope",
+        "q_kinesis_envelope",
+        "q_nsq_envelope",
+        "q_zmq_envelope",
+        "q_nats_envelope",
+    ):
+        p = plan(_q(name, spark, sf_dir))
+        assert "BatchEvalPython" not in p, (name, p)
+        assert "ArrowEvalPython" not in p, (name, p)
+        assert "partial_" in p or "HashAggregate" in p, (name, p)
+
+
+def test_zmq_prefix_is_startswith_and_nsq_equality_pushes(spark, sf_dir):
+    """The zmq prefix subscription surfaces as StartsWith (a pushable
+    predicate class) and the NSQ flat-topic filter as a plain equality
+    — both visible in the pre-AQE plan."""
+    p_zmq = plan(_q("q_zmq_envelope", spark, sf_dir))
+    assert "StartsWith" in p_zmq or "startswith" in p_zmq.lower(), p_zmq
+    p_nsq = plan(_q("q_nsq_envelope", spark, sf_dir))
+    assert "= ev.click" in p_nsq or "ev.click" in p_nsq, p_nsq
+
+
+def test_kinesis_shard_routing_is_codegen_md5(spark, sf_dir):
+    """The MD5 shard-routing expression stays inside whole-stage
+    codegen (md5/instr/floor are JVM built-ins)."""
+    p = plan(_q("q_kinesis_envelope", spark, sf_dir))
+    assert "md5" in p.lower(), p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
