@@ -71,6 +71,7 @@ CHECK_FIRST = [
     "s_memcache_sink",
     "q_zmq_envelope",
     "s_zmq_replay",
+    "q_llm_url_dedup",
     "q_nats_envelope",
     "s_nats_replay",
     "q_llm_ann_lsh_fixedq",

@@ -2101,3 +2101,151 @@ def q_llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct_fp",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# URL-level dedup (round 10): the step-1 operator of web-scale curation
+# pipelines — CCNet / RefinedWeb dedupe fetched pages by CANONICAL URL
+# before any content pass. The fixture tables carry no URLs, so a messy
+# URL is derived deterministically per document (case-varied scheme and
+# host, tracking params, param-order variance, fragments, and a
+# path-space small enough to force real collisions), and ONE
+# canonicalization spec — lowercase scheme/host, strip leading www.,
+# drop utm_* tracking params, sort the remaining query params, drop the
+# fragment — is expressed twice: in pure Catalyst built-ins here and in
+# ANSI SQL in the oracle. Any divergence between the two readings of
+# the spec is a hash mismatch.
+
+_URL_PATHS = 97  # distinct pages: ~50 docs/page at sf0.1 -> real dup mass
+
+
+def _messy_url_expr():
+    """The deterministic messy URL (Catalyst): variance in everything
+    canonicalization must normalize."""
+    scheme = F.when(F.col("doc_id") % 2 == 0, "https").otherwise("HTTP")
+    host_case = F.when(F.col("doc_id") % 3 == 0, F.upper(F.col("source"))).otherwise(
+        F.col("source")
+    )
+    www = F.when(F.col("doc_id") % 5 == 0, "WWW.").otherwise("")
+    page = (F.col("doc_id") % _URL_PATHS).cast("string")
+    params = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("a=1&utm_source=feed&b="), page),
+    ).otherwise(F.concat(F.lit("b="), page, F.lit("&utm_campaign=x&a=1")))
+    frag = F.concat(F.lit("#sec"), (F.col("doc_id") % 4).cast("string"))
+    return F.concat(
+        scheme, F.lit("://"), www, host_case, F.lit(".example.com/p/"), page,
+        F.lit("?"), params, frag,
+    )
+
+
+def _canonical_url_expr(url):
+    """The canonicalization spec (Catalyst built-ins only): lowercase
+    scheme+host, strip leading www., drop utm_* params, sort remaining
+    params, drop the fragment."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
+    host = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: ~p.startswith("utm_") & (p != ""),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+    )
+
+
+@register(
+    "q_llm_url_dedup",
+    oracle=f"""
+        WITH urls AS (
+            SELECT doc_id, source,
+                   (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END)
+                   || '://'
+                   || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END)
+                   || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+                   || '.example.com/p/' || CAST(doc_id % {_URL_PATHS} AS VARCHAR)
+                   || '?'
+                   || (CASE WHEN doc_id % 2 = 0
+                        THEN 'a=1&utm_source=feed&b=' || CAST(doc_id % {_URL_PATHS} AS VARCHAR)
+                        ELSE 'b=' || CAST(doc_id % {_URL_PATHS} AS VARCHAR) || '&utm_campaign=x&a=1' END)
+                   || '#sec' || CAST(doc_id % 4 AS VARCHAR) AS url
+            FROM documents
+        ),
+        canon AS (
+            SELECT doc_id, source, url,
+                   lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://'
+                   || regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+                                     '^www\\.', '')
+                   || regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)
+                   || (CASE WHEN array_to_string(list_sort(list_filter(
+                              string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                              p -> NOT starts_with(p, 'utm_') AND p <> '')), '&') <> ''
+                        THEN '?' || array_to_string(list_sort(list_filter(
+                              string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                              p -> NOT starts_with(p, 'utm_') AND p <> '')), '&')
+                        ELSE '' END) AS curl
+            FROM urls
+        ),
+        keep AS (
+            SELECT curl, MIN(doc_id) AS keep_id, COUNT(*)::BIGINT AS n_fetches
+            FROM canon GROUP BY curl
+        )
+        SELECT c.source,
+               COUNT(*)::BIGINT AS n_docs,
+               COUNT(DISTINCT c.curl)::BIGINT AS n_pages,
+               CAST(SUM(CASE WHEN c.doc_id <> k.keep_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped,
+               CAST(SUM(CASE WHEN k.n_fetches >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_in_dup_groups
+        FROM canon c JOIN keep k ON c.curl = k.curl
+        GROUP BY c.source
+    """,
+    tags=("llm", "curation", "dedup", "url"),
+)
+def q_llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup: canonicalize (lowercase scheme/host, strip
+    www., drop utm_* tracking params, sort remaining params, drop
+    fragment — all Catalyst built-ins, regexp/filter/array_sort, no
+    Python UDF), group fetches by canonical URL, keep-min per page,
+    report per-source drop mass.
+
+    Scale shape: one map-only canonicalization pass, one groupBy on
+    the canonical-URL key (uniform after hashing — URL hot-heads are
+    the pathological case and would route through
+    functions/skew.hot_salted_join like any Zipf key), one
+    aggregate-to-aggregate join on the same key (no second shuffle of
+    the fetch rows: AQE broadcasts the page-level side when small).
+    At 100 TB this is exactly the CommonCrawl step-1 plan: nothing
+    touches document text."""
+    d = load_table(spark, sf_dir, "documents")
+    urls = d.select("doc_id", "source", _messy_url_expr().alias("url"))
+    canon = urls.select(
+        "doc_id", "source", _canonical_url_expr(F.col("url")).alias("curl")
+    )
+    keep = canon.groupBy("curl").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").cast("bigint").alias("n_fetches"),
+    )
+    return (
+        canon.join(keep, "curl")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("curl").cast("bigint").alias("n_pages"),
+            F.sum(F.when(F.col("doc_id") != F.col("keep_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("n_fetches") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_in_dup_groups"),
+        )
+    )

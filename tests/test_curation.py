@@ -167,3 +167,35 @@ def test_dedup_keep_counts_tokenless_docs(spark, tmp_path):
     # doc 3 (token-less) is a kept singleton; doc 2 is the dropped dup
     assert row["en"].n_docs == 3 and row["en"].n_kept == 2 and row["en"].n_dropped == 1
     con.close()
+
+
+def test_url_canonicalization_spec(spark):
+    """The canonicalization spec point-checked: case, www., utm_*
+    stripping, param sorting, fragment removal."""
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.queries.curation import _canonical_url_expr
+
+    cases = [
+        ("HTTP://WWW.SrC1.example.com/p/7?b=7&utm_campaign=x&a=1#sec3",
+         "http://src1.example.com/p/7?a=1&b=7"),
+        ("https://src2.example.com/p/0?a=1&utm_source=feed&b=0#sec0",
+         "https://src2.example.com/p/0?a=1&b=0"),
+        ("https://www.Host.example.com/p/1?utm_source=x&utm_campaign=y#f",
+         "https://host.example.com/p/1"),
+        ("https://h.example.com/p/2", "https://h.example.com/p/2"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(_canonical_url_expr(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_keeps_one_doc_per_page(spark, sf_dir):
+    """Exactly one kept fetch per canonical page: n_docs - n_dropped
+    must equal n_pages in every source stratum."""
+    from cheetah_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_llm_url_dedup"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs - r.n_dropped == r.n_pages, r

@@ -558,3 +558,14 @@ def test_kinesis_shard_routing_is_codegen_md5(spark, sf_dir):
     p = plan(_q("q_kinesis_envelope", spark, sf_dir))
     assert "md5" in p.lower(), p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_url_dedup_single_shuffle_key_no_python(spark, sf_dir):
+    """q_llm_url_dedup: canonicalization is map-only JVM expressions;
+    the only shuffle keys are the canonical URL (groupBy + join) and
+    the final source rollup — document text is never read."""
+    p = plan(_q("q_llm_url_dedup", spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "text" not in read_schema[0], read_schema
+    assert "partial_" in p or "HashAggregate" in p, p
