@@ -72,6 +72,7 @@ CHECK_FIRST = [
     "q_zmq_envelope",
     "s_zmq_replay",
     "q_llm_url_dedup",
+    "q_llm_gopher_rules",
     "q_nats_envelope",
     "s_nats_replay",
     "q_llm_ann_lsh_fixedq",

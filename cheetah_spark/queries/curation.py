@@ -2249,3 +2249,183 @@ def q_llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_in_dup_groups"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule battery (Rae et al. 2021, Table A1)
+# ---------------------------------------------------------------------------
+
+# The seven published Gopher quality rules, each as an exact integer
+# cross-multiply (never a float ratio compare):
+#   R1 word count outside [50, 100000]
+#   R2 mean word length outside [3, 10]
+#   R3 symbol-to-word ratio ('#' or '...') > 0.1
+#   R4 > 90% of lines start with a bullet
+#   R5 > 30% of lines end with an ellipsis
+#   R6 < 80% of words contain an alphabetic character
+#   R7 fewer than 2 of the 8 Gopher stop words present
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 50, 100_000
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _gopher_noisy_text_expr():
+    """Deterministic web-noise derivation (fixture synthesis, same spec
+    in the oracle): the parquet corpus is clean single-line prose, so a
+    genre switch on ``doc_id % 7`` rewrites each doc into one of the
+    pathological shapes the Gopher rules exist to catch — bullet lists,
+    ellipsis-truncated link farms, symbol soup, stub pages, digit junk,
+    concatenated-word spam — leaving genre 6 as the raw document."""
+    toks = X.tokens(F.col("text"))
+    g = F.col("doc_id") % 7
+    return (
+        F.when(g == 0, F.array_join(F.transform(toks, lambda t: F.concat(F.lit("- "), t)), "\n"))
+        .when(g == 1, F.array_join(F.transform(toks, lambda t: F.concat(t, F.lit("..."))), "\n"))
+        .when(g == 2, F.array_join(toks, " # "))
+        .when(g == 3, F.array_join(F.slice(toks, 1, 10), " "))
+        .when(g == 4, F.array_join(F.transform(toks, lambda t: F.lit("4242")), " "))
+        .when(g == 5, F.array_join(F.transform(toks, lambda t: F.concat(t, t, t)), " "))
+        .otherwise(F.concat(F.col("text"), F.lit(" and that is the end of it")))
+    )
+
+
+_GOPHER_ORACLE_TOKS = X.oracle_tokens("text")
+_GOPHER_ORACLE_NOISY = f"""
+            CASE doc_id % 7
+              WHEN 0 THEN array_to_string(list_transform({_GOPHER_ORACLE_TOKS}, t -> '- ' || t), chr(10))
+              WHEN 1 THEN array_to_string(list_transform({_GOPHER_ORACLE_TOKS}, t -> t || '...'), chr(10))
+              WHEN 2 THEN array_to_string({_GOPHER_ORACLE_TOKS}, ' # ')
+              WHEN 3 THEN array_to_string(({_GOPHER_ORACLE_TOKS})[1:10], ' ')
+              WHEN 4 THEN array_to_string(list_transform({_GOPHER_ORACLE_TOKS}, t -> '4242'), ' ')
+              WHEN 5 THEN array_to_string(list_transform({_GOPHER_ORACLE_TOKS}, t -> t || t || t), ' ')
+              ELSE text || ' and that is the end of it'
+            END
+"""
+
+_GOPHER_ORACLE_STOP_SUM = " + ".join(
+    f"list_contains({X.oracle_tokens('nt')}, '{w}')::INT" for w in _GOPHER_STOPWORDS
+)
+
+
+@register(
+    "q_llm_gopher_rules",
+    oracle=f"""
+        WITH noisy AS (
+            SELECT doc_id, lang, doc_id % 7 AS genre, {_GOPHER_ORACLE_NOISY} AS nt
+            FROM documents
+        ),
+        feats AS (
+            SELECT doc_id, lang, genre,
+                   len(list_filter(string_split_regex(nt, '\\s+'), x -> x <> ''))::BIGINT AS n_w,
+                   CAST(coalesce(list_sum(list_transform(
+                       list_filter(string_split_regex(nt, '\\s+'), x -> x <> ''),
+                       w -> length(w))), 0) AS BIGINT) AS sum_wlen,
+                   len(list_filter(string_split(nt, chr(10)), x -> x <> ''))::BIGINT AS n_lines,
+                   len(list_filter(string_split(nt, chr(10)),
+                       x -> starts_with(ltrim(x), '- ') OR starts_with(ltrim(x), '* ')))::BIGINT AS n_bullet,
+                   len(list_filter(string_split(nt, chr(10)),
+                       x -> ends_with(rtrim(x), '...')))::BIGINT AS n_ell_lines,
+                   (length(nt) - length(replace(nt, '#', '')))::BIGINT AS cnt_hash,
+                   ((length(nt) - length(replace(nt, '...', ''))) // 3)::BIGINT AS cnt_ell,
+                   len(list_filter(
+                       list_filter(string_split_regex(nt, '\\s+'), x -> x <> ''),
+                       w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS n_alpha,
+                   ({_GOPHER_ORACLE_STOP_SUM})::BIGINT AS n_stop
+            FROM noisy
+        ),
+        rules AS (
+            SELECT lang, genre,
+                   (n_w < {_GOPHER_MIN_WORDS} OR n_w > {_GOPHER_MAX_WORDS}) AS r_wordcount,
+                   (sum_wlen < 3 * n_w OR sum_wlen > 10 * n_w) AS r_meanlen,
+                   ((cnt_hash + cnt_ell) * 10 > n_w) AS r_symbol,
+                   (n_bullet * 10 > 9 * n_lines) AS r_bullet,
+                   (n_ell_lines * 10 > 3 * n_lines) AS r_ellipsis,
+                   (n_alpha * 10 < 8 * n_w) AS r_alpha,
+                   (n_stop < 2) AS r_stopword
+            FROM feats
+        )
+        SELECT lang, genre,
+               COUNT(*)::BIGINT AS n_docs,
+               CAST(SUM(r_wordcount::INT) AS BIGINT) AS f_wordcount,
+               CAST(SUM(r_meanlen::INT) AS BIGINT) AS f_meanlen,
+               CAST(SUM(r_symbol::INT) AS BIGINT) AS f_symbol,
+               CAST(SUM(r_bullet::INT) AS BIGINT) AS f_bullet,
+               CAST(SUM(r_ellipsis::INT) AS BIGINT) AS f_ellipsis,
+               CAST(SUM(r_alpha::INT) AS BIGINT) AS f_alpha,
+               CAST(SUM(r_stopword::INT) AS BIGINT) AS f_stopword,
+               CAST(SUM(CASE WHEN NOT (r_wordcount OR r_meanlen OR r_symbol OR r_bullet
+                                       OR r_ellipsis OR r_alpha OR r_stopword)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+        FROM rules
+        GROUP BY lang, genre
+    """,
+    tags=("llm", "curation", "quality", "gopher"),
+)
+def q_llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021 Table A1, the
+    filter set reused verbatim by FineWeb / Dolma / RedPajama-v2) with
+    per-rule drop accounting: each of the seven published rules is an
+    exact integer cross-multiply over word/line/symbol features, and the
+    output is the per-(lang, genre) count of documents failing each rule
+    plus the surviving mass — the per-rule attribution table a curation
+    run reports before committing a filter config.
+
+    Scale shape: the entire battery is map-only Catalyst expressions
+    over each document (split / filter / aggregate higher-order funcs,
+    no Python), followed by ONE hash aggregate keyed by the tiny
+    (lang, genre) space — partial aggregation makes the shuffle carry
+    ~35 rows per executor regardless of corpus size. At 100 TB this is
+    a pure scan-side pass, the cheapest possible plan shape.
+
+    The reference has no quality operators (its only compute hook is
+    the 1→N Handler, reference types.go:122-135); this extends the
+    curation family per SURVEY.md §2B."""
+    d = load_table(spark, sf_dir, "documents")
+    noisy = d.select(
+        "doc_id", "lang", (F.col("doc_id") % 7).alias("genre"),
+        _gopher_noisy_text_expr().alias("nt"),
+    )
+    nt = F.col("nt")
+    words = F.filter(F.split(nt, r"\s+"), lambda x: x != "")
+    lines = F.filter(F.split(nt, "\n"), lambda x: x != "")
+    feats = noisy.select(
+        "lang", "genre",
+        F.size(words).cast("bigint").alias("n_w"),
+        F.aggregate(words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)).alias("sum_wlen"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(F.filter(lines, lambda x: F.ltrim(x).startswith("- ") | F.ltrim(x).startswith("* ")))
+        .cast("bigint").alias("n_bullet"),
+        F.size(F.filter(lines, lambda x: F.rtrim(x).endswith("..."))).cast("bigint").alias("n_ell_lines"),
+        (F.length(nt) - F.length(F.replace(nt, F.lit("#"), F.lit("")))).cast("bigint").alias("cnt_hash"),
+        ((F.length(nt) - F.length(F.replace(nt, F.lit("..."), F.lit("")))) / 3).cast("bigint").alias("cnt_ell"),
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("bigint").alias("n_alpha"),
+        sum(
+            (F.array_contains(X.tokens(nt), w).cast("int") for w in _GOPHER_STOPWORDS),
+            start=F.lit(0),
+        ).cast("bigint").alias("n_stop"),
+    )
+    r_wordcount = (F.col("n_w") < _GOPHER_MIN_WORDS) | (F.col("n_w") > _GOPHER_MAX_WORDS)
+    r_meanlen = (F.col("sum_wlen") < 3 * F.col("n_w")) | (F.col("sum_wlen") > 10 * F.col("n_w"))
+    r_symbol = (F.col("cnt_hash") + F.col("cnt_ell")) * 10 > F.col("n_w")
+    r_bullet = F.col("n_bullet") * 10 > 9 * F.col("n_lines")
+    r_ellipsis = F.col("n_ell_lines") * 10 > 3 * F.col("n_lines")
+    r_alpha = F.col("n_alpha") * 10 < 8 * F.col("n_w")
+    r_stopword = F.col("n_stop") < 2
+    rules = feats.select(
+        "lang", "genre",
+        r_wordcount.alias("r_wordcount"), r_meanlen.alias("r_meanlen"),
+        r_symbol.alias("r_symbol"), r_bullet.alias("r_bullet"),
+        r_ellipsis.alias("r_ellipsis"), r_alpha.alias("r_alpha"),
+        r_stopword.alias("r_stopword"),
+    )
+    keep = ~(
+        F.col("r_wordcount") | F.col("r_meanlen") | F.col("r_symbol") | F.col("r_bullet")
+        | F.col("r_ellipsis") | F.col("r_alpha") | F.col("r_stopword")
+    )
+    return rules.groupBy("lang", "genre").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        *[
+            F.sum(F.col(f"r_{r}").cast("int")).cast("bigint").alias(f"f_{r}")
+            for r in ("wordcount", "meanlen", "symbol", "bullet", "ellipsis", "alpha", "stopword")
+        ],
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_keep"),
+    )

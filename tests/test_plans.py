@@ -569,3 +569,18 @@ def test_url_dedup_single_shuffle_key_no_python(spark, sf_dir):
     read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
     assert read_schema and "text" not in read_schema[0], read_schema
     assert "partial_" in p or "HashAggregate" in p, p
+
+
+def test_gopher_rules_maponly_single_agg_no_python(spark, sf_dir):
+    """q_llm_gopher_rules: the whole rule battery is map-side JVM
+    higher-order expressions — no Python eval, no join, no window —
+    with exactly one hash aggregate (partial + final) keyed by the
+    tiny (lang, genre) space, and the scan reads only the three
+    columns the battery needs."""
+    p = plan(_q("q_llm_gopher_rules", spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "Join" not in p and "Window" not in p, p
+    assert p.count("+- Exchange") == 1, p
+    assert "partial_" in p or "HashAggregate" in p, p
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "embedding" not in read_schema[0], read_schema
