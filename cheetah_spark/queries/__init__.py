@@ -73,6 +73,7 @@ CHECK_FIRST = [
     "s_zmq_replay",
     "q_llm_url_dedup",
     "q_llm_gopher_rules",
+    "q_llm_c4_rules",
     "q_nats_envelope",
     "s_nats_replay",
     "q_llm_ann_lsh_fixedq",

@@ -2429,3 +2429,212 @@ def q_llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 rule battery (Raffel et al. 2020, §2.2)
+# ---------------------------------------------------------------------------
+
+# The published C4 cleaning heuristics, split exactly as the paper does:
+# line-level retention (terminal punctuation, >= 3 words, no
+# 'javascript') REWRITES each page; page-level gates ('lorem ipsum',
+# curly brace, badword, >= 5 retained lines) drop whole pages. The
+# badword list stands in for the public LDNOOBW list the paper cites
+# (one declared token, injected by the fixture derivation below).
+_C4_MIN_LINE_WORDS = 3
+_C4_MIN_PAGE_LINES = 5
+_C4_BADWORDS = ("badword",)
+_C4_FP_MOD = 1_000_000_007  # checksum-sum convention (q_llm_chunk_windows)
+
+
+def _c4_noisy_page_expr():
+    """Deterministic web-page derivation (fixture synthesis, same spec
+    in the oracle): the clean one-line corpus is rewritten into a
+    multi-line page — 4-token lines whose terminal punctuation cycles
+    on ``(doc_id + line) % 5`` (period / bang / none / a 'javascript'
+    line / question mark) — and a poison tail keyed on doc_id injects
+    the three page-level C4 triggers ('lorem ipsum', a curly brace, a
+    badword) at fixed low rates."""
+    toks = X.tokens(F.col("text"))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.floor((n - F.lit(1)) / 4).cast("int"))
+
+    def mk_line(i):
+        body = F.array_join(F.slice(toks, i * 4 + 1, 4), " ")
+        m = (F.col("doc_id") + i) % 5
+        return (
+            F.when(m == 0, F.concat(body, F.lit(".")))
+            .when(m == 1, F.concat(body, F.lit("!")))
+            .when(m == 2, body)
+            .when(m == 3, F.concat(body, F.lit(" javascript required.")))
+            .otherwise(F.concat(body, F.lit("?")))
+        )
+
+    lines = F.when(n < 1, F.array().cast("array<string>")).otherwise(F.transform(idx, mk_line))
+    empty = F.array().cast("array<string>")
+    poison = [
+        F.when(F.col("doc_id") % 17 == 0, F.array(F.lit("lorem ipsum dolor sit amet."))).otherwise(empty),
+        F.when(F.col("doc_id") % 19 == 3, F.array(F.lit("var f = function() {"))).otherwise(empty),
+        F.when(F.col("doc_id") % 23 == 5, F.array(F.lit("this page contains badword."))).otherwise(empty),
+    ]
+    return F.array_join(F.concat(lines, *poison), "\n")
+
+
+_C4_ORACLE_PAGE = f"""
+            array_to_string(
+              CASE WHEN len({_GOPHER_ORACLE_TOKS}) < 1 THEN []::VARCHAR[]
+                   ELSE list_transform(
+                       generate_series(0, (len({_GOPHER_ORACLE_TOKS}) - 1) // 4),
+                       i -> array_to_string(({_GOPHER_ORACLE_TOKS})[i * 4 + 1 : i * 4 + 4], ' ')
+                            || CASE (doc_id + i) % 5
+                                 WHEN 0 THEN '.'
+                                 WHEN 1 THEN '!'
+                                 WHEN 2 THEN ''
+                                 WHEN 3 THEN ' javascript required.'
+                                 ELSE '?'
+                               END)
+              END
+              || (CASE WHEN doc_id % 17 = 0 THEN ['lorem ipsum dolor sit amet.'] ELSE []::VARCHAR[] END)
+              || (CASE WHEN doc_id % 19 = 3 THEN ['var f = function() {{'] ELSE []::VARCHAR[] END)
+              || (CASE WHEN doc_id % 23 = 5 THEN ['this page contains badword.'] ELSE []::VARCHAR[] END),
+              chr(10))
+"""
+
+_C4_ORACLE_LINE_KEEP = (
+    "(ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?') OR ends_with(x, '\"'))"
+    f" AND len(list_filter(string_split_regex(x, '\\s+'), w -> w <> '')) >= {_C4_MIN_LINE_WORDS}"
+    " AND NOT contains(x, 'javascript')"
+)
+
+
+@register(
+    "q_llm_c4_rules",
+    oracle=f"""
+        WITH pages AS (
+            SELECT doc_id, lang, {_C4_ORACLE_PAGE} AS page
+            FROM documents
+        ),
+        feats AS (
+            SELECT doc_id, lang, page,
+                   list_filter(string_split(page, chr(10)), x -> x <> '') AS lines,
+                   list_filter(list_filter(string_split(page, chr(10)), x -> x <> ''),
+                               x -> {_C4_ORACLE_LINE_KEEP}) AS kept_lines,
+                   contains(lower(page), 'lorem ipsum') AS p_lorem,
+                   contains(page, '{{') AS p_curly,
+                   list_has_any({X.oracle_tokens('page')},
+                                [{", ".join(repr(w) for w in _C4_BADWORDS)}]) AS p_badword
+            FROM pages
+        ),
+        judged AS (
+            SELECT lang,
+                   len(lines)::BIGINT AS n_lines,
+                   len(kept_lines)::BIGINT AS n_kept_lines,
+                   CAST(len(list_filter(lines, x -> NOT (ends_with(x, '.') OR ends_with(x, '!')
+                        OR ends_with(x, '?') OR ends_with(x, '"')))) AS BIGINT) AS l_punct,
+                   CAST(len(list_filter(lines,
+                        x -> len(list_filter(string_split_regex(x, '\\s+'), w -> w <> ''))
+                             < {_C4_MIN_LINE_WORDS})) AS BIGINT) AS l_short,
+                   CAST(len(list_filter(lines, x -> contains(x, 'javascript'))) AS BIGINT) AS l_js,
+                   p_lorem, p_curly, p_badword,
+                   (len(kept_lines) < {_C4_MIN_PAGE_LINES}) AS p_minlines,
+                   (NOT (p_lorem OR p_curly OR p_badword
+                         OR len(kept_lines) < {_C4_MIN_PAGE_LINES})) AS kept,
+                   CASE WHEN NOT (p_lorem OR p_curly OR p_badword
+                                  OR len(kept_lines) < {_C4_MIN_PAGE_LINES})
+                        THEN {X.oracle_hash56(f"array_to_string(kept_lines, chr(10))")} % {_C4_FP_MOD}
+                        ELSE 0 END AS fp,
+                   CASE WHEN NOT (p_lorem OR p_curly OR p_badword
+                                  OR len(kept_lines) < {_C4_MIN_PAGE_LINES})
+                        THEN length(array_to_string(kept_lines, chr(10)))
+                        ELSE 0 END AS kept_chars
+            FROM feats
+        )
+        SELECT lang,
+               COUNT(*)::BIGINT AS n_pages,
+               CAST(SUM(kept::INT) AS BIGINT) AS n_pages_kept,
+               CAST(SUM(p_lorem::INT) AS BIGINT) AS p_lorem,
+               CAST(SUM(p_curly::INT) AS BIGINT) AS p_curly,
+               CAST(SUM(p_badword::INT) AS BIGINT) AS p_badword,
+               CAST(SUM(p_minlines::INT) AS BIGINT) AS p_minlines,
+               CAST(SUM(n_lines) AS BIGINT) AS total_lines,
+               CAST(SUM(n_kept_lines) AS BIGINT) AS total_kept_lines,
+               CAST(SUM(l_punct) AS BIGINT) AS lines_drop_punct,
+               CAST(SUM(l_short) AS BIGINT) AS lines_drop_short,
+               CAST(SUM(l_js) AS BIGINT) AS lines_drop_js,
+               CAST(SUM(kept_chars) AS BIGINT) AS kept_chars,
+               CAST(SUM(fp) AS BIGINT) AS kept_checksum
+        FROM judged
+        GROUP BY lang
+    """,
+    tags=("llm", "curation", "quality", "c4"),
+)
+def q_llm_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning battery (Raffel et al. 2020 §2.2) as a
+    hash-verified corpus REWRITE: line-level retention (terminal
+    punctuation, >= {_C4_MIN_LINE_WORDS} words, no 'javascript')
+    rebuilds each page, page-level gates ('lorem ipsum', curly brace,
+    badword stand-in, >= {_C4_MIN_PAGE_LINES} retained lines) drop
+    whole pages, and the output pins BOTH the per-rule drop accounting
+    AND a checksum over the rewritten kept text (the span_trim /
+    pii_redact integrity convention) — so the transform itself is
+    verified, not just its counts.
+
+    Complements q_llm_gopher_rules: Gopher judges documents whole,
+    C4 rewrites them line by line; real curation stacks run both.
+
+    Scale shape: pure map-side higher-order Catalyst expressions
+    (split / filter / transform lambdas, zero Python) and ONE hash
+    aggregate on lang — partial aggregation collapses everything
+    map-side, so the shuffle carries ~5 rows per executor at any
+    corpus size. The reference has no quality operators (SURVEY.md
+    §2A; its only compute hook is the 1→N Handler, reference
+    types.go:122-135)."""
+    d = load_table(spark, sf_dir, "documents")
+    pages = d.select("doc_id", "lang", _c4_noisy_page_expr().alias("page"))
+    page = F.col("page")
+    term = lambda x: x.endswith(".") | x.endswith("!") | x.endswith("?") | x.endswith('"')
+    nwords = lambda x: F.size(F.filter(F.split(x, r"\s+"), lambda w: w != ""))
+    line_keep = lambda x: term(x) & (nwords(x) >= _C4_MIN_LINE_WORDS) & ~x.contains("javascript")
+    lines_c = F.filter(F.split(page, "\n"), lambda x: x != "")
+    feats = pages.select(
+        "lang",
+        lines_c.alias("lines"),
+        F.filter(lines_c, line_keep).alias("kept_lines"),
+        F.lower(page).contains("lorem ipsum").alias("p_lorem"),
+        page.contains("{").alias("p_curly"),
+        F.arrays_overlap(X.tokens(page), F.array(*[F.lit(w) for w in _C4_BADWORDS])).alias("p_badword"),
+    )
+    dropped = ~(
+        F.col("p_lorem") | F.col("p_curly") | F.col("p_badword")
+        | (F.size("kept_lines") < _C4_MIN_PAGE_LINES)
+    )
+    kept_text = F.array_join(F.col("kept_lines"), "\n")
+    judged = feats.select(
+        "lang",
+        F.size("lines").cast("bigint").alias("n_lines"),
+        F.size("kept_lines").cast("bigint").alias("n_kept_lines"),
+        F.size(F.filter(F.col("lines"), lambda x: ~term(x))).cast("bigint").alias("l_punct"),
+        F.size(F.filter(F.col("lines"), lambda x: nwords(x) < _C4_MIN_LINE_WORDS))
+        .cast("bigint").alias("l_short"),
+        F.size(F.filter(F.col("lines"), lambda x: x.contains("javascript"))).cast("bigint").alias("l_js"),
+        "p_lorem", "p_curly", "p_badword",
+        (F.size("kept_lines") < _C4_MIN_PAGE_LINES).alias("p_minlines"),
+        dropped.alias("kept"),
+        F.when(dropped, X.hash56(kept_text) % _C4_FP_MOD).otherwise(F.lit(0)).alias("fp"),
+        F.when(dropped, F.length(kept_text)).otherwise(F.lit(0)).alias("kept_chars"),
+    )
+    return judged.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_pages"),
+        F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_pages_kept"),
+        F.sum(F.col("p_lorem").cast("int")).cast("bigint").alias("p_lorem"),
+        F.sum(F.col("p_curly").cast("int")).cast("bigint").alias("p_curly"),
+        F.sum(F.col("p_badword").cast("int")).cast("bigint").alias("p_badword"),
+        F.sum(F.col("p_minlines").cast("int")).cast("bigint").alias("p_minlines"),
+        F.sum("n_lines").cast("bigint").alias("total_lines"),
+        F.sum("n_kept_lines").cast("bigint").alias("total_kept_lines"),
+        F.sum("l_punct").cast("bigint").alias("lines_drop_punct"),
+        F.sum("l_short").cast("bigint").alias("lines_drop_short"),
+        F.sum("l_js").cast("bigint").alias("lines_drop_js"),
+        F.sum("kept_chars").cast("bigint").alias("kept_chars"),
+        F.sum("fp").cast("bigint").alias("kept_checksum"),
+    )

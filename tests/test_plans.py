@@ -584,3 +584,14 @@ def test_gopher_rules_maponly_single_agg_no_python(spark, sf_dir):
     assert "partial_" in p or "HashAggregate" in p, p
     read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
     assert read_schema and "embedding" not in read_schema[0], read_schema
+
+
+def test_c4_rules_maponly_single_agg_no_python(spark, sf_dir):
+    """q_llm_c4_rules: line rewrite + page gates are map-side JVM
+    higher-order expressions; one lang-keyed hash aggregate is the
+    only exchange, and nothing reaches Python."""
+    p = plan(_q("q_llm_c4_rules", spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "Join" not in p and "Window" not in p, p
+    assert p.count("+- Exchange") == 1, p
+    assert "partial_" in p or "HashAggregate" in p, p
