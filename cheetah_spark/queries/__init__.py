@@ -74,6 +74,7 @@ CHECK_FIRST = [
     "q_llm_url_dedup",
     "q_llm_gopher_rules",
     "q_llm_c4_rules",
+    "q_llm_line_dedup",
     "q_nats_envelope",
     "s_nats_replay",
     "q_llm_ann_lsh_fixedq",

@@ -2638,3 +2638,112 @@ def q_llm_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("kept_chars").cast("bigint").alias("kept_chars"),
         F.sum("fp").cast("bigint").alias("kept_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide duplicated-line removal (CCNet / FineWeb boilerplate pass)
+# ---------------------------------------------------------------------------
+
+_LINE_DF_K = 2  # a line seen in >= K distinct docs is boilerplate
+
+
+@register(
+    "q_llm_line_dedup",
+    oracle=f"""
+        WITH pages AS (
+            SELECT doc_id, lang, {_C4_ORACLE_PAGE} AS page
+            FROM documents
+        ),
+        withlines AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split(page, chr(10)), x -> x <> '') AS lines
+            FROM pages
+        ),
+        ex AS (
+            SELECT doc_id, lang, i, lines[i] AS line
+            FROM withlines, unnest(generate_series(1, len(lines))) AS t(i)
+        ),
+        dfreq AS (
+            SELECT line, COUNT(DISTINCT doc_id)::BIGINT AS df
+            FROM ex GROUP BY line
+        ),
+        judged AS (
+            SELECT ex.doc_id, ex.lang, ex.i, ex.line,
+                   (dfreq.df >= {_LINE_DF_K}) AS dropped
+            FROM ex JOIN dfreq ON ex.line = dfreq.line
+        ),
+        per_doc AS (
+            SELECT doc_id, lang,
+                   COUNT(*)::BIGINT AS n_lines,
+                   CAST(SUM(dropped::INT) AS BIGINT) AS n_dropped,
+                   coalesce(array_to_string(list(line ORDER BY i)
+                       FILTER (WHERE NOT dropped), chr(10)), '') AS kept_text
+            FROM judged GROUP BY doc_id, lang
+        )
+        SELECT lang,
+               COUNT(*)::BIGINT AS n_docs,
+               CAST(SUM(n_lines) AS BIGINT) AS total_lines,
+               CAST(SUM(n_dropped) AS BIGINT) AS dropped_lines,
+               CAST(SUM(CASE WHEN n_dropped > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_touched,
+               CAST(SUM(length(kept_text)) AS BIGINT) AS kept_chars,
+               CAST(SUM({X.oracle_hash56('kept_text')} % {_C4_FP_MOD}) AS BIGINT) AS kept_checksum
+        FROM per_doc GROUP BY lang
+    """,
+    tags=("llm", "curation", "dedup", "lines"),
+)
+def q_llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-WIDE duplicated-line removal — the CCNet / FineWeb
+    boilerplate pass (nav menus, cookie banners, footer text repeat
+    verbatim across pages): any line occurring in >= {_LINE_DF_K}
+    distinct documents is removed from every document, documents are
+    rebuilt in line order, and the output pins the rewrite with the
+    kept-text checksum convention (span_trim / c4_rules).
+
+    Distinct from q_llm_span_dedup (within/cross-doc token shingles)
+    and q_llm_c4_rules (per-page line heuristics): the duplicate
+    signal here is a CORPUS-level document-frequency aggregate, the
+    same shape CCNet computes over shard hashes. Shares the C4 page
+    derivation so the same fixture corpus feeds both batteries.
+
+    Scale shape: posexplode → one map-side-combinable hash aggregate
+    keyed by the line (uniform after hashing), then the boilerplate
+    SET — bounded by distinct repeated lines, orders of magnitude
+    smaller than the corpus — joins back BROADCAST, so the exploded
+    corpus never shuffles for the flagging step (the hot 'lorem ipsum'
+    line with df ~ n/17 would be a classic skew key under a shuffle
+    join; broadcasting sidesteps it entirely). Per-doc reassembly
+    shuffles once on doc_id (uniform), per-lang rollup is partial-agg.
+    At 100 TB: if the boilerplate set outgrows the broadcast
+    threshold, AQE falls back to a shuffle join where
+    functions/skew.hot_salted_join is the documented escape hatch."""
+    d = load_table(spark, sf_dir, "documents")
+    pages = d.select("doc_id", "lang", _c4_noisy_page_expr().alias("page"))
+    ex = pages.select(
+        "doc_id", "lang",
+        F.posexplode(F.filter(F.split(F.col("page"), "\n"), lambda x: x != "")).alias("i", "line"),
+    )
+    boiler = (
+        ex.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _LINE_DF_K)
+    )
+    judged = ex.join(F.broadcast(boiler), "line", "left").select(
+        "doc_id", "lang", "i", "line", F.col("df").isNotNull().alias("dropped")
+    )
+    kept_struct = F.when(~F.col("dropped"), F.struct(F.col("i"), F.col("line")))
+    per_doc = judged.groupBy("doc_id", "lang").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(F.col("dropped").cast("int")).cast("bigint").alias("n_dropped"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]),
+            "\n",
+        ).alias("kept_text"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_lines").cast("bigint").alias("total_lines"),
+        F.sum("n_dropped").cast("bigint").alias("dropped_lines"),
+        F.sum(F.when(F.col("n_dropped") > 0, 1).otherwise(0)).cast("bigint").alias("docs_touched"),
+        F.sum(F.length("kept_text")).cast("bigint").alias("kept_chars"),
+        F.sum(X.hash56(F.col("kept_text")) % _C4_FP_MOD).cast("bigint").alias("kept_checksum"),
+    )

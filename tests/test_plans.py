@@ -595,3 +595,14 @@ def test_c4_rules_maponly_single_agg_no_python(spark, sf_dir):
     assert "Join" not in p and "Window" not in p, p
     assert p.count("+- Exchange") == 1, p
     assert "partial_" in p or "HashAggregate" in p, p
+
+
+def test_line_dedup_broadcasts_boilerplate_set(spark, sf_dir):
+    """q_llm_line_dedup: the corpus-side exploded lines must NOT
+    shuffle for the flagging join — the bounded boilerplate set is the
+    broadcast side (the df ~ n/17 'lorem ipsum' line is a skew key
+    under any shuffle join). No Python anywhere."""
+    p = plan(_q("q_llm_line_dedup", spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
