@@ -2507,9 +2507,7 @@ _C4_ORACLE_LINE_KEEP = (
 )
 
 
-@register(
-    "q_llm_c4_rules",
-    oracle=f"""
+_C4_RULES_ORACLE = f"""
         WITH pages AS (
             SELECT doc_id, lang, {_C4_ORACLE_PAGE} AS page
             FROM documents
@@ -2565,7 +2563,12 @@ _C4_ORACLE_LINE_KEEP = (
                CAST(SUM(fp) AS BIGINT) AS kept_checksum
         FROM judged
         GROUP BY lang
-    """,
+"""
+
+
+@register(
+    "q_llm_c4_rules",
+    oracle=_C4_RULES_ORACLE,
     tags=("llm", "curation", "quality", "c4"),
 )
 def q_llm_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2590,7 +2593,15 @@ def q_llm_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     §2A; its only compute hook is the 1→N Handler, reference
     types.go:122-135)."""
     d = load_table(spark, sf_dir, "documents")
-    pages = d.select("doc_id", "lang", _c4_noisy_page_expr().alias("page"))
+    return _c4_rollup(_c4_judged(d))
+
+
+def _c4_judged(docs: DataFrame) -> DataFrame:
+    """Map-only C4 judging of a (doc_id, lang, text) frame: page
+    derivation, line retention, page gates, rewrite checksum — shared
+    verbatim by the batch operator and the streaming twin (stateless,
+    so micro-batch slicing cannot change it)."""
+    pages = docs.select("doc_id", "lang", _c4_noisy_page_expr().alias("page"))
     page = F.col("page")
     term = lambda x: x.endswith(".") | x.endswith("!") | x.endswith("?") | x.endswith('"')
     nwords = lambda x: F.size(F.filter(F.split(x, r"\s+"), lambda w: w != ""))
@@ -2623,6 +2634,10 @@ def q_llm_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(dropped, X.hash56(kept_text) % _C4_FP_MOD).otherwise(F.lit(0)).alias("fp"),
         F.when(dropped, F.length(kept_text)).otherwise(F.lit(0)).alias("kept_chars"),
     )
+    return judged
+
+
+def _c4_rollup(judged: DataFrame) -> DataFrame:
     return judged.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_pages"),
         F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_pages_kept"),
@@ -2638,6 +2653,40 @@ def q_llm_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("kept_chars").cast("bigint").alias("kept_chars"),
         F.sum("fp").cast("bigint").alias("kept_checksum"),
     )
+
+
+@register(
+    "s_llm_c4_filter",
+    oracle=_C4_RULES_ORACLE,
+    tags=("streaming", "llm", "curation", "quality", "c4"),
+)
+def s_llm_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING C4 cleaning — the rule battery applied to documents as
+    they ARRIVE: each micro-batch runs the identical map-only judged
+    projection (_c4_judged, shared with q_llm_c4_rules), the per-doc
+    verdict rows spool to parquet via foreachBatch (executors write,
+    the driver holds nothing — the run_stream_to_files discipline),
+    and the final rollup over the spool must hash-match the batch
+    operator's oracle VERBATIM: the filter is stateless, so admission
+    slicing cannot change a single verdict.
+
+    This is how a production ingest pipeline applies quality rules
+    at the door instead of re-scanning the lake; the micro-batch is
+    fanned out to every core before the judging projection (the
+    single-row-group replay files would otherwise pin each batch to
+    one scan partition — the r9 starvation fix)."""
+    from cheetah_spark.sources import ParquetSource
+    from cheetah_spark.streaming import documents_stream_dir, run_stream_to_files
+
+    src_dir = documents_stream_dir(spark, sf_dir)
+    stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=2).read(spark)
+    fanout = spark.sparkContext.defaultParallelism
+    sunk = run_stream_to_files(
+        stream,
+        lambda df: _c4_judged(df.repartition(fanout)),
+        output_mode="append",
+    )
+    return _c4_rollup(sunk)
 
 
 # ---------------------------------------------------------------------------

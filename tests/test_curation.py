@@ -199,3 +199,14 @@ def test_url_dedup_keeps_one_doc_per_page(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.n_docs - r.n_dropped == r.n_pages, r
+
+
+def test_c4_filter_stream_equals_batch(spark, sf_dir):
+    """s_llm_c4_filter must reproduce q_llm_c4_rules exactly: the
+    judged projection is stateless, so micro-batch admission cannot
+    change any verdict — streaming output == batch output row for row."""
+    from cheetah_spark.queries.curation import q_llm_c4_rules, s_llm_c4_filter
+
+    batch = {r["lang"]: r.asDict() for r in q_llm_c4_rules(spark, sf_dir).collect()}
+    stream = {r["lang"]: r.asDict() for r in s_llm_c4_filter(spark, sf_dir).collect()}
+    assert stream == batch
