@@ -57,6 +57,14 @@ DOC_QUERIES = [
     "s_llm_minhash_dedup",
     "s_llm_embed_dedup",
     "s_config_curation",
+    # r10: URL dedup + the quality batteries (map-only + one agg — the
+    # probe pins the "flat" claim) and the corpus-wide line dedup
+    # (explode + broadcast-join + rebuild — the join constant matters)
+    "q_llm_url_dedup",
+    "q_llm_gopher_rules",
+    "q_llm_c4_rules",
+    "q_llm_line_dedup",
+    "s_llm_c4_filter",
 ]
 EMB_QUERIES = [
     "q_llm_embed_dedup",
@@ -91,6 +99,10 @@ HIGH_ALPHA = [
     # streaming PCA — keep their 25× rows measured per-round
     "s_llm_bloom_decontaminate",
     "s_llm_embed_pca",
+    # r10: the line-dedup broadcast join and the streaming C4 chain
+    # are the new constants worth bounding at the top tier
+    "q_llm_line_dedup",
+    "s_llm_c4_filter",
 ]
 
 # r8: q_llm_dup_clusters now runs the rep-collapse composition (the
