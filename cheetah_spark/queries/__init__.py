@@ -76,6 +76,7 @@ CHECK_FIRST = [
     "q_llm_c4_rules",
     "q_llm_line_dedup",
     "s_llm_c4_filter",
+    "q_sql_recursive_cte",
     "q_nats_envelope",
     "s_nats_replay",
     "q_llm_ann_lsh_fixedq",

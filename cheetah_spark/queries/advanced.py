@@ -293,3 +293,53 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         salt_on="user_id",
     )
+
+
+_SQL_RECURSIVE = """
+    WITH RECURSIVE chain(custkey, anc, steps) AS (
+        SELECT CAST(c_custkey AS BIGINT) AS custkey,
+               CAST(c_custkey AS BIGINT) AS anc, 0 AS steps
+        FROM customer
+        UNION ALL
+        -- floor() before the cast: '/' is float division on ints in
+        -- both engines, but a bare float->int CAST truncates in Spark
+        -- and ROUNDS in DuckDB — floor() pins identical semantics
+        SELECT custkey, CAST(floor(anc / 2) AS BIGINT) AS anc, steps + 1 AS steps
+        FROM chain WHERE anc > 1
+    )
+    SELECT steps AS depth,
+           COUNT(*) AS n_nodes,
+           CAST(SUM(anc) AS BIGINT) AS sum_anc,
+           CAST(MIN(custkey) AS BIGINT) AS min_custkey,
+           CAST(MAX(custkey) AS BIGINT) AS max_custkey
+    FROM chain
+    GROUP BY steps
+"""
+
+
+@register(
+    "q_sql_recursive_cte",
+    oracle=_SQL_RECURSIVE,
+    tags=("advanced", "sql", "recursive"),
+)
+def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE surface (``WITH RECURSIVE``, new in Spark 4.x):
+    hierarchy traversal as plain ANSI SQL, the IDENTICAL text running
+    on both engines (the q_sql_interface discipline). The hierarchy is
+    the implicit binary-heap parent chain ``anc -> anc / 2`` over
+    customer keys — deterministic, needs no edge fixture, and its
+    depth is log2(max key), so the recursion terminates in ~11 rounds
+    at sf0.01 and ~40 rounds at ANY int64 scale.
+
+    Scale shape: Spark executes each recursion step as a distributed
+    transform over the previous step's frame (UnionLoop); per-step
+    work is one map + filter over rows still walking, total volume
+    O(n log n) rows with NO self-join — the classic transitive-closure
+    blowup can't occur on a functional parent edge. The final rollup
+    is one hash aggregate on the tiny depth key. Integer division is
+    exact in both engines (Spark int division on ints truncates like
+    DuckDB's / on INTEGER — both tested by the hash gate)."""
+    from cheetah_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(_SQL_RECURSIVE)

@@ -606,3 +606,14 @@ def test_line_dedup_broadcasts_boilerplate_set(spark, sf_dir):
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_recursive_cte_is_unionloop_no_join(spark, sf_dir):
+    """q_sql_recursive_cte: the recursion must plan as UnionLoop with a
+    map+filter step body — no self-join, no Python — and the rollup
+    keeps partial aggregation around its single exchange."""
+    p = plan(_q("q_sql_recursive_cte", spark, sf_dir))
+    assert "UnionLoop" in p, p
+    assert "Join" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "partial_" in p, p
