@@ -77,6 +77,7 @@ CHECK_FIRST = [
     "q_llm_line_dedup",
     "s_llm_c4_filter",
     "q_sql_recursive_cte",
+    "q_sql_lateral_topn",
     "q_nats_envelope",
     "s_nats_replay",
     "q_llm_ann_lsh_fixedq",
@@ -109,7 +110,10 @@ CHECK_FIRST = [
     "q_multimodal_meta",
     "q_multimodal_resize",
     "s_llm_embed_dedup",
-    # r7-stale cohort (oldest remaining), alphabetical fill to 50
+    # --- slot ~50 boundary: the 29 new/changed r10 names + the 20-name
+    # r6-stale cohort fill the driver's window (the r7 tail tops up
+    # the last slot); the rest rolls to the r11 rotation head ---
+    # r7-stale cohort (oldest remaining), alphabetical
     "q_agg_distinct",
     "q_array_map_ops",
     "q_cube_agg",
@@ -132,8 +136,6 @@ CHECK_FIRST = [
     "q_llm_quality_score",
     "q_llm_token_count",
     "q_llm_weighted_sample",
-    # --- slot 50 boundary (when every name above registers); the
-    # r7 tail below rolls to the r11 rotation head ---
     "q_llm_winnow_fingerprint",
     "q_pivot_events",
     "q_scalar_conditional",

@@ -343,3 +343,43 @@ def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("customer",))
     return spark.sql(_SQL_RECURSIVE)
+
+
+_SQL_LATERAL = """
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) t
+"""
+
+
+@register(
+    "q_sql_lateral_topn",
+    oracle=_SQL_LATERAL,
+    tags=("advanced", "sql", "lateral"),
+)
+def q_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery surface: top-2 orders per customer
+    expressed as the ANSI lateral join, the IDENTICAL text running on
+    both engines (the q_sql_interface discipline; tie-broken ORDER BY
+    so the top-2 set is unique).
+
+    Scale shape — the reason this registration exists: Catalyst
+    DECORRELATES the lateral into a per-key top-k, planned as
+    WindowGroupLimit with a map-side partial pass BEFORE the exchange
+    (each task keeps its local top-2 per custkey, so the shuffle
+    carries ≤ 2·|keys per task| rows, not the orders table) and a
+    broadcast hash join back to customers — the plan a performance
+    engineer would hand-write, derived from the naive correlated SQL.
+    A naive per-row re-execution of the subquery (what LATERAL means
+    operationally) would be O(|customers|) table scans; the plan pin
+    asserts the decorrelated shape survives."""
+    from cheetah_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_SQL_LATERAL)

@@ -617,3 +617,14 @@ def test_recursive_cte_is_unionloop_no_join(spark, sf_dir):
     assert "Join" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
     assert "partial_" in p, p
+
+
+def test_lateral_topn_decorrelates_to_window_group_limit(spark, sf_dir):
+    """q_sql_lateral_topn: the correlated LATERAL must decorrelate to a
+    WindowGroupLimit top-k with a map-side partial pass before the
+    exchange, joined back broadcast — never a per-row re-execution or
+    nested-loop shape."""
+    p = plan(_q("q_sql_lateral_topn", spark, sf_dir))
+    assert "WindowGroupLimit" in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
