@@ -260,3 +260,115 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_actual").isNull().alias("is_gap"),
         F.last("sum_value", ignorenulls=True).over(w).alias("locf_sum"),
     )
+
+
+# Truncated exponentially-weighted moving average. alpha = 1/2 and a
+# K=8 tap horizon are chosen so every weight (1-alpha)^k = 2^-k is an
+# EXACT binary double: each product w_k * lag(value, k) only shifts the
+# exponent (no mantissa rounding), the 8-term numerator/denominator
+# sums are evaluated in one fixed expression order by both engines, and
+# the final division is IEEE division of identical operands — the
+# per-row EWMA is bit-identical on Spark and DuckDB with no snapping.
+# Weights beyond K=8 contribute < 2^-8 ≈ 0.4% and are truncated, the
+# standard bounded-memory EWM formulation (pandas `ewm(...).mean()`
+# with adjust=True over a length-K window).
+_EWMA_K = 8
+
+
+def _ewma_terms() -> tuple[str, str]:
+    """(numerator, denominator) SQL — shared verbatim by both engines."""
+    num = " + ".join(
+        f"COALESCE(LAG(value, {k}) OVER w * {2.0 ** -k!r}, 0.0)" for k in range(_EWMA_K)
+    )
+    den = " + ".join(
+        f"CASE WHEN LAG(value, {k}) OVER w IS NULL THEN 0.0 ELSE {2.0 ** -k!r} END"
+        for k in range(_EWMA_K)
+    )
+    return num, den
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_terms()
+
+EWMA_SQL = f"""
+    SELECT event_id, user_id, value,
+           ({_EWMA_NUM}) / ({_EWMA_DEN}) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register(
+    "q_timeseries_ewma",
+    oracle=EWMA_SQL,
+    tags=("timeseries", "window", "smoothing"),
+)
+def q_timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key EWMA smoothing (alpha=1/2, 8-tap truncation) — the
+    metric-smoothing primitive of monitoring/anomaly stacks; feeds the
+    same z-score residual detection as q_sec_anomaly_zscore.
+
+    The reference has no windowed compute (SURVEY.md §1.3); this is
+    §2B target surface expressed as ONE window spec reused by eight
+    LAG taps — Catalyst collapses them into a single Window exec with
+    one sort per user partition, so at 100 TB the cost is exactly one
+    shuffle on user_id + an in-partition sort (no per-tap passes).
+    The SQL text is shared verbatim with the DuckDB oracle."""
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("events")
+    return spark.sql(EWMA_SQL)
+
+
+# Financial-style OHLC downsampling: open/high/low/close + volume per
+# (event_type, hour). first/last are selected by an explicit unique
+# BIGINT order key (epoch-seconds * 10^7 + event_id) so the pick is
+# deterministic under any partitioning; high/low/open/close are raw
+# parquet doubles (selection, not arithmetic) — bit-identical across
+# engines; the volume-weighted sum uses the exact-decimal convention.
+OHLC_SQL_DUCK = f"""
+    SELECT event_type,
+           date_trunc('hour', ts) AS bucket,
+           arg_min(value, CAST(epoch(date_trunc('second', ts)) AS BIGINT) * 10000000
+                          + event_id % 10000000) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, CAST(epoch(date_trunc('second', ts)) AS BIGINT) * 10000000
+                          + event_id % 10000000) AS close,
+           COUNT(*) AS volume,
+           {oracle_dsum2("value")} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "q_timeseries_ohlc",
+    oracle=OHLC_SQL_DUCK,
+    tags=("timeseries", "downsample"),
+)
+def q_timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar downsampling per (event_type, hour): the classic
+    first/last/min/max resampler of tick stores (and the shape of
+    M4-style chart downsampling with value extremes, cf.
+    q_timeseries_m4 which picks by-position extremes).
+
+    Scale shape: ONE hash aggregate over (type, hour) — min_by/max_by
+    carry (key, value) partial state, so open/close resolve map-side
+    and the shuffle moves only one partial row per group per mapper;
+    no window, no sort, no second pass. This is the aggregation form
+    of `first/last` that actually scales (a window row_number=1
+    formulation would sort every partition)."""
+    e = load_table(spark, sf_dir, "events")
+    ordkey = (
+        F.date_trunc("second", F.col("ts")).cast("bigint") * F.lit(10000000)
+        + F.col("event_id") % F.lit(10000000)
+    )
+    return e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.min_by("value", ordkey).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", ordkey).alias("close"),
+        F.count("*").alias("volume"),
+        dsum2("value").alias("sum_value"),
+    )
