@@ -1202,3 +1202,168 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("k"), F.lit(0).cast("bigint")).alias("n_in_edges"),
         )
     )
+
+
+@register(
+    "q_graph_triangles",
+    oracle="""
+        WITH pres AS (
+            SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+            FROM events
+        ),
+        edges AS (
+            SELECT DISTINCT a.user_id AS u, b.user_id AS v
+            FROM pres a JOIN pres b
+              ON a.event_type = b.event_type AND a.h = b.h
+             AND a.user_id < b.user_id
+        ),
+        tri AS (
+            SELECT COUNT(*) AS n_triangles
+            FROM edges e1
+            JOIN edges e2 ON e2.u = e1.v
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        deg AS (
+            SELECT node, COUNT(*) AS d FROM (
+                SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+            ) GROUP BY node
+        ),
+        wedge AS (
+            SELECT COUNT(*) AS n_nodes,
+                   CAST(SUM(d) / 2 AS BIGINT) AS n_edges,
+                   CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+            FROM deg
+        )
+        SELECT n_nodes, n_edges, n_triangles, n_wedges,
+               CAST(3 * n_triangles AS DOUBLE) / n_wedges AS clustering
+        FROM wedge, tri
+    """,
+    tags=("graph", "analytics"),
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + global clustering coefficient over the user
+    co-presence graph (edge = two users active in the same
+    (event_type, hour) block) — the third graph operator next to
+    connected components and PageRank, and the classic abuse-/botnet-
+    ring signal (coordinated accounts close triangles; organic traffic
+    doesn't).
+
+    Scale shape: pair generation is BLOCKED, never all-pairs — the
+    co-presence join runs inside bounded (type, hour) blocks after a
+    DISTINCT collapse (the LSH-banding discipline of the dedup
+    family), and the u < v canonical orientation both halves the edge
+    relation and makes the triangle enumeration count each triangle
+    exactly once with NO post-hoc dedup. The count itself is two
+    self-equi-joins of the oriented edge relation — shuffle on the
+    join key each hop, the node-iterator pattern that holds at 10^9
+    edges (heavy-hitter nodes would get the skew.py salting
+    treatment). All outputs are exact integers; the coefficient is one
+    IEEE division of identical operands."""
+    e = load_table(spark, sf_dir, "events")
+    pres = e.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).distinct()
+    a, b = pres.alias("a"), pres.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+        # the edge relation feeds three joins + the degree rollup;
+        # checkpoint once so the blocked pair-join isn't re-derived
+        .localCheckpoint()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    wedge = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum("d") / 2).cast("bigint").alias("n_edges"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
+    )
+    return wedge.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "n_wedges",
+        ((F.lit(3) * F.col("n_triangles")).cast("double") / F.col("n_wedges")).alias(
+            "clustering"
+        ),
+    )
+
+
+@register(
+    "q_sec_first_seen",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, event_type, MIN(ts) AS first_ts
+            FROM events GROUP BY user_id, event_type
+        ),
+        new_per_day AS (
+            SELECT CAST(date_trunc('day', first_ts) AS TIMESTAMP) AS day,
+                   COUNT(*) AS n_new_pairs,
+                   COUNT(DISTINCT user_id) AS n_users_with_new
+            FROM firsts GROUP BY 1
+        ),
+        per_day AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1
+        )
+        SELECT p.day, p.n_events,
+               COALESCE(n.n_new_pairs, 0) AS n_new_pairs,
+               COALESCE(n.n_users_with_new, 0) AS n_users_with_new,
+               CAST(COALESCE(n.n_new_pairs, 0) AS DOUBLE) / p.n_events
+                   AS new_ratio
+        FROM per_day p LEFT JOIN new_per_day n ON p.day = n.day
+    """,
+    tags=("security", "analytics"),
+)
+def q_sec_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen detection: the day each (user, event_type) pair is
+    observed for the first time, rolled up to new-entity counts per
+    day — the 'new process on host / new country for user' primitive
+    of detection engineering (a spike in new_ratio is the alert).
+
+    Scale shape: first-seen is computed as a MIN aggregation per
+    (user, type) — map-side combinable, one shuffle on the pair key —
+    NOT as a row_number()=1 window (which would sort every user
+    partition; min is associative and needs no sort). The per-day
+    rollups then reduce tiny keyspaces. In production the firsts
+    relation is exactly the persisted-index shape of
+    q_llm_incremental_dedup: yesterday's firsts anti-join today's
+    batch, so the daily increment never rescans history."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id", "event_type").agg(F.min("ts").alias("first_ts"))
+    new_per_day = firsts.groupBy(
+        F.date_trunc("day", "first_ts").alias("day")
+    ).agg(
+        F.count("*").alias("n_new_pairs"),
+        F.countDistinct("user_id").alias("n_users_with_new"),
+    )
+    per_day = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n_events")
+    )
+    zero = F.lit(0).cast("bigint")
+    return per_day.join(new_per_day, "day", "left").select(
+        "day",
+        "n_events",
+        F.coalesce("n_new_pairs", zero).alias("n_new_pairs"),
+        F.coalesce("n_users_with_new", zero).alias("n_users_with_new"),
+        (F.coalesce("n_new_pairs", zero).cast("double") / F.col("n_events")).alias(
+            "new_ratio"
+        ),
+    )
