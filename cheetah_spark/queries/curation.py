@@ -2796,3 +2796,106 @@ def q_llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("kept_text")).cast("bigint").alias("kept_chars"),
         F.sum(X.hash56(F.col("kept_text")) % _C4_FP_MOD).cast("bigint").alias("kept_checksum"),
     )
+
+
+# CCNet-style perplexity bucketing: per-language head/middle/tail
+# terciles by unigram-LM mean log-probability (Wenzek et al. 2020 split
+# Common Crawl this way and trained on 'head'; the bucket boundary IS
+# the curation decision). Reuses the q_llm_unigram_logprob scoring
+# discipline verbatim: ln() snapped to 6 decimals per token BEFORE the
+# exact-decimal per-doc sum, mean = one IEEE division of identical
+# operands, so the NTILE ordering key is bit-identical in both engines
+# (doc_id tiebreaker makes equal scores deterministic anyway).
+_PPL_BUCKETS = 3
+_PPL_NAMES = "CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"
+
+
+@register(
+    "q_llm_perplexity_bucket",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, lang, unnest({X.oracle_tokens("text")}) AS tok
+            FROM documents
+        ),
+        vocab AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+        scored AS (
+            SELECT tok, {oracle_snap('ln(cnt / total)', 6)} AS logp
+            FROM vocab, tot
+        ),
+        per_doc AS (
+            SELECT t.doc_id, t.lang, COUNT(*) AS n_tok,
+                   {oracle_dsum("s.logp")} AS sum_logp
+            FROM tok t JOIN scored s ON t.tok = s.tok
+            GROUP BY t.doc_id, t.lang
+        ),
+        bucketed AS (
+            SELECT lang, n_tok, sum_logp / n_tok AS mean_logp,
+                   ntile({_PPL_BUCKETS}) OVER (
+                       PARTITION BY lang
+                       ORDER BY sum_logp / n_tok DESC, doc_id ASC) AS b
+            FROM per_doc
+        )
+        SELECT lang, {_PPL_NAMES} AS bucket,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               {oracle_dsum2("mean_logp", 4)} AS sum_mean_logp,
+               {oracle_snap('MIN(mean_logp)', 6)} AS worst_mean_logp
+        FROM bucketed
+        GROUP BY lang, b
+    """,
+    tags=("llm", "quality", "language-model", "curation"),
+)
+def q_llm_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail split: score every document with
+    the corpus unigram LM (mean token log-prob — the cheap perplexity
+    proxy), then cut each language into equal-depth terciles; training
+    mixes draw from 'head', 'tail' is the discard/re-review pool.
+
+    Scale shape: the scoring pass is q_llm_unigram_logprob's — one
+    vocab aggregate, one Zipf-aware salted token join (the AQE-immune
+    aggregate-fed skew shape, functions/skew.py), one per-doc rollup.
+    The tercile cut adds ONE window sort per language partition over
+    the per-DOC relation (corpus-size rows / ~17 tokens), and the final
+    rollup reduces 3·|langs| groups. At 100 TB the per-lang sort is the
+    cost to beat: the production alternative is approx quantile
+    boundaries (q_approx_quantile_cd) + a broadcast range join, traded
+    here for the exact equal-depth contract."""
+    from cheetah_spark.functions.skew import hot_salted_join
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(X.tokens(F.col("text"))).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("bigint").alias("total"))
+    scored = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", "cnt", snap(F.log(F.col("cnt") / F.col("total")), 6).alias("logp")
+    )
+    probe = (
+        d.sample(0.05, seed=7)
+        .select(F.explode(X.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    per_doc = (
+        hot_salted_join(tok, scored, "tok", freq_col="cnt", salt_on="doc_id", hot_probe=probe)
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_tok"), dsum("logp").alias("sum_logp"))
+    )
+    mean_logp = F.col("sum_logp") / F.col("n_tok")
+    w = Window.partitionBy("lang").orderBy(mean_logp.desc(), F.col("doc_id").asc())
+    bucketed = per_doc.select(
+        "lang", "n_tok", mean_logp.alias("mean_logp"), F.ntile(_PPL_BUCKETS).over(w).alias("b")
+    )
+    return bucketed.groupBy("lang", "b").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        dsum2("mean_logp", 4).alias("sum_mean_logp"),
+        snap(F.min("mean_logp"), 6).alias("worst_mean_logp"),
+    ).select(
+        "lang",
+        F.expr(_PPL_NAMES).alias("bucket"),
+        "n_docs",
+        "total_tokens",
+        "sum_mean_logp",
+        "worst_mean_logp",
+    )

@@ -3067,3 +3067,129 @@ def q_llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     # --- pass 2: APPLY the rotation corpus-wide (see _pca_apply_flags)
     proj_centered, proj_var_matches = _pca_apply_flags(e, mu, W, lam, n, d)
     return _pca_output(moments, d, flags, proj_centered, proj_var_matches)
+
+
+_KNN_HOLDOUT_MOD = 10  # vec_id % 10 == 0 → held-out query set (~10%)
+_KNN_K = 5
+
+
+@register(
+    "q_llm_knn_classify",
+    oracle=f"""
+        WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+                   WHERE vec_id % {_KNN_HOLDOUT_MOD} = 0),
+        train AS (SELECT vec_id, embedding, label FROM embeddings
+                  WHERE vec_id % {_KNN_HOLDOUT_MOD} <> 0),
+        scored AS (
+            SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+                   t.label AS n_label,
+                   {V.oracle_cosine("q.embedding", "t.embedding")} AS cos_sim
+            FROM q JOIN train t ON TRUE
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+            FROM scored
+        ),
+        votes AS (
+            SELECT query_id, n_label, COUNT(*) AS n_votes
+            FROM ranked WHERE rk <= {_KNN_K}
+            GROUP BY query_id, n_label
+        ),
+        pick AS (
+            SELECT query_id, n_label AS pred_label, n_votes,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY n_votes DESC, n_label ASC) AS vr
+            FROM votes
+        )
+        SELECT q.vec_id, q.label AS true_label, p.pred_label,
+               p.n_votes, p.pred_label = q.label AS correct
+        FROM pick p JOIN q ON p.query_id = q.vec_id
+        WHERE p.vr = 1
+    """,
+    tags=("llm", "vector", "classify"),
+)
+def q_llm_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label propagation over the embedding corpus: hold out every
+    10th vector, predict its label by majority vote of its 5 nearest
+    train neighbors (cosine) — the weak-labeling / quality-transfer
+    primitive of curation pipelines (label a new crawl slice from a
+    small hand-labeled seed set).
+
+    Scale shape: identical to q_llm_ann_bruteforce — the bounded query
+    set ships inside the Arrow closure, each train partition emits only
+    its LOCAL top-k per query from ONE numpy matmul, and the global
+    shuffle carries k rows per (query, partition), never |train| rows.
+    The majority vote then reduces |Q|·k rows. In production the query
+    side is the fixed new-slice batch (the q_llm_ann_lsh_fixedq
+    operating point); train-side growth only adds map-side work.
+    Numeric discipline: neighbor selection and the vote are
+    integer/ranking decisions on numpy cosines whose ~1e-15 agreement
+    with the expression convention is the same margin q_llm_ann_bruteforce
+    hash-passes on; the emitted columns are all exact ints/bools."""
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    is_q = F.col("vec_id") % _KNN_HOLDOUT_MOD == 0
+    qdf = e.where(is_q).select("vec_id", "embedding", "label")
+    train = e.where(~is_q).select("vec_id", "embedding", "label")
+    qrows = qdf.select("vec_id", "embedding").collect()  # bounded hold-out
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qm = np.array([r.embedding for r in qrows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def local_topk(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            vm = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            vm /= np.linalg.norm(vm, axis=1, keepdims=True)
+            sims = qm @ vm.T
+            take = min(_KNN_K, sims.shape[1])
+            idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, take),
+                    "neighbor_id": ids[idx].ravel(),
+                    "cos_sim": np.take_along_axis(sims, idx, axis=1).ravel(),
+                }
+            )
+
+    local = train.select("vec_id", "embedding").mapInPandas(
+        local_topk, schema=_topk_schema()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    sel = (
+        local.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _KNN_K)
+        .select("query_id", "neighbor_id")
+    )
+    lbl = train.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label"))
+    votes = (
+        F.broadcast(sel)
+        .join(lbl, "neighbor_id")
+        .groupBy("query_id", "n_label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    vw = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("n_label").asc()
+    )
+    pick = (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .where(F.col("vr") == 1)
+        .select("query_id", F.col("n_label").alias("pred_label"), "n_votes")
+    )
+    truth = qdf.select("vec_id", F.col("label").alias("true_label"))
+    return (
+        pick.join(truth, pick.query_id == truth.vec_id)
+        .select(
+            "vec_id",
+            "true_label",
+            "pred_label",
+            "n_votes",
+            (F.col("pred_label") == F.col("true_label")).alias("correct"),
+        )
+    )
