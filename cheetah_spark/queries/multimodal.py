@@ -238,3 +238,60 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.framesample_wav_features(
         spark.read.parquet(M.media_fixture_dir(spark, sf_dir, "real"))
     )
+
+
+@register(
+    "q_multimodal_phash_dedup",
+    oracle="""
+        WITH png AS (
+            SELECT doc_id,
+                   16 + doc_id % 32 AS w,
+                   8 + doc_id % 16 AS h,
+                   (doc_id % 256) // 16 AS lvl
+            FROM documents WHERE doc_id % 2 = 0
+        )
+        SELECT repeat(format('{:x}', lvl), 64) AS phash,
+               COUNT(*) AS n_images,
+               COUNT(DISTINCT w * 1000 + h) AS n_distinct_dims,
+               MIN(doc_id) AS rep_doc_id,
+               CAST(MAX(lvl) AS BIGINT) AS phash_level,
+               bool_and(TRUE) AS all_parse_ok
+        FROM png
+        GROUP BY lvl
+    """,
+    tags=("multimodal", "dedup", "udf"),
+)
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup — the multimodal member of the
+    near-dup family: every PNG in the persisted media corpus is
+    REALLY decoded (CRC chunk walk + inflate), average-pooled onto a
+    fixed 8×8 grid, 16-level quantized into a 64-hex-digit perceptual
+    hash (resolution-invariant by construction), and exact-grouped on
+    that hash — images that differ only in dimensions or
+    sub-quantization pixel noise land in one cluster, the aHash
+    pipeline of image training-data curation.
+
+    The synthesized PNGs are constant-valued (pixel = doc_id % 256) at
+    doc_id-dependent dimensions, so each image's grid is exactly its
+    constant and the cluster key reduces to the 16-level gray bucket —
+    the oracle states hash, membership, and the dimension spread per
+    cluster in closed form, and any decode/pooling/quantization defect
+    (bad CRC, wrong block split, off-by-one floor mean) moves a doc to
+    the wrong cluster and breaks the hash gate.
+
+    Scale shape: parquet scan → ONE Arrow fingerprint stage (payload
+    bytes never shuffle; only the 64-char hash moves) → hash groupBy
+    on the fingerprint — the exact-dedup plan of q_llm_exact_dedup
+    with the perceptual fingerprint as the key. Banding/rotation
+    variants (pHash Hamming-radius search) would reuse the SimHash
+    band-join machinery over these grids unchanged."""
+    feats = M.phash_png_features(
+        spark.read.parquet(M.media_fixture_dir(spark, sf_dir, "real"))
+    )
+    return feats.groupBy("phash").agg(
+        F.count("*").alias("n_images"),
+        F.countDistinct(F.col("width") * 1000 + F.col("height")).alias("n_distinct_dims"),
+        F.min("doc_id").alias("rep_doc_id"),
+        F.max("phash_level").alias("phash_level"),
+        F.bool_and("parse_ok").alias("all_parse_ok"),
+    )
