@@ -1361,3 +1361,48 @@ def s_llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _pca_output(moments, d, flags, proj_centered, proj_var_matches)
 
+
+
+@register(
+    "s_sec_first_seen",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, event_type, MIN(ts) AS first_ts
+            FROM events GROUP BY user_id, event_type
+        )
+        SELECT CAST(date_trunc('day', first_ts) AS TIMESTAMP) AS day,
+               COUNT(*) AS n_new_pairs,
+               COUNT(DISTINCT user_id) AS n_users_with_new
+        FROM firsts GROUP BY 1
+    """,
+    tags=("streaming", "security", "stateful"),
+)
+def s_sec_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-seen detection — the at-ingest twin of
+    q_sec_first_seen: a complete-mode MIN(ts) aggregation per
+    (user_id, event_type) runs across the replayed micro-batches (the
+    state store carries exactly one timestamp per live pair — the
+    bounded-entity state shape), and the drained state rolls up to
+    new-pairs-per-day, hash-matched against the batch oracle verbatim.
+
+    Arrival order does NOT matter: MIN is order-insensitive, so the
+    streaming result is deterministic regardless of how the replay
+    slices batches — unlike a dropDuplicates formulation, whose kept
+    row depends on within-batch arrival and cannot be hash-gated.
+    State per key is one (pair, ts) entry; at detection scale the
+    production variant ages out pairs with a TTL watermark the same
+    way the persisted-index dedup rotates days."""
+    src_dir = events_stream_dir(spark, sf_dir)
+    stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=2).read(spark)
+    with scoped_state_partitions(spark):
+        out = run_stream_to_completion(
+            stream,
+            lambda df: df.groupBy("user_id", "event_type").agg(
+                F.min("ts").alias("first_ts")
+            ),
+            output_mode="complete",
+        )
+    return out.groupBy(F.date_trunc("day", "first_ts").alias("day")).agg(
+        F.count("*").alias("n_new_pairs"),
+        F.countDistinct("user_id").alias("n_users_with_new"),
+    )
