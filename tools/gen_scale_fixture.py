@@ -101,6 +101,60 @@ def gen_embeddings(mult: int, rng: np.random.Generator) -> pa.Table:
     )
 
 
+def gen_events(mult: int, rng: np.random.Generator) -> pa.Table:
+    """Events scaled the way real telemetry scales: the TIME SPAN grows
+    mult× while the per-hour event density and the per-hour ACTIVE-user
+    density stay at sf0.1's empirical values (users are drawn per hour
+    from the observed distinct-users-per-hour distribution over a
+    user population that also grows mult×). This keeps the (type,
+    hour) co-presence blocks of q_graph_triangles at constant size —
+    so the probe measures how block-local pair work aggregates across
+    mult× more blocks, not an unrealistic density blow-up — and gives
+    the window/rollup operators mult× more groups of the same depth."""
+    con = duckdb.connect()
+    base = con.sql(
+        f"SELECT event_id, ts, user_id, event_type, value, props "
+        f"FROM '{BASE}/events.parquet'"
+    ).fetchall()
+    types = np.array([r[3] for r in base])
+    type_vals, type_cnt = np.unique(types, return_counts=True)
+    values = np.array([r[4] for r in base], dtype=np.float64)
+    props = np.array([r[5] for r in base])
+    ts0 = min(r[1] for r in base)
+    span_s = int((max(r[1] for r in base) - ts0).total_seconds()) + 60
+    per_hour = duckdb.sql(
+        f"SELECT COUNT(*) AS c FROM '{BASE}/events.parquet' GROUP BY date_trunc('hour', ts)"
+    ).fetchnumpy()["c"]
+    n_users = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM '{BASE}/events.parquet'"
+    ).fetchone()[0]
+
+    n_hours = (span_s // 3600 + 1) * mult
+    counts = rng.choice(per_hour, size=n_hours)
+    n = int(counts.sum())
+    hour_idx = np.repeat(np.arange(n_hours), counts)
+    offsets = rng.integers(0, 3600, size=n)
+    epoch0 = int(ts0.timestamp())
+    ts_s = epoch0 + hour_idx * 3600 + offsets
+    order = np.argsort(ts_s, kind="stable")
+    ts_s = ts_s[order]
+    user_pool = n_users * mult
+    return pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                (ts_s * 1_000_000_000).astype("int64"), pa.timestamp("ns")
+            ),
+            "user_id": pa.array(rng.integers(0, user_pool, size=n), pa.int64()),
+            "event_type": pa.array(
+                rng.choice(type_vals, size=n, p=type_cnt / type_cnt.sum())
+            ),
+            "value": pa.array(rng.choice(values, size=n), pa.float64()),
+            "props": pa.array(rng.choice(props, size=n), pa.string()),
+        }
+    )
+
+
 def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = f"{OUT_ROOT}/sfx{mult}"
@@ -108,6 +162,7 @@ def main() -> None:
     rng = np.random.default_rng(SEED + mult)
     pq.write_table(gen_documents(mult, rng), f"{out}/documents.parquet")
     pq.write_table(gen_embeddings(mult, rng), f"{out}/embeddings.parquet")
+    pq.write_table(gen_events(mult, rng), f"{out}/events.parquet")
     print(out)
 
 

@@ -65,6 +65,18 @@ DOC_QUERIES = [
     "q_llm_c4_rules",
     "q_llm_line_dedup",
     "s_llm_c4_filter",
+    # r10 batch 2: perplexity terciles (unigram scoring + per-lang
+    # NTILE sort) and the perceptual-hash image dedup (Arrow decode +
+    # fingerprint groupBy over the per-tier media fixture)
+    "q_llm_perplexity_bucket",
+    "q_multimodal_phash_dedup",
+    # r10 batch 2, events-based (gen_scale_fixture now scales events
+    # by growing the TIME SPAN at constant per-hour density — blocks
+    # stay bounded, block COUNT grows)
+    "q_timeseries_ewma",
+    "q_timeseries_ohlc",
+    "q_graph_triangles",
+    "q_sec_first_seen",
 ]
 EMB_QUERIES = [
     "q_llm_embed_dedup",
@@ -76,6 +88,10 @@ EMB_QUERIES = [
     "q_llm_ann_ivf",
     "q_llm_ann_pq",
     "q_llm_ann_ivfpq",
+    # r10 batch 2: grow-with-corpus hold-out (|Q| = n/10) — expect the
+    # ann_lsh-style |Q|·n wall; the fixed-|Q| production point is
+    # q_llm_ann_lsh_fixedq's and is stated in the operator doc
+    "q_llm_knn_classify",
 ]
 
 # the round-5 alpha>=0.8 cohort (plus the wide-simhash fix under test):
@@ -103,6 +119,10 @@ HIGH_ALPHA = [
     # are the new constants worth bounding at the top tier
     "q_llm_line_dedup",
     "s_llm_c4_filter",
+    # r10 batch 2: the two with a plausible superlinear axis — the
+    # co-presence pair blocks (triangles) and the |Q|-growth (knn)
+    "q_graph_triangles",
+    "q_llm_knn_classify",
 ]
 
 # r8: q_llm_dup_clusters now runs the rep-collapse composition (the
