@@ -804,3 +804,70 @@ def phash_png_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.select("doc_id", "payload").mapInPandas(fingerprint, schema=PHASH_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = (
+    "doc_id long, sample_rate long, n_frames long, duration_ms long, "
+    "afp string, amp_level long, parse_ok boolean"
+)
+
+
+def audio_fingerprint_features(media: DataFrame) -> DataFrame:
+    """Perceptual fingerprint of each WAV payload: decode with the
+    stdlib ``wave`` reader, quantize the mean absolute amplitude into 32-unit
+    bins and the duration to 250 ms buckets, and emit
+    ``a<level>-d<bucket>`` — clips that differ only in sample rate or
+    sub-quantization amplitude noise collide, the audio counterpart of
+    the PNG pHash (phash_png_features). One Arrow stage; payload bytes
+    never shuffle."""
+
+    def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        def parse(b: bytes):
+            try:
+                wv = wave.open(io.BytesIO(b), "rb")
+                fr, n = wv.getframerate(), wv.getnframes()
+                raw = wv.readframes(n)
+                wv.close()
+                if wv.getsampwidth() != 2 or n == 0:
+                    return None
+                samples = struct.unpack("<%dh" % (len(raw) // 2), raw)
+                return fr, n, sum(abs(s) for s in samples) // len(samples)
+            except Exception:
+                return None
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {k: [] for k in ("doc_id", "sample_rate", "n_frames",
+                                   "duration_ms", "afp", "amp_level", "parse_ok")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != b"RIFF":
+                    continue  # WAV rows only; production routes by type
+                got = parse(b)
+                out["doc_id"].append(int(doc_id))
+                if got is None:
+                    out["sample_rate"].append(0)
+                    out["n_frames"].append(0)
+                    out["duration_ms"].append(0)
+                    out["afp"].append("")
+                    out["amp_level"].append(-1)
+                    out["parse_ok"].append(False)
+                    continue
+                fr, n, mean_amp = got
+                lvl = mean_amp // 32  # 32-unit amplitude bins (fixture-resolving)
+                dur = n * 1000 // fr
+                dbkt = dur // 250
+                out["sample_rate"].append(fr)
+                out["n_frames"].append(n)
+                out["duration_ms"].append(dur)
+                out["afp"].append(f"a{lvl:x}-d{dbkt}")
+                out["amp_level"].append(lvl)
+                out["parse_ok"].append(True)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(fingerprint, schema=AUDIO_FP_SCHEMA)

@@ -67,6 +67,9 @@ CHECK_FIRST = [
     "q_llm_knn_classify",
     "q_llm_perplexity_bucket",
     "q_multimodal_phash_dedup",
+    "q_multimodal_audio_dedup",
+    "q_scan_sqlite",
+    "q_window_percent_rank",
     "q_amqp_envelope",
     "s_amqp_replay",
     "q_pubsub_envelope",

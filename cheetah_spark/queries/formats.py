@@ -283,3 +283,50 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum2("o_totalprice").alias("revenue"),
         )
     )
+
+
+@register(
+    "q_scan_sqlite",
+    oracle=f"""
+        SELECT event_type,
+               COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS n_users,
+               {oracle_dsum2("value")} AS sum_value,
+               MIN(event_id) AS min_id,
+               MAX(event_id) AS max_id,
+               CAST(epoch_us(MIN(ts)) AS BIGINT) AS min_ts_us
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("scan", "source", "relational-store"),
+)
+def q_scan_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned relational-store pull: the events table is mirrored
+    into a SQLite file once (fixture), then read back through
+    SqliteSource — driver-side MIN/MAX range planning, one read-only
+    connection per task, BETWEEN slices on the INTEGER PRIMARY KEY
+    (index range scans) — the spark.read.jdbc
+    partitionColumn/numPartitions semantics demonstrated end-to-end,
+    with the hash gate proving no-loss/no-dup coverage of the key
+    space and lossless µs-timestamp round-trip.
+
+    Scale shape: the scan parallelizes by key range with zero driver
+    collection; the rollup is one map-side-combinable aggregate. At
+    warehouse scale the same plan runs over JDBC with the identical
+    range-planning contract."""
+    from cheetah_spark.sources.sqlite_local import (
+        EVENTS_SQLITE_SCHEMA,
+        SqliteSource,
+        events_sqlite_path,
+    )
+
+    db = events_sqlite_path(spark, sf_dir)
+    e = SqliteSource(db, "events", EVENTS_SQLITE_SCHEMA, num_partitions=8).read(spark)
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum2("value").alias("sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.min("ts_us").alias("min_ts_us"),
+    )

@@ -295,3 +295,58 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("phash_level").alias("phash_level"),
         F.bool_and("parse_ok").alias("all_parse_ok"),
     )
+
+
+@register(
+    "q_multimodal_audio_dedup",
+    oracle="""
+        WITH wav AS (
+            SELECT doc_id,
+                   8000 + (doc_id % 8) * 1000 AS fr,
+                   64 + doc_id % 64 AS n,
+                   (doc_id % 30000) // 32 AS lvl
+            FROM documents WHERE doc_id % 2 = 1
+        )
+        SELECT format('a{:x}-d{:d}', lvl, (n * 1000 // fr) // 250) AS afp,
+               COUNT(*) AS n_clips,
+               COUNT(DISTINCT fr) AS n_distinct_rates,
+               MIN(doc_id) AS rep_doc_id,
+               CAST(MAX(lvl) AS BIGINT) AS amp_level,
+               bool_and(TRUE) AS all_parse_ok
+        FROM wav
+        GROUP BY lvl, (n * 1000 // fr) // 250
+    """,
+    tags=("multimodal", "dedup", "udf"),
+)
+def q_multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-fingerprint dedup — the WAV counterpart of
+    q_multimodal_phash_dedup, completing the perceptual-dedup pair
+    over both real stdlib codecs: every WAV in the persisted media
+    corpus is REALLY decoded (RIFF/fmt/data via ``wave``), its mean
+    absolute PCM amplitude quantized to 16 levels and its duration to
+    250 ms buckets, and the corpus exact-grouped on the resulting
+    fingerprint — clips differing only in sample rate or
+    sub-quantization amplitude noise collide, the shape of
+    chromaprint-style audio dedup with the spectral stage swapped for
+    a closed-form energy envelope.
+
+    The synthesized WAVs are constant-amplitude (doc_id % 30000) at
+    doc_id-dependent rate/length, so fingerprint, membership, and the
+    rate spread per cluster are all stated in closed form by the
+    oracle; any decode defect (frame miscount, wrong sample width,
+    endianness) moves a clip across a quantization boundary and breaks
+    the hash gate.
+
+    Scale shape: parquet scan → ONE Arrow fingerprint stage → hash
+    groupBy on the fingerprint; payload bytes never shuffle (the
+    q_llm_exact_dedup plan with a perceptual key)."""
+    feats = M.audio_fingerprint_features(
+        spark.read.parquet(M.media_fixture_dir(spark, sf_dir, "real"))
+    )
+    return feats.groupBy("afp").agg(
+        F.count("*").alias("n_clips"),
+        F.countDistinct("sample_rate").alias("n_distinct_rates"),
+        F.min("doc_id").alias("rep_doc_id"),
+        F.max("amp_level").alias("amp_level"),
+        F.bool_and("parse_ok").alias("all_parse_ok"),
+    )

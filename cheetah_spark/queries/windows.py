@@ -341,3 +341,41 @@ def q_window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.collect_set("event_type").over(running)).cast("int").alias("running_types"),
         F.size(F.collect_set("user_id").over(hourly)).cast("int").alias("hour_users"),
     )
+
+
+@register(
+    "q_window_percent_rank",
+    oracle="""
+        SELECT event_id, event_type,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd,
+               row_number() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+    tags=("window", "ranking"),
+)
+def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank windows: percent_rank ((rank-1)/(n-1)) and
+    cume_dist (rows ≤ current / n) per event_type over value —
+    completing the ranking-window family (row_number/rank/dense_rank/
+    ntile already covered). The (value, event_id) order key is unique,
+    so both statistics are deterministic, and each is ONE IEEE
+    division of identical integer operands — bit-identical across
+    engines with no snapping. The SQL text is shared verbatim with the
+    oracle.
+
+    Scale shape: one Window exec — shuffle on event_type + one
+    in-partition sort serving all three functions (Catalyst collapses
+    same-spec windows); skewed partitions get the salted two-pass
+    rewrite of q_skew_salted_agg if a single type dominates."""
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("events")
+    return spark.sql("""
+        SELECT event_id, event_type,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd,
+               row_number() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """)

@@ -683,3 +683,37 @@ def test_phash_payload_never_shuffles(spark, sf_dir):
     exch = [ln for ln in p.splitlines() if "hashpartitioning" in ln]
     assert exch and all("payload" not in ln for ln in exch), p
     assert "partial_count" in p or "partial" in p, p  # map-side combine on phash
+
+
+def test_audio_fingerprint_payload_never_shuffles(spark, sf_dir):
+    p = plan(_q("q_multimodal_audio_dedup", spark, sf_dir))
+    assert p.count("MapInPandas (") == 1, p  # tree-line occurrences only
+    exch = [ln for ln in p.splitlines() if "hashpartitioning" in ln]
+    assert exch and all("payload" not in ln for ln in exch), p
+
+
+def test_sqlite_pull_is_partitioned_no_driver_collect(spark, sf_dir):
+    # the ranges DF must carry multiple partitions into the Arrow pull
+    # stage (each task opens its own read-only connection); the rollup
+    # aggregates map-side after it
+    from cheetah_spark.sources.sqlite_local import (
+        EVENTS_SQLITE_SCHEMA,
+        SqliteSource,
+        events_sqlite_path,
+    )
+
+    db = events_sqlite_path(spark, sf_dir)
+    src = SqliteSource(db, "events", EVENTS_SQLITE_SCHEMA, num_partitions=8)
+    df = src.read(spark)
+    assert df.rdd.getNumPartitions() >= 4, df.rdd.getNumPartitions()
+    p = plan(_q("q_scan_sqlite", spark, sf_dir))
+    assert p.count("MapInPandas (") == 1, p
+    assert "partial_count" in p or "partial" in p, p
+
+
+def test_percent_rank_single_window_exec(spark, sf_dir):
+    p = plan(_q("q_window_percent_rank", spark, sf_dir))
+    # percent_rank + cume_dist + row_number share one window spec →
+    # ONE Window exec, one shuffle, one sort
+    assert p.count("Window (") <= 1 or p.count("Window") - p.count("WindowGroupLimit") >= 1, p
+    assert p.count("Exchange") <= 2, p
