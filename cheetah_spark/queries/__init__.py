@@ -70,6 +70,8 @@ CHECK_FIRST = [
     "q_multimodal_audio_dedup",
     "q_scan_sqlite",
     "q_window_percent_rank",
+    "q_stats_linreg",
+    "q_sec_anomaly_mad",
     "q_amqp_envelope",
     "s_amqp_replay",
     "q_pubsub_envelope",

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from cheetah_spark.catalog import load_table
 from cheetah_spark.operators.asof import asof_join
+from cheetah_spark.queries._util import DEC
 from cheetah_spark.registry import register
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -383,3 +384,142 @@ def q_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("customer", "orders"))
     return spark.sql(_SQL_LATERAL)
+
+
+@register(
+    "q_stats_linreg",
+    oracle=f"""
+        WITH m AS (
+            SELECT event_type,
+                   COUNT(*)::BIGINT AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS my,
+                   CAST(SUM(CAST(epoch(date_trunc('second', ts)) AS DECIMAL(19,0))) AS DOUBLE)
+                       / COUNT(*) AS mx
+            FROM events GROUP BY event_type
+        ), c AS (
+            SELECT e.event_type, m.n, m.mx, m.my,
+                   CAST(SUM(CAST((epoch(date_trunc('second', e.ts))::DOUBLE - m.mx)
+                               * (epoch(date_trunc('second', e.ts))::DOUBLE - m.mx)
+                                 AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST((e.value - m.my) * (e.value - m.my)
+                                 AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST((epoch(date_trunc('second', e.ts))::DOUBLE - m.mx)
+                               * (e.value - m.my)
+                                 AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+            FROM events e JOIN m ON e.event_type = m.event_type
+            GROUP BY e.event_type, m.n, m.mx, m.my
+        )
+        SELECT event_type, n,
+               {_snap6("sxy / sxx")} AS slope_per_sec,
+               {_snap6("my - (sxy / sxx) * mx")} AS intercept,
+               {_snap6("(sxy * sxy) / (sxx * syy)")} AS r2
+        FROM c
+    """,
+    tags=("advanced", "stats", "regression"),
+)
+def q_stats_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed OLS: slope / intercept / R² of value against
+    event time per event type — the trend-fitting primitive behind
+    drift detection and forecasting baselines, computed with the
+    q_stats_moments two-pass centered-sum discipline (the built-in
+    regr_slope/regr_r2 are float-accumulation-order-dependent and
+    can't be hash-gated or reproduced across cluster layouts).
+
+    Pass 1: per-type means (exact decimal sums / count). Pass 2:
+    broadcast the tiny means relation back and accumulate centered
+    cross-products as exact decimals. slope/intercept/R² are then
+    fixed chains of IEEE ops on identical operands, snapped at 6.
+    Scale shape: two scans, both map-side combinable, one broadcast
+    join, no window, no skew exposure beyond the group key."""
+    ev = load_table(spark, sf_dir, "events")
+    ep = F.unix_timestamp("ts").cast("double")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("*")).alias("my"),
+        (F.sum(F.unix_timestamp("ts").cast("decimal(19,0)")).cast("double") / F.count("*")).alias("mx"),
+    )
+    dx = ep - F.col("mx")
+    dy = F.col("value") - F.col("my")
+    c = (
+        ev.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "n", "mx", "my")
+        .agg(
+            F.sum((dx * dx).cast("decimal(38,6)")).cast("double").alias("sxx"),
+            F.sum((dy * dy).cast("decimal(38,6)")).cast("double").alias("syy"),
+            F.sum((dx * dy).cast("decimal(38,6)")).cast("double").alias("sxy"),
+        )
+    )
+    return c.selectExpr(
+        "event_type",
+        "n",
+        f"{_snap6('sxy / sxx')} AS slope_per_sec",
+        f"{_snap6('my - (sxy / sxx) * mx')} AS intercept",
+        f"{_snap6('(sxy * sxy) / (sxx * syy)')} AS r2",
+    )
+
+
+@register(
+    "q_sec_anomaly_mad",
+    oracle="""
+        WITH med AS (
+            SELECT event_type,
+                   CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(38,6)) AS DOUBLE) AS med
+            FROM events GROUP BY event_type
+        ), dev AS (
+            SELECT e.event_type, m.med, abs(e.value - m.med) AS d
+            FROM events e JOIN med m ON e.event_type = m.event_type
+        ), mad AS (
+            SELECT event_type, med,
+                   CAST(CAST(quantile_cont(d, 0.5) AS DECIMAL(38,6)) AS DOUBLE) AS mad
+            FROM dev GROUP BY event_type, med
+        )
+        SELECT d.event_type,
+               MAX(m.med) AS median_value,
+               MAX(m.mad) AS mad,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN d.d > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad m ON d.event_type = m.event_type
+        GROUP BY d.event_type
+    """,
+    tags=("security", "stats", "robust"),
+)
+def q_sec_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection by median absolute deviation — the
+    outlier rule that survives the contamination that breaks
+    q_sec_anomaly_zscore (a z-score's own mean/std absorb the
+    outliers; the median and MAD don't). Flag = deviation > 3·1.4826·
+    MAD (the normal-consistency constant).
+
+    Determinism: both medians are exact interpolated percentiles
+    snapped by decimal cast (the q_exact_percentile convention);
+    deviations and the threshold are then fixed IEEE chains on
+    identical operands, so the flag decision is bit-identical in both
+    engines. Scale shape: exact medians need the full value multiset
+    per group — two grouped percentile passes with a broadcast join of
+    the tiny per-type medians between them (same two-pass shape as
+    q_stats_moments); at 100 TB the drop-in approximate tier is
+    q_approx_quantile_cd's KLL sketch with this exact plan as the
+    verification harness."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).cast(DEC).cast("double").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("d")
+    )
+    mad = dev.groupBy("event_type", "med").agg(
+        F.percentile("d", F.lit(0.5)).cast(DEC).cast("double").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad.select("event_type", "mad")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med").alias("median_value"),
+            F.max("mad").alias("mad"),
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("d") > F.lit(3) * F.lit(1.4826) * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )
