@@ -72,6 +72,8 @@ CHECK_FIRST = [
     "q_window_percent_rank",
     "q_stats_linreg",
     "q_sec_anomaly_mad",
+    "q_udaf_surface",
+    "s_stream_scd2_lookup",
     "q_amqp_envelope",
     "s_amqp_replay",
     "q_pubsub_envelope",

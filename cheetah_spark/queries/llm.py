@@ -3193,3 +3193,67 @@ def q_llm_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pred_label") == F.col("true_label")).alias("correct"),
         )
     )
+
+
+@register(
+    "q_udaf_surface",
+    oracle="""
+        WITH ranked AS (
+            SELECT lang, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n_chars, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY lang) AS n
+            FROM documents
+        )
+        SELECT lang,
+               CAST(MAX(n) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                             THEN n_chars ELSE 0 END) AS DOUBLE)
+                   / SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                              THEN 1 ELSE 0 END) AS trimmed_mean_chars
+        FROM ranked
+        GROUP BY lang
+    """,
+    tags=("llm", "udf", "udaf"),
+)
+def q_udaf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom AGGREGATE UDF surface — completing the Python-extension
+    triptych (q_udf_surface scalar, q_udtf_surface table-valued): a
+    pandas GROUPED_AGG UDF computes the 10%-trimmed mean of document
+    lengths per language, the robust-statistics shape (winsorized
+    quality metrics) that has no built-in aggregate.
+
+    Determinism: the trim drops the k = n//10 smallest and largest
+    VALUES — ties within the cut boundary are value-equal, so the kept
+    multiset's integer sum is tie-independent; the mean is one IEEE
+    division of exact int64 operands, bit-identical to the oracle's
+    rank-based trim. Scale: GROUPED_AGG ships each group's column to
+    ONE Arrow batch — per-group cardinality must fit an executor
+    (true for per-lang doc lengths at any corpus size only after a
+    pre-aggregation; the stated 100 TB form pre-buckets lengths and
+    trims the bounded histogram instead — same result, bounded
+    groups). The fixture runs the direct form to exercise the UDAF
+    execution path itself."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def trimmed_mean(v: pd.Series) -> float:
+        s = np.sort(v.to_numpy(dtype=np.int64))
+        k = len(s) // 10
+        kept = s[k : len(s) - k] if len(s) > 2 * k else s
+        return float(int(kept.sum())) / len(kept)
+
+    # GROUPED_AGG UDFs can't mix with JVM aggregates in one agg()
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the count rides a second pandas
+    # aggregate over the same Arrow batch
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        n_rows("n_chars").alias("n_docs"),
+        trimmed_mean("n_chars").alias("trimmed_mean_chars"),
+    )

@@ -1406,3 +1406,95 @@ def s_sec_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_new_pairs"),
         F.countDistinct("user_id").alias("n_users_with_new"),
     )
+
+
+SCD2_LOOKUP_ORACLE = """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    dim AS (
+        SELECT user_id, event_type AS state,
+               date_trunc('second', ts) AS valid_from,
+               date_trunc('second', lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS version
+        FROM changes
+    )
+    SELECT d.state, CAST(d.version AS BIGINT) AS version,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN dim d
+      ON e.user_id = d.user_id
+     AND e.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    GROUP BY d.state, d.version
+"""
+
+
+@register(
+    "s_stream_scd2_lookup",
+    oracle=SCD2_LOOKUP_ORACLE,
+    tags=("streaming", "warehouse", "scd2", "join"),
+)
+def s_stream_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming temporal dimension lookup: each replayed event joins
+    the SCD2 user-state dimension (q_scd2_history's versioned build)
+    at ITS OWN event time — `user_id` equality plus the
+    `[valid_from, valid_to)` interval predicate — the
+    as-of-enrichment every warehouse ingest does against a
+    slowly-changing dimension.
+
+    The stream-static join is stateless per micro-batch (the dimension
+    is a bounded batch relation broadcast to every batch; no streaming
+    state), so arrival slicing can't change the result — every event
+    matches exactly ONE version by the half-open interval construction
+    — and the drained enrichment rolls up to per-(state, version)
+    counts hash-matched against the batch oracle verbatim.
+
+    Scale shape: dimension versions are bounded by change-rate (not
+    corpus size) → broadcast; the residual interval predicate
+    evaluates map-side under the user_id hash join, so the stream
+    never shuffles. At dimension sizes beyond broadcast the production
+    rewrite buckets valid_from (the q_sec_cidr_match prefix trick) to
+    keep the equi-join + residual shape."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select("user_id", "event_type", "ts", "event_id").withColumn(
+        "prev_type", F.lag("event_type").over(w)
+    )
+    changes = ordered.where(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    dim = changes.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state"),
+        F.date_trunc("second", "ts").alias("valid_from"),
+        F.date_trunc("second", F.lead("ts").over(w)).alias("valid_to"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+    ).localCheckpoint()  # bounded dimension: materialize once, broadcast per batch
+
+    src_dir = events_stream_dir(spark, sf_dir)
+    stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=2).read(spark)
+    out = run_stream_to_completion(
+        stream,
+        lambda df: df.join(
+            F.broadcast(dim),
+            (df.user_id == dim.d_user)
+            & (df.ts >= dim.valid_from)
+            & (dim.valid_to.isNull() | (df.ts < dim.valid_to)),
+        ).select("state", "version", "user_id"),
+    )
+    return out.groupBy("state", "version").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
