@@ -1212,10 +1212,12 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         ),
         edges AS (
-            SELECT DISTINCT a.user_id AS u, b.user_id AS v
+            SELECT a.user_id AS u, b.user_id AS v
             FROM pres a JOIN pres b
               ON a.event_type = b.event_type AND a.h = b.h
              AND a.user_id < b.user_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 3
         ),
         tri AS (
             SELECT COUNT(*) AS n_triangles
@@ -1230,35 +1232,47 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         wedge AS (
             SELECT COUNT(*) AS n_nodes,
-                   CAST(SUM(d) / 2 AS BIGINT) AS n_edges,
-                   CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+                   CAST(COALESCE(SUM(d) / 2, 0) AS BIGINT) AS n_edges,
+                   CAST(COALESCE(SUM(d * (d - 1) / 2), 0) AS BIGINT) AS n_wedges
             FROM deg
         )
         SELECT n_nodes, n_edges, n_triangles, n_wedges,
-               CAST(3 * n_triangles AS DOUBLE) / n_wedges AS clustering
+               CASE WHEN n_wedges = 0 THEN 0.0
+                    ELSE CAST(3 * n_triangles AS DOUBLE) / n_wedges END AS clustering
         FROM wedge, tri
     """,
     tags=("graph", "analytics"),
 )
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle counting + global clustering coefficient over the user
-    co-presence graph (edge = two users active in the same
-    (event_type, hour) block) — the third graph operator next to
-    connected components and PageRank, and the classic abuse-/botnet-
-    ring signal (coordinated accounts close triangles; organic traffic
-    doesn't).
+    """Triangle counting + global clustering coefficient over the
+    REPEATED-co-presence graph (edge = two users active in the same
+    (event_type, hour) block in >= 3 distinct blocks) — the third graph
+    operator next to connected components and PageRank, and the classic
+    abuse-/botnet-ring signal: coordinated accounts co-occur
+    REPEATEDLY and close triangles; organic one-off co-presence (which
+    made the naive graph ~350-degree dense and the count 100x more
+    expensive, r10 probe) is exactly what the repetition threshold
+    removes.
 
-    Scale shape: pair generation is BLOCKED, never all-pairs — the
-    co-presence join runs inside bounded (type, hour) blocks after a
-    DISTINCT collapse (the LSH-banding discipline of the dedup
-    family), and the u < v canonical orientation both halves the edge
-    relation and makes the triangle enumeration count each triangle
-    exactly once with NO post-hoc dedup. The count itself is two
-    self-equi-joins of the oriented edge relation — shuffle on the
-    join key each hop, the node-iterator pattern that holds at 10^9
-    edges (heavy-hitter nodes would get the skew.py salting
-    treatment). All outputs are exact integers; the coefficient is one
-    IEEE division of identical operands."""
+    Scale shape, two layers:
+
+    - Pair generation is BLOCKED, never all-pairs: the co-presence
+      join runs inside bounded (type, hour) blocks after a DISTINCT
+      collapse, and the repetition threshold is ONE map-side-combinable
+      count over the pair key.
+    - Triangle enumeration uses DEGREE-ORDERED orientation (the
+      compact-forward algorithm): every edge points from its
+      lower-(degree, id) endpoint to the higher one, so wedge
+      enumeration is Sum(outdeg^2) with outdeg <= O(sqrt E) — the
+      O(E^1.5) bound that survives power-law degree skew, vs the
+      unbounded Sum(indeg x outdeg) of naive id-ordering. Each
+      triangle {x<y<z} (key order) is counted exactly once at its
+      lowest-key apex: wedge (y,z) from x + closing edge y->z.
+
+    All outputs are exact integers; the coefficient is one guarded
+    IEEE division of identical operands. The oracle counts the same
+    thresholded graph with the orientation-free 3-join (the count is
+    orientation-invariant)."""
     e = load_table(spark, sf_dir, "events")
     pres = e.select(
         "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
@@ -1271,17 +1285,15 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.h") == F.col("b.h"))
             & (F.col("a.user_id") < F.col("b.user_id")),
         )
-        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
-        .distinct()
-        # the edge relation feeds three joins + the degree rollup;
-        # checkpoint once so the blocked pair-join isn't re-derived
+        .groupBy(
+            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+        )
+        .agg(F.count("*").alias("n_blocks"))
+        .where(F.col("n_blocks") >= 3)
+        .select("u", "v")
+        # the edge relation feeds the degree rollup + three enumeration
+        # joins; checkpoint once so the blocked pair-join isn't re-run
         .localCheckpoint()
-    )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
-        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
-        .agg(F.count("*").alias("n_triangles"))
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -1289,19 +1301,48 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("d"))
     )
+    # degree-ordered orientation: dk = (deg << 32) | id is one BIGINT
+    # lexicographic key (ids are < 2^32 in every fixture; a production
+    # run widens to a struct comparison)
+    dk = (F.col("d").cast("bigint") * F.lit(4294967296) + F.col("node")).alias("dk")
+    dnode = deg.select("node", dk)
+    ue = edges.join(dnode.withColumnRenamed("node", "u").withColumnRenamed("dk", "udk"), "u")
+    be = ue.join(dnode.withColumnRenamed("node", "v").withColumnRenamed("dk", "vdk"), "v")
+    oe = be.select(
+        F.when(F.col("udk") < F.col("vdk"), F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(F.col("udk") < F.col("vdk"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.greatest("udk", "vdk").alias("dst_dk"),
+    ).localCheckpoint()
+    e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e2.src") == F.col("e1.src"))
+            & (F.col("e1.dst_dk") < F.col("e2.dst_dk")),
+        )
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.dst")) & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
     wedge = deg.agg(
         F.count("*").alias("n_nodes"),
-        (F.sum("d") / 2).cast("bigint").alias("n_edges"),
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
+        F.coalesce((F.sum("d") / 2), F.lit(0)).cast("bigint").alias("n_edges"),
+        F.coalesce(F.sum(F.col("d") * (F.col("d") - 1) / 2), F.lit(0))
+        .cast("bigint")
+        .alias("n_wedges"),
     )
     return wedge.crossJoin(F.broadcast(tri)).select(
         "n_nodes",
         "n_edges",
         "n_triangles",
         "n_wedges",
-        ((F.lit(3) * F.col("n_triangles")).cast("double") / F.col("n_wedges")).alias(
-            "clustering"
-        ),
+        F.when(F.col("n_wedges") == 0, F.lit(0.0))
+        .otherwise(
+            (F.lit(3) * F.col("n_triangles")).cast("double") / F.col("n_wedges")
+        )
+        .alias("clustering"),
     )
 
 
