@@ -1,0 +1,94 @@
+"""SqliteSource unit coverage beyond the oracle gate: range planning
+edge cases (empty table, single row, more partitions than keys) and
+read-only concurrency — the JDBC-partitioned-pull contract details the
+hash gate can't isolate."""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pytest
+
+from cheetah_spark.sources.sqlite_local import SqliteSource
+
+SCHEMA = "k long, v string"
+
+
+def _mkdb(tmp_path, rows):
+    db = str(tmp_path / "t.sqlite")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (k INTEGER PRIMARY KEY, v TEXT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    con.commit()
+    con.close()
+    return db
+
+
+def test_empty_table_yields_empty_frame(spark, tmp_path):
+    db = _mkdb(tmp_path, [])
+    df = SqliteSource(db, "t", SCHEMA, partition_col="k", num_partitions=4).read(spark)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["k", "v"]
+
+
+def test_single_row(spark, tmp_path):
+    db = _mkdb(tmp_path, [(7, "x")])
+    df = SqliteSource(db, "t", SCHEMA, partition_col="k", num_partitions=4).read(spark)
+    assert [(r.k, r.v) for r in df.collect()] == [(7, "x")]
+
+
+def test_more_partitions_than_keys_no_loss_no_dup(spark, tmp_path):
+    rows = [(i, f"v{i}") for i in range(5)]
+    db = _mkdb(tmp_path, rows)
+    df = SqliteSource(db, "t", SCHEMA, partition_col="k", num_partitions=32).read(spark)
+    got = sorted((r.k, r.v) for r in df.collect())
+    assert got == rows
+
+
+def test_sparse_noncontiguous_keys_covered_exactly_once(spark, tmp_path):
+    # range slicing must be correct for arbitrary key gaps (negative
+    # lows and a huge span stress the step arithmetic)
+    keys = [-1000, -3, 0, 1, 17, 999_999, 10_000_001]
+    rows = [(k, f"v{k}") for k in keys]
+    db = _mkdb(tmp_path, rows)
+    df = SqliteSource(db, "t", SCHEMA, partition_col="k", num_partitions=8).read(spark)
+    got = sorted(r.k for r in df.collect())
+    assert got == sorted(keys)
+
+
+def test_writer_locked_db_still_readable(spark, tmp_path):
+    # mode=ro readers must coexist with an open (uncommitted) writer —
+    # SQLite allows reads of the last committed state
+    rows = [(i, "a") for i in range(10)]
+    db = _mkdb(tmp_path, rows)
+    w = sqlite3.connect(db)
+    w.execute("BEGIN")
+    w.execute("INSERT INTO t VALUES (100, 'uncommitted')")
+    try:
+        df = SqliteSource(db, "t", SCHEMA, partition_col="k", num_partitions=4).read(spark)
+        assert df.count() == 10  # committed state only
+    finally:
+        w.rollback()
+        w.close()
+
+
+@pytest.mark.parametrize("files_per_trigger", [1, 4])
+def test_scd2_lookup_slicing_invariant(spark, sf_dir, files_per_trigger, monkeypatch):
+    """s_stream_scd2_lookup's claim: the stream-static temporal join is
+    stateless per batch, so ANY admission slicing yields the identical
+    rollup. Drive the same query with 1-file and 4-file triggers."""
+    import cheetah_spark.queries.streams as S
+
+    orig = S.ParquetSource
+
+    class Patched(orig):
+        def __init__(self, path, streaming=False, schema=None, max_files_per_trigger=None):
+            super().__init__(path, streaming, schema, files_per_trigger)
+
+    monkeypatch.setattr(S, "ParquetSource", Patched)
+    rows = sorted(
+        tuple(r) for r in S.s_stream_scd2_lookup(spark, sf_dir).collect()
+    )
+    monkeypatch.setattr(S, "ParquetSource", orig)
+    base = sorted(tuple(r) for r in S.s_stream_scd2_lookup(spark, sf_dir).collect())
+    assert rows == base
