@@ -74,6 +74,7 @@ CHECK_FIRST = [
     "q_sec_anomaly_mad",
     "q_udaf_surface",
     "s_stream_scd2_lookup",
+    "s_timeseries_ohlc",
     "q_amqp_envelope",
     "s_amqp_replay",
     "q_pubsub_envelope",

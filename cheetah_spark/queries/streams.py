@@ -1498,3 +1498,47 @@ def s_stream_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "s_timeseries_ohlc",
+    oracle=_timeseries.OHLC_SQL_DUCK,
+    tags=("streaming", "timeseries", "stateful"),
+)
+def s_timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bar building — the at-ingest twin of
+    q_timeseries_ohlc: a complete-mode aggregation per (event_type,
+    hour) carries min_by/max_by/min/max/count/decimal-sum partials in
+    the state store (ONE bounded row per open bar — the tick-store
+    ingest shape), and the drained state hash-matches the batch oracle
+    VERBATIM.
+
+    Arrival order cannot change the result: every aggregate in the bar
+    is order-insensitive (extremum selection by the unique BIGINT
+    order key, associative min/max/count, exact decimal sum) — the
+    same property that makes s_sec_first_seen sliceable. State is
+    bounded by open-bar cardinality (types × hours in flight); a
+    production ingest closes bars with a watermark instead of
+    complete-mode replay."""
+    src_dir = events_stream_dir(spark, sf_dir)
+    stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=2).read(spark)
+    ordkey = (
+        F.date_trunc("second", F.col("ts")).cast("bigint") * F.lit(10000000)
+        + F.col("event_id") % F.lit(10000000)
+    )
+    with scoped_state_partitions(spark):
+        out = run_stream_to_completion(
+            stream,
+            lambda df: df.groupBy(
+                "event_type", F.date_trunc("hour", "ts").alias("bucket")
+            ).agg(
+                F.min_by("value", ordkey).alias("open"),
+                F.max("value").alias("high"),
+                F.min("value").alias("low"),
+                F.max_by("value", ordkey).alias("close"),
+                F.count("*").alias("volume"),
+                dsum2("value").alias("sum_value"),
+            ),
+            output_mode="complete",
+        )
+    return out
