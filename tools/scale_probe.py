@@ -77,6 +77,17 @@ DOC_QUERIES = [
     "q_timeseries_ohlc",
     "q_graph_triangles",
     "q_sec_first_seen",
+    "s_sec_first_seen",
+    "s_timeseries_ohlc",
+    "q_sec_anomaly_mad",
+    "q_stats_linreg",
+    "q_window_percent_rank",
+    "q_multimodal_audio_dedup",
+    "q_udaf_surface",
+    "s_stream_scd2_lookup",
+    # q_scan_sqlite is NOT probed: its fixture builder collects the
+    # events table driver-side (test-only mirror construction); the
+    # partitioned READ path it demonstrates is covered by the plan pin
 ]
 EMB_QUERIES = [
     "q_llm_embed_dedup",
@@ -210,10 +221,15 @@ def main() -> None:
         _trained(spark, sf_dir)
         # replay feeds for the streaming queries are one-time fixture
         # builds, same policy as the anchors above
-        from cheetah_spark.streaming import documents_stream_dir, embeddings_stream_dir
+        from cheetah_spark.streaming import (
+            documents_stream_dir,
+            embeddings_stream_dir,
+            events_stream_dir,
+        )
 
         documents_stream_dir(spark, sf_dir)
         embeddings_stream_dir(spark, sf_dir)
+        events_stream_dir(spark, sf_dir)  # r10: events-based streaming probes
         spark.catalog.clearCache()
 
         probe_queries = HIGH_ALPHA if tag == "25x" else DOC_QUERIES + EMB_QUERIES
