@@ -75,6 +75,7 @@ CHECK_FIRST = [
     "q_udaf_surface",
     "s_stream_scd2_lookup",
     "s_timeseries_ohlc",
+    "s_sqlite_cdc",
     "q_amqp_envelope",
     "s_amqp_replay",
     "q_pubsub_envelope",

@@ -330,3 +330,71 @@ def q_scan_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").alias("max_id"),
         F.min("ts_us").alias("min_ts_us"),
     )
+
+
+# shared by q_scan_sqlite (partitioned batch pull) and s_sqlite_cdc
+# (keyset-paginated streaming pull): both read paths must produce the
+# identical rollup of the same store
+SQLITE_ROLLUP_ORACLE = f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           {oracle_dsum2("value")} AS sum_value,
+           MIN(event_id) AS min_id,
+           MAX(event_id) AS max_id,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS min_ts_us
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@register(
+    "s_sqlite_cdc",
+    oracle=SQLITE_ROLLUP_ORACLE,
+    tags=("streaming", "source", "cdc", "relational-store"),
+)
+def s_sqlite_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyset CDC from the relational store — the
+    incremental twin of q_scan_sqlite: a real StreamingQuery over the
+    ``cheetah-sqlite-cdc`` Python data source pulls the events mirror
+    in key-ordered micro-batches (offset = last key delivered; each
+    trigger is ONE indexed `> last ORDER BY key LIMIT n` range query;
+    `readBetweenOffsets` re-queries the store itself for lossless
+    restart — zero local buffering, the Kinesis CURSOR discipline).
+    The drained rows roll up to the SAME oracle as the batch
+    partitioned pull, so no-loss/no-dup across ~5 admission windows is
+    hash-gated.
+
+    Scale shape: keyset pagination is how production CDC actually
+    walks a warehouse table (resumable, index-driven, constant memory);
+    at real scale the reader fans per-key-range readers across
+    executors — here the contract under test is offsets/restart/
+    agreement, which is driver-reader-shaped by the simple-reader
+    API."""
+    from cheetah_spark.sources.sqlite_local import (
+        EVENTS_SQLITE_SCHEMA,
+        events_sqlite_path,
+        register_sqlite_cdc_source,
+    )
+    from cheetah_spark.streaming import run_stream_to_completion
+
+    db = events_sqlite_path(spark, sf_dir)
+    register_sqlite_cdc_source(spark)
+    stream = (
+        spark.readStream.format("cheetah-sqlite-cdc")
+        .option("path", db)
+        .option("table", "events")
+        .option("partition_col", "event_id")
+        .option("batch_size", "2048")  # forces multi-batch admission at sf0.01
+        .schema(EVENTS_SQLITE_SCHEMA)
+        .load()
+    )
+    out = run_stream_to_completion(stream, lambda df: df)
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum2("value").alias("sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.min("ts_us").alias("min_ts_us"),
+    )

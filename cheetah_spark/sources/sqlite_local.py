@@ -145,3 +145,91 @@ class SqliteSource(Source):
             len(bounds), "lo"
         )
         return ranges.mapInPandas(pull, schema=self.schema)
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC pull: cheetah-sqlite-cdc
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSource,
+    SimpleDataSourceStreamReader,
+)
+
+_CDC_START = -(2**62)  # "before any key" sentinel for the first offset
+
+
+class _SqliteCdcStreamReader(SimpleDataSourceStreamReader):
+    """Keyset-paginated incremental pull: offset = the last key
+    delivered; each micro-batch is ONE indexed range query
+    ``WHERE k > last ORDER BY k LIMIT batch_size``.
+
+    The store itself is the replay window — ``readBetweenOffsets``
+    re-queries the half-open key interval, so a restarted reader
+    recovers losslessly with ZERO local buffering (the Kinesis CURSOR
+    pattern; reference S5 poller semantics upgraded with exact
+    offsets). Append-only keys are the contract, as with any keyset
+    CDC (updates-in-place need a version column — same reader, ordered
+    on (version, key))."""
+
+    def __init__(self, options):
+        self._path = options.get("path")
+        self._table = options.get("table", "events")
+        self._pcol = options.get("partition_col", "event_id")
+        self._batch = int(options.get("batch_size", "4096"))
+        if not self._path:
+            raise ValueError("cheetah-sqlite-cdc: 'path' option is required")
+
+    def _con(self):
+        return sqlite3.connect(f"file:{self._path}?mode=ro", uri=True)
+
+    def initialOffset(self) -> dict:
+        return {"k": _CDC_START}
+
+    def read(self, start: dict):
+        c = self._con()
+        cur = c.execute(
+            f"SELECT * FROM {self._table} WHERE {self._pcol} > ? "
+            f"ORDER BY {self._pcol} LIMIT ?",
+            (int(start["k"]), self._batch),
+        )
+        names = [d[0] for d in cur.description]
+        ki = names.index(self._pcol)
+        rows = cur.fetchall()
+        c.close()
+        if not rows:
+            return iter(()), dict(start)
+        return iter(rows), {"k": int(rows[-1][ki])}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        c = self._con()
+        rows = c.execute(
+            f"SELECT * FROM {self._table} WHERE {self._pcol} > ? "
+            f"AND {self._pcol} <= ? ORDER BY {self._pcol}",
+            (int(start["k"]), int(end["k"])),
+        ).fetchall()
+        c.close()
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass  # pull source: the store needs no acks
+
+
+class SqliteCdcDataSource(DataSource):
+    """``spark.readStream.format("cheetah-sqlite-cdc")`` — keyset CDC
+    over a SQLite table (options: path, table, partition_col,
+    batch_size, schema via .schema())."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "cheetah-sqlite-cdc"
+
+    def schema(self) -> str:
+        return self.options.get("schema", EVENTS_SQLITE_SCHEMA)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _SqliteCdcStreamReader(self.options)
+
+
+def register_sqlite_cdc_source(spark: SparkSession) -> None:
+    spark.dataSource.register(SqliteCdcDataSource)

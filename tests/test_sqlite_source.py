@@ -92,3 +92,36 @@ def test_scd2_lookup_slicing_invariant(spark, sf_dir, files_per_trigger, monkeyp
     monkeypatch.setattr(S, "ParquetSource", orig)
     base = sorted(tuple(r) for r in S.s_stream_scd2_lookup(spark, sf_dir).collect())
     assert rows == base
+
+
+def test_cdc_reader_offsets_and_restart_replay(tmp_path):
+    """Direct reader contract: key-ordered pagination, offset monotonicity,
+    empty-read fixpoint, and readBetweenOffsets recovering exactly the
+    committed window from the store (lossless restart)."""
+    from cheetah_spark.sources.sqlite_local import _SqliteCdcStreamReader
+
+    db = _mkdb(tmp_path, [(i, f"v{i}") for i in range(10)])
+    r = _SqliteCdcStreamReader(
+        {"path": db, "table": "t", "partition_col": "k", "batch_size": "4"}
+    )
+    o0 = r.initialOffset()
+    rows1, o1 = r.read(o0)
+    rows1 = list(rows1)
+    assert [x[0] for x in rows1] == [0, 1, 2, 3] and o1 == {"k": 3}
+    rows2, o2 = r.read(o1)
+    assert [x[0] for x in list(rows2)] == [4, 5, 6, 7] and o2 == {"k": 7}
+    rows3, o3 = r.read(o2)
+    assert [x[0] for x in list(rows3)] == [8, 9] and o3 == {"k": 9}
+    # drained: empty read must return the same offset (fixpoint)
+    rows4, o4 = r.read(o3)
+    assert list(rows4) == [] and o4 == o3
+    # restart replay: the half-open window re-queries the store
+    assert [x[0] for x in r.readBetweenOffsets(o1, o2)] == [4, 5, 6, 7]
+    assert [x[0] for x in r.readBetweenOffsets(o0, o1)] == [0, 1, 2, 3]
+    # rows appended AFTER a checkpoint are picked up by the next read
+    con = sqlite3.connect(db)
+    con.execute("INSERT INTO t VALUES (11, 'late')")
+    con.commit()
+    con.close()
+    rows5, o5 = r.read(o3)
+    assert [x[0] for x in list(rows5)] == [11] and o5 == {"k": 11}
