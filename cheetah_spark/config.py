@@ -75,6 +75,9 @@ _MQTT_KEY_ALIASES = {
     "pollMs": "poll_ms",
     # nats (wishlist #3): camelCase keys for the NATS connector
     "chunkSize": "chunk_size",
+    # sqlite (r10): camelCase keys for the relational-store pull
+    "numPartitions": "num_partitions",
+    "partitionColumn": "partition_col",
     "replyTo": "reply_to",
     # amqp (wishlist #4): camelCase keys for the AMQP 0-9-1 connector
     "exchangeType": "exchange_type",
@@ -257,6 +260,15 @@ def _s3_sink(**kw):
     return NdjsonGzipSink(path=path, **kw)
 
 
+def _sqlite_source(**kw):
+    from cheetah_spark.sources.sqlite_local import SqliteSource
+
+    kw = _alias(kw)
+    if "columns" in kw and kw["columns"] is not None:
+        kw["columns"] = tuple(kw["columns"])
+    return SqliteSource(**kw)
+
+
 _SOURCE_TYPES = {
     "parquet": ParquetSource,
     "json": JsonSource,
@@ -300,6 +312,9 @@ _SOURCE_TYPES = {
     "memcache": _memcache_source,
     # wishlist "zmq?" (README.md:301-311): ZMTP 3.0 on stdlib sockets
     "zmq": _zmq_source,
+    # beyond-parity (r10): relational-store pull — JDBC-style
+    # partitioned range scan over a SQLite file (sources/sqlite_local)
+    "sqlite": _sqlite_source,
 }
 
 _SINK_TYPES = {

@@ -742,3 +742,36 @@ def test_cli_run_kinesis_replay_to_memory(tmp_path, spark, sf_dir):
 
     for r in got.select("shard_id", "partition_key").distinct().collect():
         assert r.shard_id == shard_id_str(shard_for_key(r.partition_key, 4))
+
+
+def test_cli_run_sqlite_to_memory(tmp_path, spark, sf_dir):
+    """Daemon e2e over the sqlite config type (r10, beyond-parity
+    relational-store pull): a partitioned batch pull through the CLI,
+    filter pushdown applied as a transform, no-loss asserted against
+    the parquet events table."""
+    from cheetah_spark.__main__ import main
+    from cheetah_spark.sources.sqlite_local import EVENTS_SQLITE_SCHEMA, events_sqlite_path
+
+    db = events_sqlite_path(spark, sf_dir)
+    cfg = {
+        "source": {
+            "type": "sqlite",
+            "path": db,
+            "table": "events",
+            "schema": EVENTS_SQLITE_SCHEMA,
+            "numPartitions": 4,
+        },
+        "transforms": [{"type": "filter", "expr": "event_type = 'error'"}],
+        "sink": {"type": "memory", "name": "cli_sqlite_pull"},
+    }
+    f = tmp_path / "cli_sqlite.json"
+    f.write_text(json.dumps(cfg))
+    assert main(["run", "--config", str(f), "--timeout", "10"]) == 0
+    got = spark.table("cli_sqlite_pull")
+    expected = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where("event_type = 'error'")
+        .count()
+    )
+    assert got.count() == expected
+    assert {r.event_type for r in got.select("event_type").distinct().collect()} == {"error"}
