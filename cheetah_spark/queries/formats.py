@@ -380,12 +380,23 @@ def s_sqlite_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     db = events_sqlite_path(spark, sf_dir)
     register_sqlite_cdc_source(spark)
+    # page the keyset to ~5 admission windows at ANY fixture size: a
+    # fixed page is right in production (bounded memory per trigger)
+    # but here the contract under test is multi-batch offset windows,
+    # not trigger count — a fixed 2048 meant 49 near-empty triggers at
+    # sf0.1 (pure engine floor, 10.6 s of the r10 bench)
+    import sqlite3 as _sq
+
+    con = _sq.connect(f"file:{db}?mode=ro", uri=True)
+    n_rows = con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
+    con.close()
+    page = max(2048, n_rows // 5 + 1)
     stream = (
         spark.readStream.format("cheetah-sqlite-cdc")
         .option("path", db)
         .option("table", "events")
         .option("partition_col", "event_id")
-        .option("batch_size", "2048")  # forces multi-batch admission at sf0.01
+        .option("batch_size", str(page))
         .schema(EVENTS_SQLITE_SCHEMA)
         .load()
     )
