@@ -133,6 +133,9 @@ CHECK_FIRST = [
     "q_multimodal_meta",
     "q_multimodal_resize",
     "s_llm_embed_dedup",
+    # r10 late additions (registered after the window filled): first
+    # driver row lands in r11; local differential covers them now
+    "q_llm_sft_format",
     # --- slot ~50 boundary: the 29 new/changed r10 names + the 20-name
     # r6-stale cohort fill the driver's window (the r7 tail tops up
     # the last slot); the rest rolls to the r11 rotation head ---

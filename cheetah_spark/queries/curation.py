@@ -2899,3 +2899,83 @@ def q_llm_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_mean_logp",
         "worst_mean_logp",
     )
+
+
+# SFT chat-template rendering: the format step between a curated corpus
+# and a fine-tuning run. The fixture derives a deterministic
+# instruction pair from each document (first _SFT_PROMPT_TOKENS tokens
+# = the prompt, remainder = the response) and renders the standard
+# role-tagged template; the hash gate verifies the rendered bytes
+# verbatim, so a template drift (missing newline, wrong tag order)
+# fails the driver row rather than silently corrupting a training run.
+_SFT_PROMPT_TOKENS = 8
+
+
+@register(
+    "q_llm_sft_format",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, {X.oracle_tokens("text")} AS toks
+            FROM documents
+        ),
+        pair AS (
+            SELECT doc_id, lang,
+                   array_to_string(list_slice(toks, 1, {_SFT_PROMPT_TOKENS}), ' ')
+                       AS prompt,
+                   array_to_string(
+                       list_slice(toks, {_SFT_PROMPT_TOKENS} + 1, len(toks)), ' ')
+                       AS response,
+                   len(toks) AS n_tok
+            FROM t WHERE len(toks) > {_SFT_PROMPT_TOKENS}
+        )
+        SELECT doc_id, lang,
+               '<|user|>' || chr(10) || prompt || chr(10)
+                   || '<|assistant|>' || chr(10) || response || '<|end|>'
+                   AS rendered,
+               CAST({_SFT_PROMPT_TOKENS} AS BIGINT) AS n_prompt_tokens,
+               CAST(n_tok - {_SFT_PROMPT_TOKENS} AS BIGINT) AS n_response_tokens
+        FROM pair
+    """,
+    tags=("llm", "curation", "sft", "format"),
+)
+def q_llm_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT instruction formatting — render each curated document into
+    the role-tagged chat template a fine-tuning run consumes
+    (<|user|>/<|assistant|>/<|end|>), with per-side token accounting.
+    Documents too short to split are dropped (the length gate every
+    SFT formatter applies).
+
+    The rendered STRING is itself under the hash gate — byte-for-byte
+    template fidelity, not just counts — because a silently drifted
+    template (lost newline, swapped tags) is the classic way a
+    formatting bug poisons a fine-tune while every count still looks
+    right.
+
+    Scale shape: map-only string expressions in whole-stage codegen
+    (split/slice/concat — no Python, no shuffle at all); the template
+    literal lives in the plan. At 100 TB this is one scan, and the
+    output column feeds q_llm_pack_sequences' packing pass
+    unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    t = d.select("doc_id", "lang", toks.alias("toks")).where(
+        F.size("toks") > _SFT_PROMPT_TOKENS
+    )
+    prompt = F.array_join(F.slice("toks", 1, _SFT_PROMPT_TOKENS), " ")
+    response = F.array_join(
+        F.slice(F.col("toks"), _SFT_PROMPT_TOKENS + 1, F.size("toks") - _SFT_PROMPT_TOKENS),
+        " ",
+    )
+    return t.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.lit("<|user|>\n"),
+            prompt,
+            F.lit("\n<|assistant|>\n"),
+            response,
+            F.lit("<|end|>"),
+        ).alias("rendered"),
+        F.lit(_SFT_PROMPT_TOKENS).cast("bigint").alias("n_prompt_tokens"),
+        (F.size("toks") - _SFT_PROMPT_TOKENS).cast("bigint").alias("n_response_tokens"),
+    )
