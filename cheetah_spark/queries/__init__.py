@@ -136,6 +136,7 @@ CHECK_FIRST = [
     # r10 late additions (registered after the window filled): first
     # driver row lands in r11; local differential covers them now
     "q_llm_sft_format",
+    "q_llm_dedup_recall_eval",
     # --- slot ~50 boundary: the 29 new/changed r10 names + the 20-name
     # r6-stale cohort fill the driver's window (the r7 tail tops up
     # the last slot); the rest rolls to the r11 rotation head ---

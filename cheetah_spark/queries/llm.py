@@ -3257,3 +3257,100 @@ def q_udaf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows("n_chars").alias("n_docs"),
         trimmed_mean("n_chars").alias("trimmed_mean_chars"),
     )
+
+
+_NJ_CUT = 0.5  # the production near-dup Jaccard cut (q_llm_ngram_jaccard's)
+
+
+@register(
+    "q_llm_dedup_recall_eval",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_distinct({X.oracle_shingles(X.oracle_tokens("text"), 3)}) AS sh
+            FROM documents
+        ),
+        ts AS (SELECT doc_id, sh, len(sh) AS n_sh FROM t),
+        post AS (SELECT doc_id, unnest(sh) AS s FROM t),
+        truth AS (
+            SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+            FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+        ),
+        true_pairs AS (
+            SELECT tr.doc_id_a, tr.doc_id_b
+            FROM truth tr
+            JOIN ts a ON a.doc_id = tr.doc_id_a
+            JOIN ts b ON b.doc_id = tr.doc_id_b
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                      / greatest(a.n_sh + b.n_sh - len(list_intersect(a.sh, b.sh)), 1)
+                  >= {_NJ_CUT}
+        ),
+        sigs AS ({_oracle_minhash_sigs()}),
+        {_oracle_bands_cand()}
+        SELECT (SELECT COUNT(*) FROM true_pairs) AS n_true,
+               (SELECT COUNT(*) FROM cand) AS n_candidates,
+               (SELECT COUNT(*) FROM true_pairs tp JOIN cand c
+                   ON tp.doc_id_a = c.doc_id_a AND tp.doc_id_b = c.doc_id_b) AS n_hit,
+               (SELECT COUNT(*) FROM true_pairs tp JOIN cand c
+                   ON tp.doc_id_a = c.doc_id_a AND tp.doc_id_b = c.doc_id_b)::DOUBLE
+                   / greatest((SELECT COUNT(*) FROM true_pairs), 1) AS recall
+    """,
+    tags=("llm", "dedup", "eval"),
+)
+def q_llm_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-recall evaluation AS a query: measure the MinHash LSH
+    candidate generator against exact inverted-index ground truth —
+    the quality metric a curation team runs before trusting a dedup
+    config, here hash-gated end-to-end (n_true / n_candidates / n_hit
+    / recall all exact).
+
+    Ground truth is the EXACT all-true-pairs set computed the way
+    exact set-similarity join actually scales: an inverted-index
+    self-join on shared shingles (a pair is examined iff it shares ≥1
+    shingle — never an n² cross join; PPJoin-style df-capped postings
+    are the stated 100 TB refinement for stop-shingles), then the
+    exact-Jaccard cut. The candidate side is the SAME banded generator
+    every near-dup operator here shares (_minhash_band_candidates,
+    oracle-mirrored). Recall measured on the fixture (~1.0 at the 0.5
+    cut) is the empirical check of the LSH S-curve bound
+    1-(1-s^r)^b the operator docstrings cite; tests/recall_curve.py
+    sweeps the full curve, this operator pins the production point
+    into the driver gate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    t = (
+        d.select("doc_id", F.array_distinct(X.shingles(toks, 3)).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+        .persist()
+    )
+    post = t.select("doc_id", F.explode("sh").alias("s"))
+    truth = (
+        post.alias("a")
+        .join(post.alias("b"), on="s")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+    sa = t.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a"))
+    sb = t.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    true_pairs = (
+        truth.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .where(
+            inter.cast("double")
+            / F.greatest(F.col("n_a") + F.col("n_b") - inter, F.lit(1))
+            >= _NJ_CUT
+        )
+        .select("doc_id_a", "doc_id_b")
+        .persist()
+    )
+    sigs = _minhash_sigs_of(d).persist()
+    cand = _minhash_band_candidates(sigs)
+    n_true = true_pairs.count()
+    n_hit = true_pairs.join(cand, ["doc_id_a", "doc_id_b"]).count()
+    n_cand = cand.count()
+    return spark.createDataFrame(
+        [(n_true, n_cand, n_hit, float(n_hit) / max(n_true, 1))],
+        "n_true long, n_candidates long, n_hit long, recall double",
+    )
