@@ -3316,6 +3316,8 @@ def q_llm_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-(1-s^r)^b the operator docstrings cite; tests/recall_curve.py
     sweeps the full curve, this operator pins the production point
     into the driver gate."""
+    from pyspark.sql.window import Window
+
     d = load_table(spark, sf_dir, "documents")
     toks = X.tokens(F.col("text"))
     t = (
@@ -3323,10 +3325,27 @@ def q_llm_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_sh", F.size("sh"))
         .persist()
     )
-    post = t.select("doc_id", F.explode("sh").alias("s"))
+    post = t.select("doc_id", "n_sh", F.explode("sh").alias("s"))
+    # PPJoin prefix filtering (Xiao et al. 2008), LOSSLESS for the
+    # Jaccard-t cut: J(a,b) >= t implies |a∩b| >= t·|a|, so a qualifying
+    # pair MUST collide inside each doc's first |d| - ceil(t·|d|) + 1
+    # shingles under one GLOBAL (df asc, shingle asc) order. Only the
+    # prefixes are indexed — the df² stop-shingle blowup of the naive
+    # inverted index never materializes (rare shingles lead the order).
+    # The ORACLE deliberately keeps the naive full-posting join: the
+    # hash gate therefore PROVES the lemma lossless on the data, not
+    # just cites it.
+    df_ = post.groupBy("s").agg(F.count("*").alias("df"))
+    wd = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("s").asc())
+    prefix = (
+        post.join(df_, "s")
+        .withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") <= F.floor(F.col("n_sh") * (1.0 - _NJ_CUT)) + 1)
+        .select("doc_id", "s")
+    )
     truth = (
-        post.alias("a")
-        .join(post.alias("b"), on="s")
+        prefix.alias("a")
+        .join(prefix.alias("b"), on="s")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
         .distinct()
