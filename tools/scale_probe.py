@@ -88,6 +88,11 @@ DOC_QUERIES = [
     # q_scan_sqlite is NOT probed: its fixture builder collects the
     # events table driver-side (test-only mirror construction); the
     # partitioned READ path it demonstrates is covered by the plan pin
+    # r10 late additions: template rendering (map-only) and the
+    # recall-eval (prefix-filtered truth join — the Σdf² axis the
+    # PPJoin prefix is there to bound)
+    "q_llm_sft_format",
+    "q_llm_dedup_recall_eval",
 ]
 EMB_QUERIES = [
     "q_llm_embed_dedup",
