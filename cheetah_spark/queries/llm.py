@@ -3260,65 +3260,93 @@ def q_udaf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NJ_CUT = 0.5  # the production near-dup Jaccard cut (q_llm_ngram_jaccard's)
+# recall is estimated on a BOUNDED query panel probed against the FULL
+# corpus (the way production evals actually run): panel stride m grows
+# with the corpus so |panel| stays ~<= _EVAL_PANEL regardless of scale,
+# and per-panel-doc work is one prefix-posting probe — the eval's cost
+# is LINEAR in corpus size with a small constant, never the Sum(df^2)
+# of an all-pairs exact join (measured: the all-pairs formulation read
+# 8.5/27.9/67.9 s at 1x/5x/10x before this reroute).
+_EVAL_PANEL = 1000
 
 
 @register(
     "q_llm_dedup_recall_eval",
     oracle=f"""
-        WITH t AS (
+        WITH m AS (
+            SELECT 1 + COUNT(*) // {_EVAL_PANEL} AS stride FROM documents
+        ),
+        t AS (
             SELECT doc_id,
                    list_distinct({X.oracle_shingles(X.oracle_tokens("text"), 3)}) AS sh
             FROM documents
         ),
         ts AS (SELECT doc_id, sh, len(sh) AS n_sh FROM t),
         post AS (SELECT doc_id, unnest(sh) AS s FROM t),
-        truth AS (
-            SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-            FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+        panel_truth_cand AS (
+            SELECT DISTINCT a.doc_id AS query_id, b.doc_id AS neighbor_id
+            FROM post a JOIN post b ON a.s = b.s AND a.doc_id <> b.doc_id
+            WHERE a.doc_id % (SELECT stride FROM m) = 0
         ),
         true_pairs AS (
-            SELECT tr.doc_id_a, tr.doc_id_b
-            FROM truth tr
-            JOIN ts a ON a.doc_id = tr.doc_id_a
-            JOIN ts b ON b.doc_id = tr.doc_id_b
+            SELECT tc.query_id, tc.neighbor_id
+            FROM panel_truth_cand tc
+            JOIN ts a ON a.doc_id = tc.query_id
+            JOIN ts b ON b.doc_id = tc.neighbor_id
             WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
                       / greatest(a.n_sh + b.n_sh - len(list_intersect(a.sh, b.sh)), 1)
                   >= {_NJ_CUT}
         ),
         sigs AS ({_oracle_minhash_sigs()}),
         {_oracle_bands_cand()}
+        , pcand AS (
+            SELECT doc_id_a AS query_id, doc_id_b AS neighbor_id FROM cand
+            WHERE doc_id_a % (SELECT stride FROM m) = 0
+            UNION
+            SELECT doc_id_b, doc_id_a FROM cand
+            WHERE doc_id_b % (SELECT stride FROM m) = 0
+        )
         SELECT (SELECT COUNT(*) FROM true_pairs) AS n_true,
-               (SELECT COUNT(*) FROM cand) AS n_candidates,
-               (SELECT COUNT(*) FROM true_pairs tp JOIN cand c
-                   ON tp.doc_id_a = c.doc_id_a AND tp.doc_id_b = c.doc_id_b) AS n_hit,
-               (SELECT COUNT(*) FROM true_pairs tp JOIN cand c
-                   ON tp.doc_id_a = c.doc_id_a AND tp.doc_id_b = c.doc_id_b)::DOUBLE
+               (SELECT COUNT(*) FROM pcand) AS n_candidates,
+               (SELECT COUNT(*) FROM true_pairs tp JOIN pcand c
+                   ON tp.query_id = c.query_id AND tp.neighbor_id = c.neighbor_id)
+                   AS n_hit,
+               (SELECT COUNT(*) FROM true_pairs tp JOIN pcand c
+                   ON tp.query_id = c.query_id AND tp.neighbor_id = c.neighbor_id)::DOUBLE
                    / greatest((SELECT COUNT(*) FROM true_pairs), 1) AS recall
     """,
     tags=("llm", "dedup", "eval"),
 )
 def q_llm_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banding-recall evaluation AS a query: measure the MinHash LSH
-    candidate generator against exact inverted-index ground truth —
-    the quality metric a curation team runs before trusting a dedup
-    config, here hash-gated end-to-end (n_true / n_candidates / n_hit
-    / recall all exact).
+    candidate generator against exact ground truth — the quality
+    metric a curation team runs before trusting a dedup config, here
+    hash-gated end-to-end (n_true / n_candidates / n_hit / recall all
+    exact).
 
-    Ground truth is the EXACT all-true-pairs set computed the way
-    exact set-similarity join actually scales: an inverted-index
-    self-join on shared shingles (a pair is examined iff it shares ≥1
-    shingle — never an n² cross join; PPJoin-style df-capped postings
-    are the stated 100 TB refinement for stop-shingles), then the
-    exact-Jaccard cut. The candidate side is the SAME banded generator
-    every near-dup operator here shares (_minhash_band_candidates,
-    oracle-mirrored). Recall measured on the fixture (~1.0 at the 0.5
-    cut) is the empirical check of the LSH S-curve bound
-    1-(1-s^r)^b the operator docstrings cite; tests/recall_curve.py
-    sweeps the full curve, this operator pins the production point
-    into the driver gate."""
+    Production shape, two bounds working together:
+
+    - **Bounded query panel**: recall is estimated for a stride-sampled
+      panel (~{_EVAL_PANEL} docs at ANY corpus size — the stride grows
+      with the corpus) probed against the FULL corpus, exactly how
+      recall evals run at 100 TB: per-query truth, not all-pairs truth.
+    - **PPJoin prefix filtering** (Xiao et al. 2008), LOSSLESS for the
+      Jaccard cut: J(a,b) >= t implies the pair collides inside each
+      doc's first |d| - ceil(t|d|) + 1 shingles under one global
+      (df asc, shingle asc) order, so the panel probes prefix postings,
+      never full ones. The oracle keeps the naive full-posting join on
+      the panel — the hash gate PROVES the lemma lossless on the data.
+
+    Candidate side is the SAME banded generator every near-dup operator
+    here shares (_minhash_band_candidates, oracle-mirrored), restricted
+    to pairs touching the panel. Fixture recall pins ~1.0 at the 0.5
+    cut — the LSH S-curve bound 1-(1-s^r)^b checked empirically in the
+    driver gate; tests/recall_curve.py sweeps the full curve."""
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar: sets the panel stride
+    stride = 1 + n_docs // _EVAL_PANEL
     toks = X.tokens(F.col("text"))
     t = (
         d.select("doc_id", F.array_distinct(X.shingles(toks, 3)).alias("sh"))
@@ -3326,15 +3354,6 @@ def q_llm_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     post = t.select("doc_id", "n_sh", F.explode("sh").alias("s"))
-    # PPJoin prefix filtering (Xiao et al. 2008), LOSSLESS for the
-    # Jaccard-t cut: J(a,b) >= t implies |a∩b| >= t·|a|, so a qualifying
-    # pair MUST collide inside each doc's first |d| - ceil(t·|d|) + 1
-    # shingles under one GLOBAL (df asc, shingle asc) order. Only the
-    # prefixes are indexed — the df² stop-shingle blowup of the naive
-    # inverted index never materializes (rare shingles lead the order).
-    # The ORACLE deliberately keeps the naive full-posting join: the
-    # hash gate therefore PROVES the lemma lossless on the data, not
-    # just cites it.
     df_ = post.groupBy("s").agg(F.count("*").alias("df"))
     wd = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("s").asc())
     prefix = (
@@ -3342,33 +3361,48 @@ def q_llm_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(wd))
         .where(F.col("rn") <= F.floor(F.col("n_sh") * (1.0 - _NJ_CUT)) + 1)
         .select("doc_id", "s")
+        .persist()
     )
-    truth = (
-        prefix.alias("a")
+    qprefix = prefix.where(F.col("doc_id") % stride == 0)
+    truth_cand = (
+        qprefix.alias("a")
         .join(prefix.alias("b"), on="s")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("query_id"), F.col("b.doc_id").alias("neighbor_id"))
         .distinct()
     )
-    sa = t.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a"))
-    sb = t.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b"))
+    sa = t.select(F.col("doc_id").alias("query_id"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a"))
+    sb = t.select(F.col("doc_id").alias("neighbor_id"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    # the pair set is panel-bounded; the shingle-set sides are corpus-
+    # sized WITH arrays (their parquet-stat size estimate undercounts,
+    # and AQE OOMed broadcasting one at 10x) — pin the bounded pair set
+    # as the broadcast side of both joins
     true_pairs = (
-        truth.join(sa, "doc_id_a")
-        .join(sb, "doc_id_b")
+        F.broadcast(truth_cand).join(sa, "query_id")
+        .join(sb, "neighbor_id")
         .where(
             inter.cast("double")
             / F.greatest(F.col("n_a") + F.col("n_b") - inter, F.lit(1))
             >= _NJ_CUT
         )
-        .select("doc_id_a", "doc_id_b")
+        .select("query_id", "neighbor_id")
         .persist()
     )
     sigs = _minhash_sigs_of(d).persist()
     cand = _minhash_band_candidates(sigs)
+    pcand = (
+        cand.where(F.col("doc_id_a") % stride == 0)
+        .select(F.col("doc_id_a").alias("query_id"), F.col("doc_id_b").alias("neighbor_id"))
+        .unionByName(
+            cand.where(F.col("doc_id_b") % stride == 0)
+            .select(F.col("doc_id_b").alias("query_id"), F.col("doc_id_a").alias("neighbor_id"))
+        )
+        .distinct()
+    )
     n_true = true_pairs.count()
-    n_hit = true_pairs.join(cand, ["doc_id_a", "doc_id_b"]).count()
-    n_cand = cand.count()
+    n_hit = F.broadcast(true_pairs).join(pcand, ["query_id", "neighbor_id"]).count()
+    n_cand = pcand.count()
     return spark.createDataFrame(
         [(n_true, n_cand, n_hit, float(n_hit) / max(n_true, 1))],
         "n_true long, n_candidates long, n_hit long, recall double",
