@@ -2979,3 +2979,75 @@ def q_llm_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_SFT_PROMPT_TOKENS).cast("bigint").alias("n_prompt_tokens"),
         (F.size("toks") - _SFT_PROMPT_TOKENS).cast("bigint").alias("n_response_tokens"),
     )
+
+
+@register(
+    "q_llm_cross_source_dups",
+    oracle=f"""
+        WITH ft AS (
+            SELECT DISTINCT md5(lower(trim(text))) AS f, source FROM documents
+        ),
+        pf AS (
+            SELECT DISTINCT md5(array_to_string(
+                       list_slice({X.oracle_tokens("text")}, 1, 8), ' ')) AS f,
+                   source
+            FROM documents
+        ),
+        full_pairs AS (
+            SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_exact_shared
+            FROM ft a JOIN ft b ON a.f = b.f AND a.source < b.source
+            GROUP BY 1, 2
+        ),
+        prefix_pairs AS (
+            SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_prefix_shared
+            FROM pf a JOIN pf b ON a.f = b.f AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT COALESCE(f.src_a, p.src_a) AS src_a,
+               COALESCE(f.src_b, p.src_b) AS src_b,
+               COALESCE(f.n_exact_shared, 0) AS n_exact_shared,
+               COALESCE(p.n_prefix_shared, 0) AS n_prefix_shared
+        FROM full_pairs f FULL OUTER JOIN prefix_pairs p
+          ON f.src_a = p.src_a AND f.src_b = p.src_b
+    """,
+    tags=("llm", "dedup", "curation", "contamination"),
+)
+def q_llm_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dataset duplicate matrix: for every pair of sources, how
+    many content fingerprints they SHARE, at two granularities — exact
+    full-text (benchmark-leak contamination between corpora; the
+    within-dataset version is q_llm_exact_dedup) and first-8-token
+    prefix (shared opening boilerplate, the cross-crawl template
+    signal). The audit a curation team runs before mixing datasets: a
+    hot cell means two 'independent' sources aren't.
+
+    Scale shape: per granularity, one codegen fingerprint projection,
+    one DISTINCT collapse to (fp, source) — at most |sources| rows per
+    fingerprint regardless of duplicate MASS (the rep-collapse
+    discipline of the near-dup family) — then a fingerprint-keyed
+    self-equi-join whose per-key block is bounded by |sources|, and a
+    |sources|²-bounded rollup joined across granularities. All counts
+    exact."""
+
+    def pair_counts(fp_col, out_name):
+        srcs = d.select(fp_col.alias("f"), "source").distinct()
+        a, b = srcs.alias("a"), srcs.alias("b")
+        return (
+            a.join(b, (F.col("a.f") == F.col("b.f")) & (F.col("a.source") < F.col("b.source")))
+            .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+            .agg(F.count("*").alias(out_name))
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    full_pairs = pair_counts(F.md5(F.lower(F.trim(F.col("text")))), "n_exact_shared")
+    prefix_pairs = pair_counts(
+        F.md5(F.array_join(F.slice(X.tokens(F.col("text")), 1, 8), " ")),
+        "n_prefix_shared",
+    )
+    zero = F.lit(0).cast("bigint")
+    return full_pairs.join(prefix_pairs, ["src_a", "src_b"], "full_outer").select(
+        "src_a",
+        "src_b",
+        F.coalesce("n_exact_shared", zero).alias("n_exact_shared"),
+        F.coalesce("n_prefix_shared", zero).alias("n_prefix_shared"),
+    )

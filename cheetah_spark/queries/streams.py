@@ -1542,3 +1542,66 @@ def s_timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             output_mode="complete",
         )
     return out
+
+
+@register(
+    "s_llm_sft_format",
+    oracle="""
+        WITH t AS (
+            SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents
+        )
+        SELECT lang,
+               COUNT(*) AS n_pairs,
+               CAST(SUM(8) AS BIGINT) AS total_prompt_tokens,
+               CAST(SUM(len(toks) - 8) AS BIGINT) AS total_response_tokens,
+               CAST(SUM(len('<|user|>' || chr(10)
+                          || array_to_string(list_slice(toks, 1, 8), ' ')
+                          || chr(10) || '<|assistant|>' || chr(10)
+                          || array_to_string(list_slice(toks, 9, len(toks)), ' ')
+                          || '<|end|>')) AS BIGINT) AS total_rendered_chars
+        FROM t WHERE len(toks) > 8
+        GROUP BY lang
+    """,
+    tags=("streaming", "llm", "sft", "format"),
+)
+def s_llm_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming at-ingest SFT formatting — the q_llm_sft_format
+    rendering applied inside a real StreamingQuery over the replayed
+    documents corpus (stateless map-only micro-batches: the formatter
+    rides the engine floor like s_llm_c4_filter), with the drained
+    output rolled up per language and the RENDERED text lengths
+    hash-matched against the oracle re-deriving the template
+    relationally — so at-ingest formatting provably equals the batch
+    formatter byte-for-byte (length sums over exact per-row renders).
+    """
+    from cheetah_spark.queries.curation import q_llm_sft_format  # noqa: F401 (shape twin)
+    from cheetah_spark.registry import REGISTRY
+    from cheetah_spark.streaming import documents_stream_dir
+
+    src_dir = documents_stream_dir(spark, sf_dir)
+    stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=2).read(spark)
+
+    def fmt(df):
+        from cheetah_spark.functions import text as XT
+
+        toks = XT.tokens(F.col("text"))
+        t = df.select("lang", toks.alias("toks")).where(F.size("toks") > 8)
+        prompt = F.array_join(F.slice("toks", 1, 8), " ")
+        response = F.array_join(F.slice(F.col("toks"), 9, F.size("toks") - 8), " ")
+        return t.select(
+            "lang",
+            F.size("toks").alias("n_tok"),
+            F.concat(
+                F.lit("<|user|>\n"), prompt, F.lit("\n<|assistant|>\n"),
+                response, F.lit("<|end|>"),
+            ).alias("rendered"),
+        )
+
+    out = run_stream_to_completion(stream, fmt)
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.lit(8)).cast("bigint").alias("total_prompt_tokens"),
+        F.sum(F.col("n_tok") - 8).cast("bigint").alias("total_response_tokens"),
+        F.sum(F.length("rendered")).cast("bigint").alias("total_rendered_chars"),
+    )
