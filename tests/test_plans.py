@@ -717,3 +717,48 @@ def test_percent_rank_single_window_exec(spark, sf_dir):
     # ONE Window exec, one shuffle, one sort
     assert p.count("Window (") <= 1 or p.count("Window") - p.count("WindowGroupLimit") >= 1, p
     assert p.count("Exchange") <= 2, p
+
+
+def test_cross_source_dups_collapses_before_join(spark, sf_dir):
+    # the (fp, source) DISTINCT must bound each join block by |sources|
+    # BEFORE the fingerprint self-join; never a cartesian
+    p = plan(_q("q_llm_cross_source_dups", spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    # two granularities → two distinct-collapse aggregates feed joins
+    assert p.count("HashAggregate") >= 4, p
+
+
+def test_recall_eval_truth_has_no_cartesian(spark, sf_dir):
+    from cheetah_spark.registry import REGISTRY
+
+    # the operator collects scalar counts internally; audit the plan of
+    # its bounded-panel truth side by rebuilding the candidate join
+    import cheetah_spark.queries.llm as L
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from cheetah_spark.functions import text as X
+
+    toks = X.tokens(F.col("text"))
+    t = d.select("doc_id", F.array_distinct(X.shingles(toks, 3)).alias("sh")).withColumn(
+        "n_sh", F.size("sh")
+    )
+    post = t.select("doc_id", "n_sh", F.explode("sh").alias("s"))
+    df_ = post.groupBy("s").agg(F.count("*").alias("df"))
+    wd = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("s").asc())
+    prefix = (
+        post.join(df_, "s")
+        .withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") <= F.floor(F.col("n_sh") * 0.5) + 1)
+        .select("doc_id", "s")
+    )
+    truth = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), on="s")
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+    )
+    p = plan(truth)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
