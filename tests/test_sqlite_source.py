@@ -125,3 +125,50 @@ def test_cdc_reader_offsets_and_restart_replay(tmp_path):
     con.close()
     rows5, o5 = r.read(o3)
     assert [x[0] for x in list(rows5)] == [11] and o5 == {"k": 11}
+
+
+def test_cdc_pagination_no_loss_no_dup_fuzz(tmp_path):
+    """Property fuzz (hypothesis): for ANY key set (gaps, negatives,
+    clusters) and ANY batch size, walking the reader to its fixpoint
+    delivers every key exactly once, in order, and every adjacent
+    offset window replays exactly its slice."""
+    from hypothesis import given, settings, strategies as st
+
+    from cheetah_spark.sources.sqlite_local import _SqliteCdcStreamReader
+
+    made = {"n": 0}
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        keys=st.sets(st.integers(min_value=-(10**6), max_value=10**9), min_size=0, max_size=60),
+        batch=st.integers(min_value=1, max_value=17),
+    )
+    def prop(keys, batch):
+        made["n"] += 1
+        db = str(tmp_path / f"f{made['n']}.sqlite")
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE t (k INTEGER PRIMARY KEY, v TEXT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", [(k, str(k)) for k in keys])
+        con.commit()
+        con.close()
+        r = _SqliteCdcStreamReader(
+            {"path": db, "table": "t", "partition_col": "k", "batch_size": str(batch)}
+        )
+        offs = [r.initialOffset()]
+        got = []
+        while True:
+            rows, end = r.read(offs[-1])
+            rows = list(rows)
+            if not rows:
+                assert end == offs[-1]  # fixpoint on empty read
+                break
+            got.extend(x[0] for x in rows)
+            assert end == {"k": got[-1]}
+            offs.append(end)
+        assert got == sorted(keys)  # no loss, no dup, key order
+        for a, b in zip(offs, offs[1:]):  # restart windows replay exactly
+            assert [x[0] for x in r.readBetweenOffsets(a, b)] == [
+                k for k in sorted(keys) if a["k"] < k <= b["k"]
+            ]
+
+    prop()
