@@ -67,3 +67,20 @@ def test_triangles_match_bruteforce_reference(spark, sf_dir):
     assert row.n_edges == len(edges)
     assert row.n_nodes == len(adj)
     assert row.n_wedges == n_wedges
+
+
+def test_linreg_matches_numpy_polyfit(spark, sf_dir):
+    """The exact-decimal two-pass OLS must agree with numpy's
+    independent least-squares fit to float tolerance per event type."""
+    import numpy as np
+
+    out = {r.event_type: r for r in REGISTRY["q_stats_linreg"].fn(spark, sf_dir).collect()}
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    # unit-safe epoch seconds (parquet may read as datetime64[ms] or
+    # [ns]; a raw int64 view silently changes the slope's unit 1000x)
+    ev["x"] = ev["ts"].astype("datetime64[ns]").dt.floor("s").astype("int64") // 10**9
+    for et, g in ev.groupby("event_type"):
+        slope, intercept = np.polyfit(g["x"].to_numpy(float), g["value"].to_numpy(float), 1)
+        r = out[et]
+        assert abs(r.slope_per_sec - slope) <= 1e-6 + 1e-6 * abs(slope), (et, r.slope_per_sec, slope)
+        assert abs(r.intercept - intercept) <= 1e-4 + 1e-6 * abs(intercept), (et, r.intercept, intercept)
