@@ -1408,3 +1408,108 @@ def q_sec_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_ratio"
         ),
     )
+
+
+# Impossible-travel detection (spatial class). Each event gets a
+# deterministic synthetic geolocation derived from (user_id, event_id)
+# — the geo-IP lookup stand-in, same derivation in both engines:
+#   lat = (md5_56(user:event) % 160000) / 1000 - 80      ∈ [-80, 80)
+#   lon = (md5_56(event:user) % 360000) / 1000 - 180     ∈ [-180, 180)
+# Consecutive same-user events more than _IT_SPEED km/h apart flag.
+_IT_SPEED = 900.0  # commercial-flight ceiling, the classic cutoff
+
+
+def _geo_exprs(engine: str) -> tuple[str, str]:
+    """(lat, lon) SQL text — shared derivation, per-engine hash56."""
+    if engine == "spark":
+        h1 = "CAST(CONV(SUBSTRING(md5(CONCAT(CAST(user_id AS STRING), ':', CAST(event_id AS STRING))), 1, 14), 16, 10) AS BIGINT)"
+        h2 = "CAST(CONV(SUBSTRING(md5(CONCAT(CAST(event_id AS STRING), ':', CAST(user_id AS STRING))), 1, 14), 16, 10) AS BIGINT)"
+    else:
+        h1 = "CAST(('0x' || SUBSTRING(md5(user_id::VARCHAR || ':' || event_id::VARCHAR), 1, 14))::UBIGINT AS BIGINT)"
+        h2 = "CAST(('0x' || SUBSTRING(md5(event_id::VARCHAR || ':' || user_id::VARCHAR), 1, 14))::UBIGINT AS BIGINT)"
+    lat = f"(({h1}) % 160000) / 1000.0 - 80.0"
+    lon = f"(({h2}) % 360000) / 1000.0 - 180.0"
+    return lat, lon
+
+
+def _impossible_travel_sql(lat: str, lon: str) -> str:
+    """Engine-shared query body over a geolocated events projection.
+
+    Haversine in per-row-snapped stages (the transcendental rule,
+    queries/_util.py #3): the hav() argument is snapped to 9 decimals
+    so a 1-ulp sin/cos libm difference cannot flip asin, then the
+    km distance snaps to 3 decimals before the speed division."""
+    return f"""
+        WITH geo AS (
+            SELECT user_id, event_id, ts,
+                   CAST(CAST({lat} AS DECIMAL(12, 6)) AS DOUBLE) AS lat,
+                   CAST(CAST({lon} AS DECIMAL(12, 6)) AS DOUBLE) AS lon
+            FROM events
+        ),
+        hops AS (
+            SELECT user_id, event_id, ts, lat, lon,
+                   LAG(lat) OVER w AS plat,
+                   LAG(lon) OVER w AS plon,
+                   LAG(ts) OVER w AS pts
+            FROM geo
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        hav AS (
+            SELECT user_id, event_id, ts, pts,
+                   CAST(CAST(
+                       POW(SIN(RADIANS(lat - plat) / 2), 2)
+                       + COS(RADIANS(plat)) * COS(RADIANS(lat))
+                         * POW(SIN(RADIANS(lon - plon) / 2), 2)
+                   AS DECIMAL(20, 9)) AS DOUBLE) AS a
+            FROM hops WHERE plat IS NOT NULL
+        ),
+        dist AS (
+            SELECT user_id, event_id,
+                   CAST(CAST(12742.0 * ASIN(SQRT(a)) AS DECIMAL(20, 3)) AS DOUBLE)
+                       AS km,
+                   CAST(UNIX_SECONDS_DIFF AS DOUBLE) AS dt_s
+            FROM hav
+        )
+        SELECT user_id,
+               COUNT(*) AS n_hops,
+               CAST(SUM(CASE WHEN dt_s > 0
+                             AND km / (dt_s / 3600.0) > {_IT_SPEED}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_impossible,
+               CAST(ROUND(SUM(CAST(km AS DECIMAL(38, 6))), 2) AS DOUBLE)
+                   AS total_km
+        FROM dist
+        GROUP BY user_id
+    """
+
+
+@register(
+    "q_sec_impossible_travel",
+    oracle=_impossible_travel_sql(*_geo_exprs("duck")).replace(
+        "UNIX_SECONDS_DIFF", "epoch(ts) - epoch(pts)"
+    ),
+    tags=("security", "spatial", "detection"),
+)
+def q_sec_impossible_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impossible-travel detection — the spatial member of the
+    detection family: consecutive same-user events whose haversine
+    distance / time delta exceeds the commercial-flight ceiling
+    (900 km/h) flag as credential-sharing / VPN-hop candidates; output
+    is per-user hop counts, impossible-hop counts, and exact total
+    distance. Geolocations are the deterministic geo-IP stand-in
+    (md5-derived lat/lon per event — the fixture has no geo columns;
+    a production deployment swaps ONE projection for the real lookup).
+
+    Determinism: the derivation, the haversine, and the speed test are
+    ONE shared SQL body on both engines (engine-specific only in the
+    md5→int cast); transcendental stages snap per-row (9 then 3
+    decimals) before any aggregate, per the module convention.
+
+    Scale shape: one window (shuffle on user_id + in-partition sort —
+    the q_scd2_history shape) feeding map-only trigonometry in
+    whole-stage codegen and a per-user rollup; no join at all."""
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("events")
+    sql = _impossible_travel_sql(*_geo_exprs("spark")).replace(
+        "UNIX_SECONDS_DIFF", "unix_timestamp(ts) - unix_timestamp(pts)"
+    )
+    return spark.sql(sql)
