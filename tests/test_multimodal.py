@@ -164,3 +164,41 @@ def test_transforms_roundtrip_and_detect_corruption(spark, sf_dir):
     assert bad_png and all(not r.roundtrip_ok for r in bad_png)
     bad_wav = M.framesample_wav_features(corrupted).collect()
     assert bad_wav and all(not r.roundtrip_ok for r in bad_wav)
+
+
+def test_phash_resolution_invariance_on_gradient(spark):
+    """The 8x8 average-pool fingerprint must collide for an image and
+    its 2x nearest-neighbor upscale even with NON-constant content (the
+    fixture's PNGs are constant-valued; this pins the pooling math on a
+    gradient): each original pixel duplicates into a 2x2 block, so
+    every pooled block mean is exactly the original's."""
+    import struct
+    import zlib
+
+    from cheetah_spark import multimodal as M
+
+    def png(arr):
+        h, w = len(arr), len(arr[0])
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        raw = b"".join(b"\x00" + bytes(row) for row in arr)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    base = [[(r * 16 + c * 3) % 256 for c in range(16)] for r in range(8)]
+    up = [[base[r // 2][c // 2] for c in range(32)] for r in range(16)]
+    media = spark.createDataFrame(
+        [(1, bytearray(png(base))), (2, bytearray(png(up)))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in M.phash_png_features(media).collect()}
+    assert rows[1].parse_ok and rows[2].parse_ok
+    assert rows[1].width == 16 and rows[2].width == 32
+    assert rows[1].phash == rows[2].phash  # resolution-invariant collision
+    assert len(rows[1].phash) == 64
