@@ -84,3 +84,63 @@ def test_linreg_matches_numpy_polyfit(spark, sf_dir):
         r = out[et]
         assert abs(r.slope_per_sec - slope) <= 1e-6 + 1e-6 * abs(slope), (et, r.slope_per_sec, slope)
         assert abs(r.intercept - intercept) <= 1e-4 + 1e-6 * abs(intercept), (et, r.intercept, intercept)
+
+
+def test_knn_classify_matches_numpy_reference(spark, sf_dir):
+    """Prediction-for-prediction equality with an independent numpy
+    kNN (cosine, k=5, majority vote, (count desc, label asc) ties)."""
+    import numpy as np
+
+    out = {r.vec_id: r for r in REGISTRY["q_llm_knn_classify"].fn(spark, sf_dir).collect()}
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    V = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy()
+    labels = emb["label"].to_numpy()
+    is_q = ids % 10 == 0
+    qi, ti = np.where(is_q)[0], np.where(~is_q)[0]
+    sims = V[qi] @ V[ti].T
+    for row, qrow in zip(sims, qi):
+        order = np.lexsort((ids[ti], -row))  # cos desc, id asc
+        top = order[:5]
+        votes = {}
+        for lab in labels[ti][top]:
+            votes[lab] = votes.get(lab, 0) + 1
+        pred = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        r = out[ids[qrow]]
+        assert r.pred_label == pred, (ids[qrow], r.pred_label, pred)
+        assert r.true_label == labels[qrow]
+
+
+def test_audio_fingerprint_rate_invariant(spark):
+    """Two WAVs with the same constant amplitude and ~equal duration at
+    DIFFERENT sample rates must share a fingerprint; a clip one
+    amplitude bin away must not."""
+    import io
+    import struct
+    import wave
+
+    from cheetah_spark import multimodal as M
+
+    def wav(fr, n, amp):
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(fr)
+        w.writeframes(struct.pack("<%dh" % n, *([amp] * n)))
+        w.close()
+        return buf.getvalue()
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(wav(8000, 800, 1000))),   # 100 ms
+            (2, bytearray(wav(16000, 1600, 1000))),  # 100 ms, 2x rate
+            (3, bytearray(wav(8000, 800, 1100))),   # next 32-unit bin
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in M.audio_fingerprint_features(media).collect()}
+    assert rows[1].afp == rows[2].afp  # rate-invariant collision
+    assert rows[1].afp != rows[3].afp  # amplitude bins separate
+    assert all(rows[i].parse_ok for i in (1, 2, 3))
