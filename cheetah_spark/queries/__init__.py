@@ -140,6 +140,7 @@ CHECK_FIRST = [
     "q_llm_cross_source_dups",
     "s_llm_sft_format",
     "q_sec_impossible_travel",
+    "s_sec_impossible_travel",
     # --- slot ~50 boundary: the 29 new/changed r10 names + the 20-name
     # r6-stale cohort fill the driver's window (the r7 tail tops up
     # the last slot); the rest rolls to the r11 rotation head ---

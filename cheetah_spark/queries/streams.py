@@ -1605,3 +1605,121 @@ def s_llm_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_tok") - 8).cast("bigint").alias("total_response_tokens"),
         F.sum(F.length("rendered")).cast("bigint").alias("total_rendered_chars"),
     )
+
+
+@register(
+    "s_sec_impossible_travel",
+    oracle=None,  # set below: shares the batch operator's oracle verbatim
+    tags=("streaming", "security", "spatial", "stateful"),
+)
+def s_sec_impossible_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming impossible-travel detection — the custom KEYED-STATE
+    showcase: each user's state store entry carries exactly (last lat,
+    last lon, last ts, running hop/impossible/distance totals), every
+    replayed micro-batch advances it through the same snapped haversine
+    stages as the batch operator (per-row Decimal snapping reproduces
+    the SQL DECIMAL casts: both round the shortest decimal string
+    HALF_UP), and the drained final state per user hash-matches
+    q_sec_impossible_travel's oracle VERBATIM.
+
+    This is the operator class the reference's Handler surface cannot
+    express without external state (SURVEY §2A T1): sequential per-key
+    geometry across arbitrarily sliced batches. In-batch rows sort by
+    (ts, event_id); cross-batch order is the replay's ts-ordered
+    admission — the same contract every session/SCD2 stream here
+    relies on. State is O(1) per live user."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def snapf(x: float, places: str) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal(places), rounding=ROUND_HALF_UP))
+
+    def geo(user_id: int, event_id: int) -> tuple[float, float]:
+        h1 = int(hashlib.md5(f"{user_id}:{event_id}".encode()).hexdigest()[:14], 16)
+        h2 = int(hashlib.md5(f"{event_id}:{user_id}".encode()).hexdigest()[:14], 16)
+        lat = snapf((h1 % 160000) / 1000.0 - 80.0, "1e-6")
+        lon = snapf((h2 % 360000) / 1000.0 - 180.0, "1e-6")
+        return lat, lon
+
+    def update(key, pdfs, state):
+        if state.exists:
+            plat, plon, pts, hops, imp, kmm = state.get
+        else:
+            plat = plon = None
+            pts, hops, imp, kmm = 0, 0, 0, 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for _, r in rows.iterrows():
+            ts_s = int(r["ts"].value // 10**9)
+            lat, lon = geo(int(key[0]), int(r["event_id"]))
+            if plat is not None:
+                a = (
+                    math.sin(math.radians(lat - plat) / 2) ** 2
+                    + math.cos(math.radians(plat))
+                    * math.cos(math.radians(lat))
+                    * math.sin(math.radians(lon - plon) / 2) ** 2
+                )
+                a = snapf(a, "1e-9")
+                km = snapf(12742.0 * math.asin(math.sqrt(a)), "1e-3")
+                dt_s = float(ts_s - pts)
+                hops += 1
+                if dt_s > 0 and km / (dt_s / 3600.0) > 900.0:
+                    imp += 1
+                kmm += int(round(km * 1000))  # exact: km has 3 decimals
+            plat, plon, pts = lat, lon, ts_s
+        state.update((plat, plon, pts, hops, imp, kmm))
+        yield pd.DataFrame(
+            {"user_id": [int(key[0])], "n_hops": [hops],
+             "n_impossible": [imp], "km_milli": [kmm]}
+        )
+
+    src_dir = events_stream_dir(spark, sf_dir)
+    stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=4).read(spark)
+    with scoped_state_partitions(spark):
+        out = run_stream_to_completion(
+            stream,
+            lambda df: df.groupBy("user_id").applyInPandasWithState(
+                update,
+                outputStructType="user_id long, n_hops long, n_impossible long, km_milli long",
+                stateStructType="plat double, plon double, pts long, hops long, imp long, kmm long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ),
+            output_mode="update",
+        )
+    # totals are monotone: the last emission per user is the column max
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_hops").alias("n_hops"),
+            F.max("n_impossible").alias("n_impossible"),
+            F.max("km_milli").alias("km_milli"),
+        )
+        .where(F.col("n_hops") > 0)
+        .select(
+            "user_id",
+            "n_hops",
+            "n_impossible",
+            F.round(F.col("km_milli").cast("decimal(38,6)") / 1000, 2)
+            .cast("double")
+            .alias("total_km"),
+        )
+    )
+
+
+# share the batch operator's oracle verbatim: streaming final state
+# must equal the batch rollup bit-for-bit
+from cheetah_spark.registry import REGISTRY  # noqa: E402
+
+REGISTRY["s_sec_impossible_travel"] = REGISTRY["s_sec_impossible_travel"].__class__(
+    name="s_sec_impossible_travel",
+    fn=REGISTRY["s_sec_impossible_travel"].fn,
+    oracle=REGISTRY["q_sec_impossible_travel"].oracle,
+    doc=REGISTRY["s_sec_impossible_travel"].doc,
+    tags=REGISTRY["s_sec_impossible_travel"].tags,
+)
