@@ -3127,15 +3127,22 @@ def q_llm_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer/ranking decisions on numpy cosines whose ~1e-15 agreement
     with the expression convention is the same margin q_llm_ann_bruteforce
     hash-passes on; the emitted columns are all exact ints/bools."""
-    import numpy as np
-
-    from pyspark.sql.window import Window
-
     e = load_table(spark, sf_dir, "embeddings")
     is_q = F.col("vec_id") % _KNN_HOLDOUT_MOD == 0
     qdf = e.where(is_q).select("vec_id", "embedding", "label")
     train = e.where(~is_q).select("vec_id", "embedding", "label")
-    qrows = qdf.select("vec_id", "embedding").collect()  # bounded hold-out
+    return _knn_vote(qdf, train)
+
+
+def _knn_vote(qdf: DataFrame, train: DataFrame) -> DataFrame:
+    """Shared k-NN majority-vote body (q_llm_knn_classify and its
+    fixed-panel twin): collect the bounded query side, local numpy
+    top-k per train partition, rank-reduce, broadcast vote join."""
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    qrows = qdf.select("vec_id", "embedding").collect()  # bounded query panel
     qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
     qm = np.array([r.embedding for r in qrows], dtype=np.float64)
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
@@ -3193,6 +3200,67 @@ def q_llm_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pred_label") == F.col("true_label")).alias("correct"),
         )
     )
+
+
+@register(
+    "q_llm_knn_classify_fixedq",
+    oracle=f"""
+        WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+                   ORDER BY vec_id LIMIT {_FIXEDQ_N}),
+        train AS (SELECT vec_id, embedding, label FROM embeddings
+                  WHERE vec_id NOT IN (SELECT vec_id FROM q)),
+        scored AS (
+            SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+                   t.label AS n_label,
+                   {V.oracle_cosine("q.embedding", "t.embedding")} AS cos_sim
+            FROM q JOIN train t ON TRUE
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+            FROM scored
+        ),
+        votes AS (
+            SELECT query_id, n_label, COUNT(*) AS n_votes
+            FROM ranked WHERE rk <= {_KNN_K}
+            GROUP BY query_id, n_label
+        ),
+        pick AS (
+            SELECT query_id, n_label AS pred_label, n_votes,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY n_votes DESC, n_label ASC) AS vr
+            FROM votes
+        )
+        SELECT q.vec_id, q.label AS true_label, p.pred_label,
+               p.n_votes, p.pred_label = q.label AS correct
+        FROM pick p JOIN q ON p.query_id = q.vec_id
+        WHERE p.vr = 1
+    """,
+    tags=("llm", "vector", "classify"),
+)
+def q_llm_knn_classify_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label propagation at the PRODUCTION operating point: a
+    FIXED {_FIXEDQ_N}-vector query panel (smallest vec_ids — the
+    new-crawl-slice stand-in, exactly q_llm_ann_lsh_fixedq's panel
+    convention) classified by majority vote of its {_KNN_K} nearest
+    train neighbors, where train = the rest of the corpus.
+
+    This is the fixed-|Q| twin of :func:`q_llm_knn_classify`, whose
+    contract mode holds out |Q| = n/{_KNN_HOLDOUT_MOD} and therefore
+    grows total work as |Q|·n (evaluation semantics, kept alongside).
+    Here |Q| is a CONSTANT: the panel ships once inside the Arrow
+    closure, each train partition still emits only its local top-k per
+    panel query from one numpy matmul, and everything downstream of
+    the map stage is O(|Q|·k·partitions) — corpus growth only adds
+    perfectly parallel map-side work, the flat-above-10x shape
+    SCALE_PROBE.json measures for the fixedq family."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qdf = e.orderBy("vec_id").limit(_FIXEDQ_N).select("vec_id", "embedding", "label")
+    qids = [int(r.vec_id) for r in qdf.select("vec_id").collect()]
+    train = e.where(~F.col("vec_id").isin(qids)).select(
+        "vec_id", "embedding", "label"
+    )
+    return _knn_vote(qdf, train)
 
 
 @register(
