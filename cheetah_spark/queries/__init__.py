@@ -58,93 +58,43 @@ from cheetah_spark.queries import zmq  # noqa: F401
 # (r7-latest) names to fill the 50-slot window, alphabetical so the
 # roll is deterministic.
 CHECK_FIRST = [
-    # new this round: no driver row yet
-    "q_timeseries_ewma",
-    "q_timeseries_ohlc",
-    "q_graph_triangles",
-    "q_sec_first_seen",
-    "s_sec_first_seen",
+    # r10 late registrations: no driver row yet (r10 verdict item #1,
+    # pinned to slots 1-6)
+    "q_llm_sft_format",
+    "s_llm_sft_format",
+    "q_llm_dedup_recall_eval",
+    "q_llm_cross_source_dups",
+    "q_sec_impossible_travel",
+    "s_sec_impossible_travel",
+    # new this round: fixed-panel kNN twin (r10 verdict item #2) and
+    # the at-ingest twins of the r10 quality rewrites (item #4)
+    "q_llm_knn_classify_fixedq",
+    "s_llm_line_dedup",
+    "s_llm_url_dedup",
+    # refactored this round (shared-helper extraction; plans unchanged
+    # but the r10 evidence predates the code)
     "q_llm_knn_classify",
-    "q_llm_perplexity_bucket",
-    "q_multimodal_phash_dedup",
-    "q_multimodal_audio_dedup",
-    "q_scan_sqlite",
-    "q_window_percent_rank",
-    "q_stats_linreg",
-    "q_sec_anomaly_mad",
-    "q_udaf_surface",
-    "s_stream_scd2_lookup",
-    "s_timeseries_ohlc",
-    "s_sqlite_cdc",
-    "q_amqp_envelope",
-    "s_amqp_replay",
-    "q_pubsub_envelope",
-    "s_pubsub_replay",
-    "q_kinesis_envelope",
-    "s_kinesis_replay",
-    "q_nsq_envelope",
-    "s_nsq_replay",
-    "q_memcache_roundtrip",
-    "s_memcache_sink",
-    "q_zmq_envelope",
-    "s_zmq_replay",
-    "q_llm_url_dedup",
-    "q_llm_gopher_rules",
-    "q_llm_c4_rules",
     "q_llm_line_dedup",
-    "s_llm_c4_filter",
-    "q_sql_recursive_cte",
-    "q_sql_lateral_topn",
-    "q_nats_envelope",
-    "s_nats_replay",
-    "q_llm_ann_lsh_fixedq",
-    # changed this round: evidence predates the change
-    "s_redis_replay",
-    "q_redis_envelope",
-    "q_llm_ann_lsh",
-    "s_llm_bloom_decontaminate",
-    "s_llm_embed_pca",
-    "s_syslog_live",
-    "q_syslog_parse",
-    # r6-stale cohort (r9 verdict item #3). NOTE on the r10 window:
-    # the round added 38 NEW operators + 7 changed ones, which fill
-    # slots 1-45 — only the first ~5 of this cohort (the flagship and
-    # the join family) fit the 50-slot driver window; the remainder
-    # heads the r11 rotation. Every operator below still passes the
-    # full local DuckDB differential every round (tests/test_oracle.py
-    # runs all of them), so staleness here is driver-evidence-only.
-    "q_multiway_join_tpch",
-    "q_outer_joins",
-    "q_scan_project",
-    "q_semi_anti_join",
-    "q_theta_range_join",
-    "q_session_window",
+    "q_llm_url_dedup",
+    # stale cohort, oldest latest-driver-row first (r6 then r7),
+    # alphabetical within a round so the roll is deterministic.
+    # 12 slots above + 15 r6 + the first 23 r7 names fill the 50-slot
+    # window; the remaining r7 cohort rolls to the r12 rotation head.
+    "q_llm_unigram_logprob",
+    "q_multimodal_codec_roundtrip",
+    "q_multimodal_decode",
+    "q_multimodal_framesample",
+    "q_multimodal_resize",
     "q_scalar_datetime",
     "q_scan_binary_files",
     "q_scan_schema_merge",
     "q_scd2_history",
     "q_sec_anomaly_zscore",
     "q_sec_beacon_detect",
+    "q_session_window",
     "q_sink_partition_prune",
-    "q_llm_unigram_logprob",
-    "q_multimodal_codec_roundtrip",
-    "q_multimodal_decode",
-    "q_multimodal_framesample",
-    "q_multimodal_meta",
-    "q_multimodal_resize",
+    "q_theta_range_join",
     "s_llm_embed_dedup",
-    # r10 late additions (registered after the window filled): first
-    # driver row lands in r11; local differential covers them now
-    "q_llm_sft_format",
-    "q_llm_dedup_recall_eval",
-    "q_llm_cross_source_dups",
-    "s_llm_sft_format",
-    "q_sec_impossible_travel",
-    "s_sec_impossible_travel",
-    # --- slot ~50 boundary: the 29 new/changed r10 names + the 20-name
-    # r6-stale cohort fill the driver's window (the r7 tail tops up
-    # the last slot); the rest rolls to the r11 rotation head ---
-    # r7-stale cohort (oldest remaining), alphabetical
     "q_agg_distinct",
     "q_array_map_ops",
     "q_cube_agg",
@@ -168,6 +118,7 @@ CHECK_FIRST = [
     "q_llm_token_count",
     "q_llm_weighted_sample",
     "q_llm_winnow_fingerprint",
+    "q_multimodal_meta",
     "q_pivot_events",
     "q_scalar_conditional",
     "q_scalar_math",
@@ -184,10 +135,146 @@ CHECK_FIRST = [
     "q_timeseries_m4",
     "q_timeseries_rate",
     "q_unpivot_events",
+    "q_window_range_frame",
     "s_stream_batcher",
     "s_stream_rate",
     "s_stream_session",
     "s_stream_topk_talkers",
     "s_stream_watermark_dropped",
     "s_stream_watermark_late",
+    "q_approx_distinct_hll",
+    "q_approx_quantile_cd",
+    "q_conditional_agg",
+    "q_deser_xml",
+    "q_exact_percentile",
+    "q_journald_parse",
+    "q_llm_ann_ivf",
+    "q_llm_ann_ivfpq",
+    "q_llm_ann_pq",
+    "q_llm_chunk_windows",
+    "q_llm_decontaminate",
+    "q_llm_dedup_keep",
+    "q_llm_dedup_pipeline",
+    "q_llm_embed_quantize",
+    "q_llm_ngram_jaccard",
+    "q_llm_pack_sequences",
+    "q_llm_pii_redact",
+    "q_llm_repetition",
+    "q_llm_sample_stratified",
+    "q_llm_semdedup",
+    "q_llm_shuffle_shards",
+    "q_llm_similarity_topk",
+    "q_llm_span_dedup",
+    "q_llm_span_trim",
+    "q_llm_text_stats",
+    "q_llm_tfidf_topterms",
+    "q_llm_unigram_encode",
+    "q_llm_vocab_coverage",
+    "q_mqtt_envelope",
+    "q_null_semantics",
+    "q_scan_csv",
+    "q_scan_ndjson",
+    "q_scan_orc",
+    "q_sql_subqueries",
+    "q_stats_moments",
+    "q_udf_surface",
+    "q_udtf_surface",
+    "q_union_fanin",
+    "q_webhook_sink_batches",
+    "q_window_analytic",
+    "q_window_frame_running",
+    "q_window_ntile",
+    "s_webhook_live",
+    "q_approx_heavy_cmsketch",
+    "q_arrow_surface",
+    "q_asof_join",
+    "q_broadcast_join",
+    "q_bucketed_join",
+    "q_config_curation",
+    "q_config_pipeline",
+    "q_deser_json",
+    "q_events_funnel",
+    "q_events_histogram",
+    "q_events_path_topk",
+    "q_events_retention",
+    "q_events_transitions",
+    "q_filter_pred",
+    "q_flatmap_explode",
+    "q_graph_pagerank",
+    "q_hash_join_inner",
+    "q_hypertable_rollup",
+    "q_kafka_envelope",
+    "q_latest_by_key",
+    "q_llm_bigram_logprob",
+    "q_llm_bloom_decontaminate",
+    "q_llm_bpe_encode",
+    "q_llm_dataset_card",
+    "q_llm_dsir_select",
+    "q_llm_dup_clusters",
+    "q_llm_dup_clusters_wide",
+    "q_llm_embed_dedup",
+    "q_llm_embed_pca",
+    "q_llm_simhash_dedup",
+    "q_llm_simhash_wide",
+    "q_llm_unigram_tokenizer",
+    "q_window_distinct_count",
+    "q_window_rank",
+    "s_config_curation",
+    "s_eventlog_live",
+    "s_journald_live",
+    "s_kafka_replay",
+    "s_llm_minhash_dedup",
+    "s_mqtt_live",
+    "s_stream_dedup",
+    "s_stream_identity",
+    "s_stream_stateful_counter",
+    "s_stream_static_join",
+    "s_stream_stream_join",
+    "q_amqp_envelope",
+    "q_graph_triangles",
+    "q_kinesis_envelope",
+    "q_llm_ann_lsh",
+    "q_llm_ann_lsh_fixedq",
+    "q_llm_c4_rules",
+    "q_llm_gopher_rules",
+    "q_llm_perplexity_bucket",
+    "q_memcache_roundtrip",
+    "q_multimodal_audio_dedup",
+    "q_multimodal_phash_dedup",
+    "q_multiway_join_tpch",
+    "q_nats_envelope",
+    "q_nsq_envelope",
+    "q_outer_joins",
+    "q_pubsub_envelope",
+    "q_redis_envelope",
+    "q_scan_project",
+    "q_scan_sqlite",
+    "q_sec_anomaly_mad",
+    "q_sec_first_seen",
+    "q_semi_anti_join",
+    "q_sql_lateral_topn",
+    "q_sql_recursive_cte",
+    "q_stats_linreg",
+    "q_syslog_parse",
+    "q_timeseries_ewma",
+    "q_timeseries_ohlc",
+    "q_udaf_surface",
+    "q_window_percent_rank",
+    "q_zmq_envelope",
+    "s_amqp_replay",
+    "s_kinesis_replay",
+    "s_llm_bloom_decontaminate",
+    "s_llm_c4_filter",
+    "s_llm_embed_pca",
+    "s_memcache_sink",
+    "s_nats_replay",
+    "s_nsq_replay",
+    "s_pubsub_replay",
+    "s_redis_replay",
+    "s_sec_first_seen",
+    "s_sqlite_cdc",
+    "s_stream_scd2_lookup",
+    "s_syslog_live",
+    "s_timeseries_ohlc",
+    "s_zmq_replay",
 ]

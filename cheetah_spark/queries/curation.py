@@ -2163,9 +2163,7 @@ def _canonical_url_expr(url):
     )
 
 
-@register(
-    "q_llm_url_dedup",
-    oracle=f"""
+_URL_DEDUP_ORACLE = f"""
         WITH urls AS (
             SELECT doc_id, source,
                    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END)
@@ -2208,7 +2206,12 @@ def _canonical_url_expr(url):
                     AS BIGINT) AS n_in_dup_groups
         FROM canon c JOIN keep k ON c.curl = k.curl
         GROUP BY c.source
-    """,
+    """
+
+
+@register(
+    "q_llm_url_dedup",
+    oracle=_URL_DEDUP_ORACLE,
     tags=("llm", "curation", "dedup", "url"),
 )
 def q_llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2248,6 +2251,66 @@ def q_llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_in_dup_groups"),
         )
+    )
+
+
+@register(
+    "s_llm_url_dedup",
+    # the literal batch oracle: the drained keyed state must roll up to
+    # the batch dedup report bit-for-bit
+    oracle=_URL_DEDUP_ORACLE,
+    tags=("streaming", "llm", "curation", "dedup", "url"),
+)
+def s_llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING URL-level dedup — the at-ingest execution of
+    :func:`q_llm_url_dedup`, hash-verified against the SAME batch
+    oracle: canonicalization is a pure per-row map (identical Catalyst
+    expression, shared builders), and keep-min-per-page is a keyed
+    MIN/COUNT aggregation — both order-insensitive, so the streaming
+    result is deterministic regardless of how the replay slices
+    batches (the s_sec_first_seen state discipline: a dropDuplicates
+    formulation would depend on within-batch arrival and could not be
+    hash-gated).
+
+    Shape: complete-mode groupBy (source, curl) carrying exactly one
+    (keep_id = MIN(doc_id), n_fetches = COUNT(*)) entry per live
+    canonical URL — the bounded-entity state class (state ~ |pages|,
+    not |fetches|). The page-level state alone determines the batch
+    report: n_docs = Σ n_fetches, n_dropped = Σ (n_fetches − 1) (the
+    kept fetch is the unique MIN), n_in_dup_groups = Σ n_fetches over
+    pages with ≥2 fetches — so the drained state rolls up WITHOUT
+    re-joining fetch rows, which is also why the batch plan's
+    agg-to-agg join disappears entirely at ingest. At detection scale
+    the production variant ages out cold URLs with a TTL watermark the
+    same way the persisted-index dedup rotates days."""
+    from cheetah_spark.queries.streams import scoped_state_partitions
+    from cheetah_spark.sources import ParquetSource
+    from cheetah_spark.streaming import documents_stream_dir, run_stream_to_completion
+
+    src_dir = documents_stream_dir(spark, sf_dir)
+    stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=2).read(spark)
+
+    def per_page_state(df: DataFrame) -> DataFrame:
+        urls = df.select("doc_id", "source", _messy_url_expr().alias("url"))
+        canon = urls.select(
+            "doc_id", "source", _canonical_url_expr(F.col("url")).alias("curl")
+        )
+        return canon.groupBy("source", "curl").agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_fetches"),
+        )
+
+    with scoped_state_partitions(spark):
+        pages = run_stream_to_completion(
+            stream, per_page_state, output_mode="complete"
+        )
+    return pages.groupBy("source").agg(
+        F.sum("n_fetches").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_pages"),
+        F.sum(F.col("n_fetches") - 1).cast("bigint").alias("n_dropped"),
+        F.sum(F.when(F.col("n_fetches") >= 2, F.col("n_fetches")).otherwise(0))
+        .cast("bigint")
+        .alias("n_in_dup_groups"),
     )
 
 
@@ -2696,9 +2759,57 @@ def s_llm_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINE_DF_K = 2  # a line seen in >= K distinct docs is boilerplate
 
 
-@register(
-    "q_llm_line_dedup",
-    oracle=f"""
+def _line_exploded(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, i, line) — the C4 page split into non-empty
+    lines with their in-doc position. Explodes the expression directly
+    (the Generate-carries-the-array lesson from the bloom reroute)."""
+    pages = d.select("doc_id", "lang", _c4_noisy_page_expr().alias("page"))
+    return pages.select(
+        "doc_id", "lang",
+        F.posexplode(F.filter(F.split(F.col("page"), "\n"), lambda x: x != "")).alias("i", "line"),
+    )
+
+
+def _line_boiler(ex: DataFrame) -> DataFrame:
+    """The corpus-level boilerplate set: lines appearing in >=
+    {_LINE_DF_K} distinct documents. One map-side-combinable hash
+    aggregate keyed by the line; bounded by distinct repeated lines."""
+    return (
+        ex.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _LINE_DF_K)
+    )
+
+
+def _line_lang_partials(ex: DataFrame, boiler: DataFrame) -> DataFrame:
+    """Judge exploded lines against the broadcast boilerplate set,
+    rebuild each document in line order, and reduce to per-lang sums.
+    Every output column is a SUM/COUNT monoid element, so partials
+    computed over any doc-complete slice of the corpus merge exactly
+    (the streaming twin's foreachBatch contract)."""
+    judged = ex.join(F.broadcast(boiler), "line", "left").select(
+        "doc_id", "lang", "i", "line", F.col("df").isNotNull().alias("dropped")
+    )
+    kept_struct = F.when(~F.col("dropped"), F.struct(F.col("i"), F.col("line")))
+    per_doc = judged.groupBy("doc_id", "lang").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(F.col("dropped").cast("int")).cast("bigint").alias("n_dropped"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]),
+            "\n",
+        ).alias("kept_text"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_lines").cast("bigint").alias("total_lines"),
+        F.sum("n_dropped").cast("bigint").alias("dropped_lines"),
+        F.sum(F.when(F.col("n_dropped") > 0, 1).otherwise(0)).cast("bigint").alias("docs_touched"),
+        F.sum(F.length("kept_text")).cast("bigint").alias("kept_chars"),
+        F.sum(X.hash56(F.col("kept_text")) % _C4_FP_MOD).cast("bigint").alias("kept_checksum"),
+    )
+
+
+_LINE_DEDUP_ORACLE = f"""
         WITH pages AS (
             SELECT doc_id, lang, {_C4_ORACLE_PAGE} AS page
             FROM documents
@@ -2737,7 +2848,12 @@ _LINE_DF_K = 2  # a line seen in >= K distinct docs is boilerplate
                CAST(SUM(length(kept_text)) AS BIGINT) AS kept_chars,
                CAST(SUM({X.oracle_hash56('kept_text')} % {_C4_FP_MOD}) AS BIGINT) AS kept_checksum
         FROM per_doc GROUP BY lang
-    """,
+    """
+
+
+@register(
+    "q_llm_line_dedup",
+    oracle=_LINE_DEDUP_ORACLE,
     tags=("llm", "curation", "dedup", "lines"),
 )
 def q_llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2766,35 +2882,76 @@ def q_llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold, AQE falls back to a shuffle join where
     functions/skew.hot_salted_join is the documented escape hatch."""
     d = load_table(spark, sf_dir, "documents")
-    pages = d.select("doc_id", "lang", _c4_noisy_page_expr().alias("page"))
-    ex = pages.select(
-        "doc_id", "lang",
-        F.posexplode(F.filter(F.split(F.col("page"), "\n"), lambda x: x != "")).alias("i", "line"),
+    ex = _line_exploded(d)
+    return _line_lang_partials(ex, _line_boiler(ex))
+
+
+@register(
+    "s_llm_line_dedup",
+    # the literal batch oracle: the merged micro-batch partials over a
+    # fully-drained replay must equal the batch rewrite bit-for-bit
+    oracle=_LINE_DEDUP_ORACLE,
+    tags=("streaming", "llm", "curation", "dedup", "lines"),
+)
+def s_llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING boilerplate-line removal — the at-ingest execution of
+    :func:`q_llm_line_dedup`, hash-verified against the SAME batch
+    oracle. The corpus-level signal (which lines are boilerplate) is a
+    batch-built artifact; applying it to a document is a pure per-doc
+    function, so the merged per-lang micro-batch partials over a
+    doc-complete replay equal the batch result bit-for-bit.
+
+    Shape (the 100 TB ingest posture, the s_llm_bloom_decontaminate
+    playbook): the boilerplate set is compiled OFFLINE once from the
+    reference corpus (persisted anchor, code-identity keyed — bounded
+    by distinct repeated lines, orders of magnitude smaller than the
+    corpus) and ships to every micro-batch as the broadcast probe side.
+    Each trigger explodes its admitted documents, judges lines against
+    the broadcast set, rebuilds kept text per doc, and reduces to a
+    per-lang SUM partial (≤|langs| rows) inside foreachBatch — fully
+    whole-stage-codegen except the collect_list reassembly the batch
+    plan shares. ZERO streaming state: a document never spans
+    micro-batches (doc_id-sliced replay), so every partial column is a
+    monoid element and the final rollup merge is exact. A boilerplate
+    refresh = rebuild the bounded set and restart the stream; the
+    corpus is never rescanned."""
+    from cheetah_spark.anchors import anchor_df
+    from cheetah_spark.queries.streams import scoped_state_partitions
+    from cheetah_spark.sources import ParquetSource
+    from cheetah_spark.streaming import documents_stream_dir, run_stream_batch_partials
+
+    def _boiler_build(spark_, sf_):
+        return _line_boiler(_line_exploded(load_table(spark_, sf_, "documents")))
+
+    boiler = anchor_df(
+        spark,
+        sf_dir,
+        "line_boiler",
+        ("documents",),
+        _boiler_build,
+        params=f"k={_LINE_DF_K};v1",
+        helpers=(_line_exploded, _line_boiler, _c4_noisy_page_expr),
     )
-    boiler = (
-        ex.groupBy("line")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") >= _LINE_DF_K)
-    )
-    judged = ex.join(F.broadcast(boiler), "line", "left").select(
-        "doc_id", "lang", "i", "line", F.col("df").isNotNull().alias("dropped")
-    )
-    kept_struct = F.when(~F.col("dropped"), F.struct(F.col("i"), F.col("line")))
-    per_doc = judged.groupBy("doc_id", "lang").agg(
-        F.count("*").cast("bigint").alias("n_lines"),
-        F.sum(F.col("dropped").cast("int")).cast("bigint").alias("n_dropped"),
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]),
-            "\n",
-        ).alias("kept_text"),
-    )
-    return per_doc.groupBy("lang").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("n_lines").cast("bigint").alias("total_lines"),
-        F.sum("n_dropped").cast("bigint").alias("dropped_lines"),
-        F.sum(F.when(F.col("n_dropped") > 0, 1).otherwise(0)).cast("bigint").alias("docs_touched"),
-        F.sum(F.length("kept_text")).cast("bigint").alias("kept_chars"),
-        F.sum(X.hash56(F.col("kept_text")) % _C4_FP_MOD).cast("bigint").alias("kept_checksum"),
+
+    src_dir = documents_stream_dir(spark, sf_dir)
+    stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=2).read(spark)
+    # micro-batch fan-out before the explode (the r9 starvation fix:
+    # 2 single-row-group files per trigger = 2 scan partitions)
+    fanout = spark.sparkContext.defaultParallelism
+    with scoped_state_partitions(spark):
+        partials = run_stream_batch_partials(
+            stream,
+            lambda df: _line_lang_partials(
+                _line_exploded(df.repartition(fanout)), boiler
+            ),
+        )
+    return partials.groupBy("lang").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("total_lines").cast("bigint").alias("total_lines"),
+        F.sum("dropped_lines").cast("bigint").alias("dropped_lines"),
+        F.sum("docs_touched").cast("bigint").alias("docs_touched"),
+        F.sum("kept_chars").cast("bigint").alias("kept_chars"),
+        F.sum("kept_checksum").cast("bigint").alias("kept_checksum"),
     )
 
 
