@@ -491,6 +491,22 @@ def build_transform(cfg: Mapping[str, Any]) -> Handler:
             return df.withColumn(name, F.md5(norm_text(F.col(col))))
 
         return add_fp
+    if kind == "dedup_recall_eval":
+        # the recall monitor's cost knob (r10 verdict item #6): panel =
+        # target query-panel size; the stride grows with the corpus so
+        # the eval's cost stays ~O(panel x postings) at any scale. The
+        # registered query keeps the pinned default so the oracle hash
+        # gate never moves; configs dial the budget per run.
+        panel = cfg.get("panel")
+
+        def run_recall_eval(df: DataFrame) -> DataFrame:
+            from cheetah_spark.queries.llm import _EVAL_PANEL, dedup_recall_eval_frame
+
+            return dedup_recall_eval_frame(
+                df, panel=int(panel) if panel is not None else _EVAL_PANEL
+            )
+
+        return run_recall_eval
     raise ValueError(f"unknown transform type: {kind!r}")
 
 

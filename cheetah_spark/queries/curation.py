@@ -2886,6 +2886,30 @@ def q_llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _line_lang_partials(ex, _line_boiler(ex))
 
 
+def _line_boiler_build(spark_: SparkSession, sf_: str) -> DataFrame:
+    return _line_boiler(_line_exploded(load_table(spark_, sf_, "documents")))
+
+
+def line_boiler_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The offline-compiled boilerplate set as a persisted anchor
+    (code-identity keyed): the production posture is ONE corpus pass
+    compiled offline and shipped to every ingest stream, so the build
+    rides the fixture-derivation policy, not the per-stream hot path
+    (the bloom-filter discipline). Module-level so the scale probe can
+    warm it per fixture like every other one-time derivation."""
+    from cheetah_spark.anchors import anchor_df
+
+    return anchor_df(
+        spark,
+        sf_dir,
+        "line_boiler",
+        ("documents",),
+        _line_boiler_build,
+        params=f"k={_LINE_DF_K};v1",
+        helpers=(_line_exploded, _line_boiler, _c4_noisy_page_expr),
+    )
+
+
 @register(
     "s_llm_line_dedup",
     # the literal batch oracle: the merged micro-batch partials over a
@@ -2915,23 +2939,11 @@ def s_llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     monoid element and the final rollup merge is exact. A boilerplate
     refresh = rebuild the bounded set and restart the stream; the
     corpus is never rescanned."""
-    from cheetah_spark.anchors import anchor_df
     from cheetah_spark.queries.streams import scoped_state_partitions
     from cheetah_spark.sources import ParquetSource
     from cheetah_spark.streaming import documents_stream_dir, run_stream_batch_partials
 
-    def _boiler_build(spark_, sf_):
-        return _line_boiler(_line_exploded(load_table(spark_, sf_, "documents")))
-
-    boiler = anchor_df(
-        spark,
-        sf_dir,
-        "line_boiler",
-        ("documents",),
-        _boiler_build,
-        params=f"k={_LINE_DF_K};v1",
-        helpers=(_line_exploded, _line_boiler, _c4_noisy_page_expr),
-    )
+    boiler = line_boiler_anchor(spark, sf_dir)
 
     src_dir = documents_stream_dir(spark, sf_dir)
     stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=2).read(spark)

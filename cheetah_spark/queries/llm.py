@@ -3409,12 +3409,26 @@ def q_llm_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     here shares (_minhash_band_candidates, oracle-mirrored), restricted
     to pairs touching the panel. Fixture recall pins ~1.0 at the 0.5
     cut — the LSH S-curve bound 1-(1-s^r)^b checked empirically in the
-    driver gate; tests/recall_curve.py sweeps the full curve."""
+    driver gate; tests/recall_curve.py sweeps the full curve.
+
+    The panel size is the eval's COST knob (a production recall
+    monitor dials it per run): the registered query pins the default
+    so the oracle hash gate never moves; the declarative config layer
+    exposes it as the ``dedup_recall_eval`` transform (config.py)."""
+    return dedup_recall_eval_frame(load_table(spark, sf_dir, "documents"))
+
+
+def dedup_recall_eval_frame(d: DataFrame, panel: int = _EVAL_PANEL) -> DataFrame:
+    """The recall eval over an arbitrary documents-shaped frame
+    (doc_id, text) with a configurable panel budget: the stride grows
+    with the corpus so |panel| stays ~<= ``panel`` at any scale. The
+    registered query binds the pinned default; the config transform
+    binds user panels."""
     from pyspark.sql.window import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    spark = d.sparkSession
     n_docs = d.count()  # scalar: sets the panel stride
-    stride = 1 + n_docs // _EVAL_PANEL
+    stride = 1 + n_docs // panel
     toks = X.tokens(F.col("text"))
     t = (
         d.select("doc_id", F.array_distinct(X.shingles(toks, 3)).alias("sh"))

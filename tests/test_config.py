@@ -775,3 +775,113 @@ def test_cli_run_sqlite_to_memory(tmp_path, spark, sf_dir):
     )
     assert got.count() == expected
     assert {r.event_type for r in got.select("event_type").distinct().collect()} == {"error"}
+
+
+def test_cli_run_multisink_fanout_batch(tmp_path, spark, sf_dir):
+    """Daemon e2e over the D5 fan-out composition (r10 verdict item
+    #5): one source → MultiSink(D2 gzip-NDJSON + D1 printer + D4
+    memory) through `python -m cheetah_spark run --config` — the
+    kawad multi-destination shape (README.md:244-278) that previously
+    had only unit coverage. Ack-after-all means every sink must hold
+    the complete batch: both assertable sinks are checked against the
+    source row count."""
+    from cheetah_spark.__main__ import main
+
+    out_dir = tmp_path / "d2_spool"
+    cfg = {
+        "source": {"type": "parquet", "path": f"{sf_dir}/nation.parquet"},
+        "sink": {
+            "type": "multi",
+            "sinks": [
+                {"type": "ndjson_gzip", "path": str(out_dir)},
+                {"type": "printer", "num_rows": 5},
+                {"type": "memory", "name": "cli_fanout_nations"},
+            ],
+        },
+    }
+    f = tmp_path / "cli_fanout.json"
+    f.write_text(json.dumps(cfg))
+    assert main(["run", "--config", str(f)]) == 0
+    expect = spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    assert spark.table("cli_fanout_nations").count() == expect
+    spool = spark.read.json(str(out_dir))
+    assert spool.count() == expect
+    # D2 wall-clock partition layout reached the filesystem
+    assert glob.glob(f"{out_dir}/y=*/m=*/d=*/h=*/*.gz")
+
+
+def test_cli_run_multisink_fanout_streaming(tmp_path, spark, sf_dir):
+    """The same D5 fan-out under a STREAMING source with `--timeout`
+    graceful stop: MultiSink persists each micro-batch once, writes it
+    to every destination, and the upstream offsets commit only after
+    all writes return — so after a full drain the D2 spool must hold
+    exactly the source rows (no loss, no dup) and the memory sink's
+    per-batch view must exist."""
+    from cheetah_spark.__main__ import main
+
+    src_dir = events_stream_dir(spark, sf_dir, n_files=2)
+    out_dir = tmp_path / "d2_stream_spool"
+    cfg = {
+        "source": {
+            "type": "parquet",
+            "path": src_dir,
+            "streaming": True,
+            "max_files_per_trigger": 1,
+        },
+        "transforms": [{"type": "select", "columns": ["event_id", "event_type"]}],
+        "sink": {
+            "type": "multi",
+            "checkpoint": str(tmp_path / "ckpt"),
+            "sinks": [
+                {"type": "ndjson_gzip", "path": str(out_dir)},
+                # printer leg: exercised for effect only — foreachBatch
+                # runs sinks on a cloned session, so a memory sink's
+                # temp view would land in the clone's catalog and be
+                # unobservable here (the reference pairs s3 + printer
+                # the same way, README.md:244-278)
+                {"type": "printer", "num_rows": 3},
+            ],
+        },
+    }
+    f = tmp_path / "cli_fanout_stream.json"
+    f.write_text(json.dumps(cfg))
+    assert main(["run", "--config", str(f), "--timeout", "15"]) == 0
+    expect = spark.read.parquet(src_dir).count()
+    spool = spark.read.json(str(out_dir))
+    assert spool.count() == expect
+    assert spool.select("event_id").distinct().count() == expect
+
+
+def test_dedup_recall_eval_transform_from_config(tmp_path, spark, sf_dir):
+    """The recall monitor as a declarative pipeline (r10 verdict item
+    #6): `{"type": "dedup_recall_eval", "panel": N}` runs the banding
+    recall eval with a caller-chosen panel budget. A smaller panel
+    means a coarser stride over the same corpus — the candidate and
+    truth sets shrink but stay internally consistent (n_hit <= n_true,
+    n_hit <= n_candidates, recall = n_hit/n_true). The registered
+    query's pinned default stays under the oracle hash gate
+    (tests/test_oracle.py), so the knob cannot drift the contract."""
+    from cheetah_spark.__main__ import main
+
+    cfg = {
+        "source": {"type": "parquet", "path": f"{sf_dir}/documents.parquet"},
+        "transforms": [{"type": "dedup_recall_eval", "panel": 200}],
+        "sink": {"type": "memory", "name": "cli_recall_eval"},
+    }
+    f = tmp_path / "cli_recall.json"
+    f.write_text(json.dumps(cfg))
+    assert main(["run", "--config", str(f)]) == 0
+    rows = spark.table("cli_recall_eval").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert set(rows[0].asDict()) == {"n_true", "n_candidates", "n_hit", "recall"}
+    assert 0 <= r.n_hit <= r.n_true
+    assert r.n_hit <= r.n_candidates
+    assert r.recall == (r.n_hit / max(r.n_true, 1))
+    # a panel knob must actually move the panel: the 200-doc budget at
+    # this sf uses a coarser stride than the pinned default, so the
+    # truth set is a (proper, on this fixture) subset of the default's
+    from cheetah_spark.queries.llm import q_llm_dedup_recall_eval
+
+    default = q_llm_dedup_recall_eval(spark, sf_dir).collect()[0]
+    assert r.n_true <= default.n_true

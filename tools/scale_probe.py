@@ -93,6 +93,11 @@ DOC_QUERIES = [
     # PPJoin prefix is there to bound)
     "q_llm_sft_format",
     "q_llm_dedup_recall_eval",
+    # r11: the at-ingest twins of the r10 quality rewrites — bound the
+    # streaming-engine constant on the broadcast-probe (line) and the
+    # keyed-MIN-state (url) shapes
+    "s_llm_line_dedup",
+    "s_llm_url_dedup",
 ]
 EMB_QUERIES = [
     "q_llm_embed_dedup",
@@ -108,6 +113,9 @@ EMB_QUERIES = [
     # ann_lsh-style |Q|·n wall; the fixed-|Q| production point is
     # q_llm_ann_lsh_fixedq's and is stated in the operator doc
     "q_llm_knn_classify",
+    # r11: the fixed-panel twin (r10 verdict item #2) — must measure
+    # flat above 10x where the contract mode grows
+    "q_llm_knn_classify_fixedq",
 ]
 
 # the round-5 alpha>=0.8 cohort (plus the wide-simhash fix under test):
@@ -139,6 +147,11 @@ HIGH_ALPHA = [
     # co-presence pair blocks (triangles) and the |Q|-growth (knn)
     "q_graph_triangles",
     "q_llm_knn_classify",
+    # r11: fixed-panel twin + streaming line-dedup at the top tier
+    # (the batch line_dedup already probes 25x; the twin adds the
+    # micro-batch engine constant on the same broadcast probe)
+    "q_llm_knn_classify_fixedq",
+    "s_llm_line_dedup",
 ]
 
 # r8: q_llm_dup_clusters now runs the rep-collapse composition (the
@@ -224,6 +237,12 @@ def main() -> None:
         from cheetah_spark.queries.tokenizer import _trained
 
         _trained(spark, sf_dir)
+        # the streaming line-dedup's offline-compiled boilerplate set
+        # (one corpus pass, shipped to every ingest stream) — fixture
+        # derivation, not hot path, same policy as the anchors above
+        from cheetah_spark.queries.curation import line_boiler_anchor
+
+        line_boiler_anchor(spark, sf_dir)
         # replay feeds for the streaming queries are one-time fixture
         # builds, same policy as the anchors above
         from cheetah_spark.streaming import (
