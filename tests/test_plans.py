@@ -762,3 +762,59 @@ def test_recall_eval_truth_has_no_cartesian(spark, sf_dir):
     p = plan(truth)
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_knn_fixedq_local_topk_shuffles_k_rows_only(spark, sf_dir):
+    p = plan(_q("q_llm_knn_classify_fixedq", spark, sf_dir))
+    # identical map-stage discipline to the contract mode: one Arrow
+    # stage computes the local top-k (the fixed 64-query panel ships
+    # inside the closure), and the label join broadcasts the k-row side
+    assert p.count("MapInPandas (") == 1, p  # tree-line occurrences only
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_stream_line_dedup_batch_transform_broadcasts_boiler(spark, sf_dir):
+    """s_llm_line_dedup's per-micro-batch plan (the exact transform
+    foreachBatch runs, composed on a batch frame): the offline-compiled
+    boilerplate set joins back BROADCAST — the exploded batch never
+    shuffles for the flagging step — and nothing reaches Python."""
+    from cheetah_spark.catalog import load_table
+    from cheetah_spark.queries.curation import (
+        _line_exploded,
+        _line_lang_partials,
+        line_boiler_anchor,
+    )
+
+    boiler = line_boiler_anchor(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    p = plan(_line_lang_partials(_line_exploded(d), boiler))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_stream_url_dedup_state_never_reads_text(spark, sf_dir):
+    """s_llm_url_dedup's keyed state is fed by a map-only plan: the
+    canonicalization expressions read (doc_id, source) only — document
+    text never enters the stream — and keep-min is the associative
+    MIN/COUNT aggregate (map-side combinable partials), never a
+    row_number window sort."""
+    from cheetah_spark.catalog import load_table
+    from cheetah_spark.queries.curation import _canonical_url_expr, _messy_url_expr
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    urls = d.select("doc_id", "source", _messy_url_expr().alias("url"))
+    canon = urls.select(
+        "doc_id", "source", _canonical_url_expr(F.col("url")).alias("curl")
+    )
+    state = canon.groupBy("source", "curl").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_fetches")
+    )
+    p = plan(state)
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "text" not in read_schema[0], read_schema
+    assert "Window" not in p, p
+    assert "partial_min" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
