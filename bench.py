@@ -112,6 +112,12 @@ def warm_up(spark) -> None:
 
         _kmeans_centroids(spark, SF_DIR, _KM_ITERS)
         _exact_topk(spark, SF_DIR)
+        from cheetah_spark.queries.llm import _exact_topk_fixedq_rows
+
+        _exact_topk_fixedq_rows(spark, SF_DIR)
+        from cheetah_spark.queries.curation import line_boiler_anchor
+
+        line_boiler_anchor(spark, SF_DIR)
         anchor_df(spark, SF_DIR, "quantile_cd", ("lineitem",), _quantile_cd_anchor)
         from cheetah_spark.queries.tokenizer import _trained
 

@@ -2948,9 +2948,16 @@ def s_llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = documents_stream_dir(spark, sf_dir)
     stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=2).read(spark)
     # micro-batch fan-out before the explode (the r9 starvation fix:
-    # 2 single-row-group files per trigger = 2 scan partitions)
+    # 2 single-row-group files per trigger = 2 scan partitions). The
+    # shuffle scope is sized to the CORE COUNT, not the keyspace-8 the
+    # stateful streams use: this stream has ZERO streaming state (no
+    # per-partition state stores to amortize), and the per-batch
+    # per-doc rebuild is a real shuffle that wants every core —
+    # measured at the 25x tier: 8 partitions 7.4 s vs core-count 5.5 s
+    # min-of-3 (a vanilla 200-partition session still gets scoped
+    # down: 200 micro-tasks per 2-file batch is pure overhead).
     fanout = spark.sparkContext.defaultParallelism
-    with scoped_state_partitions(spark):
+    with scoped_state_partitions(spark, n=fanout):
         partials = run_stream_batch_partials(
             stream,
             lambda df: _line_lang_partials(
