@@ -1131,7 +1131,12 @@ def s_llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cheetah_spark.streaming import run_stream_batch_partials
 
-    with scoped_state_partitions(spark):
+    # shuffle scope = CORE COUNT, not the stateful keyspace-8: this
+    # stream has ZERO streaming state, and the per-batch per-doc
+    # aggregate is a real shuffle that wants every core (r11 rule,
+    # SCALE.md: 25x min-of-2 9.9 -> 7.3 s; a vanilla 200-partition
+    # session still gets scoped DOWN)
+    with scoped_state_partitions(spark, n=fanout):
         partials = run_stream_batch_partials(
             stream,
             lambda df: bloom_probe_partials(df.repartition(fanout), bloom),
@@ -1327,7 +1332,10 @@ def s_llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         g = df.select("embedding").mapInPandas(gram_partial, _PARTIAL_SCHEMA)
         return m.unionByName(g)
 
-    with scoped_state_partitions(spark):
+    # core-count shuffle scope: zero streaming state, and the per-batch
+    # moment aggregate shuffles the exploded components (r11 rule,
+    # SCALE.md: 25x min-of-2 5.0 -> 4.0 s)
+    with scoped_state_partitions(spark, n=fanout):
         spool = run_stream_batch_partials(stream, pca_partials)
     spool = spool.persist()
     moment_rows = (
