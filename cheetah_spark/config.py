@@ -502,6 +502,13 @@ def build_transform(cfg: Mapping[str, Any]) -> Handler:
         def run_recall_eval(df: DataFrame) -> DataFrame:
             from cheetah_spark.queries.llm import _EVAL_PANEL, dedup_recall_eval_frame
 
+            if df.isStreaming:
+                raise ValueError(
+                    "dedup_recall_eval transform is batch-only: it sizes the "
+                    "query panel by materializing the corpus (count/persist), "
+                    "which a streaming source frame cannot do — run it over "
+                    "the landed table instead"
+                )
             return dedup_recall_eval_frame(
                 df, panel=int(panel) if panel is not None else _EVAL_PANEL
             )

@@ -3154,7 +3154,14 @@ def _knn_vote(qdf: DataFrame, train: DataFrame) -> DataFrame:
             vm /= np.linalg.norm(vm, axis=1, keepdims=True)
             sims = qm @ vm.T
             take = min(_KNN_K, sims.shape[1])
-            idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            # lexsort, not argpartition: local selection must follow the
+            # SAME total order as the global rank and the oracle —
+            # (cos_sim DESC, neighbor_id ASC) — or an exact-duplicate
+            # embedding could evict the oracle-chosen lower neighbor_id
+            # at the local boundary before the global rank sees it
+            idx = np.lexsort((np.broadcast_to(ids, sims.shape), -sims), axis=1)[
+                :, :take
+            ]
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(qids, take),

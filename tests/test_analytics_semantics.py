@@ -112,6 +112,30 @@ def test_knn_classify_matches_numpy_reference(spark, sf_dir):
         assert r.true_label == labels[qrow]
 
 
+def test_knn_vote_exact_duplicate_tie_break(spark):
+    """With EXACT-duplicate train embeddings (all cos_sim ties), the
+    top-k must be the k LOWEST neighbor_ids — the oracle's
+    (cos_sim DESC, neighbor_id ASC) total order. An argpartition-style
+    local top-k breaks ties arbitrarily and can evict the oracle-chosen
+    low id at the partition boundary; the lexsort selection cannot.
+    Row order is shuffled so positional luck can't mask a regression."""
+    import random
+
+    from cheetah_spark.queries.llm import _knn_vote
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    rows = [(i, v, "a" if i <= 5 else "b") for i in range(1, 21)]
+    random.Random(7).shuffle(rows)
+    schema = "vec_id long, embedding array<double>, label string"
+    train = spark.createDataFrame(rows, schema).repartition(3)
+    qdf = spark.createDataFrame([(0, v, "a")], schema)
+    out = _knn_vote(qdf, train).collect()
+    assert len(out) == 1
+    r = out[0]
+    # correct k=5 panel is ids 1..5 (all label 'a'): unanimous vote
+    assert (r.pred_label, r.n_votes, bool(r.correct)) == ("a", 5, True)
+
+
 def test_audio_fingerprint_rate_invariant(spark):
     """Two WAVs with the same constant amplitude and ~equal duration at
     DIFFERENT sample rates must share a fingerprint; a clip one
