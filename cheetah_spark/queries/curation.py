@@ -2254,6 +2254,143 @@ def q_llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _url_pages_report(pages: DataFrame) -> DataFrame:
+    """Drained per-(source, curl) state (keep_id, n_fetches) → the
+    batch dedup report. keep-min is GLOBAL per canonical URL — a page
+    fetched from several sources keeps exactly one doc corpus-wide —
+    so the rollup first reduces the STATE rows per curl (global min
+    doc_id + global fetch total: doc_ids are unique, so the global
+    keeper's own (source, curl) group is the one whose local min
+    equals the global min) and joins that page-level side back. Both
+    sides of the join are state-sized (O(live pages)), never
+    fetch-sized, so 'the drained state alone yields the report' holds
+    without any functional dependency between curl and source (the
+    fixture happens to embed source in the host; production URLs
+    don't)."""
+    g = pages.groupBy("curl").agg(
+        F.min("keep_id").alias("g_keep"),
+        F.sum("n_fetches").alias("g_fetches"),
+    )
+    return (
+        pages.join(g, "curl")
+        .groupBy("source")
+        .agg(
+            F.sum("n_fetches").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_pages"),
+            F.sum(
+                F.col("n_fetches")
+                - (F.col("keep_id") == F.col("g_keep")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("g_fetches") >= 2, F.col("n_fetches")).otherwise(0))
+            .cast("bigint")
+            .alias("n_in_dup_groups"),
+        )
+    )
+
+
+def url_dedup_live_state(canon_stream: DataFrame, ttl_seconds: int) -> DataFrame:
+    """TTL-aged keyed URL state: a STREAMING (doc_id, source, curl)
+    frame → the drained LIVE per-(source, curl) state
+    (keep_id, n_fetches) after aging out URLs not re-fetched within
+    ``ttl_seconds`` of event time (event time = doc_id seconds — the
+    replay feeds arrive doc_id-ordered, documents_stream_dir contract).
+
+    This is the unbounded-ingest answer the complete-mode MIN/COUNT
+    aggregation cannot give: at true 100 TB ingest |live canonical
+    URLs| itself grows without bound, so state must age. Mechanism is
+    the s_sec_impossible_travel discipline — applyInPandasWithState,
+    one (keep_id, n_fetches, last_seen) entry per key, with an
+    EVENT-TIME timeout at last_seen + ttl: when the watermark passes
+    it, the key is evicted and emits a tombstone. Every update emits
+    the current state stamped with the batch's watermark, so the
+    drained spool resolves per key to its LATEST emission (watermark
+    strictly advances between a key's update and its later eviction);
+    a URL re-fetched AFTER eviction deliberately starts a fresh window
+    — that is what TTL aging means. With ttl >= the corpus's event
+    span nothing evicts and the live state equals the un-aged state
+    bit-for-bit (the conformance gate in tests)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.window import Window
+
+    from cheetah_spark.streaming import run_stream_to_files
+
+    # base offset: the engine's initial watermark is epoch 0 and the
+    # late filter is inclusive, so doc_id 0 at epoch 0 would be dropped
+    withts = canon_stream.withColumn(
+        "ts", F.timestamp_seconds(F.col("doc_id") + F.lit(86400))
+    ).withWatermark("ts", "0 seconds")
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            keep_id, n_fetches, _last = state.get
+            wm = state.getCurrentWatermarkMs()
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "source": [key[0]],
+                    "curl": [key[1]],
+                    "keep_id": [keep_id],
+                    "n_fetches": [n_fetches],
+                    "wm": [wm],
+                    "evicted": [True],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        mn = int(rows["doc_id"].min())
+        cnt = int(len(rows))
+        last = int(rows["doc_id"].max())
+        if state.exists:
+            pmn, pcnt, plast = state.get
+            mn, cnt, last = min(mn, pmn), cnt + pcnt, max(last, plast)
+        state.update((mn, cnt, last))
+        # event-time timeout must sit strictly above the watermark;
+        # 86400 is the event-time base offset applied to doc_id above
+        state.setTimeoutTimestamp(
+            max(
+                (last + 86400 + ttl_seconds) * 1000,
+                state.getCurrentWatermarkMs() + 1,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "curl": [key[1]],
+                "keep_id": [mn],
+                "n_fetches": [cnt],
+                "wm": [state.getCurrentWatermarkMs()],
+                "evicted": [False],
+            }
+        )
+
+    spool = run_stream_to_files(
+        withts,
+        lambda df: df.groupBy("source", "curl").applyInPandasWithState(
+            update,
+            outputStructType=(
+                "source string, curl string, keep_id long, n_fetches long, "
+                "wm long, evicted boolean"
+            ),
+            stateStructType="keep_id long, n_fetches long, last long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        ),
+        output_mode="update",
+    )
+    w = Window.partitionBy("source", "curl").orderBy(
+        F.col("wm").desc(), F.col("n_fetches").desc(), F.col("evicted").desc()
+    )
+    return (
+        spool.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & ~F.col("evicted"))
+        .select("source", "curl", "keep_id", "n_fetches")
+    )
+
+
 @register(
     "s_llm_url_dedup",
     # the literal batch oracle: the drained keyed state must roll up to
@@ -2261,7 +2398,9 @@ def q_llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_URL_DEDUP_ORACLE,
     tags=("streaming", "llm", "curation", "dedup", "url"),
 )
-def s_llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s_llm_url_dedup(
+    spark: SparkSession, sf_dir: str, ttl_seconds: int | None = None
+) -> DataFrame:
     """STREAMING URL-level dedup — the at-ingest execution of
     :func:`q_llm_url_dedup`, hash-verified against the SAME batch
     oracle: canonicalization is a pure per-row map (identical Catalyst
@@ -2272,17 +2411,25 @@ def s_llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation would depend on within-batch arrival and could not be
     hash-gated).
 
-    Shape: complete-mode groupBy (source, curl) carrying exactly one
+    Shape: keyed state per (source, curl) carrying exactly one
     (keep_id = MIN(doc_id), n_fetches = COUNT(*)) entry per live
-    canonical URL — the bounded-entity state class (state ~ |pages|,
-    not |fetches|). The page-level state alone determines the batch
-    report: n_docs = Σ n_fetches, n_dropped = Σ (n_fetches − 1) (the
-    kept fetch is the unique MIN), n_in_dup_groups = Σ n_fetches over
-    pages with ≥2 fetches — so the drained state rolls up WITHOUT
-    re-joining fetch rows, which is also why the batch plan's
-    agg-to-agg join disappears entirely at ingest. At detection scale
-    the production variant ages out cold URLs with a TTL watermark the
-    same way the persisted-index dedup rotates days."""
+    (source, page) pair — the bounded-entity state class (state ~
+    |pages|, not |fetches|). The drained state alone determines the
+    batch report via :func:`_url_pages_report`, whose global-per-curl
+    reduction runs over STATE rows — the batch plan's fetch-level
+    agg-to-agg join disappears entirely at ingest, and cross-source
+    canonical URLs roll up to the same global keeper the batch
+    operator picks.
+
+    ``ttl_seconds`` selects the state engine: None (the registered
+    contract path) runs a complete-mode Catalyst MIN/COUNT aggregation;
+    a value routes through :func:`url_dedup_live_state`, which ages
+    URLs not re-fetched within the TTL out of the store via an
+    event-time timeout — the production knob for unbounded ingest,
+    where |live URLs| itself grows without bound. A TTL at least the
+    corpus's event span drains state identical to the un-aged path
+    (tests/test_curation.py pins both: oracle equality with a large
+    TTL, eviction with a small one)."""
     from cheetah_spark.queries.streams import scoped_state_partitions
     from cheetah_spark.sources import ParquetSource
     from cheetah_spark.streaming import documents_stream_dir, run_stream_to_completion
@@ -2290,28 +2437,29 @@ def s_llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = documents_stream_dir(spark, sf_dir)
     stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=2).read(spark)
 
-    def per_page_state(df: DataFrame) -> DataFrame:
+    def canon_frame(df: DataFrame) -> DataFrame:
         urls = df.select("doc_id", "source", _messy_url_expr().alias("url"))
-        canon = urls.select(
+        return urls.select(
             "doc_id", "source", _canonical_url_expr(F.col("url")).alias("curl")
-        )
-        return canon.groupBy("source", "curl").agg(
-            F.min("doc_id").alias("keep_id"),
-            F.count("*").alias("n_fetches"),
         )
 
     with scoped_state_partitions(spark):
-        pages = run_stream_to_completion(
-            stream, per_page_state, output_mode="complete"
-        )
-    return pages.groupBy("source").agg(
-        F.sum("n_fetches").cast("bigint").alias("n_docs"),
-        F.count("*").cast("bigint").alias("n_pages"),
-        F.sum(F.col("n_fetches") - 1).cast("bigint").alias("n_dropped"),
-        F.sum(F.when(F.col("n_fetches") >= 2, F.col("n_fetches")).otherwise(0))
-        .cast("bigint")
-        .alias("n_in_dup_groups"),
-    )
+        if ttl_seconds is not None:
+            pages = url_dedup_live_state(canon_frame(stream), ttl_seconds)
+        else:
+            pages = run_stream_to_completion(
+                stream,
+                lambda df: canon_frame(df).groupBy("source", "curl").agg(
+                    F.min("doc_id").alias("keep_id"),
+                    F.count("*").alias("n_fetches"),
+                ),
+                output_mode="complete",
+            )
+            # the report self-joins the drained state; a memory-sink
+            # view can't resolve its own references twice — cut the
+            # lineage (state-sized frame, distributed, no collect)
+            pages = pages.localCheckpoint(eager=False)
+    return _url_pages_report(pages)
 
 
 # ---------------------------------------------------------------------------

@@ -201,6 +201,112 @@ def test_url_dedup_keeps_one_doc_per_page(spark, sf_dir):
         assert r.n_docs - r.n_dropped == r.n_pages, r
 
 
+def test_url_dedup_report_global_keeper_cross_source(spark):
+    """_url_pages_report must implement the batch operator's GLOBAL
+    keep-min even when one canonical URL is fetched from several
+    sources (the fixture's curl embeds the source, so the registered
+    oracle can't see this axis — pin it directly): the keeper is the
+    corpus-wide MIN doc_id, dup-group membership uses the corpus-wide
+    fetch total, and per-source drop mass follows."""
+    from cheetah_spark.queries.curation import _url_pages_report
+
+    fetches = spark.createDataFrame(
+        # curl X spans sources A and B; global keeper is doc 2 (in B)
+        [(5, "A", "X"), (7, "A", "X"), (9, "A", "X"),
+         (2, "B", "X"), (4, "B", "X"),
+         (10, "A", "Y"),            # singleton page
+         (20, "B", "Z"), (21, "B", "Z")],
+        "doc_id long, source string, curl string",
+    )
+    pages = fetches.groupBy("source", "curl").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_fetches")
+    )
+    got = {r.source: r.asDict() for r in _url_pages_report(pages).collect()}
+    # the fetch-level truth, computed the batch operator's way
+    keep = fetches.groupBy("curl").agg(
+        F.min("doc_id").alias("gk"), F.count("*").alias("gf")
+    )
+    truth = {
+        r.source: r.asDict()
+        for r in fetches.join(keep, "curl")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("curl").cast("bigint").alias("n_pages"),
+            F.sum((F.col("doc_id") != F.col("gk")).cast("int"))
+            .cast("bigint").alias("n_dropped"),
+            F.sum(F.when(F.col("gf") >= 2, 1).otherwise(0))
+            .cast("bigint").alias("n_in_dup_groups"),
+        )
+        .collect()
+    }
+    assert got == truth
+    # spot-pin one hand-computed row: source A keeps only its singleton
+    # (all three X fetches lose to B's doc 2)
+    assert got["A"] == {
+        "source": "A", "n_docs": 4, "n_pages": 2,
+        "n_dropped": 3, "n_in_dup_groups": 3,
+    }
+
+
+def test_url_dedup_stream_ttl_large_matches_batch(spark, sf_dir):
+    """With a TTL at least the corpus's event span, the TTL-aged state
+    path must drain to exactly the un-aged report — i.e. the batch
+    operator's answer (the verdict-r11 conformance gate for the aging
+    engine)."""
+    from cheetah_spark.queries.curation import q_llm_url_dedup, s_llm_url_dedup
+
+    batch = {r.source: r.asDict() for r in q_llm_url_dedup(spark, sf_dir).collect()}
+    aged = {
+        r.source: r.asDict()
+        for r in s_llm_url_dedup(spark, sf_dir, ttl_seconds=10**7).collect()
+    }
+    assert aged == batch
+
+
+def test_url_dedup_ttl_evicts_cold_keys(spark, tmp_path):
+    """A canonical URL not re-fetched within the TTL must leave the
+    state store: replay 400 doc-seconds in 4 ordered files, a 'cold'
+    page fetched only at t=0..2 and a 'hot' page fetched throughout,
+    TTL 50 s — the watermark passes cold's timeout during file 2, so
+    the drained LIVE state holds only the hot page (with exact
+    keep-min/fetch-count), while the large-TTL test above proves
+    absence here is eviction, not loss."""
+    import os
+
+    import pandas as pd
+
+    from cheetah_spark.queries.curation import url_dedup_live_state
+
+    out = tmp_path / "canon_stream"
+    out.mkdir()
+    base_t = 1_700_000_000
+    for i in range(4):
+        ids = list(range(i * 100, (i + 1) * 100))
+        pdf = pd.DataFrame(
+            {
+                "doc_id": ids,
+                "source": "A",
+                "curl": ["cold" if d <= 2 else "hot" for d in ids],
+            }
+        )
+        p = str(out / f"data-{i:04d}.parquet")
+        pdf.to_parquet(p)
+        os.utime(p, (base_t + i, base_t + i))
+    stream = (
+        spark.readStream.schema("doc_id long, source string, curl string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(out))
+    )
+    live = {
+        (r.source, r.curl): r.asDict()
+        for r in url_dedup_live_state(stream, ttl_seconds=50).collect()
+    }
+    assert set(live) == {("A", "hot")}
+    assert live[("A", "hot")]["keep_id"] == 3
+    assert live[("A", "hot")]["n_fetches"] == 397
+
+
 def test_c4_filter_stream_equals_batch(spark, sf_dir):
     """s_llm_c4_filter must reproduce q_llm_c4_rules exactly: the
     judged projection is stateless, so micro-batch admission cannot
