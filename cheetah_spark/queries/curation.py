@@ -2517,9 +2517,7 @@ _GOPHER_ORACLE_STOP_SUM = " + ".join(
 )
 
 
-@register(
-    "q_llm_gopher_rules",
-    oracle=f"""
+_GOPHER_RULES_ORACLE = f"""
         WITH noisy AS (
             SELECT doc_id, lang, doc_id % 7 AS genre, {_GOPHER_ORACLE_NOISY} AS nt
             FROM documents
@@ -2568,7 +2566,12 @@ _GOPHER_ORACLE_STOP_SUM = " + ".join(
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
         FROM rules
         GROUP BY lang, genre
-    """,
+    """
+
+
+@register(
+    "q_llm_gopher_rules",
+    oracle=_GOPHER_RULES_ORACLE,
     tags=("llm", "curation", "quality", "gopher"),
 )
 def q_llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2591,7 +2594,15 @@ def q_llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1→N Handler, reference types.go:122-135); this extends the
     curation family per SURVEY.md §2B."""
     d = load_table(spark, sf_dir, "documents")
-    noisy = d.select(
+    return _gopher_rollup(_gopher_judged(d))
+
+
+def _gopher_judged(docs: DataFrame) -> DataFrame:
+    """Map-only Gopher judging of a (doc_id, lang, text) frame: noise
+    derivation, the seven integer-cross-multiply rules, per-doc verdict
+    booleans — shared verbatim by the batch operator and the streaming
+    twin (stateless, so micro-batch slicing cannot change a verdict)."""
+    noisy = docs.select(
         "doc_id", "lang", (F.col("doc_id") % 7).alias("genre"),
         _gopher_noisy_text_expr().alias("nt"),
     )
@@ -2621,13 +2632,16 @@ def q_llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_ellipsis = F.col("n_ell_lines") * 10 > 3 * F.col("n_lines")
     r_alpha = F.col("n_alpha") * 10 < 8 * F.col("n_w")
     r_stopword = F.col("n_stop") < 2
-    rules = feats.select(
+    return feats.select(
         "lang", "genre",
         r_wordcount.alias("r_wordcount"), r_meanlen.alias("r_meanlen"),
         r_symbol.alias("r_symbol"), r_bullet.alias("r_bullet"),
         r_ellipsis.alias("r_ellipsis"), r_alpha.alias("r_alpha"),
         r_stopword.alias("r_stopword"),
     )
+
+
+def _gopher_rollup(rules: DataFrame) -> DataFrame:
     keep = ~(
         F.col("r_wordcount") | F.col("r_meanlen") | F.col("r_symbol") | F.col("r_bullet")
         | F.col("r_ellipsis") | F.col("r_alpha") | F.col("r_stopword")
@@ -2640,6 +2654,40 @@ def q_llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_keep"),
     )
+
+
+@register(
+    "s_llm_gopher_filter",
+    oracle=_GOPHER_RULES_ORACLE,
+    tags=("streaming", "llm", "curation", "quality", "gopher"),
+)
+def s_llm_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Gopher quality filtering — the rule battery applied to
+    documents as they ARRIVE (the s_llm_c4_filter discipline, closing
+    the last quality battery without an at-ingest execution): each
+    micro-batch runs the identical map-only judged projection
+    (_gopher_judged, shared with q_llm_gopher_rules), the per-doc
+    verdict rows spool to parquet via foreachBatch (executors write,
+    the driver holds nothing), and the final rollup over the spool
+    must hash-match the batch operator's oracle VERBATIM — the battery
+    is stateless, so admission slicing cannot change a single verdict.
+
+    Scale shape: zero streaming state, engine floor + the map work;
+    the micro-batch is fanned out to every core before judging (the
+    single-row-group replay files would otherwise pin each batch to
+    one scan partition — the r9 starvation fix)."""
+    from cheetah_spark.sources import ParquetSource
+    from cheetah_spark.streaming import documents_stream_dir, run_stream_to_files
+
+    src_dir = documents_stream_dir(spark, sf_dir)
+    stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=2).read(spark)
+    fanout = spark.sparkContext.defaultParallelism
+    sunk = run_stream_to_files(
+        stream,
+        lambda df: _gopher_judged(df.repartition(fanout)),
+        output_mode="append",
+    )
+    return _gopher_rollup(sunk)
 
 
 # ---------------------------------------------------------------------------

@@ -316,3 +316,21 @@ def test_c4_filter_stream_equals_batch(spark, sf_dir):
     batch = {r["lang"]: r.asDict() for r in q_llm_c4_rules(spark, sf_dir).collect()}
     stream = {r["lang"]: r.asDict() for r in s_llm_c4_filter(spark, sf_dir).collect()}
     assert stream == batch
+
+
+def test_gopher_filter_stream_equals_batch(spark, sf_dir):
+    """s_llm_gopher_filter must reproduce q_llm_gopher_rules exactly:
+    the seven-rule battery is stateless, so micro-batch admission
+    cannot change any verdict — streaming output == batch output row
+    for row across every (lang, genre) stratum."""
+    from cheetah_spark.queries.curation import q_llm_gopher_rules, s_llm_gopher_filter
+
+    batch = {
+        (r["lang"], r["genre"]): r.asDict()
+        for r in q_llm_gopher_rules(spark, sf_dir).collect()
+    }
+    stream = {
+        (r["lang"], r["genre"]): r.asDict()
+        for r in s_llm_gopher_filter(spark, sf_dir).collect()
+    }
+    assert stream == batch
