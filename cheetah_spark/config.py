@@ -514,6 +514,117 @@ def build_transform(cfg: Mapping[str, Any]) -> Handler:
             )
 
         return run_recall_eval
+    # --- r12: the FineWeb-style curation stack as declarative types —
+    # URL dedup → quality batteries (Gopher / C4) → line dedup chain
+    # from JSON alone, batch or streaming ---
+    if kind == "url_dedup":
+        url_col = cfg.get("url", "url")
+        id_col = cfg.get("id", "doc_id")
+
+        def keep_canonical(df: DataFrame) -> DataFrame:
+            from pyspark.sql.window import Window
+
+            from cheetah_spark.queries.curation import _canonical_url_expr
+
+            d = df.withColumn("__curl", _canonical_url_expr(F.col(url_col)))
+            if df.isStreaming:
+                # at-ingest: keep the FIRST arrival per canonical URL —
+                # keyed state, one entry per live page; equals keep-min
+                # when the feed arrives id-ordered (the replay contract)
+                return d.dropDuplicates(["__curl"]).drop("__curl")
+            w = Window.partitionBy("__curl").orderBy(F.col(id_col).asc())
+            return (
+                d.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn", "__curl")
+            )
+
+        return keep_canonical
+    if kind == "gopher_rules":
+        col = cfg.get("column", "text")
+        mode = cfg.get("mode", "filter")
+        # optional rule subset — production curation tunes the battery
+        # per corpus (FineWeb drops/retunes individual Gopher rules)
+        subset = cfg.get("rules")
+
+        def gopher(df: DataFrame) -> DataFrame:
+            from functools import reduce
+            from operator import or_
+
+            from cheetah_spark.queries.curation import (
+                gopher_feat_exprs,
+                gopher_rule_exprs,
+            )
+
+            rules = gopher_rule_exprs(gopher_feat_exprs(F.col(col)))
+            if subset is not None:
+                unknown = set(subset) - set(rules)
+                if unknown:
+                    raise ValueError(
+                        f"gopher_rules: unknown rule(s) {sorted(unknown)}; "
+                        f"valid: {sorted(rules)}"
+                    )
+                rules = {k: rules[k] for k in subset}
+            if mode == "annotate":
+                return df.select(
+                    "*", *[c.alias(f"r_{k}") for k, c in rules.items()]
+                )
+            return df.where(~reduce(or_, rules.values()))
+
+        return gopher
+    if kind == "c4_rules":
+        col = cfg.get("column", "text")
+
+        def c4_clean(df: DataFrame) -> DataFrame:
+            from cheetah_spark.queries.curation import c4_page_exprs
+
+            kept_text, page_drop = c4_page_exprs(F.col(col))
+            return df.where(~page_drop).withColumn(col, kept_text)
+
+        return c4_clean
+    if kind == "line_dedup":
+        col = cfg.get("column", "text")
+        id_col = cfg.get("id", "doc_id")
+        min_docs = int(cfg.get("min_docs", 2))
+        corpus_path = cfg.get("from")
+
+        def strip_boilerplate(df: DataFrame) -> DataFrame:
+            import pandas as pd  # noqa: F401 (pandas_udf runtime dep)
+
+            from pyspark.sql.functions import pandas_udf
+
+            from cheetah_spark.queries.curation import boiler_line_set
+
+            spark = df.sparkSession
+            if corpus_path is not None:
+                corpus = spark.read.parquet(corpus_path)
+            elif df.isStreaming:
+                raise ValueError(
+                    "line_dedup transform on a streaming source needs "
+                    "'from': a static corpus path to compile the "
+                    "boilerplate set (corpus-level line frequencies "
+                    "cannot be derived from a stream's own micro-"
+                    "batches) — the s_llm_line_dedup offline-compile "
+                    "discipline"
+                )
+            else:
+                corpus = df
+            bset = spark.sparkContext.broadcast(
+                set(boiler_line_set(corpus, col, id_col, min_docs))
+            )
+
+            @pandas_udf("string")
+            def strip(s):
+                bs = bset.value
+                return s.map(
+                    lambda t: "\n".join(
+                        ln for ln in t.split("\n") if ln and ln not in bs
+                    )
+                )
+
+            return df.withColumn(col, strip(F.col(col)))
+
+        return strip_boilerplate
     raise ValueError(f"unknown transform type: {kind!r}")
 
 

@@ -2597,6 +2597,49 @@ def q_llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _gopher_rollup(_gopher_judged(d))
 
 
+def gopher_feat_exprs(nt) -> dict:
+    """The Gopher feature columns over an arbitrary text Column —
+    map-only Catalyst higher-order functions, no Python."""
+    words = F.filter(F.split(nt, r"\s+"), lambda x: x != "")
+    lines = F.filter(F.split(nt, "\n"), lambda x: x != "")
+    return {
+        "n_w": F.size(words).cast("bigint"),
+        "sum_wlen": F.aggregate(
+            words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+        ),
+        "n_lines": F.size(lines).cast("bigint"),
+        "n_bullet": F.size(
+            F.filter(lines, lambda x: F.ltrim(x).startswith("- ") | F.ltrim(x).startswith("* "))
+        ).cast("bigint"),
+        "n_ell_lines": F.size(F.filter(lines, lambda x: F.rtrim(x).endswith("..."))).cast("bigint"),
+        "cnt_hash": (F.length(nt) - F.length(F.replace(nt, F.lit("#"), F.lit("")))).cast("bigint"),
+        "cnt_ell": ((F.length(nt) - F.length(F.replace(nt, F.lit("..."), F.lit("")))) / 3).cast("bigint"),
+        "n_alpha": F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("bigint"),
+        "n_stop": sum(
+            (F.array_contains(X.tokens(nt), w).cast("int") for w in _GOPHER_STOPWORDS),
+            start=F.lit(0),
+        ).cast("bigint"),
+    }
+
+
+def gopher_rule_exprs(feat) -> dict:
+    """The seven published Gopher rules (Rae et al. 2021 Table A1) as
+    boolean Columns over the feature columns — exact integer
+    cross-multiplies, never float ratio compares. ``feat`` maps
+    feature name → Column (either :func:`gopher_feat_exprs` output for
+    a single-pass expression, or ``F.col`` over a materialized feature
+    projection). Insertion order is the f_* report column order."""
+    return {
+        "wordcount": (feat["n_w"] < _GOPHER_MIN_WORDS) | (feat["n_w"] > _GOPHER_MAX_WORDS),
+        "meanlen": (feat["sum_wlen"] < 3 * feat["n_w"]) | (feat["sum_wlen"] > 10 * feat["n_w"]),
+        "symbol": (feat["cnt_hash"] + feat["cnt_ell"]) * 10 > feat["n_w"],
+        "bullet": feat["n_bullet"] * 10 > 9 * feat["n_lines"],
+        "ellipsis": feat["n_ell_lines"] * 10 > 3 * feat["n_lines"],
+        "alpha": feat["n_alpha"] * 10 < 8 * feat["n_w"],
+        "stopword": feat["n_stop"] < 2,
+    }
+
+
 def _gopher_judged(docs: DataFrame) -> DataFrame:
     """Map-only Gopher judging of a (doc_id, lang, text) frame: noise
     derivation, the seven integer-cross-multiply rules, per-doc verdict
@@ -2606,38 +2649,12 @@ def _gopher_judged(docs: DataFrame) -> DataFrame:
         "doc_id", "lang", (F.col("doc_id") % 7).alias("genre"),
         _gopher_noisy_text_expr().alias("nt"),
     )
-    nt = F.col("nt")
-    words = F.filter(F.split(nt, r"\s+"), lambda x: x != "")
-    lines = F.filter(F.split(nt, "\n"), lambda x: x != "")
-    feats = noisy.select(
-        "lang", "genre",
-        F.size(words).cast("bigint").alias("n_w"),
-        F.aggregate(words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)).alias("sum_wlen"),
-        F.size(lines).cast("bigint").alias("n_lines"),
-        F.size(F.filter(lines, lambda x: F.ltrim(x).startswith("- ") | F.ltrim(x).startswith("* ")))
-        .cast("bigint").alias("n_bullet"),
-        F.size(F.filter(lines, lambda x: F.rtrim(x).endswith("..."))).cast("bigint").alias("n_ell_lines"),
-        (F.length(nt) - F.length(F.replace(nt, F.lit("#"), F.lit("")))).cast("bigint").alias("cnt_hash"),
-        ((F.length(nt) - F.length(F.replace(nt, F.lit("..."), F.lit("")))) / 3).cast("bigint").alias("cnt_ell"),
-        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("bigint").alias("n_alpha"),
-        sum(
-            (F.array_contains(X.tokens(nt), w).cast("int") for w in _GOPHER_STOPWORDS),
-            start=F.lit(0),
-        ).cast("bigint").alias("n_stop"),
-    )
-    r_wordcount = (F.col("n_w") < _GOPHER_MIN_WORDS) | (F.col("n_w") > _GOPHER_MAX_WORDS)
-    r_meanlen = (F.col("sum_wlen") < 3 * F.col("n_w")) | (F.col("sum_wlen") > 10 * F.col("n_w"))
-    r_symbol = (F.col("cnt_hash") + F.col("cnt_ell")) * 10 > F.col("n_w")
-    r_bullet = F.col("n_bullet") * 10 > 9 * F.col("n_lines")
-    r_ellipsis = F.col("n_ell_lines") * 10 > 3 * F.col("n_lines")
-    r_alpha = F.col("n_alpha") * 10 < 8 * F.col("n_w")
-    r_stopword = F.col("n_stop") < 2
+    fx = gopher_feat_exprs(F.col("nt"))
+    feats = noisy.select("lang", "genre", *[c.alias(k) for k, c in fx.items()])
+    rules = gopher_rule_exprs({k: F.col(k) for k in fx})
     return feats.select(
         "lang", "genre",
-        r_wordcount.alias("r_wordcount"), r_meanlen.alias("r_meanlen"),
-        r_symbol.alias("r_symbol"), r_bullet.alias("r_bullet"),
-        r_ellipsis.alias("r_ellipsis"), r_alpha.alias("r_alpha"),
-        r_stopword.alias("r_stopword"),
+        *[c.alias(f"r_{k}") for k, c in rules.items()],
     )
 
 
@@ -2855,6 +2872,38 @@ def q_llm_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _c4_rollup(_c4_judged(d))
 
 
+def _c4_term(x):
+    """C4 line rule: terminal punctuation (Raffel et al. 2020 §2.2)."""
+    return x.endswith(".") | x.endswith("!") | x.endswith("?") | x.endswith('"')
+
+
+def _c4_nwords(x):
+    return F.size(F.filter(F.split(x, r"\s+"), lambda w: w != ""))
+
+
+def _c4_line_keep(x):
+    """The published line-retention predicate, shared by the judged
+    report, the streaming filter, and the config-layer transform."""
+    return _c4_term(x) & (_c4_nwords(x) >= _C4_MIN_LINE_WORDS) & ~x.contains("javascript")
+
+
+def c4_page_exprs(page) -> tuple:
+    """(kept_text, page_drop) Columns over an arbitrary page Column —
+    the C4 cleaning as a pure map expression: kept_text is the page
+    rebuilt from retained lines, page_drop is the page-level gate
+    ('lorem ipsum' / curly brace / badword / < min retained lines).
+    The declarative `c4_rules` transform binds these directly."""
+    lines_c = F.filter(F.split(page, "\n"), lambda x: x != "")
+    kept = F.filter(lines_c, _c4_line_keep)
+    page_drop = (
+        F.lower(page).contains("lorem ipsum")
+        | page.contains("{")
+        | F.arrays_overlap(X.tokens(page), F.array(*[F.lit(w) for w in _C4_BADWORDS]))
+        | (F.size(kept) < _C4_MIN_PAGE_LINES)
+    )
+    return F.array_join(kept, "\n"), page_drop
+
+
 def _c4_judged(docs: DataFrame) -> DataFrame:
     """Map-only C4 judging of a (doc_id, lang, text) frame: page
     derivation, line retention, page gates, rewrite checksum — shared
@@ -2862,9 +2911,9 @@ def _c4_judged(docs: DataFrame) -> DataFrame:
     so micro-batch slicing cannot change it)."""
     pages = docs.select("doc_id", "lang", _c4_noisy_page_expr().alias("page"))
     page = F.col("page")
-    term = lambda x: x.endswith(".") | x.endswith("!") | x.endswith("?") | x.endswith('"')
-    nwords = lambda x: F.size(F.filter(F.split(x, r"\s+"), lambda w: w != ""))
-    line_keep = lambda x: term(x) & (nwords(x) >= _C4_MIN_LINE_WORDS) & ~x.contains("javascript")
+    term = _c4_term
+    nwords = _c4_nwords
+    line_keep = _c4_line_keep
     lines_c = F.filter(F.split(page, "\n"), lambda x: x != "")
     feats = pages.select(
         "lang",
@@ -2964,6 +3013,36 @@ def _line_exploded(d: DataFrame) -> DataFrame:
         "doc_id", "lang",
         F.posexplode(F.filter(F.split(F.col("page"), "\n"), lambda x: x != "")).alias("i", "line"),
     )
+
+
+def boiler_line_set(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = _LINE_DF_K,
+) -> list:
+    """Corpus-level boilerplate line set over an arbitrary text column,
+    collected to the driver for broadcast: lines appearing in >=
+    ``min_docs`` distinct documents. Bounded by |distinct repeated
+    lines| — the same broadcast-side discipline as s_llm_line_dedup's
+    offline compile (boilerplate is by definition ≪ corpus). Used by
+    the declarative `line_dedup` transform (config.py), whose
+    per-document rewrite is then a pure Arrow-batched map with zero
+    joins and zero streaming state."""
+    ex = docs.select(
+        id_col,
+        F.explode(
+            F.filter(F.split(F.col(text_col), "\n"), lambda x: x != "")
+        ).alias("line"),
+    )
+    return [
+        r.line
+        for r in ex.groupBy("line")
+        .agg(F.count_distinct(id_col).alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("line")
+        .collect()
+    ]
 
 
 def _line_boiler(ex: DataFrame) -> DataFrame:

@@ -892,3 +892,150 @@ def test_dedup_recall_eval_transform_from_config(tmp_path, spark, sf_dir):
     panel_200 = 1 + (n_docs - 1) // stride_200  # docs with doc_id % stride == 0
     panel_default = 1 + (n_docs - 1) // stride_default
     assert panel_200 <= panel_default
+
+
+_GOPHER_SUBSET = ["wordcount", "meanlen", "symbol", "bullet", "ellipsis", "alpha"]
+
+
+def _staged_url_docs(spark, sf_dir, tmp_path):
+    """documents + the fixture's messy URL column, staged as parquet —
+    the corpus a FineWeb-style config chain runs over (the raw table
+    has no url column; production crawls do)."""
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.queries.curation import _messy_url_expr
+
+    src = str(tmp_path / "docs_with_url")
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", "lang", "text", _messy_url_expr().alias("url"))
+        .write.parquet(src)
+    )
+    return src
+
+
+def test_fineweb_chain_from_config_batch(tmp_path, spark, sf_dir):
+    """The r11-verdict item #5 chain: URL dedup → Gopher quality gate →
+    corpus line dedup assembled from JSON alone, output equal to the
+    independently composed DataFrame pipeline row-for-row."""
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.__main__ import main
+    from cheetah_spark.queries.curation import (
+        _canonical_url_expr,
+        boiler_line_set,
+        gopher_feat_exprs,
+        gopher_rule_exprs,
+    )
+
+    src = _staged_url_docs(spark, sf_dir, tmp_path)
+    cfg = {
+        "source": {"type": "parquet", "path": src},
+        "transforms": [
+            {"type": "url_dedup", "url": "url", "id": "doc_id"},
+            # subset knob: the synthetic corpus has no English stopwords,
+            # so the full battery would degenerate to an empty corpus
+            {"type": "gopher_rules", "column": "text", "mode": "filter",
+             "rules": _GOPHER_SUBSET},
+            {"type": "line_dedup", "column": "text", "from": src},
+        ],
+        "sink": {"type": "memory", "name": "cli_fineweb_batch"},
+    }
+    f = tmp_path / "cli_fineweb_batch.json"
+    f.write_text(json.dumps(cfg))
+    assert main(["run", "--config", str(f)]) == 0
+    got = {
+        r.doc_id: r.asDict() for r in spark.table("cli_fineweb_batch").collect()
+    }
+    # the same chain composed directly
+    d = spark.read.parquet(src).withColumn(
+        "__curl", _canonical_url_expr(F.col("url"))
+    )
+    keep = d.groupBy("__curl").agg(F.min("doc_id").alias("__keep"))
+    d = (
+        d.join(keep, "__curl")
+        .where(F.col("doc_id") == F.col("__keep"))
+        .drop("__curl", "__keep")
+    )
+    from functools import reduce
+    from operator import or_
+
+    rules = gopher_rule_exprs(gopher_feat_exprs(F.col("text")))
+    d = d.where(~reduce(or_, [rules[k] for k in _GOPHER_SUBSET]))
+    bset = set(boiler_line_set(spark.read.parquet(src)))
+    expect = {}
+    for r in d.collect():
+        row = r.asDict()
+        row["text"] = "\n".join(
+            ln for ln in row["text"].split("\n") if ln and ln not in bset
+        )
+        expect[row["doc_id"]] = row
+    assert got == expect
+    assert expect  # the chain must not degenerate to an empty corpus
+
+
+def test_fineweb_chain_from_config_streaming(tmp_path, spark, sf_dir):
+    """The same JSON chain over a STREAMING source: url_dedup routes
+    through keyed dropDuplicates state (first arrival per canonical
+    URL — within-batch winner is engine-chosen, so assertions are the
+    chain's invariants, not row identity): exactly one output per
+    canonical URL, every survivor passes the Gopher gate, and no
+    survivor retains a boilerplate line."""
+    from functools import reduce
+    from operator import or_
+
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.__main__ import main
+    from cheetah_spark.queries.curation import (
+        _canonical_url_expr,
+        boiler_line_set,
+        gopher_feat_exprs,
+        gopher_rule_exprs,
+    )
+
+    src = _staged_url_docs(spark, sf_dir, tmp_path)
+    cfg = {
+        "source": {
+            "type": "parquet",
+            "path": src,
+            "streaming": True,
+            "max_files_per_trigger": 1,
+        },
+        "transforms": [
+            {"type": "url_dedup", "url": "url", "id": "doc_id"},
+            # subset knob: the synthetic corpus has no English stopwords,
+            # so the full battery would degenerate to an empty corpus
+            {"type": "gopher_rules", "column": "text", "mode": "filter",
+             "rules": _GOPHER_SUBSET},
+            {"type": "line_dedup", "column": "text", "from": src},
+        ],
+        "sink": {"type": "memory", "name": "cli_fineweb_stream"},
+    }
+    f = tmp_path / "cli_fineweb_stream.json"
+    f.write_text(json.dumps(cfg))
+    assert main(["run", "--config", str(f), "--timeout", "20"]) == 0
+    out = spark.table("cli_fineweb_stream")
+    n = out.count()
+    assert n > 0
+    # one survivor per canonical URL
+    assert (
+        out.select(_canonical_url_expr(F.col("url")).alias("c")).distinct().count()
+        == n
+    )
+    # every survivor passes the Gopher gate on its REWRITTEN text
+    rules = gopher_rule_exprs(gopher_feat_exprs(F.col("text")))
+    rules = {k: rules[k] for k in _GOPHER_SUBSET}
+    # (the line strip can only shorten docs; re-judge pre-strip text is
+    # not recoverable here, so judge what the pipeline judged: url is
+    # untouched by later stages, text rules ran before the strip — use
+    # the invariant that survivors passed at judge time by re-running
+    # the batch chain's gopher stage on the kept doc_ids)
+    kept_ids = [r.doc_id for r in out.select("doc_id").collect()]
+    pre = spark.read.parquet(src).where(F.col("doc_id").isin(kept_ids))
+    fails = pre.where(reduce(or_, rules.values())).count()
+    assert fails == 0
+    # no survivor retains a boilerplate line
+    bset = set(boiler_line_set(spark.read.parquet(src)))
+    for r in out.select("text").collect():
+        assert not (set(ln for ln in r.text.split("\n") if ln) & bset)
