@@ -528,10 +528,39 @@ def build_transform(cfg: Mapping[str, Any]) -> Handler:
 
             d = df.withColumn("__curl", _canonical_url_expr(F.col(url_col)))
             if df.isStreaming:
-                # at-ingest: keep the FIRST arrival per canonical URL —
-                # keyed state, one entry per live page; equals keep-min
-                # when the feed arrives id-ordered (the replay contract)
-                return d.dropDuplicates(["__curl"]).drop("__curl")
+                # at-ingest: keyed state per canonical URL, the first
+                # batch containing a URL emits its MIN-id row and later
+                # fetches are dropped. DETERMINISTIC (unlike a
+                # dropDuplicates formulation, whose within-batch winner
+                # is engine-chosen): under the id-ordered replay
+                # contract this equals the batch keep-min exactly, so
+                # the streaming chain is hash-gateable. State is one
+                # counter per live page.
+                import pandas as pd
+
+                from pyspark.sql.streaming.state import GroupStateTimeout
+
+                out_fields = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in df.schema.fields
+                )
+
+                def first_fetch(key, pdfs, state):
+                    rows = pd.concat(list(pdfs), ignore_index=True)
+                    if state.exists:
+                        (n,) = state.get
+                        state.update((n + len(rows),))
+                        return
+                    state.update((len(rows),))
+                    yield rows.nsmallest(1, id_col).drop(columns=["__curl"])
+
+                return d.groupBy("__curl").applyInPandasWithState(
+                    first_fetch,
+                    outputStructType=out_fields,
+                    stateStructType="n long",
+                    outputMode="update",
+                    timeoutConf=GroupStateTimeout.NoTimeout,
+                )
             w = Window.partitionBy("__curl").orderBy(F.col(id_col).asc())
             return (
                 d.withColumn("__rn", F.row_number().over(w))
@@ -588,6 +617,8 @@ def build_transform(cfg: Mapping[str, Any]) -> Handler:
         min_docs = int(cfg.get("min_docs", 2))
         corpus_path = cfg.get("from")
 
+        max_inline = int(cfg.get("max_inline", 10_000))
+
         def strip_boilerplate(df: DataFrame) -> DataFrame:
             import pandas as pd  # noqa: F401 (pandas_udf runtime dep)
 
@@ -609,9 +640,24 @@ def build_transform(cfg: Mapping[str, Any]) -> Handler:
                 )
             else:
                 corpus = df
-            bset = spark.sparkContext.broadcast(
-                set(boiler_line_set(corpus, col, id_col, min_docs))
-            )
+            boiler = sorted(boiler_line_set(corpus, col, id_col, min_docs))
+            if len(boiler) <= max_inline:
+                # small set: a literal-array Catalyst filter keeps the
+                # whole strip JVM-side — zero Python in the plan, which
+                # also lets it compose with the keyed-state url_dedup
+                # stage in one streaming plan (the ArrowEval input path
+                # cannot consume state-emitter rows)
+                lines = F.filter(
+                    F.split(F.col(col), "\n"),
+                    (lambda x: (x != "") & ~F.array_contains(F.array(*[F.lit(b) for b in boiler]), x))
+                    if boiler
+                    else (lambda x: x != ""),
+                )
+                return df.withColumn(col, F.array_join(lines, "\n"))
+            # large set: Arrow-batched strip against a broadcast set —
+            # the plan-literal would bloat the physical plan at real
+            # boilerplate cardinalities
+            bset = spark.sparkContext.broadcast(set(boiler))
 
             @pandas_udf("string")
             def strip(s):

@@ -2163,10 +2163,10 @@ def _canonical_url_expr(url):
     )
 
 
-_URL_DEDUP_ORACLE = f"""
-        WITH urls AS (
-            SELECT doc_id, source,
-                   (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END)
+# the fixture's messy-URL derivation and the canonicalization, as
+# standalone DuckDB fragments (shared by the url-dedup oracle and the
+# declarative fineweb-chain oracle, queries/declarative.py)
+_MESSY_URL_EXPR_SQL = f"""(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END)
                    || '://'
                    || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END)
                    || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
@@ -2175,22 +2175,33 @@ _URL_DEDUP_ORACLE = f"""
                    || (CASE WHEN doc_id % 2 = 0
                         THEN 'a=1&utm_source=feed&b=' || CAST(doc_id % {_URL_PATHS} AS VARCHAR)
                         ELSE 'b=' || CAST(doc_id % {_URL_PATHS} AS VARCHAR) || '&utm_campaign=x&a=1' END)
-                   || '#sec' || CAST(doc_id % 4 AS VARCHAR) AS url
+                   || '#sec' || CAST(doc_id % 4 AS VARCHAR)"""
+
+
+def _canon_url_sql(url: str = "url") -> str:
+    """DuckDB mirror of :func:`_canonical_url_expr` over column ``url``."""
+    return f"""lower(regexp_extract({url}, '^([A-Za-z]+)://', 1)) || '://'
+                   || regexp_replace(lower(regexp_extract({url}, '^[A-Za-z]+://([^/?#]+)', 1)),
+                                     '^www\\.', '')
+                   || regexp_extract({url}, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)
+                   || (CASE WHEN array_to_string(list_sort(list_filter(
+                              string_split(regexp_extract({url}, '\\?([^#]*)', 1), '&'),
+                              p -> NOT starts_with(p, 'utm_') AND p <> '')), '&') <> ''
+                        THEN '?' || array_to_string(list_sort(list_filter(
+                              string_split(regexp_extract({url}, '\\?([^#]*)', 1), '&'),
+                              p -> NOT starts_with(p, 'utm_') AND p <> '')), '&')
+                        ELSE '' END)"""
+
+
+_URL_DEDUP_ORACLE = f"""
+        WITH urls AS (
+            SELECT doc_id, source,
+                   {_MESSY_URL_EXPR_SQL} AS url
             FROM documents
         ),
         canon AS (
             SELECT doc_id, source, url,
-                   lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://'
-                   || regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
-                                     '^www\\.', '')
-                   || regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)
-                   || (CASE WHEN array_to_string(list_sort(list_filter(
-                              string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
-                              p -> NOT starts_with(p, 'utm_') AND p <> '')), '&') <> ''
-                        THEN '?' || array_to_string(list_sort(list_filter(
-                              string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
-                              p -> NOT starts_with(p, 'utm_') AND p <> '')), '&')
-                        ELSE '' END) AS curl
+                   {_canon_url_sql("url")} AS curl
             FROM urls
         ),
         keep AS (
@@ -2638,6 +2649,44 @@ def gopher_rule_exprs(feat) -> dict:
         "alpha": feat["n_alpha"] * 10 < 8 * feat["n_w"],
         "stopword": feat["n_stop"] < 2,
     }
+
+
+def gopher_fail_sql(col: str, rules: tuple = None) -> str:
+    """DuckDB boolean expression: document column ``col`` fails ANY of
+    the named Gopher rules — the oracle mirror of the declarative
+    `gopher_rules` filter transform (config.py), rule for rule the
+    same integer cross-multiplies as :func:`gopher_rule_exprs`."""
+    words = f"list_filter(string_split_regex({col}, '\\s+'), x -> x <> '')"
+    lines = f"list_filter(string_split({col}, chr(10)), x -> x <> '')"
+    n_w = f"len({words})::BIGINT"
+    sum_wlen = f"CAST(coalesce(list_sum(list_transform({words}, w -> length(w))), 0) AS BIGINT)"
+    n_lines = f"len({lines})::BIGINT"
+    n_bullet = (
+        f"len(list_filter({lines}, x -> starts_with(ltrim(x), '- ')"
+        f" OR starts_with(ltrim(x), '* ')))::BIGINT"
+    )
+    n_ell = f"len(list_filter({lines}, x -> ends_with(rtrim(x), '...')))::BIGINT"
+    cnt_hash = f"(length({col}) - length(replace({col}, '#', '')))::BIGINT"
+    cnt_ell = f"((length({col}) - length(replace({col}, '...', ''))) // 3)::BIGINT"
+    n_alpha = f"len(list_filter({words}, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT"
+    n_stop = (
+        "("
+        + " + ".join(
+            f"list_contains({X.oracle_tokens(col)}, '{w}')::INT" for w in _GOPHER_STOPWORDS
+        )
+        + ")::BIGINT"
+    )
+    exprs = {
+        "wordcount": f"({n_w} < {_GOPHER_MIN_WORDS} OR {n_w} > {_GOPHER_MAX_WORDS})",
+        "meanlen": f"({sum_wlen} < 3 * {n_w} OR {sum_wlen} > 10 * {n_w})",
+        "symbol": f"(({cnt_hash} + {cnt_ell}) * 10 > {n_w})",
+        "bullet": f"({n_bullet} * 10 > 9 * {n_lines})",
+        "ellipsis": f"({n_ell} * 10 > 3 * {n_lines})",
+        "alpha": f"({n_alpha} * 10 < 8 * {n_w})",
+        "stopword": f"({n_stop} < 2)",
+    }
+    use = rules if rules is not None else tuple(exprs)
+    return "(" + " OR ".join(exprs[r] for r in use) + ")"
 
 
 def _gopher_judged(docs: DataFrame) -> DataFrame:

@@ -294,3 +294,208 @@ def s_config_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     with scoped_state_partitions(spark):
         out = run_stream_to_completion(stream, lambda df: df, output_mode="complete")
     return out.select("lang", "n_docs", "total_tokens", "fp_checksum")
+
+
+# ---------------------------------------------------------------------------
+# FineWeb-style curation chain from JSON alone (r12): URL dedup →
+# Gopher quality gate → corpus line dedup, the stack the r11 verdict
+# asked the declarative layer to assemble (config.py transform types
+# url_dedup / gopher_rules / line_dedup).
+# ---------------------------------------------------------------------------
+
+# rule subset: the synthetic corpus has no English stopwords, so the
+# stopword rule would degenerate the chain to an empty corpus — exactly
+# the per-corpus battery tuning FineWeb documents, exposed by the
+# transform's `rules` knob
+_FW_RULES = ("wordcount", "meanlen", "symbol", "bullet", "ellipsis", "alpha")
+
+# final stage (Spark SQL inside the config): per-lang survivor count,
+# kept-char mass, and a 56-bit md5 checksum over every REWRITTEN text —
+# the integrity convention that makes the whole chain hash-gateable
+_FW_AGG = """
+    SELECT lang,
+           COUNT(*) AS n_kept,
+           CAST(SUM(length(text)) AS BIGINT) AS kept_chars,
+           CAST(SUM(CAST(conv(substr(md5(text), 1, 14), 16, 10) AS BIGINT)
+                    % 1000003) AS BIGINT) AS kept_checksum
+    FROM __input__ GROUP BY lang
+"""
+
+
+def _fineweb_src_dir(spark: SparkSession, sf_dir: str) -> str:
+    """documents + the fixture's messy URL column, staged as an
+    id-ordered parquet dir (persisted fixture anchor): the batch chain
+    reads it whole, the streaming chain replays it file by file — the
+    raw table has no url column; production crawls do."""
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.queries.curation import _messy_url_expr
+    from cheetah_spark.streaming import _ordered_stream_dir
+
+    def add_url(t):
+        return t.select(
+            "doc_id", "source", "lang", "text", _messy_url_expr().alias("url")
+        )
+
+    return _ordered_stream_dir(
+        spark, sf_dir, "documents", ("doc_id",), 4, "fineweb_src_4", transform=add_url
+    )
+
+
+def _fineweb_oracle() -> str:
+    """DuckDB mirror of the whole declarative chain: messy-URL
+    derivation → canonicalize → global keep-min → Gopher rule subset on
+    the raw text → boilerplate-line strip (line DF >= 2 over the WHOLE
+    corpus, the transform's `from` contract) → per-lang rollup with the
+    rewritten-text checksum."""
+    from cheetah_spark.queries.curation import (
+        _MESSY_URL_EXPR_SQL,
+        _canon_url_sql,
+        gopher_fail_sql,
+    )
+
+    fails = gopher_fail_sql("text", _FW_RULES)
+    return f"""
+        WITH urls AS (
+            SELECT doc_id, lang, source, text,
+                   {_MESSY_URL_EXPR_SQL} AS url
+            FROM documents
+        ),
+        canon AS (
+            SELECT doc_id, lang, text,
+                   {_canon_url_sql("url")} AS curl
+            FROM urls
+        ),
+        keep AS (SELECT curl, MIN(doc_id) AS keep_id FROM canon GROUP BY curl),
+        survivors AS (
+            SELECT c.doc_id, c.lang, c.text
+            FROM canon c JOIN keep k ON c.curl = k.curl AND c.doc_id = k.keep_id
+            WHERE NOT {fails}
+        ),
+        alllines AS (
+            SELECT doc_id, i, lines[i] AS line FROM (
+                SELECT doc_id,
+                       list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+                FROM documents
+            ), unnest(generate_series(1, len(lines))) AS t(i)
+        ),
+        boiler AS (
+            SELECT line FROM alllines GROUP BY line
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        ex AS (
+            SELECT s.doc_id, s.lang, i, lines[i] AS line FROM (
+                SELECT doc_id, lang,
+                       list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+                FROM survivors
+            ) s, unnest(generate_series(1, len(lines))) AS t(i)
+        ),
+        stripped AS (
+            SELECT e.doc_id,
+                   coalesce(array_to_string(list(e.line ORDER BY e.i)
+                       FILTER (WHERE b.line IS NULL), chr(10)), '') AS text
+            FROM ex e LEFT JOIN boiler b ON e.line = b.line
+            GROUP BY e.doc_id
+        ),
+        final AS (
+            -- survivors whose text had zero non-empty lines never reach
+            -- `ex`; restore them with empty rewritten text
+            SELECT s.doc_id, s.lang, coalesce(st.text, '') AS text
+            FROM survivors s LEFT JOIN stripped st ON s.doc_id = st.doc_id
+        )
+        SELECT lang,
+               COUNT(*)::BIGINT AS n_kept,
+               CAST(SUM(length(text)) AS BIGINT) AS kept_chars,
+               CAST(SUM(CAST('0x' || substr(md5(text), 1, 14) AS BIGINT)
+                        % 1000003) AS BIGINT) AS kept_checksum
+        FROM final GROUP BY lang
+    """
+
+
+@register(
+    "q_config_fineweb",
+    oracle=_fineweb_oracle(),
+    tags=("config", "pipeline", "llm", "curation", "dedup"),
+)
+def q_config_fineweb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FineWeb curation stack assembled ENTIRELY from JSON config:
+    URL dedup (canonical keep-min) → Gopher quality gate (rule-subset
+    knob — the per-corpus battery tuning the paper documents; the
+    stopword rule is off because the synthetic corpus has no English
+    stopwords) → corpus-wide boilerplate-line strip (`from` compiles
+    the line-DF set over the full staged corpus) → per-lang summary
+    with a checksum over every REWRITTEN text. Each stage is a
+    declarative transform type bound to the SAME single-definition
+    expressions its registered operator uses (config.py), so the
+    driver row certifies the config surface end-to-end.
+
+    Scale shape: one map-only canonicalization pass + one keep-min
+    shuffle (url_dedup), a map-only rule battery, a broadcast-set
+    Arrow strip, ONE per-lang hash aggregate. The boilerplate compile
+    is a separate bounded corpus pass (the offline-compile discipline
+    of s_llm_line_dedup)."""
+    src = _fineweb_src_dir(spark, sf_dir)
+    cfg = {
+        "source": {"type": "parquet", "path": src},
+        "transforms": [
+            {"type": "url_dedup", "url": "url", "id": "doc_id"},
+            {"type": "gopher_rules", "column": "text", "mode": "filter",
+             "rules": list(_FW_RULES)},
+            {"type": "line_dedup", "column": "text", "from": src},
+            {"type": "sql", "query": _FW_AGG, "view": "__input__"},
+        ],
+    }
+    return pipeline_from_config(cfg).dataframe(spark)
+
+
+@register(
+    "s_config_fineweb",
+    oracle=_fineweb_oracle(),
+    tags=("config", "pipeline", "llm", "curation", "dedup", "streaming"),
+)
+def s_config_fineweb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME JSON-declared FineWeb chain running as a REAL
+    StreamingQuery against the SAME batch oracle: the url_dedup
+    transform routes through keyed keep-min state (one counter per
+    live canonical URL; the first micro-batch containing a URL emits
+    its min-id row — deterministic under the id-ordered replay
+    contract, unlike a dropDuplicates winner), the quality gate and
+    the broadcast boilerplate strip are stateless map stages, and the
+    kept documents spool to parquet via foreachBatch (executors write,
+    the driver holds nothing). The final rollup over the spool must
+    hash-match the batch chain bit-for-bit — kept set, kept bytes,
+    checksum."""
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.queries.streams import scoped_state_partitions
+    from cheetah_spark.streaming import run_stream_to_files
+
+    src = _fineweb_src_dir(spark, sf_dir)
+    cfg = {
+        "source": {
+            "type": "parquet",
+            "path": src,
+            "streaming": True,
+            "max_files_per_trigger": 1,
+        },
+        "transforms": [
+            {"type": "url_dedup", "url": "url", "id": "doc_id"},
+            {"type": "gopher_rules", "column": "text", "mode": "filter",
+             "rules": list(_FW_RULES)},
+            {"type": "line_dedup", "column": "text", "from": src},
+        ],
+    }
+    stream = pipeline_from_config(cfg).dataframe(spark)
+    assert stream.isStreaming
+    with scoped_state_partitions(spark):
+        kept = run_stream_to_files(stream, lambda df: df, output_mode="update")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.length("text")).cast("bigint").alias("kept_chars"),
+        F.sum(
+            F.conv(F.substring(F.md5("text"), 1, 14), 16, 10).cast("bigint")
+            % 1000003
+        )
+        .cast("bigint")
+        .alias("kept_checksum"),
+    )

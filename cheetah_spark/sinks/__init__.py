@@ -72,10 +72,17 @@ class MemorySink(Sink):
     name: str = "memory_sink"
     checkpoint: Optional[str] = None
     trigger: Optional[dict] = None
+    # append for stateless chains; update/complete for chains ending in
+    # a stateful operator (e.g. the url_dedup keyed keep-min transform)
+    output_mode: str = "append"
 
     def write(self, df: DataFrame):
         if df.isStreaming:
-            w = df.writeStream.format("memory").queryName(self.name).outputMode("append")
+            w = (
+                df.writeStream.format("memory")
+                .queryName(self.name)
+                .outputMode(self.output_mode)
+            )
             return _start(w, self.checkpoint, self.trigger)
         df.cache().createOrReplaceTempView(self.name)
         return None

@@ -976,11 +976,13 @@ def test_fineweb_chain_from_config_batch(tmp_path, spark, sf_dir):
 
 def test_fineweb_chain_from_config_streaming(tmp_path, spark, sf_dir):
     """The same JSON chain over a STREAMING source: url_dedup routes
-    through keyed dropDuplicates state (first arrival per canonical
-    URL — within-batch winner is engine-chosen, so assertions are the
-    chain's invariants, not row identity): exactly one output per
-    canonical URL, every survivor passes the Gopher gate, and no
-    survivor retains a boilerplate line."""
+    through keyed keep-min state (the first micro-batch containing a
+    canonical URL emits its min-id row — deterministic under the
+    id-ordered replay contract; the hash gate for the full chain is
+    s_config_fineweb's driver row). Asserted here: daemon exit 0 plus
+    the chain's invariants — one survivor per canonical URL, every
+    survivor passed the Gopher gate, no survivor retains a boilerplate
+    line."""
     from functools import reduce
     from operator import or_
 
@@ -1010,7 +1012,9 @@ def test_fineweb_chain_from_config_streaming(tmp_path, spark, sf_dir):
              "rules": _GOPHER_SUBSET},
             {"type": "line_dedup", "column": "text", "from": src},
         ],
-        "sink": {"type": "memory", "name": "cli_fineweb_stream"},
+        # update mode: the chain ends in the url_dedup keyed-state stage
+        "sink": {"type": "memory", "name": "cli_fineweb_stream",
+                 "output_mode": "update"},
     }
     f = tmp_path / "cli_fineweb_stream.json"
     f.write_text(json.dumps(cfg))
