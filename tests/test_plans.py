@@ -818,3 +818,30 @@ def test_stream_url_dedup_state_never_reads_text(spark, sf_dir):
     assert "Window" not in p, p
     assert "partial_min" in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_gopher_filter_batch_transform_maponly_no_python(spark, sf_dir):
+    """s_llm_gopher_filter's per-micro-batch transform (the exact
+    judged projection the stream runs, composed on a batch frame):
+    map-only JVM higher-order expressions — no Python eval, no join,
+    no exchange before the spool write."""
+    from cheetah_spark.catalog import load_table
+    from cheetah_spark.queries.curation import _gopher_judged
+
+    d = load_table(spark, sf_dir, "documents")
+    p = plan(_gopher_judged(d))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "Join" not in p and "Exchange" not in p, p
+
+
+def test_config_fineweb_chain_plan_no_python_single_window(spark, sf_dir):
+    """q_config_fineweb: the whole declarative chain must stay JVM-side
+    (the boilerplate strip inlines the small set as a literal-array
+    filter — zero Python eval), dedup via ONE keep-min window shuffle,
+    no cartesian/broadcast-nested-loop anywhere, and the final rollup
+    keeps partial aggregation."""
+    p = plan(_q("q_config_fineweb", spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "Window" in p, p
+    assert "HashAggregate" in p, p
