@@ -520,6 +520,15 @@ def build_transform(cfg: Mapping[str, Any]) -> Handler:
     if kind == "url_dedup":
         url_col = cfg.get("url", "url")
         id_col = cfg.get("id", "doc_id")
+        # optional state aging (streaming only): a canonical URL not
+        # re-seen within ttl_seconds of PROCESSING time is evicted, so
+        # a later re-fetch starts a fresh keep-window — the unbounded-
+        # ingest knob (|state| ~ the TTL horizon's working set, not
+        # all-time |pages|). The registered s_llm_url_dedup carries the
+        # event-time variant (curation.url_dedup_live_state); configs
+        # have no event-time column contract, so processing time is
+        # the declarative binding.
+        ttl_seconds = cfg.get("ttl_seconds")
 
         def keep_canonical(df: DataFrame) -> DataFrame:
             from pyspark.sql.window import Window
@@ -545,21 +554,34 @@ def build_transform(cfg: Mapping[str, Any]) -> Handler:
                     for f in df.schema.fields
                 )
 
+                ttl_ms = None if ttl_seconds is None else int(ttl_seconds) * 1000
+
                 def first_fetch(key, pdfs, state):
+                    if state.hasTimedOut:
+                        # cold URL aged out: drop state; a later
+                        # re-fetch starts a fresh keep-window
+                        state.remove()
+                        return
                     rows = pd.concat(list(pdfs), ignore_index=True)
                     if state.exists:
                         (n,) = state.get
                         state.update((n + len(rows),))
-                        return
-                    state.update((len(rows),))
-                    yield rows.nsmallest(1, id_col).drop(columns=["__curl"])
+                    else:
+                        state.update((len(rows),))
+                        yield rows.nsmallest(1, id_col).drop(columns=["__curl"])
+                    if ttl_ms is not None:
+                        state.setTimeoutDuration(ttl_ms)
 
                 return d.groupBy("__curl").applyInPandasWithState(
                     first_fetch,
                     outputStructType=out_fields,
                     stateStructType="n long",
                     outputMode="update",
-                    timeoutConf=GroupStateTimeout.NoTimeout,
+                    timeoutConf=(
+                        GroupStateTimeout.NoTimeout
+                        if ttl_ms is None
+                        else GroupStateTimeout.ProcessingTimeTimeout
+                    ),
                 )
             w = Window.partitionBy("__curl").orderBy(F.col(id_col).asc())
             return (

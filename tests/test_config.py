@@ -1043,3 +1043,35 @@ def test_fineweb_chain_from_config_streaming(tmp_path, spark, sf_dir):
     bset = set(boiler_line_set(spark.read.parquet(src)))
     for r in out.select("text").collect():
         assert not (set(ln for ln in r.text.split("\n") if ln) & bset)
+
+
+def test_url_dedup_transform_ttl_knob_streaming(tmp_path, spark, sf_dir):
+    """`{"type": "url_dedup", "ttl_seconds": N}` on a streaming source
+    routes through ProcessingTimeTimeout state aging. On a bounded
+    replay that drains in seconds, a large TTL must leave the kept set
+    identical to the un-aged transform (the eviction mechanics
+    themselves are pinned deterministically on the event-time variant,
+    tests/test_curation.py::test_url_dedup_ttl_evicts_cold_keys —
+    processing-time firing cannot be asserted without wall-clock
+    sleeps)."""
+    from cheetah_spark.__main__ import main
+
+    src = _staged_url_docs(spark, sf_dir, tmp_path)
+    results = {}
+    for name, extra in (("cli_url_nottl", {}), ("cli_url_ttl", {"ttl_seconds": 3600})):
+        cfg = {
+            "source": {
+                "type": "parquet",
+                "path": src,
+                "streaming": True,
+                "max_files_per_trigger": 1,
+            },
+            "transforms": [dict({"type": "url_dedup", "url": "url", "id": "doc_id"}, **extra)],
+            "sink": {"type": "memory", "name": name, "output_mode": "update"},
+        }
+        f = tmp_path / f"{name}.json"
+        f.write_text(json.dumps(cfg))
+        assert main(["run", "--config", str(f), "--timeout", "20"]) == 0
+        results[name] = sorted(r.doc_id for r in spark.table(name).select("doc_id").collect())
+    assert results["cli_url_ttl"] == results["cli_url_nottl"]
+    assert results["cli_url_ttl"]  # non-degenerate
