@@ -1934,6 +1934,118 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_contract(spark, sf_dir, _ann_ivf_topk(spark, sf_dir), 0.4)
 
 
+@register(
+    "s_llm_ann_ivf",
+    oracle=_ANN_CONTRACT_ORACLE.format(cos=V.oracle_cosine("q.embedding", "c.embedding")),
+    tags=("llm", "vector", "streaming"),
+)
+def s_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-INGEST IVF ANN lookup — the streaming execution of
+    :func:`q_llm_ann_ivf` against the SAME batch oracle: embeddings
+    ARRIVE as a replay stream, the arriving query vectors (the
+    vec_id % 100 panel convention, _QUERY_MOD) probe a STATIC
+    pre-assigned IVF index, and each query is answered exactly within
+    its arrival trigger — the production lookup-at-the-door shape
+    (match a new crawl slice against the reference corpus as it lands,
+    instead of re-scanning the lake later).
+
+    Shape: the inverted-list assignment of the corpus is computed ONCE
+    before the stream starts (one vectorized mapInPandas pass,
+    persisted — the offline index-build discipline); each micro-batch
+    then runs INSIDE foreachBatch as a batch frame (the
+    run_stream_batch_partials pattern): probe-expand its queries
+    (nprobe list ids per query), broadcast them against the static
+    assigned corpus via the cid equi-join, exact-cosine rerank, and a
+    per-query window top-k — all legal on the batch frame, and correct
+    under ANY admission slicing because a query's answer depends only
+    on the static index, never on other arrivals. ZERO streaming
+    state; the spool is k rows per arrived query. The drained spool is
+    bit-identical to the batch operator's top-k, so the contract rows
+    hash-match q_llm_ann_ivf's oracle verbatim. On a production
+    cluster the assigned side is bucketed by cid so each probe join
+    prunes to nprobe/nlists of the index partitions."""
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    from cheetah_spark.sources import ParquetSource
+    from cheetah_spark.streaming import (
+        embeddings_raw_stream_dir,
+        run_stream_batch_partials,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.orderBy("vec_id").limit(_IVF_LISTS).collect()
+    C = np.array([r.embedding for r in cent], dtype=np.float64)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V_ = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            Vn = V_ / np.linalg.norm(V_, axis=1, keepdims=True)
+            cid = np.argmax(Vn @ C.T, axis=1).astype("int32")
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "cid": cid, "embedding": pdf["embedding"]}
+            )
+
+    assigned = (
+        e.select("vec_id", "embedding")
+        .mapInPandas(assign, "vec_id long, cid int, embedding array<float>")
+        .persist()
+    )
+    assigned.count()  # build the index before ingest starts
+
+    def probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V_ = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            Vn = V_ / np.linalg.norm(V_, axis=1, keepdims=True)
+            top = np.argsort(-(Vn @ C.T), axis=1)[:, :_IVF_NPROBE].astype("int32")
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf["vec_id"].to_numpy(), _IVF_NPROBE),
+                    "cid": top.ravel(),
+                    "qv": pdf["embedding"].repeat(_IVF_NPROBE),
+                }
+            )
+
+    def answer_batch(batch: DataFrame) -> DataFrame:
+        q = (
+            batch.where(F.col("vec_id") % _QUERY_MOD == 0)
+            .select("vec_id", "embedding")
+            .mapInPandas(probe, "query_id long, cid int, qv array<float>")
+        )
+        cand = (
+            F.broadcast(q)
+            .join(assigned, "cid")
+            .where(F.col("query_id") != F.col("vec_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                V.cosine(F.col("qv"), F.col("embedding")).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            cand.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= _TOPK)
+            .select("query_id", "neighbor_id", "cos_sim")
+        )
+
+    src_dir = embeddings_raw_stream_dir(spark, sf_dir)
+    stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=2).read(spark)
+    try:
+        spooled = run_stream_batch_partials(stream, answer_batch)
+        return _ann_contract(spark, sf_dir, spooled, 0.4)
+    finally:
+        assigned.unpersist()
+
+
 def _ann_ivfpq_topk(
     spark: SparkSession,
     sf_dir: str,

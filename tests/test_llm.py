@@ -368,3 +368,15 @@ def test_streaming_pca_equals_batch_and_is_slicing_invariant(spark, sf_dir):
     # public surface twice (each run uses a fresh checkpoint/sink)
     stream2 = [tuple(r) for r in s_llm_embed_pca(spark, sf_dir).orderBy("dim").collect()]
     assert stream2 == batch
+
+
+def test_ann_ivf_ingest_equals_batch(spark, sf_dir):
+    """s_llm_ann_ivf must reproduce q_llm_ann_ivf exactly: a query's
+    answer depends only on the static pre-assigned index, never on
+    other arrivals, so admission slicing cannot change any contract
+    row."""
+    from cheetah_spark.registry import REGISTRY
+
+    batch = {r.query_id: r.asDict() for r in REGISTRY["q_llm_ann_ivf"].fn(spark, sf_dir).collect()}
+    stream = {r.query_id: r.asDict() for r in REGISTRY["s_llm_ann_ivf"].fn(spark, sf_dir).collect()}
+    assert stream == batch
