@@ -679,6 +679,17 @@ def build_transform(cfg: Mapping[str, Any]) -> Handler:
             # large set: Arrow-batched strip against a broadcast set —
             # the plan-literal would bloat the physical plan at real
             # boilerplate cardinalities
+            if df.isStreaming:
+                raise ValueError(
+                    f"line_dedup: boilerplate set has {len(boiler)} lines "
+                    f"(> max_inline={max_inline}); the Arrow-batched strip "
+                    "cannot compose with a keyed-state stage in one "
+                    "streaming plan (the engine's ArrowEval input path "
+                    "rejects state-emitter rows). Split the chain: run the "
+                    "stateful stage in the stream and the strip per "
+                    "micro-batch (foreachBatch), or raise max_inline if "
+                    "plan size permits"
+                )
             bset = spark.sparkContext.broadcast(set(boiler))
 
             @pandas_udf("string")

@@ -74,6 +74,10 @@ DOC_QUERIES = [
     "s_llm_c4_filter",
     # r12: the at-ingest Gopher battery (stateless judged projection)
     "s_llm_gopher_filter",
+    # r12: the declarative FineWeb chain, batch + at-ingest (url keep-min
+    # window / keyed state + rule gate + literal-set line strip)
+    "q_config_fineweb",
+    "s_config_fineweb",
     # r10 batch 2: perplexity terciles (unigram scoring + per-lang
     # NTILE sort) and the perceptual-hash image dedup (Arrow decode +
     # fingerprint groupBy over the per-tier media fixture)
@@ -125,6 +129,9 @@ EMB_QUERIES = [
     # r11: the fixed-panel twin (r10 verdict item #2) — must measure
     # flat above 10x where the contract mode grows
     "q_llm_knn_classify_fixedq",
+    # r12: the at-ingest IVF lookup (static index + per-trigger probe
+    # join — the streaming-engine constant on the probe shape)
+    "s_llm_ann_ivf",
 ]
 
 # the round-5 alpha>=0.8 cohort (plus the wide-simhash fix under test):
@@ -299,6 +306,14 @@ def main() -> None:
         documents_stream_dir(spark, sf_dir)
         embeddings_stream_dir(spark, sf_dir)
         events_stream_dir(spark, sf_dir)  # r10: events-based streaming probes
+        # r12: the fineweb chain's url-augmented staged corpus and the
+        # raw embeddings replay (s_llm_ann_ivf) — fixture derivations,
+        # same out-of-timings policy as the anchors above
+        from cheetah_spark.queries.declarative import _fineweb_src_dir
+        from cheetah_spark.streaming import embeddings_raw_stream_dir
+
+        _fineweb_src_dir(spark, sf_dir)
+        embeddings_raw_stream_dir(spark, sf_dir)
         spark.catalog.clearCache()
 
         probe_queries = HIGH_ALPHA if tag == "25x" else DOC_QUERIES + EMB_QUERIES
