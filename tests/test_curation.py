@@ -334,3 +334,66 @@ def test_gopher_filter_stream_equals_batch(spark, sf_dir):
         for r in s_llm_gopher_filter(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_stateful_url_dedup_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """Kill the keyed-state stream MID-REPLAY and resume from the same
+    checkpoint: the recovered run must continue from the committed
+    offsets (not restart from scratch) and the drained state must
+    equal the batch operator bit-for-bit — the state-store recovery
+    contract every production deployment of the at-ingest dedup relies
+    on (the reference's ack-on-commit maps to exactly this replay)."""
+    import time
+
+    from cheetah_spark.queries.curation import (
+        _canonical_url_expr,
+        _messy_url_expr,
+        _url_pages_report,
+        q_llm_url_dedup,
+    )
+    from cheetah_spark.queries.streams import scoped_state_partitions
+    from cheetah_spark.sources import ParquetSource
+    from cheetah_spark.streaming import documents_stream_dir
+
+    src = documents_stream_dir(spark, sf_dir)
+    ckpt = str(tmp_path / "rec_ckpt")
+
+    def start(name):
+        stream = ParquetSource(src, streaming=True, max_files_per_trigger=1).read(spark)
+        urls = stream.select("doc_id", "source", _messy_url_expr().alias("url"))
+        canon = urls.select(
+            "doc_id", "source", _canonical_url_expr(F.col("url")).alias("curl")
+        )
+        agg = canon.groupBy("source", "curl").agg(
+            F.min("doc_id").alias("keep_id"), F.count("*").alias("n_fetches")
+        )
+        return (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    with scoped_state_partitions(spark):
+        q1 = start("rec_phase1")
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline and not q1.recentProgress:
+                time.sleep(0.2)
+            assert q1.recentProgress, "no batch committed before the kill"
+        finally:
+            q1.stop()  # the crash
+        q2 = start("rec_phase2")
+        try:
+            q2.processAllAvailable()
+            # recovery, not a from-scratch rerun: the resumed query's
+            # batch ids continue past the pre-crash commits
+            batch_ids = [p["batchId"] for p in q2.recentProgress]
+            assert batch_ids and min(batch_ids) >= 1, batch_ids
+        finally:
+            q2.stop()
+    pages = spark.table("rec_phase2").localCheckpoint(eager=False)
+    got = {r.source: r.asDict() for r in _url_pages_report(pages).collect()}
+    want = {r.source: r.asDict() for r in q_llm_url_dedup(spark, sf_dir).collect()}
+    assert got == want
