@@ -397,3 +397,51 @@ def test_stateful_url_dedup_checkpoint_recovery(spark, sf_dir, tmp_path):
     got = {r.source: r.asDict() for r in _url_pages_report(pages).collect()}
     want = {r.source: r.asDict() for r in q_llm_url_dedup(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_url_dedup_ttl_rebirth_starts_fresh_window(spark, tmp_path):
+    """A URL re-fetched AFTER its state was evicted starts a NEW
+    keep-window (the documented TTL semantics): replay a page fetched
+    at t=0..2, silent through the TTL horizon, then re-fetched at
+    t=300..301 — the drained live state must show ONLY the reborn
+    window (keep-min and fetch count of the new fetches, not the
+    pre-eviction ones)."""
+    import os
+
+    import pandas as pd
+
+    from cheetah_spark.queries.curation import url_dedup_live_state
+
+    out = tmp_path / "canon_stream_rebirth"
+    out.mkdir()
+    base_t = 1_700_000_000
+    for i in range(4):
+        ids = list(range(i * 100, (i + 1) * 100))
+        pdf = pd.DataFrame(
+            {
+                "doc_id": ids,
+                "source": "A",
+                "curl": [
+                    "page" if (d <= 2 or d in (380, 381)) else "noise"
+                    for d in ids
+                ],
+            }
+        )
+        p = str(out / f"data-{i:04d}.parquet")
+        pdf.to_parquet(p)
+        os.utime(p, (base_t + i, base_t + i))
+    stream = (
+        spark.readStream.schema("doc_id long, source string, curl string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(out))
+    )
+    live = {
+        (r.source, r.curl): r.asDict()
+        for r in url_dedup_live_state(stream, ttl_seconds=50).collect()
+    }
+    # 'page' was evicted (last seen t=2, TTL 50, watermark passed 52
+    # during file 1) and reborn at t=380: the live entry is the NEW
+    # window — keep_id 380, n_fetches 2 — not the pre-eviction (0, 3)
+    assert ("A", "page") in live
+    assert live[("A", "page")]["keep_id"] == 380
+    assert live[("A", "page")]["n_fetches"] == 2
