@@ -342,7 +342,20 @@ def main() -> None:
         "cpus": CPUS,
         "wall_clock_unix": round(time.time()),
     }
-    with open(Path(__file__).resolve().parent / "BENCH_FULL.json", "w") as f:
+    # the committed BENCH_FULL.json is a ROUND-CLOSE artifact paired
+    # with BASELINE.md (gen_baseline.py renders the table from it) —
+    # an ordinary bench run (the per-round driver run included) must
+    # not drift the working tree away from that committed pair (the
+    # recurring r10/r11 review nit). Opt in to the in-repo write:
+    #     SPARK_GRAFT_WRITE_FULL=1 python bench.py && python tools/gen_baseline.py
+    if os.environ.get("SPARK_GRAFT_WRITE_FULL") == "1":
+        full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
+    else:
+        full_path = Path("/tmp/cheetah_bench/BENCH_FULL.json")
+        full_path.parent.mkdir(parents=True, exist_ok=True)
+        print(f"BENCH_FULL written to {full_path} (set SPARK_GRAFT_WRITE_FULL=1 "
+              "for the in-repo round-close artifact)", file=sys.stderr)
+    with open(full_path, "w") as f:
         json.dump(full, f, separators=(",", ":"))
     budget = 1900
     while len(json.dumps(out, separators=(",", ":"))) > budget and out["queries"]:

@@ -6,7 +6,7 @@ map — a stale table turns honest contract work into false ">2x" flags.
 This renders the section mechanically so it CANNOT drift from
 BENCH_FULL.json. Run after any clean min-of-2 bench:
 
-    python bench.py && python tools/gen_baseline.py
+    SPARK_GRAFT_WRITE_FULL=1 python bench.py && python tools/gen_baseline.py
 """
 
 from __future__ import annotations
