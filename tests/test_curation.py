@@ -445,3 +445,37 @@ def test_url_dedup_ttl_rebirth_starts_fresh_window(spark, tmp_path):
     assert ("A", "page") in live
     assert live[("A", "page")]["keep_id"] == 380
     assert live[("A", "page")]["n_fetches"] == 2
+
+
+def test_gopher_fail_sql_per_rule_parity_with_spark(spark, sf_dir):
+    """gopher_fail_sql (the raw-column DuckDB mirror the declarative
+    chain's oracle uses) must agree with gopher_rule_exprs PER RULE PER
+    DOCUMENT — not just through the chain's aggregate: run each single
+    rule both ways over the raw corpus text and compare the failing
+    doc_id sets."""
+    import duckdb
+
+    from cheetah_spark.queries.curation import (
+        gopher_fail_sql,
+        gopher_feat_exprs,
+        gopher_rule_exprs,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rules = gopher_rule_exprs(gopher_feat_exprs(F.col("text")))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    try:
+        for name, expr in rules.items():
+            got = {r.doc_id for r in d.where(expr).select("doc_id").collect()}
+            want = {
+                r[0]
+                for r in con.sql(
+                    f"SELECT doc_id FROM documents WHERE {gopher_fail_sql('text', (name,))}"
+                ).fetchall()
+            }
+            assert got == want, (name, len(got), len(want))
+    finally:
+        con.close()
