@@ -173,6 +173,9 @@ HIGH_ALPHA = [
     # map work — should track s_llm_c4_filter)
     "s_llm_url_dedup",
     "s_llm_gopher_filter",
+    # r12: per-trigger probe join grows with the index — the top tier
+    # bounds that constant
+    "s_llm_ann_ivf",
 ]
 
 # r8: q_llm_dup_clusters now runs the rep-collapse composition (the
