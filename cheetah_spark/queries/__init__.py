@@ -45,79 +45,29 @@ from cheetah_spark.queries import zmq  # noqa: F401
 # every round as (1) operators new or changed this round — their
 # latest driver row predates the code — then (2) the stale cohort,
 # oldest latest-row first, so no query's most recent driver evidence
-# ever ages past ~3 rounds (50-query window / 157 queries ≈ 3.1-round
-# full rotation when nothing changes).
+# ever ages past ~3 rounds. A stale header here is itself a review
+# signal (r12 verdict item #1: the r12 rebuild was skipped).
 #
-# Round-10 window: 2 new (NATS envelope/replay, wishlist #3) + the
-# ops changed this round (redis replay now chunk-pumped multi-batch;
-# plus any operator touched by the r10 verdict items — ann_lsh
-# fixed-|Q|, bloom-decontaminate spooling, embed-pca ingest, syslog
-# failure counters — appended as they land) + the r6-stale cohort
-# (latest driver row: round 6 — r9 verdict item #3 names these
-# explicitly, flagship q_multiway_join_tpch first) + the oldest
-# (r7-latest) names to fill the 50-slot window, alphabetical so the
-# roll is deterministic.
+# Round-13 window: 4 r12 ops with no driver row yet (q/s_config_fineweb,
+# s_llm_ann_ivf, s_llm_gopher_filter — r12 verdict item #1), the r13
+# additions (s_llm_url_dedup_ttl, q/s_config_fineweb_v2 — names listed
+# before registration; the registry filters unknown names), the
+# url-dedup pair changed this round (rebirth tie-break fix, ADVICE r12),
+# then the full stale cohort oldest-latest-driver-row first (24 r7, 43
+# r8, then r9/r10/r12), alphabetical within a round so the roll is
+# deterministic. Slots 1-50 ≈ the head + all of r7 + the first r8 names;
+# after r13 no query's latest evidence should be older than r8.
 CHECK_FIRST = [
-    # r10 late registrations: no driver row yet (r10 verdict item #1,
-    # pinned to slots 1-6)
-    "q_llm_sft_format",
-    "s_llm_sft_format",
-    "q_llm_dedup_recall_eval",
-    "q_llm_cross_source_dups",
-    "q_sec_impossible_travel",
-    "s_sec_impossible_travel",
-    # new this round: fixed-panel kNN twin (r10 verdict item #2) and
-    # the at-ingest twins of the r10 quality rewrites (item #4)
-    "q_llm_knn_classify_fixedq",
-    "s_llm_line_dedup",
+    "q_config_fineweb",
+    "s_config_fineweb",
+    "s_llm_ann_ivf",
+    "s_llm_gopher_filter",
+    "s_llm_url_dedup_ttl",
+    "q_config_fineweb_v2",
+    "s_config_fineweb_v2",
     "s_llm_url_dedup",
-    # refactored this round (shared-helper extraction; plans unchanged
-    # but the r10 evidence predates the code)
-    "q_llm_knn_classify",
-    "q_llm_line_dedup",
     "q_llm_url_dedup",
-    # stale cohort, oldest latest-driver-row first (r6 then r7),
-    # alphabetical within a round so the roll is deterministic.
-    # 12 slots above + 15 r6 + the first 23 r7 names fill the 50-slot
-    # window; the remaining r7 cohort rolls to the r12 rotation head.
-    "q_llm_unigram_logprob",
-    "q_multimodal_codec_roundtrip",
-    "q_multimodal_decode",
-    "q_multimodal_framesample",
-    "q_multimodal_resize",
-    "q_scalar_datetime",
-    "q_scan_binary_files",
-    "q_scan_schema_merge",
-    "q_scd2_history",
-    "q_sec_anomaly_zscore",
-    "q_sec_beacon_detect",
-    "q_session_window",
-    "q_sink_partition_prune",
-    "q_theta_range_join",
-    "s_llm_embed_dedup",
-    "q_agg_distinct",
-    "q_array_map_ops",
-    "q_cube_agg",
-    "q_distinct_dedup",
-    "q_grouping_sets",
-    "q_hash_agg",
-    "q_having_filter",
-    "q_json_ops",
-    "q_llm_ann_bruteforce",
-    "q_llm_bpe_train",
-    "q_llm_domain_mix",
-    "q_llm_entropy_filter",
-    "q_llm_exact_dedup",
-    "q_llm_fingerprint",
-    "q_llm_incremental_dedup",
-    "q_llm_kmeans",
-    "q_llm_lang_id",
-    "q_llm_minhash_dedup",
-    "q_llm_quality_regression",
-    "q_llm_quality_score",
-    "q_llm_token_count",
-    "q_llm_weighted_sample",
-    "q_llm_winnow_fingerprint",
+    # latest driver row: r7
     "q_multimodal_meta",
     "q_pivot_events",
     "q_scalar_conditional",
@@ -142,6 +92,7 @@ CHECK_FIRST = [
     "s_stream_topk_talkers",
     "s_stream_watermark_dropped",
     "s_stream_watermark_late",
+    # latest driver row: r8
     "q_approx_distinct_hll",
     "q_approx_quantile_cd",
     "q_conditional_agg",
@@ -185,6 +136,7 @@ CHECK_FIRST = [
     "q_window_frame_running",
     "q_window_ntile",
     "s_webhook_live",
+    # latest driver row: r9
     "q_approx_heavy_cmsketch",
     "q_arrow_surface",
     "q_asof_join",
@@ -230,6 +182,7 @@ CHECK_FIRST = [
     "s_stream_stateful_counter",
     "s_stream_static_join",
     "s_stream_stream_join",
+    # latest driver row: r10
     "q_amqp_envelope",
     "q_graph_triangles",
     "q_kinesis_envelope",
@@ -277,4 +230,53 @@ CHECK_FIRST = [
     "s_syslog_live",
     "s_timeseries_ohlc",
     "s_zmq_replay",
+    # latest driver row: r12
+    "q_agg_distinct",
+    "q_array_map_ops",
+    "q_cube_agg",
+    "q_distinct_dedup",
+    "q_grouping_sets",
+    "q_hash_agg",
+    "q_having_filter",
+    "q_json_ops",
+    "q_llm_ann_bruteforce",
+    "q_llm_bpe_train",
+    "q_llm_cross_source_dups",
+    "q_llm_dedup_recall_eval",
+    "q_llm_domain_mix",
+    "q_llm_entropy_filter",
+    "q_llm_exact_dedup",
+    "q_llm_fingerprint",
+    "q_llm_incremental_dedup",
+    "q_llm_kmeans",
+    "q_llm_knn_classify",
+    "q_llm_knn_classify_fixedq",
+    "q_llm_lang_id",
+    "q_llm_line_dedup",
+    "q_llm_minhash_dedup",
+    "q_llm_quality_regression",
+    "q_llm_quality_score",
+    "q_llm_sft_format",
+    "q_llm_token_count",
+    "q_llm_unigram_logprob",
+    "q_llm_weighted_sample",
+    "q_llm_winnow_fingerprint",
+    "q_multimodal_codec_roundtrip",
+    "q_multimodal_decode",
+    "q_multimodal_framesample",
+    "q_multimodal_resize",
+    "q_scalar_datetime",
+    "q_scan_binary_files",
+    "q_scan_schema_merge",
+    "q_scd2_history",
+    "q_sec_anomaly_zscore",
+    "q_sec_beacon_detect",
+    "q_sec_impossible_travel",
+    "q_session_window",
+    "q_sink_partition_prune",
+    "q_theta_range_join",
+    "s_llm_embed_dedup",
+    "s_llm_line_dedup",
+    "s_llm_sft_format",
+    "s_sec_impossible_travel",
 ]
