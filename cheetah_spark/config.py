@@ -639,7 +639,15 @@ def build_transform(cfg: Mapping[str, Any]) -> Handler:
         min_docs = int(cfg.get("min_docs", 2))
         corpus_path = cfg.get("from")
 
-        max_inline = int(cfg.get("max_inline", 10_000))
+        # Inline-literal ceiling (ADVICE r12): the inline path plans an
+        # InSet membership test per line — O(1) lookup, but the literal
+        # list itself inflates every plan/serialize cycle. Measured warm
+        # on local[4]: ≤2k literals ≈ free (+0.05 s/action), 10k ≈ +6 s,
+        # 20k ≈ +11 s, 100k ≈ +60 s. Default stays well inside the flat
+        # region; the Arrow broadcast-set path covers batch at any
+        # cardinality, so inline only needs genuinely small sets (its
+        # purpose is streaming composition with keyed-state stages).
+        max_inline = int(cfg.get("max_inline", 2_000))
 
         def strip_boilerplate(df: DataFrame) -> DataFrame:
             import pandas as pd  # noqa: F401 (pandas_udf runtime dep)
@@ -664,14 +672,16 @@ def build_transform(cfg: Mapping[str, Any]) -> Handler:
                 corpus = df
             boiler = sorted(boiler_line_set(corpus, col, id_col, min_docs))
             if len(boiler) <= max_inline:
-                # small set: a literal-array Catalyst filter keeps the
+                # small set: a literal IN-list Catalyst filter keeps the
                 # whole strip JVM-side — zero Python in the plan, which
                 # also lets it compose with the keyed-state url_dedup
                 # stage in one streaming plan (the ArrowEval input path
-                # cannot consume state-emitter rows)
+                # cannot consume state-emitter rows). isin() folds to
+                # InSet (hash set) above the OptimizeIn threshold, so
+                # the per-line test is O(1), not an O(|boiler|) scan.
                 lines = F.filter(
                     F.split(F.col(col), "\n"),
-                    (lambda x: (x != "") & ~F.array_contains(F.array(*[F.lit(b) for b in boiler]), x))
+                    (lambda x: (x != "") & ~x.isin(boiler))
                     if boiler
                     else (lambda x: x != ""),
                 )

@@ -2277,7 +2277,17 @@ def _url_pages_report(pages: DataFrame) -> DataFrame:
     fetch-sized, so 'the drained state alone yields the report' holds
     without any functional dependency between curl and source (the
     fixture happens to embed source in the host; production URLs
-    don't)."""
+    don't).
+
+    Semantics note (ADVICE r12): ``n_pages`` counts pages the source
+    FETCHED (its state rows), while ``n_docs - n_dropped`` counts pages
+    whose GLOBAL keeper lives in that source. With cross-source
+    canonical URLs these legitimately diverge — a source that fetched a
+    page but lost the global keep-min contributes to n_pages yet drops
+    every fetch. The invariant ``n_docs - n_dropped == n_pages`` (the
+    older per-stratum test) therefore holds only when curl functionally
+    determines source, as in the registered fixture; corpus-wide,
+    SUM(n_docs - n_dropped) == |distinct curl| always holds."""
     g = pages.groupBy("curl").agg(
         F.min("keep_id").alias("g_keep"),
         F.sum("n_fetches").alias("g_fetches"),
@@ -2316,8 +2326,11 @@ def url_dedup_live_state(canon_stream: DataFrame, ttl_seconds: int) -> DataFrame
     EVENT-TIME timeout at last_seen + ttl: when the watermark passes
     it, the key is evicted and emits a tombstone. Every update emits
     the current state stamped with the batch's watermark, so the
-    drained spool resolves per key to its LATEST emission (watermark
-    strictly advances between a key's update and its later eviction);
+    drained spool resolves per key to its LATEST emission via
+    :func:`resolve_latest_url_state` — the watermark strictly advances
+    between a key's update and its later eviction (timeout > stamping
+    wm), but an eviction and a subsequent REBIRTH can tie on wm, which
+    the resolver breaks toward the live row (evicted ASC);
     a URL re-fetched AFTER eviction deliberately starts a fresh window
     — that is what TTL aging means. With ttl >= the corpus's event
     span nothing evicts and the live state equals the un-aged state
@@ -2392,8 +2405,30 @@ def url_dedup_live_state(canon_stream: DataFrame, ttl_seconds: int) -> DataFrame
         ),
         output_mode="update",
     )
+    return resolve_latest_url_state(spool)
+
+
+def resolve_latest_url_state(spool: DataFrame) -> DataFrame:
+    """Resolve a drained url-dedup update spool (one row per emission,
+    stamped (wm, evicted)) to each key's LATEST live state.
+
+    Ordering: ``wm DESC, evicted ASC, n_fetches DESC``. The watermark
+    is monotone but NOT strictly increasing between batches, so wm
+    alone cannot order an eviction against a rebirth that lands before
+    the watermark advances — they tie on wm, and the tombstone's larger
+    n_fetches must not outrank the reborn window (it would silently
+    drop a live key). ``evicted ASC`` breaks that tie toward the live
+    row, which is safe in the other direction too: an eviction can
+    never share a wm with an EARLIER update of the same key, because
+    the timeout is always set strictly above the stamping watermark
+    (``max(..., wm+1)`` in the update fn), so the eviction batch's
+    watermark strictly exceeds every prior update's stamp. Among live
+    rows tying on wm, n_fetches is monotone within a window, so
+    n_fetches DESC picks the newest."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("source", "curl").orderBy(
-        F.col("wm").desc(), F.col("n_fetches").desc(), F.col("evicted").desc()
+        F.col("wm").desc(), F.col("evicted").asc(), F.col("n_fetches").desc()
     )
     return (
         spool.withColumn("rn", F.row_number().over(w))

@@ -1045,6 +1045,72 @@ def test_fineweb_chain_from_config_streaming(tmp_path, spark, sf_dir):
         assert not (set(ln for ln in r.text.split("\n") if ln) & bset)
 
 
+def test_c4_rules_transform_from_config_batch(tmp_path, spark, sf_dir):
+    """`{"type": "c4_rules"}` e2e (ADVICE r12: the one declarative
+    transform with no config-layer test): stage a corpus whose text IS
+    the derived noisy page, run the JSON chain through the daemon, and
+    pin (a) kept rows + rewritten text equal to the c4_page_exprs
+    composition the transform binds, and (b) the kept count and the
+    rewrite CHECKSUM against _c4_judged over the ORIGINAL documents —
+    the independent spelling of the same gate (it re-derives the page
+    from doc_id + raw text), so a wiring bug in the binding cannot
+    cancel out."""
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.__main__ import main
+    from cheetah_spark.functions import text as X
+    from cheetah_spark.queries.curation import (
+        _C4_FP_MOD,
+        _c4_judged,
+        _c4_noisy_page_expr,
+        c4_page_exprs,
+    )
+
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    src = str(tmp_path / "c4_pages")
+    raw.select("doc_id", "lang", _c4_noisy_page_expr().alias("text")).write.parquet(
+        src
+    )
+    cfg = {
+        "source": {"type": "parquet", "path": src},
+        "transforms": [{"type": "c4_rules", "column": "text"}],
+        "sink": {"type": "memory", "name": "cli_c4_batch"},
+    }
+    f = tmp_path / "cli_c4_batch.json"
+    f.write_text(json.dumps(cfg))
+    assert main(["run", "--config", str(f)]) == 0
+    got = {r.doc_id: r.text for r in spark.table("cli_c4_batch").collect()}
+    # (a) the composition the transform binds, applied independently
+    kept_text, page_drop = c4_page_exprs(F.col("text"))
+    expect = {
+        r.doc_id: r.kt
+        for r in spark.read.parquet(src)
+        .select("doc_id", kept_text.alias("kt"), page_drop.alias("pd"))
+        .where(~F.col("pd"))
+        .collect()
+    }
+    assert got == expect
+    assert expect  # gate must keep something...
+    assert len(expect) < raw.count()  # ...and drop something
+    # (b) cross-check against _c4_judged on the RAW corpus: same kept
+    # count, and the config output's text hashes to the same checksum
+    j = _c4_judged(raw).agg(
+        F.sum(F.col("kept").cast("int")).alias("n_kept"),
+        F.sum("fp").alias("fp_sum"),
+    ).collect()[0]
+    assert j.n_kept == len(got)
+    out_fp = (
+        spark.table("cli_c4_batch")
+        .select((X.hash56(F.col("text")) % _C4_FP_MOD).alias("fp"))
+        .agg(F.sum("fp").alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert out_fp == j.fp_sum
+
+
 def test_url_dedup_transform_ttl_knob_streaming(tmp_path, spark, sf_dir):
     """`{"type": "url_dedup", "ttl_seconds": N}` on a streaming source
     routes through ProcessingTimeTimeout state aging. On a bounded

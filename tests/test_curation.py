@@ -192,7 +192,11 @@ def test_url_canonicalization_spec(spark):
 
 def test_url_dedup_keeps_one_doc_per_page(spark, sf_dir):
     """Exactly one kept fetch per canonical page: n_docs - n_dropped
-    must equal n_pages in every source stratum."""
+    must equal n_pages in every source stratum. Per-stratum form holds
+    ONLY because the fixture's curl embeds its source (curl → source
+    functional dependency); with cross-source URLs the law is
+    corpus-wide — see _url_pages_report's semantics note and
+    test_url_dedup_report_global_keeper_cross_source."""
     from cheetah_spark.registry import REGISTRY
 
     rows = REGISTRY["q_llm_url_dedup"].fn(spark, sf_dir).collect()
@@ -445,6 +449,44 @@ def test_url_dedup_ttl_rebirth_starts_fresh_window(spark, tmp_path):
     assert ("A", "page") in live
     assert live[("A", "page")]["keep_id"] == 380
     assert live[("A", "page")]["n_fetches"] == 2
+
+
+def test_url_dedup_resolver_rebirth_wins_watermark_tie(spark):
+    """The spool resolver must not let an eviction tombstone outrank a
+    REBIRTH that lands before the watermark advances (ADVICE r12): the
+    watermark is monotone but not strictly increasing, so the two can
+    tie on wm, and the tombstone carries the LARGER n_fetches — under
+    the old (wm DESC, n_fetches DESC, evicted DESC) order the live
+    reborn window was wrongly dropped. Pin the synthetic spool the
+    streaming engine cannot be forced to produce deterministically."""
+    from cheetah_spark.queries.curation import resolve_latest_url_state
+
+    spool = spark.createDataFrame(
+        [
+            # key 1: update(wm=10) → evict(wm=60) → rebirth at wm=60
+            # (watermark did not advance between the batches); the
+            # tombstone's n_fetches=5 > the reborn window's 1
+            ("A", "page", 0, 5, 10, False),
+            ("A", "page", 0, 5, 60, True),
+            ("A", "page", 300, 1, 60, False),
+            # key 2: two rebirth updates tie on wm — n_fetches DESC
+            # must still pick the newest among live rows
+            ("A", "other", 0, 3, 20, False),
+            ("A", "other", 0, 3, 70, True),
+            ("A", "other", 400, 1, 70, False),
+            ("A", "other", 400, 2, 70, False),
+            # key 3: evicted with no rebirth — must NOT appear
+            ("A", "gone", 0, 2, 40, False),
+            ("A", "gone", 0, 2, 90, True),
+        ],
+        "source string, curl string, keep_id long, n_fetches long, "
+        "wm long, evicted boolean",
+    )
+    got = {
+        (r.source, r.curl): (r.keep_id, r.n_fetches)
+        for r in resolve_latest_url_state(spool).collect()
+    }
+    assert got == {("A", "page"): (300, 1), ("A", "other"): (400, 2)}
 
 
 def test_gopher_fail_sql_per_rule_parity_with_spark(spark, sf_dir):
