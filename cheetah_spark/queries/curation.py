@@ -2508,6 +2508,29 @@ def s_llm_url_dedup(
     return _url_pages_report(pages)
 
 
+@register(
+    "s_llm_url_dedup_ttl",
+    # same batch oracle: with a TTL ≥ the corpus's event span nothing
+    # evicts, so the TTL engine must drain to the un-aged report
+    # bit-for-bit — the conformance law the pytest gate already pins
+    oracle=_URL_DEDUP_ORACLE,
+    tags=("streaming", "llm", "curation", "dedup", "url", "ttl"),
+)
+def s_llm_url_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-knob path of :func:`s_llm_url_dedup` as its own
+    contract query (r12 verdict item #4): route through
+    :func:`url_dedup_live_state` — applyInPandasWithState keyed
+    (source, curl) state with an EVENT-TIME timeout — with a TTL (10^7 s)
+    at least the fixture's event span, so the driver hash-gates the
+    aging engine itself (state update, timeout stamping, spool
+    resolution via :func:`resolve_latest_url_state`, report rollup)
+    against the SAME DuckDB batch oracle as the un-aged path. The
+    small-TTL behaviors (eviction, rebirth, watermark-tie resolution)
+    stay pinned in tests/test_curation.py — they are unreachable by a
+    batch SQL oracle by construction."""
+    return s_llm_url_dedup(spark, sf_dir, ttl_seconds=10**7)
+
+
 # ---------------------------------------------------------------------------
 # Gopher rule battery (Rae et al. 2021, Table A1)
 # ---------------------------------------------------------------------------
