@@ -529,6 +529,16 @@ def build_transform(cfg: Mapping[str, Any]) -> Handler:
         # have no event-time column contract, so processing time is
         # the declarative binding.
         ttl_seconds = cfg.get("ttl_seconds")
+        # The state operator's declared output mode. "update" (default)
+        # composes with stateless stages and an update-mode sink — the
+        # v1 chains. "append" declares each emission FINAL (true here:
+        # first_fetch emits a key's row exactly once and never again),
+        # which is what the micro-batch planner requires to accept a
+        # DOWNSTREAM streaming aggregation (the minhash_dedup stage):
+        # update-mode fmgws + agg is rejected outright, and append-mode
+        # fmgws without an agg demands an append-mode sink — so the
+        # mode must match the chain, and the config declares the chain.
+        state_mode = cfg.get("state_output_mode", "update")
 
         def keep_canonical(df: DataFrame) -> DataFrame:
             from pyspark.sql.window import Window
@@ -576,7 +586,7 @@ def build_transform(cfg: Mapping[str, Any]) -> Handler:
                     first_fetch,
                     outputStructType=out_fields,
                     stateStructType="n long",
-                    outputMode="update",
+                    outputMode=state_mode,
                     timeoutConf=(
                         GroupStateTimeout.NoTimeout
                         if ttl_ms is None
@@ -714,6 +724,98 @@ def build_transform(cfg: Mapping[str, Any]) -> Handler:
             return df.withColumn(col, strip(F.col(col)))
 
         return strip_boilerplate
+    if kind == "minhash_dedup":
+        col = cfg.get("column", "text")
+        id_col = cfg.get("id", "doc_id")
+        carry = cfg.get("carry")
+
+        def near_dedup(df: DataFrame) -> DataFrame:
+            from cheetah_spark.queries.llm import (
+                _MH_BANDS,
+                minhash_bucket_expr,
+                minhash_sig_expr,
+                minhash_sigs_arrow,
+            )
+
+            if not df.isStreaming:
+                # batch: drop every doc colliding in >=1 LSH band with
+                # an earlier (lower-id) doc — keep-one-per-near-dup-
+                # cluster, the FineWeb MinHash stage. Banded bucket
+                # keys are the family's shared expression, so cost is
+                # one (band, bucket) shuffle + a bucket-min + an
+                # anti-join: O(corpus), never O(pairs). Shingle-less
+                # docs have NULL sigs (no near-dup identity) and are
+                # kept — they never enter the banding.
+                sigs = minhash_sigs_arrow(df, id_col=id_col, text_col=col).where(
+                    F.col("sig").isNotNull()
+                )
+                banded = sigs.select(
+                    id_col,
+                    F.explode(F.sequence(F.lit(0), F.lit(_MH_BANDS - 1))).alias("b"),
+                    minhash_bucket_expr(F.col("sig"), F.col("b")).alias("bucket"),
+                )
+                # bucket-min as a WINDOW over the one (band, bucket)
+                # shuffle — not an agg + self-join, which would evaluate
+                # the Arrow signature stage twice (the banded subtree
+                # feeds both join sides; plan-pinned single MapInArrow)
+                from pyspark.sql.window import Window
+
+                w = Window.partitionBy("b", "bucket")
+                flagged = (
+                    banded.withColumn("__win_id", F.min(id_col).over(w))
+                    .where(F.col(id_col) > F.col("__win_id"))
+                    .select(id_col)
+                    .distinct()
+                )
+                return df.join(flagged, id_col, "left_anti")
+            # streaming: the s_llm_minhash_dedup state discipline — ONE
+            # JVM streaming aggregation carrying, per occupied (band,
+            # bucket), the MIN (id, carry…) struct ever seen (id leads,
+            # so struct order == arrival-id order). The frame this
+            # returns is the RUNNING bucket-win state in update mode;
+            # drain it to a spool and resolve survivors post-stream
+            # with queries.llm.resolve_minhash_survivors (a doc
+            # survives iff it holds the final min of all _MH_BANDS of
+            # its buckets). State is O(occupied buckets) x a slim
+            # struct — `carry` names the columns that ride along
+            # (default: everything but the text column; list only what
+            # the rollup needs, the text itself NEVER belongs in the
+            # state store). Upstream of this stage everything must be
+            # Catalyst (the sig is the map-only minhash_sig_expr, not
+            # the Arrow path — ArrowEval cannot consume state-emitter
+            # rows), and an upstream url_dedup stage must declare
+            # state_output_mode="append" (the planner rejects
+            # update-mode fmgws ahead of an aggregation).
+            ride = (
+                list(carry)
+                if carry is not None
+                else [c for c in df.columns if c not in (id_col, col)]
+            )
+            win = F.struct(F.col(id_col), *[F.col(c) for c in ride]).alias("win")
+            sig = minhash_sig_expr(F.col(col))
+            withsig = df.select(win, sig.alias("sig"))
+            banded = withsig.select(
+                "win",
+                F.explode(
+                    F.when(
+                        F.col("sig").isNotNull(),
+                        F.sequence(F.lit(0), F.lit(_MH_BANDS - 1)),
+                    ).otherwise(F.array(F.lit(-1)))
+                ).alias("b"),
+                "sig",
+            ).select(
+                "win",
+                "b",
+                F.when(
+                    F.col("b") >= 0,
+                    minhash_bucket_expr(F.col("sig"), F.col("b")),
+                )
+                .otherwise(F.col(f"win.{id_col}").cast("string"))
+                .alias("bucket"),
+            )
+            return banded.groupBy("b", "bucket").agg(F.min("win").alias("win"))
+
+        return near_dedup
     raise ValueError(f"unknown transform type: {kind!r}")
 
 

@@ -67,6 +67,10 @@ CHECK_FIRST = [
     "s_config_fineweb_v2",
     "s_llm_url_dedup",
     "q_llm_url_dedup",
+    # changed this round: banding refactored onto the shared
+    # minhash_bucket_expr (same plan; evidence predates the code)
+    "q_llm_minhash_dedup",
+    "s_llm_minhash_dedup",
     # latest driver row: r7
     "q_multimodal_meta",
     "q_pivot_events",
@@ -175,7 +179,6 @@ CHECK_FIRST = [
     "s_eventlog_live",
     "s_journald_live",
     "s_kafka_replay",
-    "s_llm_minhash_dedup",
     "s_mqtt_live",
     "s_stream_dedup",
     "s_stream_identity",
@@ -253,7 +256,6 @@ CHECK_FIRST = [
     "q_llm_knn_classify_fixedq",
     "q_llm_lang_id",
     "q_llm_line_dedup",
-    "q_llm_minhash_dedup",
     "q_llm_quality_regression",
     "q_llm_quality_score",
     "q_llm_sft_format",

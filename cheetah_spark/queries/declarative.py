@@ -342,12 +342,23 @@ def _fineweb_src_dir(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
-def _fineweb_oracle() -> str:
-    """DuckDB mirror of the whole declarative chain: messy-URL
-    derivation → canonicalize → global keep-min → Gopher rule subset on
-    the raw text → boilerplate-line strip (line DF >= 2 over the WHOLE
-    corpus, the transform's `from` contract) → per-lang rollup with the
-    rewritten-text checksum."""
+_FW_ROLLUP = """
+        SELECT lang,
+               COUNT(*)::BIGINT AS n_kept,
+               CAST(SUM(length(text)) AS BIGINT) AS kept_chars,
+               CAST(SUM(CAST('0x' || substr(md5(text), 1, 14) AS BIGINT)
+                        % 1000003) AS BIGINT) AS kept_checksum
+"""
+
+
+def _fineweb_ctes() -> str:
+    """The shared DuckDB CTE chain mirroring the declarative FineWeb
+    stages up to `final` (the url-dedup + Gopher + line-strip
+    survivors with REWRITTEN text): messy-URL derivation → canonicalize
+    → global keep-min → Gopher rule subset on the raw text →
+    boilerplate-line strip (line DF >= 2 over the WHOLE corpus, the
+    transform's `from` contract). v1 rolls `final` up directly; v2
+    chains the MinHash near-dedup stage on top."""
     from cheetah_spark.queries.curation import (
         _MESSY_URL_EXPR_SQL,
         _canon_url_sql,
@@ -355,8 +366,7 @@ def _fineweb_oracle() -> str:
     )
 
     fails = gopher_fail_sql("text", _FW_RULES)
-    return f"""
-        WITH urls AS (
+    return f"""urls AS (
             SELECT doc_id, lang, source, text,
                    {_MESSY_URL_EXPR_SQL} AS url
             FROM documents
@@ -402,13 +412,40 @@ def _fineweb_oracle() -> str:
             -- `ex`; restore them with empty rewritten text
             SELECT s.doc_id, s.lang, coalesce(st.text, '') AS text
             FROM survivors s LEFT JOIN stripped st ON s.doc_id = st.doc_id
-        )
-        SELECT lang,
-               COUNT(*)::BIGINT AS n_kept,
-               CAST(SUM(length(text)) AS BIGINT) AS kept_chars,
-               CAST(SUM(CAST('0x' || substr(md5(text), 1, 14) AS BIGINT)
-                        % 1000003) AS BIGINT) AS kept_checksum
+        )"""
+
+
+def _fineweb_oracle() -> str:
+    """DuckDB mirror of the v1 chain: the shared CTEs rolled up."""
+    return f"""
+        WITH {_fineweb_ctes()}
+        {_FW_ROLLUP}
         FROM final GROUP BY lang
+    """
+
+
+def _fineweb_v2_oracle() -> str:
+    """DuckDB mirror of the v2 chain: the shared CTEs + the MinHash
+    near-dedup stage over the REWRITTEN survivor texts (the FineWeb
+    pipeline order: quality gates, then near-dedup) — signatures,
+    banding, and candidate pairs come from the registered minhash
+    family's own oracle builders, so the mirror is the same single
+    definition the q_llm_minhash_dedup driver row certifies. A doc is
+    dropped iff it collides in >=1 band with an earlier (lower-id)
+    doc; shingle-less docs never enter the banding and survive."""
+    from cheetah_spark.queries.llm import _oracle_bands_cand, _oracle_minhash_sigs
+
+    return f"""
+        WITH {_fineweb_ctes()},
+        sigs AS ({_oracle_minhash_sigs("final")}),
+        {_oracle_bands_cand()},
+        flagged AS (SELECT DISTINCT doc_id_b AS doc_id FROM cand),
+        kept2 AS (
+            SELECT f.* FROM final f LEFT JOIN flagged g USING (doc_id)
+            WHERE g.doc_id IS NULL
+        )
+        {_FW_ROLLUP}
+        FROM kept2 GROUP BY lang
     """
 
 
@@ -498,4 +535,117 @@ def s_config_fineweb(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("kept_checksum"),
+    )
+
+
+def _fineweb_v2_transforms(src: str, streaming: bool) -> list:
+    """The five declarative stages of the v2 chain (FineWeb order:
+    dedup-by-URL, quality gates, boilerplate strip, MinHash near-dedup).
+    Streaming composes ONE plan with two stateful stages — the planner
+    accepts keyed-state-then-aggregation only when the state operator
+    declares append mode (each keep-min row is emitted exactly once,
+    so append is the true contract), the inter-stage columns stay pure
+    Catalyst, and the rollup inputs (kept_chars, fp) are projected
+    BEFORE the near-dedup stage so the bucket-win state carries slim
+    scalars, never text."""
+    stages = [
+        {"type": "url_dedup", "url": "url", "id": "doc_id",
+         **({"state_output_mode": "append"} if streaming else {})},
+        {"type": "gopher_rules", "column": "text", "mode": "filter",
+         "rules": list(_FW_RULES)},
+        {"type": "line_dedup", "column": "text", "from": src},
+    ]
+    if streaming:
+        stages += [
+            {"type": "sql", "view": "__fw_v2_gated__", "query": """
+                SELECT doc_id, lang, text,
+                       length(text) AS kept_chars,
+                       CAST(conv(substr(md5(text), 1, 14), 16, 10) AS BIGINT)
+                           % 1000003 AS fp
+                FROM __fw_v2_gated__
+            """},
+            {"type": "minhash_dedup", "column": "text", "id": "doc_id",
+             "carry": ["lang", "kept_chars", "fp"]},
+        ]
+    else:
+        stages += [
+            {"type": "minhash_dedup", "column": "text", "id": "doc_id"},
+            {"type": "sql", "query": _FW_AGG, "view": "__input__"},
+        ]
+    return stages
+
+
+@register(
+    "q_config_fineweb_v2",
+    oracle=_fineweb_v2_oracle(),
+    tags=("config", "pipeline", "llm", "curation", "dedup", "minhash"),
+)
+def q_config_fineweb_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE FineWeb curation stack from JSON config (r12
+    verdict item #5): v1's url_dedup → gopher_rules → line_dedup plus
+    the pipeline's MinHash near-dedup stage — `minhash_dedup` drops
+    every doc colliding in >=1 LSH band with an earlier doc over the
+    REWRITTEN text (keep-one-per-near-dup-cluster, the q_llm_minhash_
+    dedup banding expressions verbatim) — then the per-lang rollup.
+
+    Scale shape adds to v1: one map-side signature pass (Arrow-
+    vectorized), ONE (band, bucket) shuffle + bucket-min, one anti-join
+    on doc_id. No pair space materializes at any scale — the banding
+    cost is O(corpus), and the 128-bit bucket keys shuffle uniformly
+    (AQE splits any adversarial hot bucket)."""
+    src = _fineweb_src_dir(spark, sf_dir)
+    cfg = {
+        "source": {"type": "parquet", "path": src},
+        "transforms": _fineweb_v2_transforms(src, streaming=False),
+    }
+    return pipeline_from_config(cfg).dataframe(spark)
+
+
+@register(
+    "s_config_fineweb_v2",
+    oracle=_fineweb_v2_oracle(),
+    tags=("config", "pipeline", "llm", "curation", "dedup", "minhash",
+          "streaming"),
+)
+def s_config_fineweb_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 5-stage chain as ONE StreamingQuery against the SAME oracle:
+    keyed URL keep-min state (append mode — each emission is final,
+    which is what lets the planner accept the SECOND stateful stage
+    downstream), stateless Catalyst quality gate + boilerplate strip +
+    rollup-input projection, then the minhash_dedup bucket-win
+    aggregation (the s_llm_minhash_dedup state discipline: per occupied
+    (band, bucket), the running MIN (doc_id, lang, kept_chars, fp)
+    struct — slim scalars, the text never enters the state store).
+
+    The update-mode spool drains to parquet via foreachBatch and
+    resolve_minhash_survivors reduces it to the kept rows — a doc
+    survives iff it holds the FINAL min of all 8 of its buckets —
+    which is order-insensitive (running-min emissions resolve to the
+    same final state under any batch slicing), so the rollup is
+    hash-gateable against the batch chain bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.queries.llm import resolve_minhash_survivors
+    from cheetah_spark.queries.streams import scoped_state_partitions
+    from cheetah_spark.streaming import run_stream_to_files
+
+    src = _fineweb_src_dir(spark, sf_dir)
+    cfg = {
+        "source": {
+            "type": "parquet",
+            "path": src,
+            "streaming": True,
+            "max_files_per_trigger": 1,
+        },
+        "transforms": _fineweb_v2_transforms(src, streaming=True),
+    }
+    stream = pipeline_from_config(cfg).dataframe(spark)
+    assert stream.isStreaming
+    with scoped_state_partitions(spark):
+        spool = run_stream_to_files(stream, lambda df: df, output_mode="update")
+    kept = resolve_minhash_survivors(spool)
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("kept_chars").cast("bigint").alias("kept_chars"),
+        F.sum("fp").cast("bigint").alias("kept_checksum"),
     )

@@ -468,6 +468,17 @@ _MH_ROWS = _MH_HASHES // _MH_BANDS  # 4 rows per band
 _MH_PARAMS = X.minhash_params(_MH_HASHES)
 
 
+def minhash_bucket_expr(sig: "F.Column", b: "F.Column") -> "F.Column":
+    """The LSH bucket key of band ``b`` of a MinHash signature: md5 of
+    the band's row slice, comma-joined — 128-bit uniform keys, so the
+    (band, bucket) shuffle never concentrates on a hot hash. The ONE
+    definition every banding consumer shares (batch candidate
+    generation, the streaming bucket-min state machine, the
+    declarative ``minhash_dedup`` transform); oracle mirror:
+    :func:`_oracle_bands_cand`."""
+    return F.md5(F.array_join(F.slice(sig, b * _MH_ROWS + 1, _MH_ROWS), ","))
+
+
 def minhash_sig_expr(text: "F.Column") -> "F.Column":
     """Map-only MinHash signature (array<bigint>[32]) as ONE column
     expression — no explode, no aggregation. Equivalent to
@@ -680,11 +691,7 @@ def _minhash_band_candidates(sigs: DataFrame) -> DataFrame:
     ).select(
         "doc_id",
         "b",
-        F.md5(
-            F.array_join(
-                F.slice(F.col("sig"), F.col("b") * _MH_ROWS + 1, _MH_ROWS), ","
-            )
-        ).alias("bucket"),
+        minhash_bucket_expr(F.col("sig"), F.col("b")).alias("bucket"),
     )
     return (
         bands.alias("a")
@@ -693,6 +700,37 @@ def _minhash_band_candidates(sigs: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_id_a"), F.col("c.doc_id").alias("doc_id_b"))
         .distinct()
     )
+
+
+def resolve_minhash_survivors(spool: DataFrame) -> DataFrame:
+    """Drained ``minhash_dedup`` bucket-win spool → the surviving rows.
+
+    The declarative streaming transform (config.py) emits, in update
+    mode, each (b, bucket) group's running MIN ``win`` struct —
+    ``(id, carry…)``, id leading, so struct order == id order. A doc
+    survives the near-dedup iff NO earlier doc shares any of its
+    ``_MH_BANDS`` buckets, i.e. iff it holds the FINAL min of all
+    ``_MH_BANDS`` of its (distinct-by-construction) bucket keys.
+    Shingle-less docs carry no near-dup identity: the transform routes
+    them through one synthetic singleton bucket keyed ``b = -1`` (its
+    bucket string is the id, so no two docs collide) — auto-survivors.
+
+    Every step is a distributed aggregation over the spool (min over
+    emissions is the final state because a running min is monotone;
+    order-insensitive, so the result is invariant to batch slicing)."""
+    final = (
+        spool.where(F.col("b") >= 0)
+        .groupBy("b", "bucket")
+        .agg(F.min("win").alias("win"))
+    )
+    wins = (
+        final.groupBy("win")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") == _MH_BANDS)
+        .select("win")
+    )
+    solo = spool.where(F.col("b") == -1).select("win").distinct()
+    return wins.unionByName(solo).select("win.*")
 
 
 def _minhash_pairs(sigs: DataFrame) -> DataFrame:

@@ -660,7 +660,11 @@ def _stream_minhash_flagged(
     set = banded arrivals with doc_id above their bucket's final min
     — identical to flagging each arrival online, because a doc is
     flagged iff ANY bucket it lands in ever saw a smaller doc_id."""
-    from cheetah_spark.queries.llm import _MH_BANDS, _MH_ROWS, minhash_sigs_arrow
+    from cheetah_spark.queries.llm import (
+        _MH_BANDS,
+        minhash_bucket_expr,
+        minhash_sigs_arrow,
+    )
     from cheetah_spark.streaming import documents_stream_dir
 
     src_dir = documents_stream_dir(spark, sf_dir)
@@ -700,11 +704,7 @@ def _stream_minhash_flagged(
             .select(
                 "doc_id",
                 "b",
-                F.md5(
-                    F.array_join(
-                        F.slice(F.col("sig"), F.col("b") * _MH_ROWS + 1, _MH_ROWS), ","
-                    )
-                ).alias("bucket"),
+                minhash_bucket_expr(F.col("sig"), F.col("b")).alias("bucket"),
             )
         )
 
@@ -737,9 +737,7 @@ def _stream_minhash_flagged(
     ).select(
         "doc_id",
         "b",
-        F.md5(
-            F.array_join(F.slice(F.col("sig"), F.col("b") * _MH_ROWS + 1, _MH_ROWS), ",")
-        ).alias("bucket"),
+        minhash_bucket_expr(F.col("sig"), F.col("b")).alias("bucket"),
     )
     return (
         arrivals.join(final_min, ["b", "bucket"])

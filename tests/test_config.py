@@ -1141,3 +1141,90 @@ def test_url_dedup_transform_ttl_knob_streaming(tmp_path, spark, sf_dir):
         results[name] = sorted(r.doc_id for r in spark.table(name).select("doc_id").collect())
     assert results["cli_url_ttl"] == results["cli_url_nottl"]
     assert results["cli_url_ttl"]  # non-degenerate
+
+
+def test_minhash_dedup_transform_batch_matches_pair_composition(tmp_path, spark, sf_dir):
+    """`{"type": "minhash_dedup"}` batch e2e through the daemon: the
+    kept set must equal the INDEPENDENT spelling — banded candidate
+    pairs (the q_llm_minhash_dedup generator) flagging every doc_id_b —
+    so the transform's bucket-min anti-join and the family's pair join
+    must agree doc-for-doc, and shingle-less docs must survive."""
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.__main__ import main
+    from cheetah_spark.queries.llm import _minhash_band_candidates, _minhash_sigs_of
+
+    src = str(tmp_path / "mh_docs")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    # plant a shingle-less doc to pin the null-sig survival path
+    short = spark.createDataFrame([(10**9, "xx", "one two")], docs.schema)
+    docs.unionByName(short).write.parquet(src)
+    cfg = {
+        "source": {"type": "parquet", "path": src},
+        "transforms": [{"type": "minhash_dedup", "column": "text", "id": "doc_id"}],
+        "sink": {"type": "memory", "name": "cli_mh_batch"},
+    }
+    f = tmp_path / "cli_mh_batch.json"
+    f.write_text(json.dumps(cfg))
+    assert main(["run", "--config", str(f)]) == 0
+    got = {r.doc_id for r in spark.table("cli_mh_batch").select("doc_id").collect()}
+    staged = spark.read.parquet(src)
+    flagged = {
+        r.doc_id_b
+        for r in _minhash_band_candidates(_minhash_sigs_of(staged).persist())
+        .select("doc_id_b")
+        .distinct()
+        .collect()
+    }
+    expect = {r.doc_id for r in staged.select("doc_id").collect()} - flagged
+    assert got == expect
+    assert 10**9 in got  # the shingle-less doc survived
+    assert flagged  # and the fixture really has near-dups
+
+
+def test_fineweb_v2_chain_from_config_streaming_daemon(tmp_path, spark, sf_dir):
+    """The 5-stage v2 chain through the DAEMON as one streaming query
+    (two stateful stages in one plan): url keep-min state in append
+    mode → gopher gate → line strip → rollup-input projection →
+    bucket-win aggregation, memory sink in update mode. The resolved
+    survivors must equal the BATCH chain's kept doc_ids exactly."""
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.__main__ import main
+    from cheetah_spark.queries.declarative import (
+        _fineweb_v2_transforms,
+    )
+    from cheetah_spark.queries.llm import resolve_minhash_survivors
+
+    src = _staged_url_docs(spark, sf_dir, tmp_path)
+    cfg = {
+        "source": {
+            "type": "parquet",
+            "path": src,
+            "streaming": True,
+            "max_files_per_trigger": 1,
+        },
+        "transforms": _fineweb_v2_transforms(src, streaming=True),
+        "sink": {"type": "memory", "name": "cli_fineweb_v2_stream",
+                 "output_mode": "update"},
+    }
+    f = tmp_path / "cli_fineweb_v2_stream.json"
+    f.write_text(json.dumps(cfg))
+    assert main(["run", "--config", str(f), "--timeout", "30"]) == 0
+    spool = spark.table("cli_fineweb_v2_stream").localCheckpoint(eager=False)
+    got = {r.doc_id for r in resolve_minhash_survivors(spool).select("doc_id").collect()}
+    # batch truth: the same declarative stages minus the rollup
+    bcfg = {
+        "source": {"type": "parquet", "path": src},
+        "transforms": _fineweb_v2_transforms(src, streaming=False)[:-1],
+    }
+    from cheetah_spark.config import pipeline_from_config
+
+    expect = {
+        r.doc_id
+        for r in pipeline_from_config(bcfg).dataframe(spark).select("doc_id").collect()
+    }
+    assert got == expect
+    assert got  # the chain keeps something

@@ -380,3 +380,74 @@ def test_ann_ivf_ingest_equals_batch(spark, sf_dir):
     batch = {r.query_id: r.asDict() for r in REGISTRY["q_llm_ann_ivf"].fn(spark, sf_dir).collect()}
     stream = {r.query_id: r.asDict() for r in REGISTRY["s_llm_ann_ivf"].fn(spark, sf_dir).collect()}
     assert stream == batch
+
+
+def test_resolve_minhash_survivors_partial_wins_and_solo(spark):
+    """The bucket-win resolver's survivor law: a doc survives iff it
+    holds the FINAL min of all _MH_BANDS of its buckets; b = -1 rows
+    (shingle-less docs in their synthetic singleton buckets) survive
+    unconditionally; running-min re-emissions resolve to the final
+    state (min over emissions). Synthetic spool, 2 bands for brevity —
+    scale the law with a 2-band monkeypatch-free fixture by building
+    wins relative to the real _MH_BANDS."""
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.queries.llm import _MH_BANDS, resolve_minhash_survivors
+
+    def rows_for(doc, n_wins, start=0):
+        # doc wins n_wins of its _MH_BANDS buckets (others won by doc-1)
+        out = []
+        for b in range(_MH_BANDS):
+            win = doc if b < n_wins else doc - 1
+            out.append((b, f"k{doc}b{b+start}", (win, f"l{win}")))
+        return out
+
+    data = (
+        rows_for(10, _MH_BANDS)          # full winner: survives
+        + rows_for(20, _MH_BANDS - 1, 100)  # one lost bucket: dropped
+        + [(0, "k10b0", (5, "l5"))]      # late smaller arrival re-wins
+                                         # doc 10's first bucket: doc 10
+                                         # must now be dropped
+        + [(-1, "777", (777, "solo"))]   # shingle-less: auto-survivor
+        + [(-1, "777", (777, "solo"))]   # duplicate emission: distinct
+    )
+    spool = spark.createDataFrame(
+        [(b, k, w) for b, k, w in data],
+        "b int, bucket string, win struct<doc_id: bigint, lang: string>",
+    )
+    got = {
+        (r.doc_id, r.lang)
+        for r in resolve_minhash_survivors(spool).collect()
+    }
+    # doc 10 lost bucket k10b0 to doc 5; doc 5 itself wins only 1 bucket
+    # (it never occupied the others here) so it is not a survivor row;
+    # doc 19 (loser-filler) wins one bucket of doc 20's — not 8.
+    assert got == {(777, "solo")}
+
+    # and with doc 10 keeping all its buckets it survives
+    spool2 = spark.createDataFrame(
+        [(b, k, w) for b, k, w in rows_for(10, _MH_BANDS)],
+        "b int, bucket string, win struct<doc_id: bigint, lang: string>",
+    )
+    got2 = {(r.doc_id, r.lang) for r in resolve_minhash_survivors(spool2).collect()}
+    assert got2 == {(10, "l10")}
+
+
+def test_config_fineweb_v2_stream_equals_batch(spark, sf_dir):
+    """The 5-stage declarative chain must produce the identical rollup
+    batch and streaming: the url keep-min state is deterministic under
+    the id-ordered replay, the quality/strip stages are stateless, and
+    the bucket-win state resolves order-insensitively — so admission
+    slicing cannot move one bit."""
+    from cheetah_spark.registry import REGISTRY
+
+    batch = {
+        r.lang: r.asDict()
+        for r in REGISTRY["q_config_fineweb_v2"].fn(spark, sf_dir).collect()
+    }
+    stream = {
+        r.lang: r.asDict()
+        for r in REGISTRY["s_config_fineweb_v2"].fn(spark, sf_dir).collect()
+    }
+    assert stream == batch
+    assert batch  # the chain must keep something

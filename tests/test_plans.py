@@ -845,3 +845,19 @@ def test_config_fineweb_chain_plan_no_python_single_window(spark, sf_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert "Window" in p, p
     assert "HashAggregate" in p, p
+
+
+def test_config_fineweb_v2_chain_plan_single_arrow_no_cartesian(spark, sf_dir):
+    """q_config_fineweb_v2: the 5-stage chain adds exactly ONE Arrow
+    stage (the vectorized MinHash signature — bucket-min is a window
+    over the banding shuffle, not an agg+self-join that would evaluate
+    the signature subtree twice), no row-at-a-time Python, no
+    cartesian/nested-loop join anywhere, and the anti-join drops
+    flagged docs via a hash join."""
+    p = plan(_q("q_config_fineweb_v2", spark, sf_dir))
+    # formatted plans print each node twice (tree line "MapInArrow (id)"
+    # + details line "(id) MapInArrow") — count tree entries only
+    assert p.count("MapInArrow (") == 1, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "Window" in p and "HashAggregate" in p, p
