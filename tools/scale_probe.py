@@ -78,6 +78,13 @@ DOC_QUERIES = [
     # window / keyed state + rule gate + literal-set line strip)
     "q_config_fineweb",
     "s_config_fineweb",
+    # r13: the 5-stage v2 chain (adds the MinHash near-dedup stage —
+    # batch: one banding shuffle + window-min + anti-join; streaming:
+    # a SECOND stateful stage in the same plan) and the TTL-aged URL
+    # state path (applyInPandasWithState constant vs the JVM keep-min)
+    "q_config_fineweb_v2",
+    "s_config_fineweb_v2",
+    "s_llm_url_dedup_ttl",
     # r10 batch 2: perplexity terciles (unigram scoring + per-lang
     # NTILE sort) and the perceptual-hash image dedup (Arrow decode +
     # fingerprint groupBy over the per-tier media fixture)
@@ -176,6 +183,14 @@ HIGH_ALPHA = [
     # r12: per-trigger probe join grows with the index — the top tier
     # bounds that constant
     "s_llm_ann_ivf",
+    # r13 (r12 verdict item #6): the streaming FineWeb chain's missing
+    # 25x row, plus the v2 chains and the TTL state machine — the two
+    # stateful stages in one plan and the per-key Python round trip
+    # are the constants worth bounding at the top tier
+    "s_config_fineweb",
+    "q_config_fineweb_v2",
+    "s_config_fineweb_v2",
+    "s_llm_url_dedup_ttl",
 ]
 
 # r8: q_llm_dup_clusters now runs the rep-collapse composition (the
