@@ -1972,6 +1972,48 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_contract(spark, sf_dir, _ann_ivf_topk(spark, sf_dir), 0.4)
 
 
+def _ivf_index_dir(spark: SparkSession, sf_dir: str, e: DataFrame, assign) -> str:
+    """Build (once per fixture+code generation) the cid-PARTITIONED
+    parquet IVF index for :func:`s_llm_ann_ivf` and return its path —
+    the offline index-build discipline, on disk in the shape a probe
+    can PRUNE: one directory per inverted list, so a trigger reading
+    ``WHERE cid IN (probed)`` lists only nprobe-ish directories. Keyed
+    by the source fixture's (mtime, size) AND the assignment code's
+    source digest (the anchors discipline: editing the builder or
+    regenerating the fixture invalidates the persisted index without a
+    manual version bump)."""
+    import hashlib
+    import inspect
+    import os
+    import shutil
+
+    from cheetah_spark.catalog import table_path
+    from cheetah_spark.streaming import FIXTURE_ROOT, _tag
+
+    st = os.stat(table_path(sf_dir, "embeddings"))
+    digest = hashlib.sha256(
+        (
+            inspect.getsource(assign)
+            + f";lists:{_IVF_LISTS};src:{st.st_mtime_ns}:{st.st_size}"
+        ).encode()
+    ).hexdigest()[:16]
+    out = f"{FIXTURE_ROOT}/{_tag(sf_dir)}/ivf_index_cid"
+    marker = f"{out}/_INDEX_READY"
+    if os.path.exists(marker) and open(marker).read().strip() != digest:
+        shutil.rmtree(out, ignore_errors=True)
+    if not os.path.exists(marker):
+        (
+            e.select("vec_id", "embedding")
+            .mapInPandas(assign, "vec_id long, cid int, embedding array<float>")
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(out)
+        )
+        with open(marker, "w") as fh:
+            fh.write(digest)
+    return out
+
+
 @register(
     "s_llm_ann_ivf",
     oracle=_ANN_CONTRACT_ORACLE.format(cos=V.oracle_cosine("q.embedding", "c.embedding")),
@@ -1988,20 +2030,27 @@ def s_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of re-scanning the lake later).
 
     Shape: the inverted-list assignment of the corpus is computed ONCE
-    before the stream starts (one vectorized mapInPandas pass,
-    persisted — the offline index-build discipline); each micro-batch
-    then runs INSIDE foreachBatch as a batch frame (the
-    run_stream_batch_partials pattern): probe-expand its queries
-    (nprobe list ids per query), broadcast them against the static
-    assigned corpus via the cid equi-join, exact-cosine rerank, and a
-    per-query window top-k — all legal on the batch frame, and correct
-    under ANY admission slicing because a query's answer depends only
-    on the static index, never on other arrivals. ZERO streaming
-    state; the spool is k rows per arrived query. The drained spool is
-    bit-identical to the batch operator's top-k, so the contract rows
-    hash-match q_llm_ann_ivf's oracle verbatim. On a production
-    cluster the assigned side is bucketed by cid so each probe join
-    prunes to nprobe/nlists of the index partitions."""
+    before the stream starts (one vectorized mapInPandas pass, written
+    as a cid-PARTITIONED parquet index — the offline index-build
+    discipline; r13 replaces the r12 persisted-DataFrame index, which
+    scanned the WHOLE index per trigger and could never fit executor
+    memory at 100 TB); each micro-batch then runs INSIDE foreachBatch
+    as a batch frame (the run_stream_batch_partials pattern):
+    probe-expand its queries (nprobe list ids per query), collect the
+    trigger's distinct probed cids (bounded by |queries| x nprobe —
+    driver-held like any centroid panel), read the index WHERE cid IN
+    probed — partition pruning skips every unprobed list directory, so
+    each trigger touches at most (distinct probed cids)/nlists of the
+    index bytes — broadcast the queries against the pruned scan via
+    the cid equi-join, exact-cosine rerank, and a per-query window
+    top-k. All legal on the batch frame, and correct under ANY
+    admission slicing because a query's answer depends only on the
+    static index, never on other arrivals (the isin filter is a
+    superset of each query's own nprobe lists, and the equi-join keeps
+    exactly those). ZERO streaming state; the spool is k rows per
+    arrived query. The drained spool is bit-identical to the batch
+    operator's top-k, so the contract rows hash-match q_llm_ann_ivf's
+    oracle verbatim."""
     import numpy as np
 
     from pyspark.sql.window import Window
@@ -2028,12 +2077,7 @@ def s_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"vec_id": pdf["vec_id"].to_numpy(), "cid": cid, "embedding": pdf["embedding"]}
             )
 
-    assigned = (
-        e.select("vec_id", "embedding")
-        .mapInPandas(assign, "vec_id long, cid int, embedding array<float>")
-        .persist()
-    )
-    assigned.count()  # build the index before ingest starts
+    index_dir = _ivf_index_dir(spark, sf_dir, e, assign)
 
     def probe(batches):
         for pdf in batches:
@@ -2056,9 +2100,22 @@ def s_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "embedding")
             .mapInPandas(probe, "query_id long, cid int, qv array<float>")
         )
+        # the trigger's probed list ids: bounded by |queries| x nprobe
+        # (driver-held like any centroid panel); the isin filter below
+        # is a PARTITION filter on the cid-partitioned index, so the
+        # scan lists only the probed directories — per-trigger index
+        # bytes ~ (distinct probed cids)/nlists, not the whole index
+        cids = sorted(r.cid for r in q.select("cid").distinct().collect())
+        if not cids:
+            return q.select(
+                F.col("query_id"),
+                F.col("query_id").alias("neighbor_id"),
+                F.lit(0.0).alias("cos_sim"),
+            ).limit(0)
+        idx = spark.read.parquet(index_dir).where(F.col("cid").isin(cids))
         cand = (
             F.broadcast(q)
-            .join(assigned, "cid")
+            .join(idx, "cid")
             .where(F.col("query_id") != F.col("vec_id"))
             .select(
                 "query_id",
@@ -2077,11 +2134,8 @@ def s_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src_dir = embeddings_raw_stream_dir(spark, sf_dir)
     stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=2).read(spark)
-    try:
-        spooled = run_stream_batch_partials(stream, answer_batch)
-        return _ann_contract(spark, sf_dir, spooled, 0.4)
-    finally:
-        assigned.unpersist()
+    spooled = run_stream_batch_partials(stream, answer_batch)
+    return _ann_contract(spark, sf_dir, spooled, 0.4)
 
 
 def _ann_ivfpq_topk(
