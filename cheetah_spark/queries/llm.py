@@ -1972,7 +1972,9 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_contract(spark, sf_dir, _ann_ivf_topk(spark, sf_dir), 0.4)
 
 
-def _ivf_index_dir(spark: SparkSession, sf_dir: str, e: DataFrame, assign) -> str:
+def _ivf_index_dir(
+    spark: SparkSession, sf_dir: str, e: DataFrame, assign, n_lists: int = _IVF_LISTS
+) -> str:
     """Build (once per fixture+code generation) the cid-PARTITIONED
     parquet IVF index for :func:`s_llm_ann_ivf` and return its path —
     the offline index-build discipline, on disk in the shape a probe
@@ -1994,10 +1996,11 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str, e: DataFrame, assign) -> st
     digest = hashlib.sha256(
         (
             inspect.getsource(assign)
-            + f";lists:{_IVF_LISTS};src:{st.st_mtime_ns}:{st.st_size}"
+            + f";lists:{n_lists};src:{st.st_mtime_ns}:{st.st_size}"
         ).encode()
     ).hexdigest()[:16]
-    out = f"{FIXTURE_ROOT}/{_tag(sf_dir)}/ivf_index_cid"
+    suffix = "" if n_lists == _IVF_LISTS else f"_{n_lists}"
+    out = f"{FIXTURE_ROOT}/{_tag(sf_dir)}/ivf_index_cid{suffix}"
     marker = f"{out}/_INDEX_READY"
     if os.path.exists(marker) and open(marker).read().strip() != digest:
         shutil.rmtree(out, ignore_errors=True)
@@ -2019,7 +2022,9 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str, e: DataFrame, assign) -> st
     oracle=_ANN_CONTRACT_ORACLE.format(cos=V.oracle_cosine("q.embedding", "c.embedding")),
     tags=("llm", "vector", "streaming"),
 )
-def s_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s_llm_ann_ivf(
+    spark: SparkSession, sf_dir: str, nlists: int | None = None
+) -> DataFrame:
     """At-INGEST IVF ANN lookup — the streaming execution of
     :func:`q_llm_ann_ivf` against the SAME batch oracle: embeddings
     ARRIVE as a replay stream, the arriving query vectors (the
@@ -2062,7 +2067,12 @@ def s_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    cent = e.orderBy("vec_id").limit(_IVF_LISTS).collect()
+    # nlists: the contract pins _IVF_LISTS (= the oracle's constants);
+    # the override is the PRODUCTION sizing knob (nlists ~ sqrt(n) is
+    # standard IVF practice) used by the scale probe to measure the
+    # pruning axis — per-trigger index fraction = probed/nlists
+    n_lists = int(nlists) if nlists else _IVF_LISTS
+    cent = e.orderBy("vec_id").limit(n_lists).collect()
     C = np.array([r.embedding for r in cent], dtype=np.float64)
     C /= np.linalg.norm(C, axis=1, keepdims=True)
 
@@ -2077,7 +2087,7 @@ def s_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"vec_id": pdf["vec_id"].to_numpy(), "cid": cid, "embedding": pdf["embedding"]}
             )
 
-    index_dir = _ivf_index_dir(spark, sf_dir, e, assign)
+    index_dir = _ivf_index_dir(spark, sf_dir, e, assign, n_lists)
 
     def probe(batches):
         for pdf in batches:
