@@ -816,6 +816,72 @@ def build_transform(cfg: Mapping[str, Any]) -> Handler:
             return banded.groupBy("b", "bucket").agg(F.min("win").alias("win"))
 
         return near_dedup
+    if kind == "decontaminate":
+        col = cfg.get("column", "text")
+        eval_from = cfg.get("from")
+        if eval_from is None:
+            raise ValueError(
+                "decontaminate transform needs 'from': a static eval/benchmark "
+                "corpus path whose shingles define the contamination set (the "
+                "offline-compile discipline — a benchmark drop recompiles the "
+                "filter; the train corpus is never rescanned)"
+            )
+        eval_col = cfg.get("eval_column", col)
+        ngram = int(cfg.get("ngram", 3))
+        mode = cfg.get("mode", "filter")
+        name = cfg.get("as", "contaminated")
+
+        def decontaminate(df: DataFrame) -> DataFrame:
+            from cheetah_spark.functions import text as X
+            from cheetah_spark.queries import curation as C
+            from cheetah_spark.queries.streams import bloom_shingle_hit
+
+            spark = df.sparkSession
+            # offline compile: eval shingles -> k bit positions -> OR
+            # into m/32 words (the q_llm_bloom_decontaminate build,
+            # same shared position/shingle expressions), collected and
+            # DENSIFIED driver-side — the filter is constant memory
+            # (m = 2^18 bits = 64 KiB of words) regardless of eval-set
+            # size, the bounded-driver-state class.
+            shl_eval = F.array_distinct(
+                X.shingles(X.tokens(F.col(eval_col)), ngram)
+            )
+            sparse = (
+                spark.read.parquet(eval_from)
+                .select(F.explode(shl_eval).alias("s"))
+                .distinct()
+                .select(
+                    F.explode(
+                        F.array(*C._bloom_positions_spark(F.col("s")))
+                    ).alias("pos")
+                )
+                .groupBy((F.col("pos") / 32).cast("bigint").alias("word_idx"))
+                .agg(
+                    F.bit_or(
+                        F.expr(
+                            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+                        )
+                    ).alias("word")
+                )
+                .collect()
+            )
+            words = [0] * (C._BLOOM_M // 32)
+            for r in sparse:
+                words[int(r.word_idx)] = int(r.word)
+            # ONE array literal (a single Catalyst constant, not 8k
+            # child nodes): the probe is pure per-row expression —
+            # zero joins, zero Python — so it composes anywhere a map
+            # stage does, including downstream of a keyed-state stage
+            # in one streaming plan (the line_dedup inline discipline).
+            wlit = F.lit(words)
+            shl = F.array_distinct(X.shingles(X.tokens(F.col(col)), ngram))
+            hit = F.exists(shl, lambda s: bloom_shingle_hit(s, wlit))
+            contaminated = F.coalesce(hit, F.lit(False))
+            if mode == "annotate":
+                return df.withColumn(name, contaminated)
+            return df.where(~contaminated)
+
+        return decontaminate
     raise ValueError(f"unknown transform type: {kind!r}")
 
 

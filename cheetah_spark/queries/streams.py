@@ -907,6 +907,28 @@ def _stream_embed_hits(
 from cheetah_spark.queries.curation import _BLOOM_ORACLE as _BLOOM_BATCH_ORACLE
 
 
+def bloom_shingle_hit(s, words):
+    """All-k-bits-set Bloom membership of ONE shingle Column against a
+    densified words array Column (m/32 bigints; missing/NULL slots read
+    as 0) — the single bit-math definition shared by the streaming-legal
+    in-plan probe (:func:`bloom_probe_transform`) and the declarative
+    ``decontaminate`` transform (config.py), so neither can drift from
+    the hash-gated batch operator's integer math."""
+    import functools
+    import operator
+
+    from cheetah_spark.queries import curation as C
+
+    tests = []
+    for p in C._bloom_positions_spark(s):
+        word = F.element_at(words, (p / 32).cast("int") + 1)
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), (p % 32).cast("int")
+        )
+        tests.append(F.coalesce(word, F.lit(0)).bitwiseAND(bit) != 0)
+    return functools.reduce(operator.and_, tests)
+
+
 def bloom_probe_transform(df: DataFrame, bloom_row: DataFrame) -> DataFrame:
     """The probe half of :func:`s_llm_bloom_decontaminate`, factored to
     module level so tests/test_plans.py plans the REAL transform (r7
@@ -920,9 +942,6 @@ def bloom_probe_transform(df: DataFrame, bloom_row: DataFrame) -> DataFrame:
     the k probe positions inside ``F.filter`` lambdas, and the
     per-lang aggregate all live here — one code path for the query and
     its plan pin."""
-    import functools
-    import operator
-
     from cheetah_spark.functions import text as X
     from cheetah_spark.queries import curation as C
 
@@ -935,14 +954,7 @@ def bloom_probe_transform(df: DataFrame, bloom_row: DataFrame) -> DataFrame:
     def shingle_hits(s):
         # all k bits set <-> Bloom membership; identical integer math
         # to the batch probe joins, evaluated per array element
-        tests = []
-        for p in C._bloom_positions_spark(s):
-            word = F.element_at(F.col("words"), (p / 32).cast("int") + 1)
-            bit = F.call_function(
-                "shiftleft", F.lit(1).cast("bigint"), (p % 32).cast("int")
-            )
-            tests.append(F.coalesce(word, F.lit(0)).bitwiseAND(bit) != 0)
-        return functools.reduce(operator.and_, tests)
+        return bloom_shingle_hit(s, F.col("words"))
 
     per_doc = (
         df.where(~is_eval)

@@ -1228,3 +1228,125 @@ def test_fineweb_v2_chain_from_config_streaming_daemon(tmp_path, spark, sf_dir):
     }
     assert got == expect
     assert got  # the chain keeps something
+
+
+def test_decontaminate_transform_matches_word_slot_join_spelling(tmp_path, spark, sf_dir):
+    """`{"type": "decontaminate"}` batch e2e: the literal-array probe
+    must flag exactly the docs the hash-gated operator's OTHER spelling
+    flags — the broadcast word-slot JOIN of q_llm_bloom_decontaminate —
+    over an explicit eval corpus (the production shape: the benchmark
+    set is a separate table, not a doc_id hash convention)."""
+    from functools import reduce
+    from operator import and_
+
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.__main__ import main
+    from cheetah_spark.functions import text as X
+    from cheetah_spark.queries import curation as C
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    train_src = str(tmp_path / "train_docs")
+    eval_src = str(tmp_path / "eval_docs")
+    docs.where(F.col("doc_id") % 7 != 0).write.parquet(train_src)
+    docs.where(F.col("doc_id") % 7 == 0).write.parquet(eval_src)
+    cfg = {
+        "source": {"type": "parquet", "path": train_src},
+        "transforms": [
+            {"type": "decontaminate", "column": "text", "from": eval_src}
+        ],
+        "sink": {"type": "memory", "name": "cli_decon_batch"},
+    }
+    f = tmp_path / "cli_decon_batch.json"
+    f.write_text(json.dumps(cfg))
+    assert main(["run", "--config", str(f)]) == 0
+    got = {r.doc_id for r in spark.table("cli_decon_batch").select("doc_id").collect()}
+
+    # independent spelling: the operator's broadcast word-slot joins
+    shl = F.array_distinct(X.shingles(X.tokens(F.col("text")), 3))
+    eval_sh = (
+        spark.read.parquet(eval_src).select(F.explode(shl).alias("s")).distinct()
+    )
+    sparse = (
+        eval_sh.select(
+            F.explode(F.array(*C._bloom_positions_spark(F.col("s")))).alias("pos")
+        )
+        .groupBy((F.col("pos") / 32).cast("bigint").alias("word_idx"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+            ).alias("word")
+        )
+    )
+    probed = spark.read.parquet(train_src).select(
+        "doc_id", F.explode(shl).alias("s")
+    )
+    hit = F.lit(True)
+    for i, p in enumerate(C._bloom_positions_spark(F.col("s"))):
+        b = F.broadcast(
+            sparse.select(F.col("word_idx").alias(f"wi{i}"), F.col("word").alias(f"w{i}"))
+        )
+        probed = probed.withColumn(f"pos{i}", p).join(
+            b, (F.col(f"pos{i}") / 32).cast("bigint") == F.col(f"wi{i}"), "left"
+        )
+        bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos{i} % 32 AS INT))")
+        hit = hit & (F.coalesce(F.col(f"w{i}"), F.lit(0)).bitwiseAND(bit) != 0)
+    flagged = {
+        r.doc_id
+        for r in probed.where(hit).select("doc_id").distinct().collect()
+    }
+    expect = {
+        r.doc_id for r in spark.read.parquet(train_src).select("doc_id").collect()
+    } - flagged
+    assert got == expect
+    assert flagged  # the eval overlap really flags something
+    assert got  # and the gate keeps something
+
+
+def test_decontaminate_composes_after_keyed_state_in_one_streaming_plan(
+    tmp_path, spark, sf_dir
+):
+    """The literal-array probe is pure Catalyst, so it must compose
+    DOWNSTREAM of the url_dedup keyed-state stage in a single streaming
+    plan (the composition pandas_udf stages cannot do) — kept doc_ids
+    must equal the batch chain's."""
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.__main__ import main
+    from cheetah_spark.config import pipeline_from_config
+
+    src = _staged_url_docs(spark, sf_dir, tmp_path)
+    eval_src = str(tmp_path / "eval_docs_s")
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") % 7 == 0)
+        .select("doc_id", "lang", "text")
+        .write.parquet(eval_src)
+    )
+    transforms = [
+        {"type": "url_dedup", "url": "url", "id": "doc_id"},
+        {"type": "decontaminate", "column": "text", "from": eval_src},
+    ]
+    cfg = {
+        "source": {
+            "type": "parquet",
+            "path": src,
+            "streaming": True,
+            "max_files_per_trigger": 1,
+        },
+        "transforms": transforms,
+        "sink": {"type": "memory", "name": "cli_decon_stream",
+                 "output_mode": "update"},
+    }
+    f = tmp_path / "cli_decon_stream.json"
+    f.write_text(json.dumps(cfg))
+    assert main(["run", "--config", str(f), "--timeout", "20"]) == 0
+    got = {r.doc_id for r in spark.table("cli_decon_stream").select("doc_id").collect()}
+    bcfg = {"source": {"type": "parquet", "path": src}, "transforms": transforms}
+    expect = {
+        r.doc_id
+        for r in pipeline_from_config(bcfg).dataframe(spark).select("doc_id").collect()
+    }
+    assert got == expect and got
