@@ -746,8 +746,13 @@ def build_transform(cfg: Mapping[str, Any]) -> Handler:
                 # anti-join: O(corpus), never O(pairs). Shingle-less
                 # docs have NULL sigs (no near-dup identity) and are
                 # kept — they never enter the banding.
-                sigs = minhash_sigs_arrow(df, id_col=id_col, text_col=col).where(
-                    F.col("sig").isNotNull()
+                # minhash_sigs_arrow normalizes its id column to
+                # "doc_id" whatever the input name — restore the
+                # configured name so the anti-join key lines up
+                sigs = (
+                    minhash_sigs_arrow(df, id_col=id_col, text_col=col)
+                    .where(F.col("sig").isNotNull())
+                    .withColumnRenamed("doc_id", id_col)
                 )
                 banded = sigs.select(
                     id_col,

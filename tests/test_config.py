@@ -1350,3 +1350,30 @@ def test_decontaminate_composes_after_keyed_state_in_one_streaming_plan(
         for r in pipeline_from_config(bcfg).dataframe(spark).select("doc_id").collect()
     }
     assert got == expect and got
+
+
+def test_minhash_dedup_transform_custom_id_column(tmp_path, spark):
+    """The batch minhash_dedup binding must honor a non-default id
+    column (minhash_sigs_arrow normalizes its id to 'doc_id'
+    internally — the transform restores the configured name): two
+    exact-duplicate texts collapse to the lower id, the distinct text
+    survives untouched."""
+    from cheetah_spark.config import pipeline_from_config
+
+    src = str(tmp_path / "custom_id_docs")
+    long_a = " ".join(f"tok{i}" for i in range(40))
+    long_b = " ".join(f"other{i}" for i in range(40))
+    spark.createDataFrame(
+        [(7, long_a), (9, long_a), (11, long_b)], "rec_id long, body string"
+    ).write.parquet(src)
+    cfg = {
+        "source": {"type": "parquet", "path": src},
+        "transforms": [
+            {"type": "minhash_dedup", "column": "body", "id": "rec_id"}
+        ],
+    }
+    got = {
+        r.rec_id
+        for r in pipeline_from_config(cfg).dataframe(spark).select("rec_id").collect()
+    }
+    assert got == {7, 11}
