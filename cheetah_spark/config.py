@@ -887,6 +887,125 @@ def build_transform(cfg: Mapping[str, Any]) -> Handler:
             return df.where(~contaminated)
 
         return decontaminate
+    if kind == "ann_enrich":
+        emb_col = cfg.get("embedding", "embedding")
+        id_col = cfg.get("id", "vec_id")
+        index_path = cfg.get("index")
+        if index_path is None:
+            raise ValueError(
+                "ann_enrich transform needs 'index': a static reference-corpus "
+                "parquet path (id + embedding columns) to build the IVF index "
+                "from — the offline index-build discipline"
+            )
+        index_id = cfg.get("index_id", id_col)
+        index_emb = cfg.get("index_embedding", emb_col)
+        k = int(cfg.get("k", 5))
+        nlists_cfg = cfg.get("nlists")
+        nprobe = int(cfg.get("nprobe", 4))
+        name = cfg.get("as", "neighbors")
+
+        def enrich(df: DataFrame) -> DataFrame:
+            import hashlib
+
+            import numpy as np
+
+            from cheetah_spark.queries.llm import (
+                _ivf_index_core,
+                ivf_assign_fn,
+                ivf_probe_topk,
+            )
+            from cheetah_spark.streaming import FIXTURE_ROOT
+
+            spark = df.sparkSession
+            ref = spark.read.parquet(index_path).select(
+                F.col(index_id).alias("vec_id"), F.col(index_emb).alias("embedding")
+            )
+            # nlists ~ sqrt(n) is the standard IVF sizing (measured in
+            # SCALE.md: it is what keeps per-probe index bytes flat)
+            n_lists = (
+                int(nlists_cfg)
+                if nlists_cfg
+                else max(16, int(ref.count() ** 0.5))
+            )
+            cent = ref.orderBy("vec_id").limit(n_lists).collect()
+            C = np.array([r.embedding for r in cent], dtype=np.float64)
+            C /= np.linalg.norm(C, axis=1, keepdims=True)
+            out = (
+                f"{FIXTURE_ROOT}/ann_index/"
+                f"{hashlib.sha256(index_path.encode()).hexdigest()[:12]}_{n_lists}"
+            )
+            index_dir = _ivf_index_core(
+                spark, ref, ivf_assign_fn(C), n_lists, index_path, out
+            )
+            queries = df.select(
+                F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+            )
+            nb = F.struct(F.col("neighbor_id"), F.col("cos_sim"))
+            if not df.isStreaming:
+                # whole-table enrich: the query side is corpus-sized, so
+                # it SHUFFLE-joins the pruned index (broadcasting it
+                # would ship the corpus); top-k rows fold to one array
+                # column and join back on the id
+                topk = ivf_probe_topk(
+                    spark, index_dir, C, queries, k, nprobe,
+                    broadcast_queries=False,
+                )
+                packed = topk.groupBy("query_id").agg(
+                    F.array_sort(
+                        F.collect_list(nb),
+                        lambda a, b: F.when(a.cos_sim > b.cos_sim, -1)
+                        .when(a.cos_sim < b.cos_sim, 1)
+                        .otherwise(
+                            F.when(a.neighbor_id < b.neighbor_id, -1)
+                            .when(a.neighbor_id > b.neighbor_id, 1)
+                            .otherwise(0)
+                        ),
+                    ).alias(name)
+                )
+                return df.join(
+                    packed.withColumnRenamed("query_id", id_col), id_col, "left"
+                )
+            # streaming: lookup-at-the-door as ONE lazy plan — probe
+            # expansion is a stateless mapInPandas, the index attaches
+            # via a STREAM-STATIC join on cid (no per-trigger driver
+            # work, so it stays a pure df->df transform; the eager
+            # pruned-scan variant is the foreachBatch discipline
+            # s_llm_ann_ivf ships), and per-query top-k folds in an
+            # update-mode aggregation — each query arrives in exactly
+            # one trigger, so its row emits once, complete and final.
+            from cheetah_spark.functions import vectors as V
+            from cheetah_spark.queries.llm import ivf_probe_expand
+
+            probed = ivf_probe_expand(C, nprobe, queries)
+            idx = spark.read.parquet(index_dir)
+            cand = (
+                probed.join(idx, "cid")
+                .where(F.col("query_id") != F.col("vec_id"))
+                .select(
+                    "query_id",
+                    F.col("vec_id").alias("neighbor_id"),
+                    V.cosine(F.col("qv"), F.col("embedding")).alias("cos_sim"),
+                )
+            )
+            packed = cand.groupBy("query_id").agg(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(nb),
+                        lambda a, b: F.when(a.cos_sim > b.cos_sim, -1)
+                        .when(a.cos_sim < b.cos_sim, 1)
+                        .otherwise(
+                            F.when(a.neighbor_id < b.neighbor_id, -1)
+                            .when(a.neighbor_id > b.neighbor_id, 1)
+                            .otherwise(0)
+                        ),
+                    ),
+                    1,
+                    k,
+                ).alias(name)
+            )
+            return packed.withColumnRenamed("query_id", id_col)
+
+        return enrich
     raise ValueError(f"unknown transform type: {kind!r}")
 
 

@@ -1972,35 +1972,30 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_contract(spark, sf_dir, _ann_ivf_topk(spark, sf_dir), 0.4)
 
 
-def _ivf_index_dir(
-    spark: SparkSession, sf_dir: str, e: DataFrame, assign, n_lists: int = _IVF_LISTS
+def _ivf_index_core(
+    spark: SparkSession, e: DataFrame, assign, n_lists: int, src_path: str, out: str
 ) -> str:
-    """Build (once per fixture+code generation) the cid-PARTITIONED
-    parquet IVF index for :func:`s_llm_ann_ivf` and return its path —
-    the offline index-build discipline, on disk in the shape a probe
-    can PRUNE: one directory per inverted list, so a trigger reading
+    """Build (once per source+code generation) a cid-PARTITIONED
+    parquet IVF index at ``out`` and return it — the offline
+    index-build discipline, on disk in the shape a probe can PRUNE:
+    one directory per inverted list, so a reader filtering
     ``WHERE cid IN (probed)`` lists only nprobe-ish directories. Keyed
-    by the source fixture's (mtime, size) AND the assignment code's
-    source digest (the anchors discipline: editing the builder or
-    regenerating the fixture invalidates the persisted index without a
-    manual version bump)."""
+    by the source's (mtime, size) AND the assignment code's source
+    digest (the anchors discipline: editing the builder or
+    regenerating the source invalidates the persisted index without a
+    manual version bump). ``e`` must carry (vec_id, embedding)."""
     import hashlib
     import inspect
     import os
     import shutil
 
-    from cheetah_spark.catalog import table_path
-    from cheetah_spark.streaming import FIXTURE_ROOT, _tag
-
-    st = os.stat(table_path(sf_dir, "embeddings"))
+    st = os.stat(src_path)
     digest = hashlib.sha256(
         (
             inspect.getsource(assign)
             + f";lists:{n_lists};src:{st.st_mtime_ns}:{st.st_size}"
         ).encode()
     ).hexdigest()[:16]
-    suffix = "" if n_lists == _IVF_LISTS else f"_{n_lists}"
-    out = f"{FIXTURE_ROOT}/{_tag(sf_dir)}/ivf_index_cid{suffix}"
     marker = f"{out}/_INDEX_READY"
     if os.path.exists(marker) and open(marker).read().strip() != digest:
         shutil.rmtree(out, ignore_errors=True)
@@ -2015,6 +2010,133 @@ def _ivf_index_dir(
         with open(marker, "w") as fh:
             fh.write(digest)
     return out
+
+
+def _ivf_index_dir(
+    spark: SparkSession, sf_dir: str, e: DataFrame, assign, n_lists: int = _IVF_LISTS
+) -> str:
+    """The registered-contract cache location of :func:`_ivf_index_core`
+    for the ``sf_dir`` embeddings fixture."""
+    from cheetah_spark.catalog import table_path
+    from cheetah_spark.streaming import FIXTURE_ROOT, _tag
+
+    suffix = "" if n_lists == _IVF_LISTS else f"_{n_lists}"
+    return _ivf_index_core(
+        spark,
+        e,
+        assign,
+        n_lists,
+        table_path(sf_dir, "embeddings"),
+        f"{FIXTURE_ROOT}/{_tag(sf_dir)}/ivf_index_cid{suffix}",
+    )
+
+
+def ivf_assign_fn(C):
+    """The inverted-list assignment pass over (vec_id, embedding)
+    batches — nearest centroid by cosine (rows are L2-normalized so
+    argmax dot == argmax cosine). ONE definition for the contract
+    stream, the scale experiment, and the declarative ``ann_enrich``
+    transform; its source is part of every index's staleness digest."""
+    import numpy as np
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V_ = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            Vn = V_ / np.linalg.norm(V_, axis=1, keepdims=True)
+            cid = np.argmax(Vn @ C.T, axis=1).astype("int32")
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "cid": cid, "embedding": pdf["embedding"]}
+            )
+
+    return assign
+
+
+def ivf_probe_expand(C, nprobe: int, queries: DataFrame) -> DataFrame:
+    """Probe expansion: each (vec_id, embedding) query row → its nprobe
+    nearest inverted-list ids by cosine against the driver-resident
+    centroid panel (vectorized mapInPandas; rows of C are normalized so
+    argsort of the dot product is the cosine order). Returns
+    (query_id, cid, qv) — the ONE expansion both the eager pruned probe
+    (:func:`ivf_probe_topk`) and the lazy stream-static ``ann_enrich``
+    join consume."""
+    import numpy as np
+
+    def probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V_ = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            Vn = V_ / np.linalg.norm(V_, axis=1, keepdims=True)
+            top = np.argsort(-(Vn @ C.T), axis=1)[:, :nprobe].astype("int32")
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
+                    "cid": top.ravel(),
+                    "qv": pdf["embedding"].repeat(nprobe),
+                }
+            )
+
+    return queries.select("vec_id", "embedding").mapInPandas(
+        probe, "query_id long, cid int, qv array<float>"
+    )
+
+
+def ivf_probe_topk(
+    spark: SparkSession,
+    index_dir: str,
+    C,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    exclude_self: bool = True,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Answer a bounded (vec_id, embedding) query frame against a
+    cid-partitioned IVF index: probe-expand each query to its nprobe
+    nearest lists (vectorized mapInPandas against the driver-resident
+    centroid panel), collect the DISTINCT probed cids (bounded by
+    |queries| x nprobe), read the index ``WHERE cid IN probed`` — a
+    PARTITION filter, so only the probed list directories are listed —
+    broadcast the expanded queries onto the pruned scan via the cid
+    equi-join, exact-cosine rerank, per-query (cos DESC, id ASC)
+    window top-k. Returns (query_id, neighbor_id, cos_sim). Shared by
+    the s_llm_ann_ivf contract stream and the declarative
+    ``ann_enrich`` transform."""
+    from pyspark.sql.window import Window
+
+    q = ivf_probe_expand(C, nprobe, queries)
+    # bounded by |queries| x nprobe (driver-held like any centroid
+    # panel); the isin filter below is a PARTITION filter on the
+    # cid-partitioned index — per-read index bytes ~ probed/nlists
+    cids = sorted(r.cid for r in q.select("cid").distinct().collect())
+    if not cids:
+        return q.select(
+            F.col("query_id"),
+            F.col("query_id").alias("neighbor_id"),
+            F.lit(0.0).alias("cos_sim"),
+        ).limit(0)
+    idx = spark.read.parquet(index_dir).where(F.col("cid").isin(cids))
+    # broadcast is right for a bounded query panel (the contract shape);
+    # a corpus-sized query side (ann_enrich over a whole table) must
+    # shuffle-join instead — pass broadcast_queries=False
+    cand = (F.broadcast(q) if broadcast_queries else q).join(idx, "cid")
+    if exclude_self:
+        cand = cand.where(F.col("query_id") != F.col("vec_id"))
+    cand = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        V.cosine(F.col("qv"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
 
 
 @register(
@@ -2076,70 +2198,16 @@ def s_llm_ann_ivf(
     C = np.array([r.embedding for r in cent], dtype=np.float64)
     C /= np.linalg.norm(C, axis=1, keepdims=True)
 
-    def assign(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V_ = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            Vn = V_ / np.linalg.norm(V_, axis=1, keepdims=True)
-            cid = np.argmax(Vn @ C.T, axis=1).astype("int32")
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].to_numpy(), "cid": cid, "embedding": pdf["embedding"]}
-            )
-
-    index_dir = _ivf_index_dir(spark, sf_dir, e, assign, n_lists)
-
-    def probe(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V_ = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            Vn = V_ / np.linalg.norm(V_, axis=1, keepdims=True)
-            top = np.argsort(-(Vn @ C.T), axis=1)[:, :_IVF_NPROBE].astype("int32")
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(pdf["vec_id"].to_numpy(), _IVF_NPROBE),
-                    "cid": top.ravel(),
-                    "qv": pdf["embedding"].repeat(_IVF_NPROBE),
-                }
-            )
+    index_dir = _ivf_index_dir(spark, sf_dir, e, ivf_assign_fn(C), n_lists)
 
     def answer_batch(batch: DataFrame) -> DataFrame:
-        q = (
-            batch.where(F.col("vec_id") % _QUERY_MOD == 0)
-            .select("vec_id", "embedding")
-            .mapInPandas(probe, "query_id long, cid int, qv array<float>")
-        )
-        # the trigger's probed list ids: bounded by |queries| x nprobe
-        # (driver-held like any centroid panel); the isin filter below
-        # is a PARTITION filter on the cid-partitioned index, so the
-        # scan lists only the probed directories — per-trigger index
-        # bytes ~ (distinct probed cids)/nlists, not the whole index
-        cids = sorted(r.cid for r in q.select("cid").distinct().collect())
-        if not cids:
-            return q.select(
-                F.col("query_id"),
-                F.col("query_id").alias("neighbor_id"),
-                F.lit(0.0).alias("cos_sim"),
-            ).limit(0)
-        idx = spark.read.parquet(index_dir).where(F.col("cid").isin(cids))
-        cand = (
-            F.broadcast(q)
-            .join(idx, "cid")
-            .where(F.col("query_id") != F.col("vec_id"))
-            .select(
-                "query_id",
-                F.col("vec_id").alias("neighbor_id"),
-                V.cosine(F.col("qv"), F.col("embedding")).alias("cos_sim"),
-            )
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-        )
-        return (
-            cand.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= _TOPK)
-            .select("query_id", "neighbor_id", "cos_sim")
+        return ivf_probe_topk(
+            spark,
+            index_dir,
+            C,
+            batch.where(F.col("vec_id") % _QUERY_MOD == 0),
+            _TOPK,
+            _IVF_NPROBE,
         )
 
     src_dir = embeddings_raw_stream_dir(spark, sf_dir)

@@ -1377,3 +1377,116 @@ def test_minhash_dedup_transform_custom_id_column(tmp_path, spark):
         for r in pipeline_from_config(cfg).dataframe(spark).select("rec_id").collect()
     }
     assert got == {7, 11}
+
+
+def _numpy_ivf_neighbors(rows, k, nlists, nprobe):
+    """Driver-side numpy mirror of the IVF semantics: centroid panel =
+    first nlists vectors by id, assignment + probe by cosine, exact
+    rerank within probed lists, (cos DESC, id ASC) top-k, self
+    excluded. The independent oracle for the ann_enrich binding."""
+    import numpy as np
+
+    ids = np.array([r[0] for r in rows])
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    C = Vn[order[:nlists]]
+    assign = np.argmax(Vn @ C.T, axis=1)
+    out = {}
+    for qi in range(len(ids)):
+        probe = np.argsort(-(Vn[qi] @ C.T))[:nprobe]
+        cand = [
+            j
+            for j in range(len(ids))
+            if assign[j] in set(probe.tolist()) and ids[j] != ids[qi]
+        ]
+        sims = [(float(Vn[qi] @ Vn[j]), int(ids[j])) for j in cand]
+        sims.sort(key=lambda t: (-t[0], t[1]))
+        out[int(ids[qi])] = [nid for _, nid in sims[:k]]
+    return out
+
+
+def test_ann_enrich_transform_batch_matches_numpy_oracle(tmp_path, spark, sf_dir):
+    """`{"type": "ann_enrich"}` batch e2e: every row gains a top-k
+    neighbor array equal to a driver-side numpy mirror of the IVF
+    semantics (assignment, probe, exact rerank, tie-break) — an
+    independent spelling sharing no Spark code with the binding."""
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.config import pipeline_from_config
+
+    src = f"{sf_dir}/embeddings.parquet"
+    emb = spark.read.parquet(src).select("vec_id", "embedding")
+    rows = [(r.vec_id, list(r.embedding)) for r in emb.collect()]
+    nlists, nprobe, k = 16, 4, 3
+    cfg = {
+        "source": {"type": "parquet", "path": src},
+        "transforms": [
+            {"type": "ann_enrich", "id": "vec_id", "embedding": "embedding",
+             "index": src, "k": k, "nlists": nlists, "nprobe": nprobe}
+        ],
+    }
+    out = pipeline_from_config(cfg).dataframe(spark)
+    got = {
+        r.vec_id: [nb.neighbor_id for nb in (r.neighbors or [])]
+        for r in out.select("vec_id", "neighbors").collect()
+    }
+    expect = _numpy_ivf_neighbors(rows, k, nlists, nprobe)
+    assert got == expect
+    assert any(v for v in got.values())  # neighbors really attached
+    assert out.count() == emb.count()  # enrich keeps every row
+
+
+def test_ann_enrich_transform_streaming_matches_batch(tmp_path, spark, sf_dir):
+    """The streaming ann_enrich (stream-static cid join + update-mode
+    per-query top-k fold) must produce the same (id, neighbor ids) map
+    as the batch enrich — lookup-at-the-door is admission-invariant
+    because the index is static."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.__main__ import main
+    from cheetah_spark.config import pipeline_from_config
+
+    src = f"{sf_dir}/embeddings.parquet"
+    # stage the stream replay: 3 ordered files
+    stream_src = str(tmp_path / "emb_stream")
+    os.makedirs(stream_src)
+    emb = spark.read.parquet(src).select("vec_id", "embedding")
+    import pandas as pd
+
+    pdf = emb.orderBy("vec_id").toPandas()
+    base_t = 1_700_000_000
+    n = len(pdf)
+    for i in range(3):
+        part = pdf.iloc[i * n // 3 : (i + 1) * n // 3]
+        p = os.path.join(stream_src, f"f{i}.parquet")
+        part.to_parquet(p, index=False)
+        os.utime(p, (base_t + i, base_t + i))
+    stage = {"type": "ann_enrich", "id": "vec_id", "embedding": "embedding",
+             "index": src, "k": 3, "nlists": 16, "nprobe": 4}
+    cfg = {
+        "source": {"type": "parquet", "path": stream_src, "streaming": True,
+                   "max_files_per_trigger": 1,
+                   "schema": "vec_id bigint, embedding array<float>"},
+        "transforms": [stage],
+        "sink": {"type": "memory", "name": "cli_ann_enrich_stream",
+                 "output_mode": "update"},
+    }
+    f = tmp_path / "cli_ann_enrich.json"
+    f.write_text(json.dumps(cfg))
+    assert main(["run", "--config", str(f), "--timeout", "25"]) == 0
+    got = {
+        r.vec_id: [nb.neighbor_id for nb in (r.neighbors or [])]
+        for r in spark.table("cli_ann_enrich_stream").collect()
+    }
+    bcfg = {"source": {"type": "parquet", "path": src}, "transforms": [stage]}
+    expect = {
+        r.vec_id: [nb.neighbor_id for nb in (r.neighbors or [])]
+        for r in pipeline_from_config(bcfg).dataframe(spark)
+        .select("vec_id", "neighbors")
+        .collect()
+    }
+    assert got == expect and got
