@@ -65,6 +65,8 @@ CHECK_FIRST = [
     "s_llm_url_dedup_ttl",
     "q_config_fineweb_v2",
     "s_config_fineweb_v2",
+    "q_config_ann_enrich",
+    "s_config_ann_enrich",
     "s_llm_url_dedup",
     "q_llm_url_dedup",
     # changed this round: banding refactored onto the shared

@@ -649,3 +649,105 @@ def s_config_fineweb_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("kept_chars").cast("bigint").alias("kept_chars"),
         F.sum("fp").cast("bigint").alias("kept_checksum"),
     )
+
+
+_ANN_ENRICH_STAGE = {
+    "type": "ann_enrich",
+    "id": "vec_id",
+    "embedding": "embedding",
+    "k": 5,            # _TOPK — the contract's k
+    "nlists": 16,      # _IVF_LISTS — the hash-gated oracle's constants
+    "nprobe": 4,       # _IVF_NPROBE
+}
+
+
+def _ann_enrich_contract(spark: SparkSession, sf_dir: str, enriched) -> "DataFrame":
+    """Reshape an ann_enrich output (id, neighbors array) to the ANN
+    family's (query_id, neighbor_id, cos_sim) rows for the query panel
+    and run the shared recall contract — the enrich answers every row;
+    the contract grades the vec_id % _QUERY_MOD panel against the
+    persisted exact anchor, exactly like s_llm_ann_ivf."""
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.queries.llm import _QUERY_MOD, _ann_contract
+
+    rows = (
+        enriched.where(F.col("vec_id") % _QUERY_MOD == 0)
+        .select("vec_id", F.explode("neighbors").alias("nb"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("nb.neighbor_id").alias("neighbor_id"),
+            F.col("nb.cos_sim").alias("cos_sim"),
+        )
+    )
+    return _ann_contract(spark, sf_dir, rows, 0.4)
+
+
+def _register_ann_enrich_pair():
+    # deferred import: llm.py must be loaded for the oracle constants
+    from cheetah_spark.functions import vectors as V
+    from cheetah_spark.queries.llm import _ANN_CONTRACT_ORACLE
+
+    oracle = _ANN_CONTRACT_ORACLE.format(
+        cos=V.oracle_cosine("q.embedding", "c.embedding")
+    )
+
+    @register(
+        "q_config_ann_enrich",
+        oracle=oracle,
+        tags=("config", "pipeline", "llm", "vector"),
+    )
+    def q_config_ann_enrich(spark: SparkSession, sf_dir: str):
+        """Similarity search from JSON config: the `ann_enrich`
+        declarative transform attaches a (cos DESC, id ASC) top-k
+        neighbor array to EVERY embeddings row — offline-compiled
+        cid-partitioned IVF index (the shared _ivf_index_core /
+        ivf_assign_fn / ivf_probe_expand definitions), pruned shuffle
+        join + window rerank — and the query panel's rows are graded by
+        the ANN family's recall contract against the persisted exact
+        anchor, same constants as q/s_llm_ann_ivf."""
+        cfg = {
+            "source": {"type": "parquet", "path": f"{sf_dir}/embeddings.parquet"},
+            "transforms": [dict(_ANN_ENRICH_STAGE, index=f"{sf_dir}/embeddings.parquet")],
+        }
+        return _ann_enrich_contract(
+            spark, sf_dir, pipeline_from_config(cfg).dataframe(spark)
+        )
+
+    @register(
+        "s_config_ann_enrich",
+        oracle=oracle,
+        tags=("config", "pipeline", "llm", "vector", "streaming"),
+    )
+    def s_config_ann_enrich(spark: SparkSession, sf_dir: str):
+        """The same JSON stage over a STREAMING source — lookup-at-the-
+        door as ONE lazy plan (stateless probe expansion → stream-static
+        cid join against the static index → update-mode per-query top-k
+        fold; no per-trigger driver work, the transform contract's pure
+        df→df shape) — drained and graded by the identical recall
+        contract: a query's answer depends only on the static index, so
+        admission slicing cannot move a row."""
+        from cheetah_spark.queries.streams import scoped_state_partitions
+        from cheetah_spark.streaming import (
+            embeddings_raw_stream_dir,
+            run_stream_to_files,
+        )
+
+        src_dir = embeddings_raw_stream_dir(spark, sf_dir)
+        cfg = {
+            "source": {
+                "type": "parquet",
+                "path": src_dir,
+                "streaming": True,
+                "max_files_per_trigger": 2,
+            },
+            "transforms": [dict(_ANN_ENRICH_STAGE, index=f"{sf_dir}/embeddings.parquet")],
+        }
+        stream = pipeline_from_config(cfg).dataframe(spark)
+        assert stream.isStreaming
+        with scoped_state_partitions(spark):
+            drained = run_stream_to_files(stream, lambda df: df, output_mode="update")
+        return _ann_enrich_contract(spark, sf_dir, drained)
+
+
+_register_ann_enrich_pair()
