@@ -1490,3 +1490,18 @@ def test_ann_enrich_transform_streaming_matches_batch(tmp_path, spark, sf_dir):
         .collect()
     }
     assert got == expect and got
+
+
+def test_example_configs_construct():
+    """examples/*.json must keep constructing through the daemon loader
+    — a transform/sink schema change that orphans the shipped examples
+    should fail here, not in a user's terminal."""
+    import glob
+
+    from cheetah_spark.config import load_pipeline
+
+    paths = sorted(glob.glob("examples/*.json"))
+    assert len(paths) >= 3
+    for p in paths:
+        pipe = load_pipeline(p)
+        assert pipe.transforms
