@@ -73,6 +73,9 @@ CHECK_FIRST = [
     # minhash_bucket_expr (same plan; evidence predates the code)
     "q_llm_minhash_dedup",
     "s_llm_minhash_dedup",
+    # changed this round: local top-k tie order fixed to the
+    # oracle's total order (argpartition -> lexsort, r12 bug class)
+    "q_llm_ann_bruteforce",
     # latest driver row: r7
     "q_multimodal_meta",
     "q_pivot_events",
@@ -244,7 +247,6 @@ CHECK_FIRST = [
     "q_hash_agg",
     "q_having_filter",
     "q_json_ops",
-    "q_llm_ann_bruteforce",
     "q_llm_bpe_train",
     "q_llm_cross_source_dups",
     "q_llm_dedup_recall_eval",

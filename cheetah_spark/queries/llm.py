@@ -1473,7 +1473,15 @@ def q_llm_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             vm /= np.linalg.norm(vm, axis=1, keepdims=True)
             sims = qm @ vm.T  # |Q| × batch
             take = min(k, sims.shape[1])
-            idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            # lexsort, not argpartition (the r12 _knn_vote finding, same
+            # class): local selection must follow the SAME total order
+            # as the global window and the oracle — (cos_sim DESC,
+            # neighbor_id ASC) — or an exact-duplicate embedding tied at
+            # the local boundary could evict the oracle-chosen lower
+            # neighbor_id before the global rank ever sees it
+            idx = np.lexsort((np.broadcast_to(ids, sims.shape), -sims), axis=1)[
+                :, :take
+            ]
             out = {
                 "query_id": np.repeat(qids, take),
                 "neighbor_id": ids[idx].ravel(),
@@ -2336,7 +2344,14 @@ def _ann_ivfpq_topk(
                     [tables[qi, m, :][:, Cm[:, m]] for m in range(pq_m)]
                 ).sum(axis=0)  # |qi| × n
                 k = min(pool, approx.shape[1])
-                top = np.argpartition(-approx, k - 1, axis=1)[:, :k]
+                # lexsort, not argpartition: ADC ties are STRUCTURAL in
+                # PQ (two vectors sharing all M codes score identically),
+                # so the local pool cut must follow the global window's
+                # total order (adc DESC, neighbor_id ASC) or pool
+                # membership becomes partition-layout-dependent
+                top = np.lexsort(
+                    (np.broadcast_to(ids, approx.shape), -approx), axis=1
+                )[:, :k]
                 out.append(
                     pd.DataFrame(
                         {
@@ -2591,7 +2606,11 @@ def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [tables[:, m, C[:, m]] for m in range(_PQ_M)]
             ).sum(axis=0)  # |Q| × n
             k = min(pool, approx.shape[1])
-            top = np.argpartition(-approx, k - 1, axis=1)[:, :k]
+            # lexsort, not argpartition: same structural-ADC-tie reason
+            # as the IVFPQ pool cut above
+            top = np.lexsort(
+                (np.broadcast_to(ids, approx.shape), -approx), axis=1
+            )[:, :k]
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(qids, k),

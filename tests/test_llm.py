@@ -510,3 +510,40 @@ def test_ann_ivf_index_is_cid_partitioned_and_prunable(spark, sf_dir):
         for r in spark.read.parquet(out).where(F.col("cid").isin(probed)).select("cid").distinct().collect()
     }
     assert got_cids <= set(probed)
+
+
+def test_ann_bruteforce_duplicate_embeddings_keep_lowest_ids(spark, tmp_path):
+    """The local top-k cut must follow the oracle's total order
+    (cos DESC, neighbor_id ASC) even when MANY corpus vectors tie
+    exactly (duplicate embeddings): with 50 identical best-match
+    vectors, the returned top-k must be the 5 LOWEST ids — an
+    argpartition cut picks arbitrary tied members and fails this
+    (the r12 _knn_vote bug class, fixed r13 in the bruteforce path)."""
+    import numpy as np
+    import pandas as pd
+
+    from cheetah_spark.registry import REGISTRY
+
+    rng = np.random.default_rng(7)
+    dim = 8
+    qv = rng.normal(size=dim).astype("float32")
+    dup = (qv + 0.01 * rng.normal(size=dim)).astype("float32")  # near-parallel
+    rows = [(0, [float(x) for x in qv], 0)]
+    rows += [(i, [float(x) for x in dup], 0) for i in range(1, 51)]
+    # background vectors, clearly worse matches
+    for i in range(51, 90):
+        v = rng.normal(size=dim).astype("float32")
+        rows.append((int(i), [float(x) for x in v], 0))
+    sf = str(tmp_path / "tie_sf")
+    import os
+
+    os.makedirs(sf)
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        f"{sf}/embeddings.parquet", index=False
+    )
+    out = REGISTRY["q_llm_ann_bruteforce"].fn(spark, sf)
+    got = [
+        r.neighbor_id
+        for r in out.where("query_id = 0").orderBy("rk").collect()
+    ]
+    assert got == [1, 2, 3, 4, 5], got
