@@ -31,6 +31,7 @@ from cheetah_spark.queries import multimodal  # noqa: F401
 from cheetah_spark.queries import regression  # noqa: F401
 from cheetah_spark.queries import relational  # noqa: F401
 from cheetah_spark.queries import scalars  # noqa: F401
+from cheetah_spark.queries import security  # noqa: F401
 from cheetah_spark.queries import streams  # noqa: F401
 from cheetah_spark.queries import surface  # noqa: F401
 from cheetah_spark.queries import syslog  # noqa: F401
@@ -67,6 +68,10 @@ CHECK_FIRST = [
     "s_config_fineweb_v2",
     "q_config_ann_enrich",
     "s_config_ann_enrich",
+    "q_sec_port_scan",
+    "s_sec_port_scan",
+    "q_sec_brute_force",
+    "q_sec_log_drift",
     "s_llm_url_dedup",
     "q_llm_url_dedup",
     # changed this round: banding refactored onto the shared

@@ -1,0 +1,359 @@
+"""Security-detection operators: port-scan fanout, brute-force-then-
+success correlation, and log-source volume drift.
+
+The reference is a security event-pipeline framework (runreveal kawa —
+SURVEY.md §1) whose users run exactly this class of detection
+downstream of the pipe; none exist there as operators (no reference
+counterpart — §2B extension surface, the same stance as the existing
+q_sec_* family in queries/analytics.py: cidr_match, beacon_detect,
+first_seen, impossible_travel, anomaly_zscore/mad).
+
+Determinism: every value is an exact integer (counts, distinct counts,
+integer cross-multiplied ratio tests), a truncated timestamp, or a
+selection of an input value; synthetic entities (ports, the scanner
+cohort) derive from the cross-engine 56-bit md5 hash
+(functions/text.py:75) because the fixture has no port column — a
+production deployment swaps ONE projection for the real field, the
+detection logic is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from cheetah_spark.catalog import load_table
+from cheetah_spark.functions import text as X
+from cheetah_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Port-scan detection (distinct-fanout per source per window)
+# ---------------------------------------------------------------------------
+
+# Synthetic dst ports: a hash-selected ~20% "scanner" cohort sprays a
+# 4096-port space (every probe hits a fresh port); normal clients talk
+# to a handful of services (4-port footprint). The detection flags a
+# (user, week) whose distinct-port fanout is both large in absolute
+# terms AND a high fraction of its events — the standard scan signature
+# (lots of connections, almost all to NEW ports).
+_PS_COHORT_SEED = "scan:"
+_PS_PORT_SEED = "port:"
+_PS_SCANNER_MOD = 5  # user-hash % 5 == 0 → scanner cohort
+_PS_SPRAY = 4096  # scanner port space
+_PS_NORM = 4  # normal-client service footprint
+_PS_MIN_FANOUT = 6  # absolute distinct-port floor
+# fanout-ratio test nd/n >= 3/4, cross-multiplied so no float exists
+_PS_RATIO_NUM, _PS_RATIO_DEN = 3, 4
+
+_PORT_SCAN_ORACLE = f"""
+    WITH e AS (
+        SELECT user_id,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+               CASE WHEN {X.oracle_hash56(f"'{_PS_COHORT_SEED}' || CAST(user_id AS VARCHAR)")}
+                         % {_PS_SCANNER_MOD} = 0
+                    THEN {X.oracle_hash56(f"'{_PS_PORT_SEED}' || CAST(event_id AS VARCHAR)")}
+                         % {_PS_SPRAY}
+                    ELSE {X.oracle_hash56(f"'{_PS_PORT_SEED}' || CAST(event_id AS VARCHAR)")}
+                         % {_PS_NORM}
+               END AS port
+        FROM events
+    ),
+    g AS (
+        SELECT user_id, week,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT port) AS BIGINT) AS n_ports
+        FROM e GROUP BY user_id, week
+    ),
+    f AS (
+        SELECT *,
+               (n_ports >= {_PS_MIN_FANOUT}
+                AND n_ports * {_PS_RATIO_DEN} >= n_events * {_PS_RATIO_NUM}) AS flagged
+        FROM g
+    )
+    SELECT week,
+           CAST(COUNT(*) AS BIGINT) AS n_user_weeks,
+           CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_scanners,
+           MIN(CASE WHEN flagged THEN user_id END) AS min_scanner_user,
+           CAST(MAX(n_ports) AS BIGINT) AS max_fanout
+    FROM f GROUP BY week
+"""
+
+
+def _port_scan_events(df: DataFrame) -> DataFrame:
+    """The shared (user, week, port) projection — ONE definition for
+    the batch query and the streaming twin, so the conformance gate
+    compares the same derivation."""
+    porth = X.hash56(F.concat(F.lit(_PS_PORT_SEED), F.col("event_id").cast("string")))
+    scanner = (
+        X.hash56(F.concat(F.lit(_PS_COHORT_SEED), F.col("user_id").cast("string")))
+        % _PS_SCANNER_MOD
+        == 0
+    )
+    return df.select(
+        "user_id",
+        F.date_trunc("week", "ts").alias("week"),
+        F.when(scanner, porth % _PS_SPRAY).otherwise(porth % _PS_NORM).alias("port"),
+    )
+
+
+def _port_scan_rollup(g: DataFrame) -> DataFrame:
+    """Flag + weekly rollup over per-(user, week) (n_events, n_ports)."""
+    f = g.withColumn(
+        "flagged",
+        (F.col("n_ports") >= _PS_MIN_FANOUT)
+        & (F.col("n_ports") * _PS_RATIO_DEN >= F.col("n_events") * _PS_RATIO_NUM),
+    )
+    return f.groupBy("week").agg(
+        F.count("*").cast("bigint").alias("n_user_weeks"),
+        F.sum(F.when(F.col("flagged"), 1).otherwise(0)).cast("bigint").alias("n_scanners"),
+        F.min(F.when(F.col("flagged"), F.col("user_id"))).alias("min_scanner_user"),
+        F.max("n_ports").cast("bigint").alias("max_fanout"),
+    )
+
+
+@register(
+    "q_sec_port_scan",
+    oracle=_PORT_SCAN_ORACLE,
+    tags=("security", "portscan", "fanout"),
+)
+def q_sec_port_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Port-scan detection — distinct-destination fanout per source per
+    tumbling week: flag a (user, week) whose distinct-port count clears
+    an absolute floor AND covers >= 3/4 of its events (scan traffic
+    hits fresh ports; service traffic repeats a small footprint), then
+    roll up to per-week scanner counts.
+
+    Scale shape: ONE exact-distinct aggregate keyed by (user, week) —
+    Spark plans count(distinct) as expand + two-phase agg, partial
+    before the shuffle — then a tiny per-week rollup. Keys are bounded
+    by sources x weeks and per-key state by the port space, so the
+    same plan holds at 100 TB; a skewed super-source salts the first
+    phase exactly like q_skew_salted_agg (functions/skew.py)."""
+    g = (
+        _port_scan_events(load_table(spark, sf_dir, "events"))
+        .groupBy("user_id", "week")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("port").cast("bigint").alias("n_ports"),
+        )
+    )
+    return _port_scan_rollup(g)
+
+
+@register(
+    "s_sec_port_scan",
+    oracle=_PORT_SCAN_ORACLE,
+    tags=("security", "portscan", "streaming"),
+)
+def s_sec_port_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming port-scan detection — the at-ingest twin of
+    q_sec_port_scan: a complete-mode COUNT per (user, week, port) runs
+    across the replayed micro-batches (exact distinct is not a
+    streaming aggregate, so the state carries the DISTINCT KEYS
+    themselves — one counter per live (user, week, port), the standard
+    two-level exact-distinct decomposition), and the drained state
+    rolls up batch-side to fanout flags hash-matched against the batch
+    oracle verbatim.
+
+    Arrival order cannot matter: COUNT per composite key is
+    order-insensitive, so any admission slicing yields the same drained
+    state. State is bounded by live (user, week, port) keys — normals
+    hold <= 4 rows per user-week, scanners <= the port space — and a
+    production deployment ages closed weeks out with a watermark the
+    same way s_sec_first_seen's docstring prescribes for pairs."""
+    from cheetah_spark.queries.streams import scoped_state_partitions
+    from cheetah_spark.sources import ParquetSource
+    from cheetah_spark.streaming import events_stream_dir, run_stream_to_completion
+
+    src_dir = events_stream_dir(spark, sf_dir)
+    stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=2).read(spark)
+    with scoped_state_partitions(spark):
+        out = run_stream_to_completion(
+            stream,
+            lambda df: _port_scan_events(df)
+            .groupBy("user_id", "week", "port")
+            .agg(F.count("*").alias("n")),
+            output_mode="complete",
+        )
+    g = out.groupBy("user_id", "week").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_ports"),
+    )
+    return _port_scan_rollup(g)
+
+
+# ---------------------------------------------------------------------------
+# Brute-force-then-success correlation (run-length + next-event join)
+# ---------------------------------------------------------------------------
+
+_BF_MIN_RUN = 3  # consecutive failures that constitute a burst
+_BF_FAIL = "error"  # the failure event class
+_BF_SUCCESS = "purchase"  # post-burst success = takeover candidate
+
+
+@register(
+    "q_sec_brute_force",
+    oracle=f"""
+        WITH o AS (
+            SELECT user_id, event_type, ts,
+                   row_number() OVER w1 AS rn,
+                   CASE WHEN lead(event_type) OVER w1 = '{_BF_SUCCESS}'
+                        THEN 1 ELSE 0 END AS next_success,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rnt
+            FROM events
+            WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        runs AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS run_len,
+                   MIN(ts) AS start_ts,
+                   arg_max(next_success, rn) AS compromised
+            FROM o WHERE event_type = '{_BF_FAIL}'
+            GROUP BY user_id, rn - rnt
+            HAVING COUNT(*) >= {_BF_MIN_RUN}
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bursts,
+               CAST(SUM(compromised) AS BIGINT) AS n_compromised,
+               CAST(MAX(run_len) AS BIGINT) AS max_run_len,
+               date_trunc('second', MIN(start_ts)) AS first_burst_ts
+        FROM runs GROUP BY user_id
+    """,
+    tags=("security", "bruteforce", "correlation"),
+)
+def q_sec_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force-then-success correlation — the classic SIEM rule: a
+    run of >= 3 CONSECUTIVE failure events for one user (gaps-and-
+    islands over the per-user event order) is a credential-stuffing
+    burst; a burst whose immediately-next event is a success marks an
+    account-takeover candidate. Output is per-user burst counts,
+    compromised-burst counts, and the first burst's timestamp.
+
+    Scale shape: NO self-join — the naive formulation looks up each
+    burst's next event by (user_id, end_rn + 1), which re-scans and
+    re-windows the event table on the probe side; instead the
+    next-event verdict rides ALONG the run as lead(event_type) in the
+    SAME (user_id)-partitioned window pass as row_number (one Window
+    exec, two frames), and the run aggregate lifts the LAST row's
+    verdict with max_by over the unique in-run order rn. One scan, one
+    sort shuffle (hashpartitioning(user_id) satisfies the
+    (user_id, event_type) clustering too — sort-only between the two
+    Window execs), two map-side-combinable aggregates. History length
+    never leaves its user's partition, the q_scd2_history shape."""
+    e = load_table(spark, sf_dir, "events")
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    o = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w_all))
+        .withColumn(
+            "next_success",
+            F.when(F.lead("event_type").over(w_all) == _BF_SUCCESS, 1).otherwise(0),
+        )
+        .withColumn("grp", F.col("rn") - F.row_number().over(w_type))
+    )
+    runs = (
+        o.where(F.col("event_type") == _BF_FAIL)
+        .groupBy("user_id", "grp")
+        .agg(
+            F.count("*").cast("bigint").alias("run_len"),
+            F.min("ts").alias("start_ts"),
+            F.max_by("next_success", "rn").alias("compromised"),
+        )
+        .where(F.col("run_len") >= _BF_MIN_RUN)
+    )
+    return runs.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_bursts"),
+        F.sum("compromised").cast("bigint").alias("n_compromised"),
+        F.max("run_len").cast("bigint").alias("max_run_len"),
+        F.date_trunc("second", F.min("start_ts")).alias("first_burst_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log-source volume drift (outage / drop detection per source series)
+# ---------------------------------------------------------------------------
+
+_LD_TRAIL_DAYS = 7  # trailing window the daily volume is judged against
+# worst-day selection key: (shortfall DESC, day ASC) folded into ONE
+# exact bigint so max_by/arg_max agree cross-engine (DuckDB's arg_min
+# has no struct-ordering overload). shortfall * 2^21 dominates; the
+# subtracted epoch-day (< 2^21 until year ~7700) breaks ties toward
+# the EARLIER day. |shortfall| <= 7 * daily volume, so the product
+# stays far inside int64 until ~4e12 events/source/day.
+_LD_KEY_SHIFT = 1 << 21
+
+
+@register(
+    "q_sec_log_drift",
+    oracle=f"""
+        WITH d AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT event_type, day, cnt,
+                   CAST(SUM(cnt) OVER w AS BIGINT) AS trail,
+                   COUNT(cnt) OVER w AS n_prev
+            FROM d
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN {_LD_TRAIL_DAYS} PRECEDING AND 1 PRECEDING)
+        ),
+        fd AS (
+            SELECT event_type, day, cnt,
+                   trail - {_LD_TRAIL_DAYS} * cnt AS shortfall
+            FROM t WHERE n_prev = {_LD_TRAIL_DAYS}
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(MIN(cnt) AS BIGINT) AS min_daily,
+               CAST(MAX(cnt) AS BIGINT) AS max_daily,
+               arg_max(day, shortfall * {_LD_KEY_SHIFT}
+                            - date_diff('day', DATE '1970-01-01', day)) AS worst_day,
+               CAST(MAX(shortfall) AS BIGINT) AS worst_shortfall
+        FROM fd GROUP BY event_type
+    """,
+    tags=("security", "drift", "timeseries"),
+)
+def q_sec_log_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-source volume drift — "which source went quiet": per
+    (event_type, day) volume judged against its own trailing 7-day
+    total; the shortfall trail − 7·cnt (positive = below the trailing
+    mean, scaled by 7 so it stays an exact integer) is maximized per
+    source to name each source's worst drop day. A silent log-source
+    outage — the detection gap every SIEM monitors for — surfaces as a
+    large positive worst_shortfall.
+
+    Scale shape: the daily pre-aggregate is map-side combinable (the
+    shuffle carries sources x days rows, not events — at 100 TB the
+    scan dominates and everything downstream is constant-size), the
+    trailing window sorts that tiny series once, and the per-source
+    report is ONE aggregate: the worst day rides max_by over the
+    (shortfall DESC, day ASC) order folded into a single exact-integer
+    key — no rank branch, no self-join, so the plan reads events
+    exactly ONCE (the naive agg-join-rank formulation scans twice)."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-_LD_TRAIL_DAYS, -1)
+    t = d.withColumn("trail", F.sum("cnt").over(w).cast("bigint")).withColumn(
+        "n_prev", F.count("cnt").over(w)
+    )
+    fd = t.where(F.col("n_prev") == _LD_TRAIL_DAYS).withColumn(
+        "shortfall", F.col("trail") - _LD_TRAIL_DAYS * F.col("cnt")
+    )
+    key = F.col("shortfall") * _LD_KEY_SHIFT - F.datediff(
+        F.col("day"), F.lit("1970-01-01").cast("date")
+    )
+    return fd.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.min("cnt").cast("bigint").alias("min_daily"),
+        F.max("cnt").cast("bigint").alias("max_daily"),
+        F.max_by("day", key).alias("worst_day"),
+        F.max("shortfall").cast("bigint").alias("worst_shortfall"),
+    )

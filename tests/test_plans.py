@@ -861,3 +861,61 @@ def test_config_fineweb_v2_chain_plan_single_arrow_no_cartesian(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert "Window" in p and "HashAggregate" in p, p
+
+
+def _partial_agg_before_first_exchange(p: str) -> bool:
+    """True iff the plan's innermost exchange is fed by a partial
+    aggregate — i.e. some detail block ``(N) HashAggregate`` with
+    partial_* functions has a LOWER node id than every ``(N) Exchange``
+    block (formatted plans number nodes bottom-up, so lower id = closer
+    to the scan)."""
+    import re
+
+    exchanges = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) Exchange", p)]
+    partials = [
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) HashAggregate[^(]*?\(", p)
+        if "partial_" in p[m.start() : p.find("\n\n", m.start())]
+    ]
+    return bool(exchanges) and bool(partials) and min(partials) < min(exchanges)
+
+
+def test_sec_port_scan_distinct_is_two_phase_no_join(spark, sf_dir):
+    """q_sec_port_scan: the exact-distinct fanout must decompose into
+    the two-level (user, week, port) -> (user, week) aggregation with a
+    map-side partial BEFORE the first exchange (the shuffle carries
+    per-key counts, not events), read only the three needed columns,
+    and contain no join at all."""
+    p = plan(_q("q_sec_port_scan", spark, sf_dir))
+    assert _partial_agg_before_first_exchange(p), p
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "event_type" not in read_schema[0], read_schema
+    assert "Join" not in p, p
+
+
+def test_sec_brute_force_single_shuffle_no_join(spark, sf_dir):
+    """q_sec_brute_force: the gaps-and-islands + next-event correlation
+    must run on ONE sort shuffle — hashpartitioning(user_id) satisfies
+    both window clusterings, and the next-event verdict rides lead()
+    in the first Window exec instead of a (user_id, rn) self-join that
+    would re-scan and re-window the event table."""
+    p = plan(_q("q_sec_brute_force", spark, sf_dir))
+    tree = p.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count("Window") == 2, tree
+    assert "Join" not in p, p
+    assert p.count("Scan parquet") <= 2, p  # tree line + detail line of ONE node
+
+
+def test_sec_log_drift_single_scan_partial_agg(spark, sf_dir):
+    """q_sec_log_drift: the daily pre-aggregate must be map-side
+    combinable (partial_count before the first exchange), the worst-day
+    selection must be the max_by fold (no rank branch => no second scan
+    of events, no join), and the trailing window runs once on the tiny
+    daily series."""
+    p = plan(_q("q_sec_log_drift", spark, sf_dir))
+    tree = p.split("\n\n")[0]
+    assert _partial_agg_before_first_exchange(p), p
+    assert p.count("Scan parquet") <= 2, p
+    assert "Join" not in p, p
+    assert tree.count("Window") == 1, tree
