@@ -118,6 +118,13 @@ DOC_QUERIES = [
     # keyed-MIN-state (url) shapes
     "s_llm_line_dedup",
     "s_llm_url_dedup",
+    # r13: the security-detection family (events-based — the span-grown
+    # fixture scales weeks/days/runs while per-key state stays bounded:
+    # port fanout by the port space, runs by per-user history)
+    "q_sec_port_scan",
+    "s_sec_port_scan",
+    "q_sec_brute_force",
+    "q_sec_log_drift",
 ]
 EMB_QUERIES = [
     "q_llm_embed_dedup",
@@ -180,6 +187,10 @@ HIGH_ALPHA = [
     # map work — should track s_llm_c4_filter)
     "s_llm_url_dedup",
     "s_llm_gopher_filter",
+    # r13: the distinct-fanout detection read alpha(5->10) 0.82 — the
+    # expand shuffle grows with live (user, week, port) keys; bound it
+    # at the top tier
+    "q_sec_port_scan",
     # r12: per-trigger probe join grows with the index — the top tier
     # bounds that constant
     "s_llm_ann_ivf",
