@@ -71,6 +71,7 @@ CHECK_FIRST = [
     "q_sec_port_scan",
     "s_sec_port_scan",
     "q_sec_brute_force",
+    "s_sec_brute_force",
     "q_sec_log_drift",
     "s_llm_url_dedup",
     "q_llm_url_dedup",

@@ -192,9 +192,7 @@ _BF_FAIL = "error"  # the failure event class
 _BF_SUCCESS = "purchase"  # post-burst success = takeover candidate
 
 
-@register(
-    "q_sec_brute_force",
-    oracle=f"""
+_BF_ORACLE = f"""
         WITH o AS (
             SELECT user_id, event_type, ts,
                    row_number() OVER w1 AS rn,
@@ -220,7 +218,12 @@ _BF_SUCCESS = "purchase"  # post-burst success = takeover candidate
                CAST(MAX(run_len) AS BIGINT) AS max_run_len,
                date_trunc('second', MIN(start_ts)) AS first_burst_ts
         FROM runs GROUP BY user_id
-    """,
+    """
+
+
+@register(
+    "q_sec_brute_force",
+    oracle=_BF_ORACLE,
     tags=("security", "bruteforce", "correlation"),
 )
 def q_sec_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,6 +272,129 @@ def q_sec_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("compromised").cast("bigint").alias("n_compromised"),
         F.max("run_len").cast("bigint").alias("max_run_len"),
         F.date_trunc("second", F.min("start_ts")).alias("first_burst_ts"),
+    )
+
+
+@register(
+    "s_sec_brute_force",
+    oracle=_BF_ORACLE,
+    tags=("security", "bruteforce", "streaming", "stateful"),
+)
+def s_sec_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming brute-force-then-success detection — keyed RUN-LENGTH
+    state (applyInPandasWithState): each live user's state entry
+    carries (current failure-run length + start, burst/compromise
+    totals, max run, first burst) and every micro-batch folds its rows
+    through the same sequential rule as the batch operator. A run that
+    has reached the threshold but is still OPEN (no next event seen
+    yet) is counted provisionally with a not-compromised verdict —
+    exactly the batch lead()-is-NULL semantics if the stream ends
+    there — and the verdict upgrades when the closing event arrives,
+    so every per-user total is MONOTONE across emissions and the
+    column-wise max/min rollup over the update-mode spool equals the
+    final state under any admission slicing. In-batch rows sort by
+    (ts, event_id); cross-batch order is the replay's ts-ordered
+    admission — the same sequential-per-key contract as
+    s_sec_impossible_travel. State is O(1) per live user; a production
+    deployment ages idle users out with an event-time timeout exactly
+    like s_llm_url_dedup_ttl's state discipline.
+
+    Hash-gated against q_sec_brute_force's oracle VERBATIM."""
+    return _brute_force_stream(spark, sf_dir)
+
+
+def _brute_force_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """s_sec_brute_force's body with the admission knob exposed — the
+    slicing-invariance test drives it at 1 and 8 files/trigger."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from cheetah_spark.queries.streams import scoped_state_partitions
+    from cheetah_spark.sources import ParquetSource
+    from cheetah_spark.streaming import events_stream_dir, run_stream_to_completion
+
+    min_run, fail, success = _BF_MIN_RUN, _BF_FAIL, _BF_SUCCESS
+
+    def update(key, pdfs, state):
+        if state.exists:
+            cur_run, cur_start_s, n_bursts, n_comp, max_run, first_s = state.get
+        else:
+            cur_run, cur_start_s, n_bursts, n_comp, max_run, first_s = 0, 0, 0, 0, 0, -1
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for _, r in rows.iterrows():
+            ts_s = int(r["ts"].value // 10**9)
+            if r["event_type"] == fail:
+                if cur_run == 0:
+                    cur_start_s = ts_s
+                cur_run += 1
+                if cur_run >= min_run:  # provisional burst (lead may be NULL)
+                    if cur_run == min_run:
+                        n_bursts += 1
+                        if first_s < 0 or cur_start_s < first_s:
+                            first_s = cur_start_s
+                    if cur_run > max_run:
+                        max_run = cur_run
+            else:
+                if cur_run >= min_run and r["event_type"] == success:
+                    n_comp += 1  # the closing event upgrades the verdict
+                cur_run = 0
+        state.update((cur_run, cur_start_s, n_bursts, n_comp, max_run, first_s))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_bursts": [n_bursts],
+                "n_compromised": [n_comp],
+                "max_run_len": [max_run],
+                "first_burst_s": [first_s],
+            }
+        )
+
+    src_dir = events_stream_dir(spark, sf_dir)
+    stream = ParquetSource(
+        src_dir, streaming=True, max_files_per_trigger=max_files_per_trigger
+    ).read(spark)
+    with scoped_state_partitions(spark):
+        out = run_stream_to_completion(
+            stream,
+            lambda df: df.groupBy("user_id").applyInPandasWithState(
+                update,
+                outputStructType=(
+                    "user_id long, n_bursts long, n_compromised long, "
+                    "max_run_len long, first_burst_s long"
+                ),
+                stateStructType=(
+                    "cur_run long, cur_start_s long, n_bursts long, "
+                    "n_comp long, max_run long, first_s long"
+                ),
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ),
+            output_mode="update",
+        )
+    # every total is monotone (counts up, first-burst down), so the
+    # column-wise extremum over the spool IS the final state
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_bursts").alias("n_bursts"),
+            F.max("n_compromised").alias("n_compromised"),
+            F.max("max_run_len").alias("max_run_len"),
+            F.min(F.when(F.col("first_burst_s") >= 0, F.col("first_burst_s"))).alias(
+                "first_s"
+            ),
+        )
+        .where(F.col("n_bursts") > 0)
+        .select(
+            "user_id",
+            "n_bursts",
+            "n_compromised",
+            "max_run_len",
+            F.col("first_s").cast("timestamp").alias("first_burst_ts"),
+        )
     )
 
 

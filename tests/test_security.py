@@ -1,0 +1,75 @@
+"""Security-detection family semantics: admission-slicing invariance
+for the stateful brute-force stream, and a synthetic differential
+check of the burst rule on adversarial shapes the fixture may not
+contain (open trailing run, exact-threshold run, back-to-back bursts).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from cheetah_spark.queries.security import _BF_ORACLE, _brute_force_stream
+from cheetah_spark.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def _canon(df) -> list[tuple]:
+    pdf = df.toPandas() if hasattr(df, "toPandas") else df
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    return sorted(map(tuple, pdf.astype(str).values.tolist()))
+
+
+@pytest.mark.parametrize("mfpt", [1, 8])
+def test_brute_force_stream_slicing_invariant(spark, sf_dir, mfpt):
+    """The keyed run-length state must drain to the batch answer under
+    any admission slicing — 1 file/trigger (every boundary lands
+    between batches) and 8 (one mega-batch) bracket the registered 4."""
+    batch = _canon(REGISTRY["q_sec_brute_force"].fn(spark, sf_dir))
+    stream = _canon(_brute_force_stream(spark, sf_dir, max_files_per_trigger=mfpt))
+    assert stream == batch
+
+
+def test_brute_force_rule_on_adversarial_shapes(spark, tmp_path):
+    """Differential mini-oracle on hand-built histories: an OPEN
+    trailing run counts as a burst with a not-compromised verdict
+    (batch lead() is NULL), an exact-threshold run closed by a success
+    is compromised, a sub-threshold run is not a burst, and two bursts
+    in one history both count with one compromise."""
+    rows = []
+
+    def add(user, seq, t0=0):
+        for i, et in enumerate(seq):
+            rows.append(
+                {
+                    "event_id": len(rows) + 1,
+                    "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=t0 + i),
+                    "user_id": user,
+                    "event_type": et,
+                    "value": 0.0,
+                    "props": "{}",
+                }
+            )
+
+    f, s, v = "error", "purchase", "view"
+    add(1, [f, f, f])  # open trailing run: burst, NOT compromised
+    add(2, [f, f, f, s])  # threshold run closed by success: compromised
+    add(3, [f, f, v])  # sub-threshold: no burst
+    add(4, [f, f, f, f, v, f, f, f, s])  # two bursts, one compromise
+    pdf = pd.DataFrame(rows)
+    pdf.to_parquet(tmp_path / "events.parquet", index=False)
+
+    got = {
+        r["user_id"]: (r["n_bursts"], r["n_compromised"], r["max_run_len"])
+        for r in REGISTRY["q_sec_brute_force"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (1, 0, 3), 2: (1, 1, 3), 4: (2, 1, 4)}
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    oracle = _canon(con.sql(_BF_ORACLE).df())
+    assert _canon(REGISTRY["q_sec_brute_force"].fn(spark, str(tmp_path))) == oracle
