@@ -318,6 +318,8 @@ def _brute_force_stream(
 
     min_run, fail, success = _BF_MIN_RUN, _BF_FAIL, _BF_SUCCESS
 
+    import numpy as np
+
     def update(key, pdfs, state):
         if state.exists:
             cur_run, cur_start_s, n_bursts, n_comp, max_run, first_s = state.get
@@ -325,23 +327,51 @@ def _brute_force_stream(
             cur_run, cur_start_s, n_bursts, n_comp, max_run, first_s = 0, 0, 0, 0, 0, -1
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts", "event_id"])
-        for _, r in rows.iterrows():
-            ts_s = int(r["ts"].value // 10**9)
-            if r["event_type"] == fail:
+        # vectorized fold: a non-failure row CLOSES the run of
+        # consecutive failures immediately before it; the batch tail
+        # leaves an open run that carries into the next batch. Same
+        # sequential semantics as a per-row loop, numpy throughput.
+        # A carry-in run already past the threshold was provisionally
+        # COUNTED by the batch that grew it there — whatever happens to
+        # it this batch (closes, or stays open and grows) must not
+        # count it again.
+        carried_counted = cur_run >= min_run
+        ets = rows["event_type"].to_numpy()
+        ts_s = rows["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        n = len(ets)
+        closers = np.flatnonzero(ets != fail)
+        if closers.size:
+            run_lens = np.diff(np.concatenate(([-1], closers))) - 1
+            starts = ts_s[closers - run_lens]  # in-batch run starts
+            run_lens[0] += cur_run
+            if cur_run > 0:  # carry-in run continues through slot 0
+                starts[0] = cur_start_s
+            bursts = run_lens >= min_run
+            n_comp += int(np.count_nonzero(bursts & (ets[closers] == success)))
+            tail = n - 1 - closers[-1]
+            cur_run, cur_start_s = int(tail), int(ts_s[n - tail]) if tail else 0
+        else:  # all failures: the open run just grows
+            run_lens = np.empty(0, dtype=np.int64)
+            starts = run_lens
+            bursts = run_lens >= min_run
+            if n:
                 if cur_run == 0:
-                    cur_start_s = ts_s
-                cur_run += 1
-                if cur_run >= min_run:  # provisional burst (lead may be NULL)
-                    if cur_run == min_run:
-                        n_bursts += 1
-                        if first_s < 0 or cur_start_s < first_s:
-                            first_s = cur_start_s
-                    if cur_run > max_run:
-                        max_run = cur_run
-            else:
-                if cur_run >= min_run and r["event_type"] == success:
-                    n_comp += 1  # the closing event upgrades the verdict
-                cur_run = 0
+                    cur_start_s = int(ts_s[0])
+                cur_run += n
+        # provisional accounting for the still-open trailing run
+        open_burst = cur_run >= min_run
+        n_bursts += (
+            int(np.count_nonzero(bursts)) + int(open_burst) - int(carried_counted)
+        )
+        all_lens = np.concatenate((run_lens[bursts], [cur_run] if open_burst else []))
+        if all_lens.size:
+            max_run = max(max_run, int(all_lens.max()))
+        all_starts = np.concatenate(
+            (starts[bursts], [cur_start_s] if open_burst else [])
+        )
+        if all_starts.size:
+            lo = int(all_starts.min())
+            first_s = lo if first_s < 0 else min(first_s, lo)
         state.update((cur_run, cur_start_s, n_bursts, n_comp, max_run, first_s))
         yield pd.DataFrame(
             {

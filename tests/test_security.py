@@ -32,6 +32,38 @@ def test_brute_force_stream_slicing_invariant(spark, sf_dir, mfpt):
     assert stream == batch
 
 
+def test_brute_force_stream_carry_across_batches(spark, tmp_path):
+    """A threshold-passing run that SPANS micro-batches must be counted
+    exactly once: provisionally when it crosses the threshold, not
+    re-counted when later batches grow it or close it. Runs stretched
+    across the full replay span so 1-file triggers cut every run."""
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for h in range(8):  # user 1: failures in every time slice, open at end
+        rows.append(
+            {"event_id": len(rows) + 1, "ts": base + pd.Timedelta(hours=h),
+             "user_id": 1, "event_type": "error", "value": 0.0, "props": "{}"}
+        )
+    for h in range(8):  # user 2: spanning run closed by a success
+        rows.append(
+            {"event_id": len(rows) + 1, "ts": base + pd.Timedelta(hours=h, minutes=30),
+             "user_id": 2, "event_type": "error" if h < 7 else "purchase",
+             "value": 0.0, "props": "{}"}
+        )
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+
+    batch = _canon(REGISTRY["q_sec_brute_force"].fn(spark, str(tmp_path)))
+    stream = _canon(_brute_force_stream(spark, str(tmp_path), max_files_per_trigger=1))
+    assert stream == batch
+    got = {
+        r["user_id"]: (r["n_bursts"], r["n_compromised"], r["max_run_len"])
+        for r in _brute_force_stream(
+            spark, str(tmp_path), max_files_per_trigger=1
+        ).collect()
+    }
+    assert got == {1: (1, 0, 8), 2: (1, 1, 7)}
+
+
 def test_brute_force_rule_on_adversarial_shapes(spark, tmp_path):
     """Differential mini-oracle on hand-built histories: an OPEN
     trailing run counts as a burst with a not-compromised verdict

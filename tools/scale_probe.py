@@ -124,6 +124,7 @@ DOC_QUERIES = [
     "q_sec_port_scan",
     "s_sec_port_scan",
     "q_sec_brute_force",
+    "s_sec_brute_force",
     "q_sec_log_drift",
 ]
 EMB_QUERIES = [
