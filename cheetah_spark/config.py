@@ -1006,6 +1006,63 @@ def build_transform(cfg: Mapping[str, Any]) -> Handler:
             return packed.withColumnRenamed("query_id", id_col)
 
         return enrich
+    # --- r13: security detections as declarative stages — the
+    # reference is a security event-pipeline daemon (SURVEY §1), so
+    # "detections from JSON" is exactly the deployment shape its users
+    # run; each type binds the registered q/s_sec_* operator's
+    # single-definition composition (queries/security.py), so a
+    # config-declared detection is hash-gated by the same oracle ---
+    if kind == "brute_force":
+        bf_knobs = {
+            k: cfg[k] for k in ("min_run", "fail", "success") if k in cfg
+        }
+        if "min_run" in bf_knobs:
+            bf_knobs["min_run"] = int(bf_knobs["min_run"])
+
+        def detect_brute_force(df: DataFrame) -> DataFrame:
+            from cheetah_spark.queries.security import (
+                brute_force_report,
+                brute_force_state_stage,
+            )
+
+            if df.isStreaming:
+                # keyed run-length state; update-mode monotone report
+                # emissions — the chain's consumer resolves with
+                # security.resolve_brute_force post-drain
+                return brute_force_state_stage(df, **bf_knobs)
+            return brute_force_report(df, **bf_knobs)
+
+        return detect_brute_force
+    if kind == "port_scan":
+
+        def detect_port_scan(df: DataFrame) -> DataFrame:
+            from cheetah_spark.queries.security import (
+                port_scan_counts_stage,
+                port_scan_report,
+            )
+
+            if df.isStreaming:
+                # complete-mode COUNT per (user, week, port) — resolve
+                # the drained counts with security.resolve_port_scan
+                return port_scan_counts_stage(df)
+            return port_scan_report(df)
+
+        return detect_port_scan
+    if kind == "log_drift":
+
+        def detect_log_drift(df: DataFrame) -> DataFrame:
+            from cheetah_spark.queries.security import log_drift_report
+
+            if df.isStreaming:
+                raise ValueError(
+                    "log_drift transform is batch-only: the trailing-window "
+                    "judgment reads a COMPLETE per-source daily series; run "
+                    "it over the landed table (or schedule the batch config "
+                    "per day) instead of at ingest"
+                )
+            return log_drift_report(df)
+
+        return detect_log_drift
     raise ValueError(f"unknown transform type: {kind!r}")
 
 

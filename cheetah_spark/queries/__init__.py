@@ -73,6 +73,8 @@ CHECK_FIRST = [
     "q_sec_brute_force",
     "s_sec_brute_force",
     "q_sec_log_drift",
+    "q_config_detections",
+    "s_config_detections",
     "s_llm_url_dedup",
     "q_llm_url_dedup",
     # changed this round: banding refactored onto the shared

@@ -751,3 +751,92 @@ def _register_ann_enrich_pair():
 
 
 _register_ann_enrich_pair()
+
+
+# --- r13: security detections from JSON (the reference's deployment
+# shape: kawad-style daemon configs wiring a detection over the event
+# pipe) — the brute-force chain is the contract pair; port_scan and
+# log_drift transform types carry config e2e tests (tests/test_config)
+
+
+@register(
+    "q_config_detections",
+    oracle=None,  # set below: shares q_sec_brute_force's oracle verbatim
+    tags=("config", "pipeline", "security"),
+)
+def q_config_detections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A SIEM detection declared entirely as config: raw events parquet
+    source, then the `brute_force` transform binding
+    queries/security.brute_force_report. Hash-gated by the SAME oracle
+    as q_sec_brute_force — the config path and the DataFrame path are
+    one definition.
+
+    ts normalization mirrors catalog.load_table's CONDITIONAL handling:
+    if the raw scan yields ts as long (a TIMESTAMP(NANOS) fixture under
+    nanosAsLong), a declarative with_column stage truncates ns → µs —
+    the same integer-DIV DuckDB's ns→µs cast performs; a µs fixture
+    needs no stage."""
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    raw_ts = spark.read.parquet(path).schema["ts"].dataType
+    ts_fix = (
+        [{"type": "with_column", "name": "ts",
+          "expr": "timestamp_micros(ts DIV 1000)"}]
+        if isinstance(raw_ts, T.LongType)
+        else []
+    )
+    cfg = {
+        "source": {"type": "parquet", "path": path},
+        "transforms": ts_fix + [{"type": "brute_force"}],
+    }
+    return pipeline_from_config(cfg).dataframe(spark)
+
+
+@register(
+    "s_config_detections",
+    oracle=None,  # set below: same oracle
+    tags=("config", "pipeline", "security", "streaming"),
+)
+def s_config_detections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same JSON-declared detection at INGEST: the `brute_force`
+    transform routes through the keyed run-length state stage
+    (update-mode monotone per-user report emissions), the spool is
+    resolved by the operator's own column-wise extremum fold, and the
+    result hash-matches the batch oracle verbatim under the replay's
+    admission slicing — detections deploy from config without losing
+    the hash gate."""
+    from cheetah_spark.queries.security import resolve_brute_force
+    from cheetah_spark.queries.streams import scoped_state_partitions
+    from cheetah_spark.streaming import events_stream_dir, run_stream_to_files
+
+    src_dir = events_stream_dir(spark, sf_dir)
+    cfg = {
+        "source": {
+            "type": "parquet",
+            "path": src_dir,
+            "streaming": True,
+            "max_files_per_trigger": 2,
+        },
+        "transforms": [{"type": "brute_force"}],
+    }
+    stream = pipeline_from_config(cfg).dataframe(spark)
+    assert stream.isStreaming
+    with scoped_state_partitions(spark):
+        spool = run_stream_to_files(stream, lambda df: df, output_mode="update")
+    return resolve_brute_force(spool)
+
+
+def _bind_detection_oracles() -> None:
+    from cheetah_spark.queries.security import _BF_ORACLE
+    from cheetah_spark.registry import REGISTRY
+
+    for name in ("q_config_detections", "s_config_detections"):
+        spec = REGISTRY[name]
+        REGISTRY[name] = spec.__class__(
+            name=name, fn=spec.fn, oracle=_BF_ORACLE, doc=spec.doc, tags=spec.tags
+        )
+
+
+_bind_detection_oracles()

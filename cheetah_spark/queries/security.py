@@ -97,6 +97,42 @@ def _port_scan_events(df: DataFrame) -> DataFrame:
     )
 
 
+def port_scan_report(df: DataFrame) -> DataFrame:
+    """q_sec_port_scan's batch composition as a pure df→df — the
+    single definition the registered query AND the declarative
+    `port_scan` transform (config.py) bind."""
+    g = (
+        _port_scan_events(df)
+        .groupBy("user_id", "week")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("port").cast("bigint").alias("n_ports"),
+        )
+    )
+    return _port_scan_rollup(g)
+
+
+def port_scan_counts_stage(df: DataFrame) -> DataFrame:
+    """The streaming-safe stage: COUNT per (user, week, port) — the
+    state carries the distinct keys themselves (two-level exact-
+    distinct decomposition), order-insensitive under any admission
+    slicing; :func:`resolve_port_scan` folds the drained counts."""
+    return (
+        _port_scan_events(df)
+        .groupBy("user_id", "week", "port")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def resolve_port_scan(out: DataFrame) -> DataFrame:
+    """Fold drained (user, week, port) counts to the weekly report."""
+    g = out.groupBy("user_id", "week").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_ports"),
+    )
+    return _port_scan_rollup(g)
+
+
 def _port_scan_rollup(g: DataFrame) -> DataFrame:
     """Flag + weekly rollup over per-(user, week) (n_events, n_ports)."""
     f = g.withColumn(
@@ -130,15 +166,7 @@ def q_sec_port_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     by sources x weeks and per-key state by the port space, so the
     same plan holds at 100 TB; a skewed super-source salts the first
     phase exactly like q_skew_salted_agg (functions/skew.py)."""
-    g = (
-        _port_scan_events(load_table(spark, sf_dir, "events"))
-        .groupBy("user_id", "week")
-        .agg(
-            F.count("*").cast("bigint").alias("n_events"),
-            F.countDistinct("port").cast("bigint").alias("n_ports"),
-        )
-    )
-    return _port_scan_rollup(g)
+    return port_scan_report(load_table(spark, sf_dir, "events"))
 
 
 @register(
@@ -170,17 +198,9 @@ def s_sec_port_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=2).read(spark)
     with scoped_state_partitions(spark):
         out = run_stream_to_completion(
-            stream,
-            lambda df: _port_scan_events(df)
-            .groupBy("user_id", "week", "port")
-            .agg(F.count("*").alias("n")),
-            output_mode="complete",
+            stream, port_scan_counts_stage, output_mode="complete"
         )
-    g = out.groupBy("user_id", "week").agg(
-        F.sum("n").cast("bigint").alias("n_events"),
-        F.count("*").cast("bigint").alias("n_ports"),
-    )
-    return _port_scan_rollup(g)
+    return resolve_port_scan(out)
 
 
 # ---------------------------------------------------------------------------
@@ -245,27 +265,39 @@ def q_sec_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user_id, event_type) clustering too — sort-only between the two
     Window execs), two map-side-combinable aggregates. History length
     never leaves its user's partition, the q_scd2_history shape."""
-    e = load_table(spark, sf_dir, "events")
+    return brute_force_report(load_table(spark, sf_dir, "events"))
+
+
+def brute_force_report(
+    df: DataFrame,
+    min_run: int = _BF_MIN_RUN,
+    fail: str = _BF_FAIL,
+    success: str = _BF_SUCCESS,
+) -> DataFrame:
+    """q_sec_brute_force's batch composition as a pure df→df — the
+    single definition the registered query AND the declarative
+    `brute_force` transform (config.py) bind, so a config-declared
+    detection is hash-gated by the same oracle."""
     w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
     w_type = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     o = (
-        e.select("user_id", "event_type", "ts", "event_id")
+        df.select("user_id", "event_type", "ts", "event_id")
         .withColumn("rn", F.row_number().over(w_all))
         .withColumn(
             "next_success",
-            F.when(F.lead("event_type").over(w_all) == _BF_SUCCESS, 1).otherwise(0),
+            F.when(F.lead("event_type").over(w_all) == success, 1).otherwise(0),
         )
         .withColumn("grp", F.col("rn") - F.row_number().over(w_type))
     )
     runs = (
-        o.where(F.col("event_type") == _BF_FAIL)
+        o.where(F.col("event_type") == fail)
         .groupBy("user_id", "grp")
         .agg(
             F.count("*").cast("bigint").alias("run_len"),
             F.min("ts").alias("start_ts"),
             F.max_by("next_success", "rn").alias("compromised"),
         )
-        .where(F.col("run_len") >= _BF_MIN_RUN)
+        .where(F.col("run_len") >= min_run)
     )
     return runs.groupBy("user_id").agg(
         F.count("*").cast("bigint").alias("n_bursts"),
@@ -303,22 +335,21 @@ def s_sec_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _brute_force_stream(spark, sf_dir)
 
 
-def _brute_force_stream(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 4
+def brute_force_state_stage(
+    df: DataFrame,
+    min_run: int = _BF_MIN_RUN,
+    fail: str = _BF_FAIL,
+    success: str = _BF_SUCCESS,
 ) -> DataFrame:
-    """s_sec_brute_force's body with the admission knob exposed — the
-    slicing-invariance test drives it at 1 and 8 files/trigger."""
+    """The keyed run-length state stage as a pure df→df (streaming
+    frame in, update-mode monotone per-user report emissions out) —
+    the single definition s_sec_brute_force AND the declarative
+    `brute_force` transform bind; :func:`resolve_brute_force` folds
+    the spool to the final per-user report."""
+    import numpy as np
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupStateTimeout
-
-    from cheetah_spark.queries.streams import scoped_state_partitions
-    from cheetah_spark.sources import ParquetSource
-    from cheetah_spark.streaming import events_stream_dir, run_stream_to_completion
-
-    min_run, fail, success = _BF_MIN_RUN, _BF_FAIL, _BF_SUCCESS
-
-    import numpy as np
 
     def update(key, pdfs, state):
         if state.exists:
@@ -383,30 +414,25 @@ def _brute_force_stream(
             }
         )
 
-    src_dir = events_stream_dir(spark, sf_dir)
-    stream = ParquetSource(
-        src_dir, streaming=True, max_files_per_trigger=max_files_per_trigger
-    ).read(spark)
-    with scoped_state_partitions(spark):
-        out = run_stream_to_completion(
-            stream,
-            lambda df: df.groupBy("user_id").applyInPandasWithState(
-                update,
-                outputStructType=(
-                    "user_id long, n_bursts long, n_compromised long, "
-                    "max_run_len long, first_burst_s long"
-                ),
-                stateStructType=(
-                    "cur_run long, cur_start_s long, n_bursts long, "
-                    "n_comp long, max_run long, first_s long"
-                ),
-                outputMode="update",
-                timeoutConf=GroupStateTimeout.NoTimeout,
-            ),
-            output_mode="update",
-        )
-    # every total is monotone (counts up, first-burst down), so the
-    # column-wise extremum over the spool IS the final state
+    return df.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, n_bursts long, n_compromised long, "
+            "max_run_len long, first_burst_s long"
+        ),
+        stateStructType=(
+            "cur_run long, cur_start_s long, n_bursts long, "
+            "n_comp long, max_run long, first_s long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def resolve_brute_force(out: DataFrame) -> DataFrame:
+    """Fold the update-mode spool to the final per-user report: every
+    total is monotone (counts up, first-burst down), so the
+    column-wise extremum over the emissions IS the final state."""
     return (
         out.groupBy("user_id")
         .agg(
@@ -426,6 +452,26 @@ def _brute_force_stream(
             F.col("first_s").cast("timestamp").alias("first_burst_ts"),
         )
     )
+
+
+def _brute_force_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """s_sec_brute_force's body with the admission knob exposed — the
+    slicing-invariance test drives it at 1 and 8 files/trigger."""
+    from cheetah_spark.queries.streams import scoped_state_partitions
+    from cheetah_spark.sources import ParquetSource
+    from cheetah_spark.streaming import events_stream_dir, run_stream_to_completion
+
+    src_dir = events_stream_dir(spark, sf_dir)
+    stream = ParquetSource(
+        src_dir, streaming=True, max_files_per_trigger=max_files_per_trigger
+    ).read(spark)
+    with scoped_state_partitions(spark):
+        out = run_stream_to_completion(
+            stream, brute_force_state_stage, output_mode="update"
+        )
+    return resolve_brute_force(out)
 
 
 # ---------------------------------------------------------------------------
@@ -492,7 +538,15 @@ def q_sec_log_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shortfall DESC, day ASC) order folded into a single exact-integer
     key — no rank branch, no self-join, so the plan reads events
     exactly ONCE (the naive agg-join-rank formulation scans twice)."""
-    e = load_table(spark, sf_dir, "events")
+    return log_drift_report(load_table(spark, sf_dir, "events"))
+
+
+def log_drift_report(df: DataFrame) -> DataFrame:
+    """q_sec_log_drift's composition as a pure df→df — the single
+    definition the registered query AND the declarative `log_drift`
+    transform (config.py) bind. Batch-only: the trailing window reads
+    a COMPLETE per-source daily series."""
+    e = df
     d = e.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.count("*").cast("bigint").alias("cnt"))

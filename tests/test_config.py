@@ -1505,3 +1505,62 @@ def test_example_configs_construct():
     for p in paths:
         pipe = load_pipeline(p)
         assert pipe.transforms
+
+
+def test_port_scan_transform_from_config_batch(tmp_path, spark, sf_dir):
+    """`{"type": "port_scan"}` e2e: the daemon-run JSON chain over the
+    raw events parquet must equal the registered operator's composition
+    (port_scan_report over load_table) row for row."""
+    from cheetah_spark.__main__ import main
+    from cheetah_spark.catalog import load_table
+    from cheetah_spark.queries.security import port_scan_report
+
+    cfg = {
+        "source": {"type": "parquet", "path": f"{sf_dir}/events.parquet"},
+        "transforms": [{"type": "port_scan"}],
+        "sink": {"type": "memory", "name": "cli_port_scan"},
+    }
+    f = tmp_path / "cli_port_scan.json"
+    f.write_text(json.dumps(cfg))
+    assert main(["run", "--config", str(f)]) == 0
+    got = {r.week: tuple(r)[1:] for r in spark.table("cli_port_scan").collect()}
+    expect = {
+        r.week: tuple(r)[1:]
+        for r in port_scan_report(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert got == expect and expect
+
+
+def test_log_drift_transform_from_config_batch(tmp_path, spark, sf_dir):
+    """`{"type": "log_drift"}` e2e: config output equals the registered
+    composition; the streaming binding refuses loudly BY NAME (the
+    trailing window needs the complete per-source daily series)."""
+    import pytest as _pytest
+
+    from cheetah_spark.__main__ import main
+    from cheetah_spark.catalog import load_table
+    from cheetah_spark.config import build_transform
+    from cheetah_spark.queries.security import log_drift_report
+    from cheetah_spark.sources import ParquetSource
+    from cheetah_spark.streaming import events_stream_dir
+
+    cfg = {
+        "source": {"type": "parquet", "path": f"{sf_dir}/events.parquet"},
+        "transforms": [{"type": "log_drift"}],
+        "sink": {"type": "memory", "name": "cli_log_drift"},
+    }
+    f = tmp_path / "cli_log_drift.json"
+    f.write_text(json.dumps(cfg))
+    assert main(["run", "--config", str(f)]) == 0
+    got = {r.event_type: tuple(r)[1:] for r in spark.table("cli_log_drift").collect()}
+    expect = {
+        r.event_type: tuple(r)[1:]
+        for r in log_drift_report(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert got == expect and expect
+
+    stream = ParquetSource(
+        events_stream_dir(spark, sf_dir), streaming=True, max_files_per_trigger=2
+    ).read(spark)
+    with _pytest.raises(ValueError, match="log_drift transform is batch-only"):
+        build_transform({"type": "log_drift"})(stream)
