@@ -1051,15 +1051,17 @@ def build_transform(cfg: Mapping[str, Any]) -> Handler:
     if kind == "log_drift":
 
         def detect_log_drift(df: DataFrame) -> DataFrame:
-            from cheetah_spark.queries.security import log_drift_report
+            from cheetah_spark.queries.security import (
+                log_drift_counts_stage,
+                log_drift_report,
+            )
 
             if df.isStreaming:
-                raise ValueError(
-                    "log_drift transform is batch-only: the trailing-window "
-                    "judgment reads a COMPLETE per-source daily series; run "
-                    "it over the landed table (or schedule the batch config "
-                    "per day) instead of at ingest"
-                )
+                # complete-mode COUNT per (event_type, day); the
+                # trailing-window judgment needs the COMPLETE series,
+                # so it runs post-drain — resolve the spool with
+                # security.resolve_log_drift (s_sec_log_drift's shape)
+                return log_drift_counts_stage(df)
             return log_drift_report(df)
 
         return detect_log_drift

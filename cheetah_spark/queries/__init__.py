@@ -73,6 +73,7 @@ CHECK_FIRST = [
     "q_sec_brute_force",
     "s_sec_brute_force",
     "q_sec_log_drift",
+    "s_sec_log_drift",
     "q_config_detections",
     "s_config_detections",
     "s_llm_url_dedup",

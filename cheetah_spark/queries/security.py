@@ -488,9 +488,7 @@ _LD_TRAIL_DAYS = 7  # trailing window the daily volume is judged against
 _LD_KEY_SHIFT = 1 << 21
 
 
-@register(
-    "q_sec_log_drift",
-    oracle=f"""
+_LD_ORACLE = f"""
         WITH d AS (
             SELECT event_type,
                    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
@@ -518,7 +516,12 @@ _LD_KEY_SHIFT = 1 << 21
                             - date_diff('day', DATE '1970-01-01', day)) AS worst_day,
                CAST(MAX(shortfall) AS BIGINT) AS worst_shortfall
         FROM fd GROUP BY event_type
-    """,
+    """
+
+
+@register(
+    "q_sec_log_drift",
+    oracle=_LD_ORACLE,
     tags=("security", "drift", "timeseries"),
 )
 def q_sec_log_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -546,10 +549,23 @@ def log_drift_report(df: DataFrame) -> DataFrame:
     definition the registered query AND the declarative `log_drift`
     transform (config.py) bind. Batch-only: the trailing window reads
     a COMPLETE per-source daily series."""
-    e = df
-    d = e.groupBy(
+    return resolve_log_drift(log_drift_counts_stage(df))
+
+
+def log_drift_counts_stage(df: DataFrame) -> DataFrame:
+    """The streaming-safe stage: COUNT per (event_type, day) — one
+    state counter per live series point, order-insensitive under any
+    admission slicing; :func:`resolve_log_drift` judges the drained
+    series. The s_sec_port_scan decomposition: the stateful part is
+    the combinable aggregate, the windowed judgment runs post-drain."""
+    return df.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.count("*").cast("bigint").alias("cnt"))
+
+
+def resolve_log_drift(d: DataFrame) -> DataFrame:
+    """Trailing-window judgment + per-source report over the (tiny)
+    per-(event_type, day) count series."""
     w = W.partitionBy("event_type").orderBy("day").rowsBetween(-_LD_TRAIL_DAYS, -1)
     t = d.withColumn("trail", F.sum("cnt").over(w).cast("bigint")).withColumn(
         "n_prev", F.count("cnt").over(w)
@@ -567,3 +583,32 @@ def log_drift_report(df: DataFrame) -> DataFrame:
         F.max_by("day", key).alias("worst_day"),
         F.max("shortfall").cast("bigint").alias("worst_shortfall"),
     )
+
+
+@register(
+    "s_sec_log_drift",
+    oracle=_LD_ORACLE,
+    tags=("security", "drift", "streaming"),
+)
+def s_sec_log_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming log-drift monitoring — the s_sec_port_scan
+    decomposition applied to the drift series: the stateful part is a
+    complete-mode COUNT per (event_type, day) (one counter per live
+    series point; COUNT is order-insensitive, so any admission slicing
+    drains identically), and the trailing-window judgment — which
+    needs the COMPLETE per-source series and is therefore not a
+    streaming operator — runs batch-side over the drained counts,
+    hash-matched against the batch oracle verbatim. State is bounded
+    by sources × live days; production ages closed days out with a
+    watermark once the trailing window has passed them."""
+    from cheetah_spark.queries.streams import scoped_state_partitions
+    from cheetah_spark.sources import ParquetSource
+    from cheetah_spark.streaming import events_stream_dir, run_stream_to_completion
+
+    src_dir = events_stream_dir(spark, sf_dir)
+    stream = ParquetSource(src_dir, streaming=True, max_files_per_trigger=2).read(spark)
+    with scoped_state_partitions(spark):
+        out = run_stream_to_completion(
+            stream, log_drift_counts_stage, output_mode="complete"
+        )
+    return resolve_log_drift(out)

@@ -1533,10 +1533,9 @@ def test_port_scan_transform_from_config_batch(tmp_path, spark, sf_dir):
 
 def test_log_drift_transform_from_config_batch(tmp_path, spark, sf_dir):
     """`{"type": "log_drift"}` e2e: config output equals the registered
-    composition; the streaming binding refuses loudly BY NAME (the
-    trailing window needs the complete per-source daily series)."""
-    import pytest as _pytest
-
+    composition; the streaming binding routes to the counts stage (the
+    trailing-window judgment needs the complete per-source series, so
+    it belongs post-drain — s_sec_log_drift's decomposition)."""
     from cheetah_spark.__main__ import main
     from cheetah_spark.catalog import load_table
     from cheetah_spark.config import build_transform
@@ -1562,5 +1561,6 @@ def test_log_drift_transform_from_config_batch(tmp_path, spark, sf_dir):
     stream = ParquetSource(
         events_stream_dir(spark, sf_dir), streaming=True, max_files_per_trigger=2
     ).read(spark)
-    with _pytest.raises(ValueError, match="log_drift transform is batch-only"):
-        build_transform({"type": "log_drift"})(stream)
+    staged = build_transform({"type": "log_drift"})(stream)
+    assert staged.isStreaming
+    assert set(staged.columns) == {"event_type", "day", "cnt"}

@@ -903,8 +903,10 @@ def test_sec_brute_force_single_shuffle_no_join(spark, sf_dir):
     tree = p.split("\n\n")[0]
     assert tree.count("Exchange") == 1, tree
     assert tree.count("Window") == 2, tree
+    # join-free + single-exchange ⇒ single-branch DAG ⇒ one source read
+    # (a literal scan-node count is cache-fragile: another test caching
+    # the table renders the child plan inside InMemoryRelation)
     assert "Join" not in p, p
-    assert p.count("Scan parquet") <= 2, p  # tree line + detail line of ONE node
 
 
 def test_sec_log_drift_single_scan_partial_agg(spark, sf_dir):
@@ -916,6 +918,8 @@ def test_sec_log_drift_single_scan_partial_agg(spark, sf_dir):
     p = plan(_q("q_sec_log_drift", spark, sf_dir))
     tree = p.split("\n\n")[0]
     assert _partial_agg_before_first_exchange(p), p
-    assert p.count("Scan parquet") <= 2, p
+    # join-free ⇒ the single-branch DAG reads events once (the naive
+    # agg-join-rank formulation is exactly what reintroduces a join);
+    # a literal scan-node count would be cache-fragile across the suite
     assert "Join" not in p, p
     assert tree.count("Window") == 1, tree
