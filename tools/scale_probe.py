@@ -126,6 +126,7 @@ DOC_QUERIES = [
     "q_sec_brute_force",
     "s_sec_brute_force",
     "q_sec_log_drift",
+    "s_sec_log_drift",
 ]
 EMB_QUERIES = [
     "q_llm_embed_dedup",
