@@ -1,0 +1,124 @@
+"""Single-pass table profiling: per-column null counts, exact distinct
+counts, and min/max — the "know your data" report every large-scale
+pipeline runs before trusting a source (schema drift, null floods, and
+cardinality explosions all surface here first).
+
+No reference counterpart (§2B extension surface — the reference pipes
+events, its users profile them downstream). Spark-first shape: ALL
+columns profile in ONE aggregate over ONE scan — Catalyst plans the
+multi-column exact distinct with a single Expand (one replicated row
+group per distinct column, map-side partial dedup before the shuffle),
+so the table is read exactly once no matter how many columns the
+profile covers. At 100 TB the exact-distinct Expand (a |cols|× row
+multiplication into the first partial agg) is the knob: swap
+count_distinct for approx_count_distinct per column — one projection —
+and the same single-scan plan carries HLL sketches instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cheetah_spark.catalog import load_table
+from cheetah_spark.registry import register
+
+# (column, numeric expression or None, text expression or None): ts
+# profiles numerically as epoch seconds (Spark CAST(ts AS DOUBLE) ==
+# DuckDB epoch(ts), both exact for µs timestamps); value snaps to 6
+# decimals nowhere — doubles compare exactly, the driver canonicalizes
+# display at 9 significant digits.
+_PF_NUM = ("event_id", "user_id", "value", "ts")
+_PF_TEXT = ("event_type", "props")
+
+
+def _pf_numexpr(c: str):
+    return F.col(c).cast("double")
+
+
+_PROFILE_ORACLE = " UNION ALL ".join(
+    f"""
+    SELECT '{c}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({src}) AS DOUBLE) AS min_num,
+           CAST(MAX({src}) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_text,
+           CAST(NULL AS VARCHAR) AS max_text
+    FROM events
+    """
+    for c, src in [
+        ("event_id", "event_id"),
+        ("user_id", "user_id"),
+        ("value", "value"),
+        ("ts", "epoch(ts)"),
+    ]
+) + " UNION ALL " + " UNION ALL ".join(
+    f"""
+    SELECT '{c}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(NULL AS DOUBLE) AS min_num,
+           CAST(NULL AS DOUBLE) AS max_num,
+           MIN({c}) AS min_text,
+           MAX({c}) AS max_text
+    FROM events
+    """
+    for c in _PF_TEXT
+)
+
+
+@register(
+    "q_profile_table",
+    oracle=_PROFILE_ORACLE,
+    tags=("profile", "quality", "stats"),
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile every events column in a SINGLE aggregate: n_rows,
+    n_nulls, exact n_distinct, and min/max (numeric columns as double —
+    ts as epoch seconds — text columns lexicographic), unpivoted to one
+    report row per column.
+
+    Scale shape: one scan, one Expand (Catalyst's multi-distinct
+    strategy: each input row replicates once per distinct column with
+    the others nulled, and the partial aggregate dedups map-side before
+    the shuffle), one merge. The DuckDB oracle spells the same report
+    as per-column scans — the single-pass plan is exactly what the
+    oracle's 6-scan spelling collapses into."""
+    e = load_table(spark, sf_dir, "events")
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for c in _PF_NUM + _PF_TEXT:
+        aggs += [
+            F.count(c).cast("bigint").alias(f"nn_{c}"),
+            F.countDistinct(c).cast("bigint").alias(f"nd_{c}"),
+        ]
+    for c in _PF_NUM:
+        aggs += [
+            F.min(_pf_numexpr(c)).alias(f"mn_{c}"),
+            F.max(_pf_numexpr(c)).alias(f"mx_{c}"),
+        ]
+    for c in _PF_TEXT:
+        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    one = e.agg(*aggs)
+    stack_args = []
+    for c in _PF_NUM:
+        stack_args.append(
+            f"'{c}', n_rows - nn_{c}, nd_{c}, mn_{c}, mx_{c}, "
+            f"CAST(NULL AS STRING), CAST(NULL AS STRING)"
+        )
+    for c in _PF_TEXT:
+        stack_args.append(
+            f"'{c}', n_rows - nn_{c}, nd_{c}, CAST(NULL AS DOUBLE), "
+            f"CAST(NULL AS DOUBLE), mn_{c}, mx_{c}"
+        )
+    n = len(_PF_NUM) + len(_PF_TEXT)
+    return one.selectExpr(
+        "n_rows",
+        f"stack({n}, {', '.join(stack_args)}) AS "
+        "(col_name, n_nulls, n_distinct, min_num, max_num, min_text, max_text)",
+    ).select(
+        "col_name", "n_rows", "n_nulls", "n_distinct",
+        "min_num", "max_num", "min_text", "max_text",
+    )

@@ -161,8 +161,10 @@ def q_sec_port_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     roll up to per-week scanner counts.
 
     Scale shape: ONE exact-distinct aggregate keyed by (user, week) —
-    Spark plans count(distinct) as expand + two-phase agg, partial
-    before the shuffle — then a tiny per-week rollup. Keys are bounded
+    Catalyst plans the single count(distinct) as the two-LEVEL key
+    decomposition ((user, week, port) partial count before the first
+    shuffle, then the (user, week) merge; no Expand needed for one
+    distinct column) — then a tiny per-week rollup. Keys are bounded
     by sources x weeks and per-key state by the port space, so the
     same plan holds at 100 TB; a skewed super-source salts the first
     phase exactly like q_skew_salted_agg (functions/skew.py)."""

@@ -874,7 +874,7 @@ def _partial_agg_before_first_exchange(p: str) -> bool:
     exchanges = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) Exchange", p)]
     partials = [
         int(m.group(1))
-        for m in re.finditer(r"\((\d+)\) HashAggregate[^(]*?\(", p)
+        for m in re.finditer(r"\((\d+)\) (?:Hash|Sort|ObjectHash)Aggregate", p)
         if "partial_" in p[m.start() : p.find("\n\n", m.start())]
     ]
     return bool(exchanges) and bool(partials) and min(partials) < min(exchanges)
@@ -923,3 +923,15 @@ def test_sec_log_drift_single_scan_partial_agg(spark, sf_dir):
     # a literal scan-node count would be cache-fragile across the suite
     assert "Join" not in p, p
     assert tree.count("Window") == 1, tree
+
+
+def test_profile_table_single_expand_no_join(spark, sf_dir):
+    """q_profile_table: the multi-column exact distinct must plan as
+    ONE Expand feeding a partial aggregate (map-side dedup before the
+    shuffle) — not per-column scans or joins; the oracle's 6-scan
+    UNION spelling collapses into this single-pass plan."""
+    p = plan(_q("q_profile_table", spark, sf_dir))
+    tree = p.split("\n\n")[0]
+    assert tree.count("Expand") == 1, tree
+    assert "Join" not in p and "Union" not in p, p
+    assert _partial_agg_before_first_exchange(p), p
