@@ -1065,6 +1065,27 @@ def build_transform(cfg: Mapping[str, Any]) -> Handler:
             return log_drift_report(df)
 
         return detect_log_drift
+    if kind == "profile":
+        # single-pass per-column data-quality profile at the pipe's
+        # door (q_profile_table's composition). Batch-only: the exact
+        # multi-column distinct is not a streaming aggregate — the
+        # at-ingest alternative is profiling each LANDED batch/partition
+        # over the lake, which is this same config on a batch source.
+        cols = cfg.get("columns")
+
+        def profile_table(df: DataFrame) -> DataFrame:
+            from cheetah_spark.queries.profile import profile_report
+
+            if df.isStreaming:
+                raise ValueError(
+                    "profile transform is batch-only: exact multi-column "
+                    "COUNT(DISTINCT) is not a streaming aggregate; profile "
+                    "the landed table with the same config on a batch "
+                    "source (or per micro-batch via foreachBatch)"
+                )
+            return profile_report(df, cols)
+
+        return profile_table
     raise ValueError(f"unknown transform type: {kind!r}")
 
 

@@ -87,36 +87,51 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle), one merge. The DuckDB oracle spells the same report
     as per-column scans — the single-pass plan is exactly what the
     oracle's 6-scan spelling collapses into."""
-    e = load_table(spark, sf_dir, "events")
+    return profile_report(load_table(spark, sf_dir, "events"))
+
+
+def profile_report(df: DataFrame, columns=None) -> DataFrame:
+    """The single-pass profile as a pure df→df over ANY frame — the
+    definition the registered query AND the declarative `profile`
+    transform (config.py) bind. Numeric and timestamp columns profile
+    min/max as double (timestamps as epoch seconds); everything else
+    profiles lexicographically as string."""
+    from pyspark.sql import types as T
+
+    cols = list(columns) if columns else df.columns
+    num, text = [], []
+    for c in cols:
+        dt = df.schema[c].dataType
+        (num if isinstance(dt, (T.NumericType, T.TimestampType)) else text).append(c)
     aggs = [F.count("*").cast("bigint").alias("n_rows")]
-    for c in _PF_NUM + _PF_TEXT:
+    for c in num + text:
         aggs += [
             F.count(c).cast("bigint").alias(f"nn_{c}"),
             F.countDistinct(c).cast("bigint").alias(f"nd_{c}"),
         ]
-    for c in _PF_NUM:
+    for c in num:
         aggs += [
             F.min(_pf_numexpr(c)).alias(f"mn_{c}"),
             F.max(_pf_numexpr(c)).alias(f"mx_{c}"),
         ]
-    for c in _PF_TEXT:
-        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
-    one = e.agg(*aggs)
+    for c in text:
+        col = F.col(c).cast("string")
+        aggs += [F.min(col).alias(f"mn_{c}"), F.max(col).alias(f"mx_{c}")]
+    one = df.agg(*aggs)
     stack_args = []
-    for c in _PF_NUM:
+    for c in num:
         stack_args.append(
             f"'{c}', n_rows - nn_{c}, nd_{c}, mn_{c}, mx_{c}, "
             f"CAST(NULL AS STRING), CAST(NULL AS STRING)"
         )
-    for c in _PF_TEXT:
+    for c in text:
         stack_args.append(
             f"'{c}', n_rows - nn_{c}, nd_{c}, CAST(NULL AS DOUBLE), "
             f"CAST(NULL AS DOUBLE), mn_{c}, mx_{c}"
         )
-    n = len(_PF_NUM) + len(_PF_TEXT)
     return one.selectExpr(
         "n_rows",
-        f"stack({n}, {', '.join(stack_args)}) AS "
+        f"stack({len(num) + len(text)}, {', '.join(stack_args)}) AS "
         "(col_name, n_nulls, n_distinct, min_num, max_num, min_text, max_text)",
     ).select(
         "col_name", "n_rows", "n_nulls", "n_distinct",

@@ -1564,3 +1564,70 @@ def test_log_drift_transform_from_config_batch(tmp_path, spark, sf_dir):
     staged = build_transform({"type": "log_drift"})(stream)
     assert staged.isStreaming
     assert set(staged.columns) == {"event_type", "day", "cnt"}
+
+
+def test_port_scan_streaming_config_chain_matches_batch(tmp_path, spark, sf_dir):
+    """The streaming `port_scan` config chain end-to-end: counts stage
+    through a real StreamingQuery, drained spool resolved with the
+    operator's own fold, equal to the batch report row for row."""
+    from cheetah_spark.catalog import load_table
+    from cheetah_spark.config import pipeline_from_config
+    from cheetah_spark.queries.security import port_scan_report, resolve_port_scan
+    from cheetah_spark.queries.streams import scoped_state_partitions
+    from cheetah_spark.streaming import events_stream_dir, run_stream_to_completion
+
+    cfg = {
+        "source": {
+            "type": "parquet",
+            "path": events_stream_dir(spark, sf_dir),
+            "streaming": True,
+            "max_files_per_trigger": 3,
+        },
+        "transforms": [{"type": "port_scan"}],
+    }
+    stream = pipeline_from_config(cfg).dataframe(spark)
+    assert stream.isStreaming
+    with scoped_state_partitions(spark):
+        out = run_stream_to_completion(stream, lambda df: df, output_mode="complete")
+    got = sorted(map(tuple, resolve_port_scan(out).collect()))
+    expect = sorted(
+        map(tuple, port_scan_report(load_table(spark, sf_dir, "events")).collect())
+    )
+    assert got == expect and expect
+
+
+def test_profile_transform_from_config_batch(tmp_path, spark, sf_dir):
+    """`{"type": "profile"}` e2e: daemon-run profile equals the
+    registered composition; the streaming binding refuses loudly (exact
+    multi-column distinct is not a streaming aggregate)."""
+    import pytest as _pytest
+
+    from cheetah_spark.__main__ import main
+    from cheetah_spark.catalog import load_table
+    from cheetah_spark.config import build_transform
+    from cheetah_spark.queries.profile import profile_report
+    from cheetah_spark.sources import ParquetSource
+    from cheetah_spark.streaming import events_stream_dir
+
+    cfg = {
+        "source": {"type": "parquet", "path": f"{sf_dir}/nation.parquet"},
+        "transforms": [{"type": "profile"}],
+        "sink": {"type": "memory", "name": "cli_profile"},
+    }
+    f = tmp_path / "cli_profile.json"
+    f.write_text(json.dumps(cfg))
+    assert main(["run", "--config", str(f)]) == 0
+    got = sorted(map(tuple, spark.table("cli_profile").collect()))
+    expect = sorted(
+        map(
+            tuple,
+            profile_report(spark.read.parquet(f"{sf_dir}/nation.parquet")).collect(),
+        )
+    )
+    assert got == expect and len(expect) == 3  # one row per nation column
+
+    stream = ParquetSource(
+        events_stream_dir(spark, sf_dir), streaming=True, max_files_per_trigger=2
+    ).read(spark)
+    with _pytest.raises(ValueError, match="profile transform is batch-only"):
+        build_transform({"type": "profile"})(stream)
