@@ -127,6 +127,9 @@ DOC_QUERIES = [
     "s_sec_brute_force",
     "q_sec_log_drift",
     "s_sec_log_drift",
+    # r13: single-pass profiling — the Expand multi-distinct is a
+    # |cols|x row multiplication into the first partial agg; measure it
+    "q_profile_table",
 ]
 EMB_QUERIES = [
     "q_llm_embed_dedup",
