@@ -23,6 +23,7 @@ from cheetah_spark.queries import kinesis  # noqa: F401
 from cheetah_spark.queries import mqtt  # noqa: F401
 from cheetah_spark.queries import nats  # noqa: F401
 from cheetah_spark.queries import nsq  # noqa: F401
+from cheetah_spark.queries import privacy  # noqa: F401
 from cheetah_spark.queries import profile  # noqa: F401
 from cheetah_spark.queries import pubsub  # noqa: F401
 from cheetah_spark.queries import redis  # noqa: F401
@@ -78,6 +79,7 @@ CHECK_FIRST = [
     "q_config_detections",
     "s_config_detections",
     "q_profile_table",
+    "q_priv_k_anonymity",
     "s_llm_url_dedup",
     "q_llm_url_dedup",
     # changed this round: banding refactored onto the shared

@@ -1631,3 +1631,33 @@ def test_profile_transform_from_config_batch(tmp_path, spark, sf_dir):
     ).read(spark)
     with _pytest.raises(ValueError, match="profile transform is batch-only"):
         build_transform({"type": "profile"})(stream)
+
+
+def test_brute_force_detection_daemon_streaming(tmp_path, spark, sf_dir):
+    """The detection deploys through the DAEMON surface end-to-end:
+    `python -m cheetah_spark run` boots the streaming config, the
+    brute_force transform routes through the keyed run-length state,
+    the update-mode memory sink accumulates the monotone emissions, and
+    the operator's own fold over the sink equals the batch report."""
+    from cheetah_spark.__main__ import main
+    from cheetah_spark.catalog import load_table
+    from cheetah_spark.queries.security import brute_force_report, resolve_brute_force
+
+    cfg = {
+        "source": {
+            "type": "parquet",
+            "path": events_stream_dir(spark, sf_dir),
+            "streaming": True,
+            "max_files_per_trigger": 3,
+        },
+        "transforms": [{"type": "brute_force"}],
+        "sink": {"type": "memory", "name": "cli_brute_force", "output_mode": "update"},
+    }
+    f = tmp_path / "cli_brute_force.json"
+    f.write_text(json.dumps(cfg))
+    assert main(["run", "--config", str(f), "--timeout", "30"]) == 0
+    got = sorted(map(tuple, resolve_brute_force(spark.table("cli_brute_force")).collect()))
+    expect = sorted(
+        map(tuple, brute_force_report(load_table(spark, sf_dir, "events")).collect())
+    )
+    assert got == expect and expect

@@ -935,3 +935,14 @@ def test_profile_table_single_expand_no_join(spark, sf_dir):
     assert tree.count("Expand") == 1, tree
     assert "Join" not in p and "Union" not in p, p
     assert _partial_agg_before_first_exchange(p), p
+
+
+def test_k_anonymity_two_level_partial_agg_no_join(spark, sf_dir):
+    """q_priv_k_anonymity: group sizes must partial-aggregate map-side
+    before the only row-scale shuffle (the QI-tuple agg), the segment
+    report runs on the bounded group-size frame, and the audit contains
+    no join, window, or distinct expansion."""
+    p = plan(_q("q_priv_k_anonymity", spark, sf_dir))
+    tree = p.split("\n\n")[0]
+    assert _partial_agg_before_first_exchange(p), p
+    assert "Join" not in p and "Window" not in tree and "Expand" not in tree, p
