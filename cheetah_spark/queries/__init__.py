@@ -53,13 +53,15 @@ from cheetah_spark.queries import zmq  # noqa: F401
 #
 # Round-13 window: 4 r12 ops with no driver row yet (q/s_config_fineweb,
 # s_llm_ann_ivf, s_llm_gopher_filter — r12 verdict item #1), the r13
-# additions (s_llm_url_dedup_ttl, q/s_config_fineweb_v2 — names listed
-# before registration; the registry filters unknown names), the
+# additions (s_llm_url_dedup_ttl, q/s_config_fineweb_v2,
+# q/s_config_ann_enrich, the security-detection family q/s_sec_*,
+# q/s_config_detections, q_profile_table, q_priv_k_anonymity), the
 # url-dedup pair changed this round (rebirth tie-break fix, ADVICE r12),
 # then the full stale cohort oldest-latest-driver-row first (24 r7, 43
 # r8, then r9/r10/r12), alphabetical within a round so the roll is
-# deterministic. Slots 1-50 ≈ the head + all of r7 + the first r8 names;
-# after r13 no query's latest evidence should be older than r8.
+# deterministic. The r13 head grew to ~25 names, so slots 1-50 ≈ the
+# head + all of r7 + the first r8 name — after r13 no query's latest
+# evidence should be older than r8, and the r8 cohort drains from r14.
 CHECK_FIRST = [
     "q_config_fineweb",
     "s_config_fineweb",
