@@ -105,3 +105,16 @@ def test_brute_force_rule_on_adversarial_shapes(spark, tmp_path):
     )
     oracle = _canon(con.sql(_BF_ORACLE).df())
     assert _canon(REGISTRY["q_sec_brute_force"].fn(spark, str(tmp_path))) == oracle
+
+
+@pytest.mark.parametrize("name,batch_name", [
+    ("s_sec_port_scan", "q_sec_port_scan"),
+    ("s_sec_log_drift", "q_sec_log_drift"),
+])
+def test_counts_state_twins_match_batch(spark, sf_dir, name, batch_name):
+    """The complete-mode counts-state twins must drain to the batch
+    answer (COUNT per composite key is order-insensitive, so the
+    registered admission slicing is as good as any)."""
+    got = _canon(REGISTRY[name].fn(spark, sf_dir))
+    expect = _canon(REGISTRY[batch_name].fn(spark, sf_dir))
+    assert got == expect and expect
