@@ -1018,6 +1018,11 @@ def build_transform(cfg: Mapping[str, Any]) -> Handler:
         }
         if "min_run" in bf_knobs:
             bf_knobs["min_run"] = int(bf_knobs["min_run"])
+            if bf_knobs["min_run"] < 1:
+                # below 1 the batch HAVING and the streaming fold's
+                # gap accounting diverge (a zero-length "run" between
+                # adjacent closers has no batch counterpart)
+                raise ValueError("brute_force: min_run must be >= 1")
 
         def detect_brute_force(df: DataFrame) -> DataFrame:
             from cheetah_spark.queries.security import (

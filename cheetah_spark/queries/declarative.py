@@ -829,14 +829,16 @@ def s_config_detections(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bind_detection_oracles() -> None:
+    import dataclasses
+
     from cheetah_spark.queries.security import _BF_ORACLE
     from cheetah_spark.registry import REGISTRY
 
     for name in ("q_config_detections", "s_config_detections"):
-        spec = REGISTRY[name]
-        REGISTRY[name] = spec.__class__(
-            name=name, fn=spec.fn, oracle=_BF_ORACLE, doc=spec.doc, tags=spec.tags
-        )
+        # replace() keeps every other QuerySpec field intact (a
+        # field-by-field reconstruction would silently default any
+        # field added to the dataclass later)
+        REGISTRY[name] = dataclasses.replace(REGISTRY[name], oracle=_BF_ORACLE)
 
 
 _bind_detection_oracles()

@@ -103,35 +103,45 @@ def profile_report(df: DataFrame, columns=None) -> DataFrame:
     for c in cols:
         dt = df.schema[c].dataType
         (num if isinstance(dt, (T.NumericType, T.TimestampType)) else text).append(c)
+    # aggregate aliases are INDEX-based and the report's column-name
+    # literals are escaped: "ANY table" includes columns named
+    # `order date` or `a'b`, which raw f-string interpolation into
+    # selectExpr would mis-parse
+    ordered = num + text
     aggs = [F.count("*").cast("bigint").alias("n_rows")]
-    for c in num + text:
+    for i, c in enumerate(ordered):
         aggs += [
-            F.count(c).cast("bigint").alias(f"nn_{c}"),
-            F.countDistinct(c).cast("bigint").alias(f"nd_{c}"),
+            F.count(F.col(c)).cast("bigint").alias(f"nn_{i}"),
+            F.countDistinct(F.col(c)).cast("bigint").alias(f"nd_{i}"),
         ]
-    for c in num:
-        aggs += [
-            F.min(_pf_numexpr(c)).alias(f"mn_{c}"),
-            F.max(_pf_numexpr(c)).alias(f"mx_{c}"),
-        ]
-    for c in text:
-        col = F.col(c).cast("string")
-        aggs += [F.min(col).alias(f"mn_{c}"), F.max(col).alias(f"mx_{c}")]
+        if c in num:
+            aggs += [
+                F.min(_pf_numexpr(c)).alias(f"mn_{i}"),
+                F.max(_pf_numexpr(c)).alias(f"mx_{i}"),
+            ]
+        else:
+            col = F.col(c).cast("string")
+            aggs += [F.min(col).alias(f"mn_{i}"), F.max(col).alias(f"mx_{i}")]
     one = df.agg(*aggs)
+
+    def lit(name: str) -> str:
+        return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     stack_args = []
-    for c in num:
-        stack_args.append(
-            f"'{c}', n_rows - nn_{c}, nd_{c}, mn_{c}, mx_{c}, "
-            f"CAST(NULL AS STRING), CAST(NULL AS STRING)"
-        )
-    for c in text:
-        stack_args.append(
-            f"'{c}', n_rows - nn_{c}, nd_{c}, CAST(NULL AS DOUBLE), "
-            f"CAST(NULL AS DOUBLE), mn_{c}, mx_{c}"
-        )
+    for i, c in enumerate(ordered):
+        if c in num:
+            stack_args.append(
+                f"{lit(c)}, n_rows - nn_{i}, nd_{i}, mn_{i}, mx_{i}, "
+                f"CAST(NULL AS STRING), CAST(NULL AS STRING)"
+            )
+        else:
+            stack_args.append(
+                f"{lit(c)}, n_rows - nn_{i}, nd_{i}, CAST(NULL AS DOUBLE), "
+                f"CAST(NULL AS DOUBLE), mn_{i}, mx_{i}"
+            )
     return one.selectExpr(
         "n_rows",
-        f"stack({len(num) + len(text)}, {', '.join(stack_args)}) AS "
+        f"stack({len(ordered)}, {', '.join(stack_args)}) AS "
         "(col_name, n_nulls, n_distinct, min_num, max_num, min_text, max_text)",
     ).select(
         "col_name", "n_rows", "n_nulls", "n_distinct",

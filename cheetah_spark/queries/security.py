@@ -125,8 +125,15 @@ def port_scan_counts_stage(df: DataFrame) -> DataFrame:
 
 
 def resolve_port_scan(out: DataFrame) -> DataFrame:
-    """Fold drained (user, week, port) counts to the weekly report."""
-    g = out.groupBy("user_id", "week").agg(
+    """Fold drained (user, week, port) counts to the weekly report.
+
+    Spool-safe: a complete-mode drain holds one final row per key, but
+    an update-mode sink (the other mode the config surface allows)
+    ACCUMULATES one cumulative row per key per trigger — and the
+    cumulative count is monotone, so MAX per key recovers the final
+    state under either sink mode before the fold."""
+    final = out.groupBy("user_id", "week", "port").agg(F.max("n").alias("n"))
+    g = final.groupBy("user_id", "week").agg(
         F.sum("n").cast("bigint").alias("n_events"),
         F.count("*").cast("bigint").alias("n_ports"),
     )
@@ -497,11 +504,23 @@ _LD_ORACLE = f"""
                    CAST(COUNT(*) AS BIGINT) AS cnt
             FROM events GROUP BY 1, 2
         ),
+        per AS (SELECT event_type, MIN(day) AS lo FROM d GROUP BY 1),
+        spine AS (
+            SELECT event_type,
+                   unnest(generate_series(lo, (SELECT MAX(day) FROM d),
+                                          INTERVAL 1 DAY)) AS day
+            FROM per
+        ),
+        f AS (
+            SELECT s.event_type, s.day,
+                   CAST(COALESCE(d.cnt, 0) AS BIGINT) AS cnt
+            FROM spine s LEFT JOIN d USING (event_type, day)
+        ),
         t AS (
             SELECT event_type, day, cnt,
                    CAST(SUM(cnt) OVER w AS BIGINT) AS trail,
                    COUNT(cnt) OVER w AS n_prev
-            FROM d
+            FROM f
             WINDOW w AS (PARTITION BY event_type ORDER BY day
                          ROWS BETWEEN {_LD_TRAIL_DAYS} PRECEDING AND 1 PRECEDING)
         ),
@@ -533,7 +552,10 @@ def q_sec_log_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean, scaled by 7 so it stays an exact integer) is maximized per
     source to name each source's worst drop day. A silent log-source
     outage — the detection gap every SIEM monitors for — surfaces as a
-    large positive worst_shortfall.
+    large positive worst_shortfall: the daily series is zero-filled on
+    a per-source day spine, so a day with NO rows (the severest case —
+    it would otherwise simply be absent from the series) scores
+    shortfall = trail, the maximum.
 
     Scale shape: the daily pre-aggregate is map-side combinable (the
     shuffle carries sources x days rows, not events — at 100 TB the
@@ -541,7 +563,9 @@ def q_sec_log_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     trailing window sorts that tiny series once, and the per-source
     report is ONE aggregate: the worst day rides max_by over the
     (shortfall DESC, day ASC) order folded into a single exact-integer
-    key — no rank branch, no self-join, so the plan reads events
+    key — no rank branch, no self-join of the EVENT table. The daily
+    counts frame is persisted (it is bounded by sources × days), the
+    zero-fill spine joins against that cache, and events are read
     exactly ONCE (the naive agg-join-rank formulation scans twice)."""
     return log_drift_report(load_table(spark, sf_dir, "events"))
 
@@ -567,9 +591,45 @@ def log_drift_counts_stage(df: DataFrame) -> DataFrame:
 
 def resolve_log_drift(d: DataFrame) -> DataFrame:
     """Trailing-window judgment + per-source report over the (tiny)
-    per-(event_type, day) count series."""
+    per-(event_type, day) count series.
+
+    Spool-safe like resolve_port_scan: cumulative counts are monotone,
+    so MAX per (event_type, day) recovers the final state whether the
+    sink held complete-mode finals or accumulated update-mode rows.
+
+    Days a source emitted NOTHING produce no count row, and a fully
+    dark source is exactly the outage the detector exists to catch —
+    so the series is zero-FILLED on a per-source day spine (from each
+    source's first observed day to the global last observed day)
+    before the window judgment; a total outage then scores
+    shortfall = trail, the maximum possible. The counts frame is
+    bounded (sources × days), so it is persisted and the spine's three
+    references read the cache — events are still scanned exactly once."""
+    d = (
+        d.groupBy("event_type", "day")
+        .agg(F.max("cnt").cast("bigint").alias("cnt"))
+        .persist()
+    )
+    # renamed spine keys: the spine derives FROM d, so a same-name
+    # USING join would be a self-join with conflicting attribute ids
+    # (Spark cannot disambiguate MemorySink-view lineage)
+    per = d.groupBy(F.col("event_type").alias("__et")).agg(F.min("day").alias("lo"))
+    hi = d.agg(F.max("day").alias("hi"))
+    spine = per.crossJoin(F.broadcast(hi)).select(
+        "__et",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("__day"),
+    )
+    filled = spine.join(
+        d,
+        (spine["__et"] == d["event_type"]) & (spine["__day"] == d["day"]),
+        "left",
+    ).select(
+        F.col("__et").alias("event_type"),
+        F.col("__day").alias("day"),
+        F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"),
+    )
     w = W.partitionBy("event_type").orderBy("day").rowsBetween(-_LD_TRAIL_DAYS, -1)
-    t = d.withColumn("trail", F.sum("cnt").over(w).cast("bigint")).withColumn(
+    t = filled.withColumn("trail", F.sum("cnt").over(w).cast("bigint")).withColumn(
         "n_prev", F.count("cnt").over(w)
     )
     fd = t.where(F.col("n_prev") == _LD_TRAIL_DAYS).withColumn(

@@ -1661,3 +1661,30 @@ def test_brute_force_detection_daemon_streaming(tmp_path, spark, sf_dir):
         map(tuple, brute_force_report(load_table(spark, sf_dir, "events")).collect())
     )
     assert got == expect and expect
+
+
+def test_profile_transform_handles_awkward_column_names(tmp_path, spark):
+    """`profile` is documented as working over ANY table — including
+    column names that are not bare SQL identifiers (spaces, quotes)."""
+    import pandas as pd
+
+    from cheetah_spark.queries.profile import profile_report
+
+    pdf = pd.DataFrame(
+        {"order date": ["2024-01-01", "2024-01-02", None],
+         "a'b": [1.5, 2.5, 2.5], "plain": [1, 2, 3]}
+    )
+    df = spark.createDataFrame(pdf)
+    got = {r.col_name: (r.n_nulls, r.n_distinct) for r in profile_report(df).collect()}
+    assert got == {"order date": (1, 2), "a'b": (0, 2), "plain": (0, 3)}
+
+
+def test_brute_force_transform_rejects_min_run_below_one():
+    """min_run=0 would diverge stream vs batch (a zero-length gap
+    between adjacent closers has no batch counterpart) — refuse it."""
+    import pytest as _pytest
+
+    from cheetah_spark.config import build_transform
+
+    with _pytest.raises(ValueError, match="min_run must be >= 1"):
+        build_transform({"type": "brute_force", "min_run": 0})

@@ -909,20 +909,20 @@ def test_sec_brute_force_single_shuffle_no_join(spark, sf_dir):
     assert "Join" not in p, p
 
 
-def test_sec_log_drift_single_scan_partial_agg(spark, sf_dir):
-    """q_sec_log_drift: the daily pre-aggregate must be map-side
-    combinable (partial_count before the first exchange), the worst-day
-    selection must be the max_by fold (no rank branch => no second scan
-    of events, no join), and the trailing window runs once on the tiny
-    daily series."""
+def test_sec_log_drift_caches_daily_counts_single_events_read(spark, sf_dir):
+    """q_sec_log_drift: the bounded daily-counts frame must be CACHED
+    (InMemoryRelation) so the zero-fill spine's three references read
+    the cache and events hit parquet once; the spine joins must be
+    broadcast (never cartesian — the 1-row bounds crossJoin is the
+    documented broadcast-scalar BNLJ); the trailing window runs once;
+    the worst-day selection stays the max_by fold (no rank branch)."""
     p = plan(_q("q_sec_log_drift", spark, sf_dir))
     tree = p.split("\n\n")[0]
-    assert _partial_agg_before_first_exchange(p), p
-    # join-free ⇒ the single-branch DAG reads events once (the naive
-    # agg-join-rank formulation is exactly what reintroduces a join);
-    # a literal scan-node count would be cache-fragile across the suite
-    assert "Join" not in p, p
+    assert "InMemoryTableScan" in tree, tree
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in tree, tree
     assert tree.count("Window") == 1, tree
+    assert "max_by" in p, p
 
 
 def test_profile_table_single_expand_no_join(spark, sf_dir):

@@ -53,13 +53,12 @@ def test_brute_force_stream_carry_across_batches(spark, tmp_path):
     pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
 
     batch = _canon(REGISTRY["q_sec_brute_force"].fn(spark, str(tmp_path)))
-    stream = _canon(_brute_force_stream(spark, str(tmp_path), max_files_per_trigger=1))
-    assert stream == batch
+    streamed = _brute_force_stream(spark, str(tmp_path), max_files_per_trigger=1)
+    rows = streamed.collect()
+    assert _canon(pd.DataFrame([r.asDict() for r in rows])) == batch
     got = {
         r["user_id"]: (r["n_bursts"], r["n_compromised"], r["max_run_len"])
-        for r in _brute_force_stream(
-            spark, str(tmp_path), max_files_per_trigger=1
-        ).collect()
+        for r in rows
     }
     assert got == {1: (1, 0, 8), 2: (1, 1, 7)}
 
@@ -93,9 +92,10 @@ def test_brute_force_rule_on_adversarial_shapes(spark, tmp_path):
     pdf = pd.DataFrame(rows)
     pdf.to_parquet(tmp_path / "events.parquet", index=False)
 
+    rows = REGISTRY["q_sec_brute_force"].fn(spark, str(tmp_path)).collect()
     got = {
         r["user_id"]: (r["n_bursts"], r["n_compromised"], r["max_run_len"])
-        for r in REGISTRY["q_sec_brute_force"].fn(spark, str(tmp_path)).collect()
+        for r in rows
     }
     assert got == {1: (1, 0, 3), 2: (1, 1, 3), 4: (2, 1, 4)}
 
@@ -104,7 +104,7 @@ def test_brute_force_rule_on_adversarial_shapes(spark, tmp_path):
         f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
     )
     oracle = _canon(con.sql(_BF_ORACLE).df())
-    assert _canon(REGISTRY["q_sec_brute_force"].fn(spark, str(tmp_path))) == oracle
+    assert _canon(pd.DataFrame([r.asDict() for r in rows])) == oracle
 
 
 @pytest.mark.parametrize("name,batch_name", [
@@ -118,3 +118,49 @@ def test_counts_state_twins_match_batch(spark, sf_dir, name, batch_name):
     got = _canon(REGISTRY[name].fn(spark, sf_dir))
     expect = _canon(REGISTRY[batch_name].fn(spark, sf_dir))
     assert got == expect and expect
+
+
+def test_log_drift_detects_total_outage_via_zero_fill(spark, tmp_path):
+    """A source that goes completely DARK has no daily row at all — the
+    zero-fill spine is what makes the severest outage visible: the
+    first dark day scores shortfall = the full trailing total. Also
+    differentially checked against the oracle on the same fixture."""
+    import duckdb as _duck
+
+    from cheetah_spark.queries.security import _LD_ORACLE
+
+    rows = []
+    base = pd.Timestamp("2024-03-01")
+    per_day = 24
+    for day in range(21):
+        for h in range(per_day):  # steady: emits every day
+            rows.append(
+                {"event_id": len(rows) + 1,
+                 "ts": base + pd.Timedelta(days=day, hours=h % 24),
+                 "user_id": 1, "event_type": "steady", "value": 0.0, "props": "{}"}
+            )
+        if day < 15:  # darkens: silent from day 15 onward
+            for h in range(per_day):
+                rows.append(
+                    {"event_id": len(rows) + 1,
+                     "ts": base + pd.Timedelta(days=day, hours=h % 24),
+                     "user_id": 2, "event_type": "darkens", "value": 0.0,
+                     "props": "{}"}
+                )
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+
+    out = {
+        r.event_type: r
+        for r in REGISTRY["q_sec_log_drift"].fn(spark, str(tmp_path)).collect()
+    }
+    dark = out["darkens"]
+    assert dark.min_daily == 0  # the zero-filled outage days exist
+    assert dark.worst_day == (base + pd.Timedelta(days=15)).to_pydatetime()
+    assert dark.worst_shortfall == 7 * per_day  # full trailing total
+    assert out["steady"].worst_shortfall <= 0  # flat series never drops
+
+    con = _duck.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    assert _canon(con.sql(_LD_ORACLE).df()) == _canon(
+        REGISTRY["q_sec_log_drift"].fn(spark, str(tmp_path))
+    )
