@@ -603,12 +603,20 @@ def resolve_log_drift(d: DataFrame) -> DataFrame:
     source's first observed day to the global last observed day)
     before the window judgment; a total outage then scores
     shortfall = trail, the maximum possible. The counts frame is
-    bounded (sources × days), so it is persisted and the spine's three
-    references read the cache — events are still scanned exactly once."""
+    bounded (sources × days), so it is eagerly localCheckpointed and
+    the spine's three references read the materialized RDD — events
+    are still scanned exactly once.  localCheckpoint, not persist():
+    a persist here leaks a CacheManager entry for the session lifetime
+    (a daemon running this query N times accumulates N cached frames
+    competing with execution memory — guide §5), and CacheManager
+    plan-matching against leaked entries made downstream plans
+    nondeterministic across invocations (caught by the r13 full-suite
+    run: a leaked entry from an earlier config-bound invocation
+    rewrote this query's plan)."""
     d = (
         d.groupBy("event_type", "day")
         .agg(F.max("cnt").cast("bigint").alias("cnt"))
-        .persist()
+        .localCheckpoint()
     )
     # renamed spine keys: the spine derives FROM d, so a same-name
     # USING join would be a self-join with conflicting attribute ids

@@ -910,15 +910,20 @@ def test_sec_brute_force_single_shuffle_no_join(spark, sf_dir):
 
 
 def test_sec_log_drift_caches_daily_counts_single_events_read(spark, sf_dir):
-    """q_sec_log_drift: the bounded daily-counts frame must be CACHED
-    (InMemoryRelation) so the zero-fill spine's three references read
-    the cache and events hit parquet once; the spine joins must be
-    broadcast (never cartesian — the 1-row bounds crossJoin is the
-    documented broadcast-scalar BNLJ); the trailing window runs once;
-    the worst-day selection stays the max_by fold (no rank branch)."""
+    """q_sec_log_drift: the bounded daily-counts frame must be
+    MATERIALIZED once (eager localCheckpoint → Scan ExistingRDD) so the
+    zero-fill spine's three references read the checkpointed RDD and
+    events hit parquet exactly once — localCheckpoint rather than
+    persist() so no CacheManager entry leaks past the query (r13 fix:
+    the leaked entry made this plan depend on which query ran first);
+    the spine joins must be broadcast (never cartesian — the 1-row
+    bounds crossJoin is the documented broadcast-scalar BNLJ); the
+    trailing window runs once; the worst-day selection stays the
+    max_by fold (no rank branch)."""
     p = plan(_q("q_sec_log_drift", spark, sf_dir))
     tree = p.split("\n\n")[0]
-    assert "InMemoryTableScan" in tree, tree
+    assert "ExistingRDD" in tree, tree
+    assert "InMemoryTableScan" not in tree, tree
     assert "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in tree, tree
     assert tree.count("Window") == 1, tree
