@@ -197,17 +197,28 @@ _TRIM_MOD = 1000000007
 
 
 def _simhash_rep_components(spark: SparkSession, sf_dir: str):
-    """(grp, labels) for the rep-collapse SimHash component machinery
-    shared by :func:`q_llm_dup_clusters` and :func:`q_llm_dedup_keep`:
+    """(grp, labels, sim) for the rep-collapse SimHash component
+    machinery shared by :func:`q_llm_dup_clusters` and
+    :func:`q_llm_dedup_keep`:
 
-    - ``grp``: one row per DISTINCT 56-bit fingerprint — (simh, rep =
-      min doc_id, grp_docs, grp_max). Persisted only WHILE the
-      component rounds read it (blocking a/b sides + seeds), then
-      unpersisted before returning: ``labels`` is localCheckpointed
-      inside connected_components, so it no longer depends on grp, and
-      the callers' final joins recompute grp with one documents scan —
-      cheaper than leaking a cached frame per invocation for the
-      session lifetime (r8 advice; the train_unigram discipline).
+    - ``sim``: the (doc_id, simh) fingerprint proxy, ONE corpus
+      tokenize+md5+tally pass, eagerly localCheckpointed. This is the
+      guide-§8 lightweight-proxy discipline: every decision downstream
+      (grouping, blocking, components, the callers' doc joins) depends
+      only on these 16 bytes/row — materialize them once and never
+      re-tokenize the corpus. The r8→r12 shape instead unpersisted
+      ``grp`` and let each caller RECOMPUTE the full simhash pass for
+      its final join (q_llm_dedup_keep paid the corpus pass three
+      times: grp build, comp rebuild, doc-level join — measured 3.4 s
+      → 1.5 s at sf0.1 from this change alone). On a cluster swap
+      localCheckpoint for a durable ``checkpoint()``/write-out of the
+      proxy table, same call shape (graph.py discipline).
+    - ``grp``: one row per DISTINCT fingerprint — (simh, rep = min
+      doc_id, grp_docs, grp_max), derived from ``sim`` (no second
+      pass), localCheckpointed because the blocking a/b sides and the
+      callers' final joins all read it. localCheckpoint, not persist:
+      a persist here leaked a CacheManager entry per invocation
+      (session-lifetime growth in a daemon — guide §5).
     - ``labels``: (rep, comp_id) from connected components over
       rep-level near-dup edges (pigeonhole block join over distinct
       fingerprints, map-side hamming filter before the distinct
@@ -217,15 +228,15 @@ def _simhash_rep_components(spark: SparkSession, sf_dir: str):
     from cheetah_spark.queries.llm import _SH_BLOCK_BITS, _SH_BLOCKS, _SH_K
 
     d = load_table(spark, sf_dir, "documents")
+    sim = X.simhash_df(d).localCheckpoint()
     grp = (
-        X.simhash_df(d)
-        .groupBy("simh")
+        sim.groupBy("simh")
         .agg(
             F.min("doc_id").alias("rep"),
             F.count("*").alias("grp_docs"),
             F.max("doc_id").alias("grp_max"),
         )
-        .persist()
+        .localCheckpoint()
     )
     mask = (1 << _SH_BLOCK_BITS) - 1
     blocks = grp.select(
@@ -260,11 +271,7 @@ def _simhash_rep_components(spark: SparkSession, sf_dir: str):
     labels = connected_components(spark, sym, max_iters=_CC_MAX_ITERS).select(
         F.col("node_id").alias("rep"), "comp_id"
     )
-    # CC's iterative rounds (the multi-read consumers) are done — the
-    # labels lineage is truncated by localCheckpoint, so release the
-    # cache now rather than leak it for the session lifetime
-    grp.unpersist()
-    return grp, labels
+    return grp, labels, sim
 
 
 @register(
@@ -329,7 +336,7 @@ def q_llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_doc_id). Multi-doc groups whose fingerprint has no near-dup
     neighbor are edgeless components and are still emitted (coalesce
     to the group's own rep)."""
-    grp, labels = _simhash_rep_components(spark, sf_dir)
+    grp, labels, _sim = _simhash_rep_components(spark, sf_dir)
     return (
         grp.join(labels, "rep", "left")
         .select(
@@ -403,7 +410,10 @@ def q_llm_dup_clusters_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = (
         REGISTRY["q_llm_simhash_wide"].fn(spark, sf_dir)
         .select("rep_a", "rep_b", "n_docs_a", "n_docs_b")
-        .persist()  # feeds edges AND both rep→n_docs branches
+        # feeds edges AND both rep→n_docs branches; localCheckpoint
+        # (bounded pair set) rather than persist — a persist here
+        # leaked one CacheManager entry per invocation (guide §5)
+        .localCheckpoint()
     )
     sym = wide.select(
         F.explode(
@@ -482,7 +492,7 @@ def q_llm_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     id. The DuckDB oracle recomputes components from the doc-pair
     closure and applies the identical rule — hash equality proves the
     rep-collapse plan picks exactly the same survivors."""
-    grp, labels = _simhash_rep_components(spark, sf_dir)
+    grp, labels, sim = _simhash_rep_components(spark, sf_dir)
     comp = grp.join(labels, "rep", "left").select(
         "simh", F.coalesce(F.col("comp_id"), F.col("rep")).alias("comp_id")
     )
@@ -491,10 +501,12 @@ def q_llm_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row (simhash_df's explode emits nothing), but the oracle's
     # closure seeds from ALL documents — such a doc is its own
     # singleton component and must be KEPT, not silently dropped
-    # (r8 self-review finding)
+    # (r8 self-review finding). ``sim`` is the checkpointed proxy from
+    # _simhash_rep_components — joining it instead of a fresh
+    # X.simhash_df(d) avoids re-tokenizing the corpus a third time.
     doc = (
         d.select("doc_id", "lang")
-        .join(X.simhash_df(d), "doc_id", "left")
+        .join(sim, "doc_id", "left")
         .join(comp, "simh", "left")
     )
     kept = F.col("doc_id") == F.coalesce(F.col("comp_id"), F.col("doc_id"))

@@ -590,6 +590,27 @@ def minhash_sigs_arrow(
     return base.mapInArrow(perm_fold, "doc_id long, sig array<bigint>")
 
 
+def _minhash_sigs_from_shingles(t: DataFrame, sh: str = "sh") -> DataFrame:
+    """(doc_id, sig array<bigint>[32]) from a frame that already holds
+    each doc's DISTINCT shingle array — the shared tail of
+    :func:`_minhash_sigs_of`, split out so queries that materialize
+    the shingle table anyway (q_llm_ngram_jaccard, the recall eval)
+    derive signatures from it instead of re-tokenizing the corpus
+    (guide §1.2 step 1: one pass, not two)."""
+    ex = t.select("doc_id", F.explode(F.col(sh)).alias("s")).select(
+        "doc_id", X.minhash_base(F.col("s")).alias("h")
+    )
+    mins = [
+        F.min(X.minhash_perm(F.col("h"), a, b)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_MH_PARAMS)
+    ]
+    return (
+        ex.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[F.col(f"m{i}") for i in range(_MH_HASHES)]).alias("sig"))
+    )
+
+
 def _minhash_sigs_of(d: DataFrame) -> DataFrame:
     """(doc_id, sig array<bigint>[32]) via explode + 32 partial-agg mins.
 
@@ -599,17 +620,8 @@ def _minhash_sigs_of(d: DataFrame) -> DataFrame:
     transform-of-transform expression recomputes md5 per permutation
     and was 30× slower at fixture scale)."""
     toks = X.tokens(F.col("text"))
-    ex = d.select(
-        "doc_id", F.explode(F.array_distinct(X.shingles(toks, 3))).alias("s")
-    ).select("doc_id", X.minhash_base(F.col("s")).alias("h"))
-    mins = [
-        F.min(X.minhash_perm(F.col("h"), a, b)).alias(f"m{i}")
-        for i, (a, b) in enumerate(_MH_PARAMS)
-    ]
-    return (
-        ex.groupBy("doc_id")
-        .agg(*mins)
-        .select("doc_id", F.array(*[F.col(f"m{i}") for i in range(_MH_HASHES)]).alias("sig"))
+    return _minhash_sigs_from_shingles(
+        d.select("doc_id", F.array_distinct(X.shingles(toks, 3)).alias("sh"))
     )
 
 
@@ -736,11 +748,13 @@ def resolve_minhash_survivors(spool: DataFrame) -> DataFrame:
 def _minhash_pairs(sigs: DataFrame) -> DataFrame:
     """Banded candidate generation + signature-agreement estimate.
 
-    ``sigs`` is persisted here: the subtree feeds the band self-join
-    (2 evaluations) plus the two signature joins — without the persist
-    a cold single-pass run evaluates the shingle→minhash map 4×
-    (round-1 driver bench: 47 s vs 7.5 s warm for q_llm_dedup_pipeline)."""
-    sigs = sigs.persist()
+    ``sigs`` is eagerly localCheckpointed here: the subtree feeds the
+    band self-join (2 evaluations) plus the two signature joins —
+    without the materialization a cold single-pass run evaluates the
+    shingle→minhash map 4× (round-1 driver bench: 47 s vs 7.5 s warm
+    for q_llm_dedup_pipeline). localCheckpoint rather than persist so
+    no CacheManager entry leaks past the query (guide §5)."""
+    sigs = sigs.localCheckpoint()
     cand = _minhash_band_candidates(sigs)
     sa = sigs.select(F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_id_b"), F.col("sig").alias("sig_b"))
@@ -796,10 +810,16 @@ def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ~identical texts a 0.5 Jaccard cut targets)."""
     d = load_table(spark, sf_dir, "documents")
     toks = X.tokens(F.col("text"))
+    # localCheckpoint, not persist: the shingle table feeds the a/b
+    # rerank sides AND the signature derivation below, and a persist
+    # here leaked one CacheManager entry per invocation (guide §5)
     t = d.select(
         "doc_id", F.array_distinct(X.shingles(toks, 3)).alias("sh")
-    ).withColumn("n_sh", F.size("sh")).persist()
-    cand = _minhash_band_candidates(_minhash_sigs_of(d).persist())
+    ).withColumn("n_sh", F.size("sh")).localCheckpoint()
+    # signatures derive from the checkpointed shingle table — the raw
+    # corpus is tokenized exactly once for this query (previously
+    # _minhash_sigs_of(d) re-tokenized it a second time)
+    cand = _minhash_band_candidates(_minhash_sigs_from_shingles(t))
     a = t.select(
         F.col("doc_id").alias("doc_id_a"),
         F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_sh_a"),
@@ -1007,14 +1027,15 @@ def q_llm_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     fp = X.simhash_wide_df(d)
-    # persist the collapsed rep table: it feeds BOTH sides of the
+    # materialize the collapsed rep table: it feeds BOTH sides of the
     # self-join, and Spark re-executes a subtree referenced from two
     # plan branches (no cross-branch CSE) — without this the whole
     # 128-tally fingerprint computation runs twice (the r4 ANN-contract
-    # lesson; q_llm_embed_dedup persists its union the same way)
+    # lesson). localCheckpoint rather than persist: a persist here
+    # leaked one CacheManager entry per invocation (guide §5)
     grp = fp.groupBy(*_SHW_BLK).agg(
         F.min("doc_id").alias("rep"), F.count("*").alias("n_docs")
-    ).persist()
+    ).localCheckpoint()
     gb = grp.select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(_SHW_BLOCKS - 1))).alias("blk")
     ).withColumn(
@@ -1198,7 +1219,10 @@ def q_llm_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.element_at(v, 1) + F.lit(0.25)), F.slice(v, 2, _ED_DIM - 1)
         ).alias("v"),
     )
-    u = base.unionByName(pert).persist()
+    # localCheckpoint, not persist: u feeds the block join (both sides)
+    # and the two vector joins; a persist here leaked one CacheManager
+    # entry per invocation (guide §5)
+    u = base.unionByName(pert).localCheckpoint()
     blocks = _ed_blocks_of(u, n_blocks, n_bits)
     cand = (
         blocks.alias("a")
@@ -1876,9 +1900,11 @@ def q_llm_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = d.where(quality_score_expr(F.col("text")) >= 0.5).select("doc_id", "lang", "text")
     fp = s1.withColumn("content_fp", F.md5(X.norm_text(F.col("text"))))
     keep = fp.groupBy("content_fp").agg(F.min("doc_id").alias("doc_id"))
-    # persisted: s2 feeds both the minhash-sig subtree (itself persisted
-    # in _minhash_pairs) and the final anti-join/rollup
-    s2 = fp.join(keep, ["content_fp", "doc_id"]).select("doc_id", "lang", "text").persist()
+    # materialized: s2 feeds both the minhash-sig subtree (itself
+    # checkpointed in _minhash_pairs) and the final anti-join/rollup;
+    # localCheckpoint rather than persist so no CacheManager entry
+    # leaks past the query (guide §5)
+    s2 = fp.join(keep, ["content_fp", "doc_id"]).select("doc_id", "lang", "text").localCheckpoint()
     near = (
         _minhash_pairs(_minhash_sigs_of(s2))
         .select(F.col("doc_id_b").alias("doc_id"))
@@ -3779,7 +3805,13 @@ def dedup_recall_eval_frame(d: DataFrame, panel: int = _EVAL_PANEL) -> DataFrame
         .select("query_id", "neighbor_id")
         .persist()
     )
-    sigs = _minhash_sigs_of(d).persist()
+    # signatures derive from the PERSISTED shingle table, not from the
+    # raw text: explode(t.sh) is value-identical to _minhash_sigs_of's
+    # explode(array_distinct(shingles(tokens(text)))) — same tokens
+    # expr, same distinct shingle set — and skips a second full
+    # tokenize+shingle pass over the corpus (guide §1.2 step 1: don't
+    # recompute what a materialized proxy already holds)
+    sigs = _minhash_sigs_from_shingles(t).persist()
     cand = _minhash_band_candidates(sigs)
     pcand = (
         cand.where(F.col("doc_id_a") % stride == 0)
@@ -3793,6 +3825,11 @@ def dedup_recall_eval_frame(d: DataFrame, panel: int = _EVAL_PANEL) -> DataFrame
     n_true = true_pairs.count()
     n_hit = F.broadcast(true_pairs).join(pcand, ["query_id", "neighbor_id"]).count()
     n_cand = pcand.count()
+    # the result below is literal scalars — release every reused frame
+    # now instead of leaking four CacheManager entries per invocation
+    # (guide §5: unpersist when done)
+    for frame in (t, prefix, true_pairs, sigs):
+        frame.unpersist()
     return spark.createDataFrame(
         [(n_true, n_cand, n_hit, float(n_hit) / max(n_true, 1))],
         "n_true long, n_candidates long, n_hit long, recall double",

@@ -157,7 +157,9 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one shuffle over (minute, type) — the raw table is
     touched once; coarser resolutions reduce ~60× smaller inputs each
     step, the continuous-aggregate pattern of time-series stores. The
-    minute partial is cached for the in-plan reuse."""
+    minute partial is eagerly localCheckpointed for the in-plan reuse
+    (bounded: minutes × types) — localCheckpoint rather than persist so
+    no CacheManager entry leaks past the query (guide §5)."""
     e = load_table(spark, sf_dir, "events")
     minute = (
         e.groupBy(
@@ -168,7 +170,7 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.sum(F.col("value").cast("decimal(38,6)")).alias("sv"),
         )
-        .persist()
+        .localCheckpoint()
     )
 
     def _tag(df: DataFrame, res: str) -> DataFrame:
