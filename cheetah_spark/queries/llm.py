@@ -1585,6 +1585,17 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str, query_df=None) -> DataFrame:
     bitw = 1 << np.arange(_LSH_BITS, dtype=np.int64)
 
     def assign(batches):
+        # ONE output row per vector, its _LSH_BANDS bucket ids packed
+        # in an array — NOT one pre-exploded row per (vector, band).
+        # The pre-exploded shape shipped every 64-dim embedding through
+        # Arrow 16× (and pandas-.repeat()ed the object column in
+        # Python); the band fan-out is pure structure, so it belongs in
+        # JVM codegen (posexplode below), not on the Python boundary
+        # (guide §4.1: control how many bytes cross). At the 2000-row
+        # sf0.1 fixture the query is machinery-bound, so this is
+        # roughly neutral in seconds; the win is the 16x reduction in
+        # Arrow transfer volume per corpus pass, which is what
+        # dominates at real corpus sizes.
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -1593,17 +1604,30 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str, query_df=None) -> DataFrame:
             buckets = (bits * bitw).sum(axis=2)  # (n, bands)
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), _LSH_BANDS),
-                    "embedding": pdf["embedding"].repeat(_LSH_BANDS),
-                    "band": np.tile(np.arange(_LSH_BANDS, dtype=np.int32), len(pdf)),
-                    "bucket": buckets.ravel(),
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "embedding": pdf["embedding"],
+                    "buckets": list(buckets),
                 }
             )
 
     def bucketed(df):
-        return df.select("vec_id", "embedding").mapInPandas(
-            assign, "vec_id long, embedding array<float>, band int, bucket long"
-        ).withColumn("nsq", V.l2_norm_sq(F.col("embedding")))
+        # nsq is computed BEFORE the band fan-out — once per vector,
+        # not 16× — with the SAME V.l2_norm_sq expression as before
+        # (bit-identical doubles; the fan-out only copies the result).
+        return (
+            df.select("vec_id", "embedding")
+            .mapInPandas(
+                assign, "vec_id long, embedding array<float>, buckets array<bigint>"
+            )
+            .withColumn("nsq", V.l2_norm_sq(F.col("embedding")))
+            .select(
+                "vec_id",
+                "embedding",
+                "nsq",
+                F.posexplode("buckets").alias("band", "bucket"),
+            )
+            .withColumn("band", F.col("band").cast("int"))
+        )
 
     melted = bucketed(e)
     # The query side is ~1% of the corpus and feeds a broadcast, which
