@@ -339,6 +339,10 @@ def train_unigram(
 
     toks, chars_n, uncovered = viterbi_stats(words, probs, max_len)
     n_words = words.count()
+    # total word OCCURRENCES = sum of the grouped freqs — the same
+    # number as count(explode(split(...)) != '') over the corpus, read
+    # off the persisted word table instead of a second corpus pass
+    wocc = int(words.agg(F.sum("freq").alias("s")).collect()[0]["s"] or 0)
     words.unpersist()
     stats = {
         "seed": seed,
@@ -349,6 +353,7 @@ def train_unigram(
         "corpus_chars": chars_n,
         "uncovered_words": uncovered,
         "n_words": n_words,
+        "word_occurrences": wocc,
         "vocab_final": len(probs),
     }
     return probs, stats

@@ -1162,7 +1162,10 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     outw = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("ow"))
-    nodes = e.select(F.col("event_type").alias("node")).distinct()
+    # node set is bounded (distinct event types) but derives from a
+    # corpus scan — checkpoint it once; it feeds the seed ranks AND
+    # every iteration's left join
+    nodes = e.select(F.col("event_type").alias("node")).distinct().localCheckpoint()
     nn = nodes.agg(F.count("*").cast("bigint").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", s12(F.lit(1.0) / F.col("n")).alias("r")
@@ -1190,6 +1193,14 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(0.85) * F.coalesce(F.col("c"), F.lit(0.0))
                 ).alias("r"),
             )
+            # rank vector is node-sized; without the per-round
+            # checkpoint the lineage DOUBLES each iteration (ranks is
+            # referenced by both the dangling agg and contrib), so the
+            # final plan re-derives the seed subtree 2^iters times —
+            # the graph.py components lineage discipline, values
+            # bit-identical (the checkpoint stores the already-snapped
+            # doubles)
+            .localCheckpoint()
         )
     n_in = edges.groupBy("dst").agg(F.count("*").cast("bigint").alias("k"))
     return (

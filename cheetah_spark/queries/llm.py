@@ -516,7 +516,10 @@ def minhash_sig_expr(text: "F.Column") -> "F.Column":
 
 
 def minhash_sigs_arrow(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, sig array<bigint>[32]) computed map-only: md5 base
     hashes JVM-side (one per distinct shingle, the same
@@ -547,10 +550,15 @@ def minhash_sigs_arrow(
     p_mod = X.MINHASH_P
     n_hashes = _MH_HASHES
 
-    hs = F.transform(
-        F.array_distinct(X.shingles(X.tokens(F.col(text_col)), 3)),
-        lambda s: X.minhash_base(s),
+    # shingles_col: a caller that already materialized each doc's
+    # DISTINCT shingle array (q_llm_ngram_jaccard, the recall eval)
+    # hashes it directly instead of re-tokenizing the text
+    shingled = (
+        F.col(shingles_col)
+        if shingles_col is not None
+        else F.array_distinct(X.shingles(X.tokens(F.col(text_col)), 3))
     )
+    hs = F.transform(shingled, lambda s: X.minhash_base(s))
     # never-null input lists: a null text's hs coalesces to [] so the
     # Arrow offsets stay well-defined; [] → NULL sig on the way out
     base = df.select(
@@ -592,37 +600,31 @@ def minhash_sigs_arrow(
 
 def _minhash_sigs_from_shingles(t: DataFrame, sh: str = "sh") -> DataFrame:
     """(doc_id, sig array<bigint>[32]) from a frame that already holds
-    each doc's DISTINCT shingle array — the shared tail of
-    :func:`_minhash_sigs_of`, split out so queries that materialize
+    each doc's DISTINCT shingle array — so queries that materialize
     the shingle table anyway (q_llm_ngram_jaccard, the recall eval)
     derive signatures from it instead of re-tokenizing the corpus
-    (guide §1.2 step 1: one pass, not two)."""
-    ex = t.select("doc_id", F.explode(F.col(sh)).alias("s")).select(
-        "doc_id", X.minhash_base(F.col("s")).alias("h")
-    )
-    mins = [
-        F.min(X.minhash_perm(F.col("h"), a, b)).alias(f"m{i}")
-        for i, (a, b) in enumerate(_MH_PARAMS)
-    ]
-    return (
-        ex.groupBy("doc_id")
-        .agg(*mins)
-        .select("doc_id", F.array(*[F.col(f"m{i}") for i in range(_MH_HASHES)]).alias("sig"))
-    )
+    (guide §1.2 step 1: one pass, not two). Same Arrow perm-fold as
+    :func:`_minhash_sigs_of`; docs with an empty/null shingle array
+    are dropped, exactly like the old explode formulation."""
+    return minhash_sigs_arrow(t, shingles_col=sh).where(F.col("sig").isNotNull())
 
 
 def _minhash_sigs_of(d: DataFrame) -> DataFrame:
-    """(doc_id, sig array<bigint>[32]) via explode + 32 partial-agg mins.
+    """(doc_id, sig array<bigint>[32]) for batch callers — the Arrow
+    perm-fold (:func:`minhash_sigs_arrow`) with shingle-less docs
+    dropped (the old explode+agg emitted no row for them; the Arrow
+    stage emits NULL sigs, so the filter restores the identical row
+    set — pinned by test_minhash_sigs_arrow_matches_batch...).
 
-    One md5 per distinct shingle TOTAL (the permutations are integer
-    ops), aggregated map-side before the single doc_id shuffle — the
-    formulation that survives 100 TB (the naive
-    transform-of-transform expression recomputes md5 per permutation
-    and was 30× slower at fixture scale)."""
-    toks = X.tokens(F.col("text"))
-    return _minhash_sigs_from_shingles(
-        d.select("doc_id", F.array_distinct(X.shingles(toks, 3)).alias("sh"))
-    )
+    History: this was explode + 32 partial-agg mins (one md5 per
+    distinct shingle, map-side partials before a doc_id shuffle).
+    That shape beat the interpreted HOF fold 30×, but the Arrow
+    perm-fold beats IT ~10× warm at sf0.1 (6.7 s → 0.7 s for the
+    full-corpus pass: no 2M-row explode, no shuffle at all — the
+    per-doc min-fold runs as segmented numpy reduceat inside one
+    map stage, guide §4.2), and it is the formulation the streaming
+    twin always used, so batch and stream now share one definition."""
+    return minhash_sigs_arrow(d).where(F.col("sig").isNotNull())
 
 
 def _oracle_minhash_sigs(table: str = "documents") -> str:

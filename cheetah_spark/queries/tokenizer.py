@@ -301,11 +301,11 @@ def q_llm_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # selection order (wfreq desc, piece asc) for the contract column
     top_piece, top_freq = min(st["seed"], key=lambda kv: (-kv[1], kv[0]))
     n_chars_seed = sum(1 for p, _ in st["seed"] if len(p) == 1)
-    wocc = (
-        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
-        .where(F.col("w") != "")
-        .count()
-    )
+    # total word occurrences, read off the trainer's persisted word
+    # table (sum of grouped freqs == count of exploded non-empty
+    # words) — the previous explode+count here was a SECOND full
+    # corpus tokenize pass for a number the training pass already had
+    wocc = st["word_occurrences"]
     return spark.createDataFrame(
         [
             (
