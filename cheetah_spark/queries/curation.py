@@ -761,7 +761,14 @@ def q_llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()
     terms = d.select("doc_id", "lang", F.explode(X.tokens(F.col("text"))).alias("term"))
-    tf = terms.groupBy("doc_id", "lang", "term").agg(F.count("*").alias("tf"))
+    # tf feeds the df rollup AND the scored join's big side; each lazy
+    # reference re-runs the corpus explode + (doc, term) aggregate —
+    # materialize the already-aggregated small-row table once
+    tf = (
+        terms.groupBy("doc_id", "lang", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     # hot-head detection from a seeded 5% sample — a heavy-hitter
     # ESTIMATE is as safe as the exact head (see hot_salted_join) and
@@ -1606,7 +1613,10 @@ def q_llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", "lang", F.explode(X.tokens(F.col("text"))).alias("tok"))
-    vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    # vocab feeds two branches (total, scored) and each lazy reference
+    # re-derives the corpus tokenize+count; materialize the vocab-sized
+    # table once
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt")).localCheckpoint()
     total = vocab.agg(F.sum("cnt").cast("bigint").alias("total"))
     scored = vocab.crossJoin(F.broadcast(total)).select(
         "tok", "cnt", snap(F.log(F.col("cnt") / F.col("total")), 6).alias("logp")
@@ -1708,7 +1718,11 @@ def q_llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = X.tokens(F.col("text"))
     tok = d.select(F.explode(toks).alias("tok"))
-    cnt1 = tok.groupBy("tok").agg(F.count("*").alias("c1"))
+    # cnt1 feeds THREE branches (total, u1, u2) and each lazy reference
+    # re-derives the full corpus tokenize+count; materialize the
+    # vocab-sized table once (the unchanged plan ran the corpus explode
+    # 5x: cnt1 x3, bg for cnt2, bg for the scoring join)
+    cnt1 = tok.groupBy("tok").agg(F.count("*").alias("c1")).localCheckpoint()
     total = cnt1.agg(F.sum("c1").cast("bigint").alias("total"))
     bg = d.select(
         "doc_id", "lang", F.explode(X.shingles(toks, 2)).alias("s")
@@ -1997,9 +2011,15 @@ def q_llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", "lang", F.explode(X.tokens(F.col("text"))).alias("tok"))
-    raw = tok.groupBy("tok").agg(F.count("*").alias("cr"))
+    # raw and tgt each feed two branches (their scalar total + the lm
+    # join); materialize the vocab-sized aggregates once instead of
+    # re-running the corpus explode per reference
+    raw = tok.groupBy("tok").agg(F.count("*").alias("cr")).localCheckpoint()
     tgt = (
-        tok.where(F.col("lang") == _DSIR_TARGET).groupBy("tok").agg(F.count("*").alias("ct"))
+        tok.where(F.col("lang") == _DSIR_TARGET)
+        .groupBy("tok")
+        .agg(F.count("*").alias("ct"))
+        .localCheckpoint()
     )
     tots = raw.agg(
         F.sum("cr").cast("bigint").alias("total_r"), F.count("*").cast("bigint").alias("vsize")
@@ -2031,6 +2051,9 @@ def q_llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         hot_salted_join(tok, lm, "tok", freq_col="cr", salt_on="doc_id", hot_probe=probe)
         .groupBy("doc_id", "lang")
         .agg(F.count("*").alias("n_tok"), dsum("llr").alias("sum_llr"))
+        # referenced by BOTH the per-lang mean and the selection join —
+        # without this the whole salted scoring pass runs twice
+        .localCheckpoint()
     )
     avg = F.col("sum_llr") / F.col("n_tok")
     stats = per_doc.groupBy("lang").agg(davg(avg).alias("mean_llr"))
@@ -3435,7 +3458,10 @@ def q_llm_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", "lang", F.explode(X.tokens(F.col("text"))).alias("tok"))
-    vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    # vocab feeds two branches (total, scored) and each lazy reference
+    # re-derives the corpus tokenize+count; materialize the vocab-sized
+    # table once
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt")).localCheckpoint()
     total = vocab.agg(F.sum("cnt").cast("bigint").alias("total"))
     scored = vocab.crossJoin(F.broadcast(total)).select(
         "tok", "cnt", snap(F.log(F.col("cnt") / F.col("total")), 6).alias("logp")

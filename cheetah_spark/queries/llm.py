@@ -301,6 +301,95 @@ _WIN_K = 4  # winnowing k-gram width (token shingles, the dedup family's unit)
 _WIN_W = 4  # winnowing window: any shared run of >= w+k-1 tokens shares a fingerprint
 
 
+def _winnow_fp_arrow(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, h, fpos) winnowing fingerprints, map-only: the
+    k-gram hash56 array is computed JVM-side (one md5 per shingle —
+    the same hash56 values the exploded plan fed the window), then the
+    w-wide sliding-window min, the rightmost-on-ties selection, and
+    the per-doc DISTINCT run vectorized in one ``mapInArrow`` stage
+    (numpy ``sliding_window_view`` + reversed-window ``argmin``).
+
+    Bit-identical to the explode → doc-partitioned running-min window
+    → DISTINCT formulation (the registered oracle's shape):
+    ``min(struct(h, -pos))`` picks the min hash and, on hash ties, the
+    RIGHTMOST position — exactly ``argmin`` over the reversed window;
+    windows are only emitted where pos >= w (full windows), which the
+    flat-batch formulation gets for free by masking windows that cross
+    doc boundaries; the trailing DISTINCT is an in-batch per-doc
+    lexsort+dedup, valid globally because doc_id is part of the key
+    and every doc's shingles live in one Arrow row. Why: the old plan
+    shuffled the ~80x-exploded k-gram stream by doc_id just to run the
+    w-row running min (guide §2.4 — remove the shuffle outright; §4.2
+    — hand whole batches to vectorized native code)."""
+    import numpy as np
+    import pyarrow as pa
+
+    w = _WIN_W
+    # tokens MUST be projected to a bound column before shingles():
+    # slice(toks, i, k) inside the shingles transform lambda re-evaluates
+    # its toks expression per element, so an inlined regexp_extract_all
+    # would rescan the full text once per shingle index (O(len^2)/doc)
+    hs = F.transform(X.shingles(F.col("tk"), _WIN_K), lambda s: X.hash56(s))
+    base = d.select("doc_id", "lang", X.tokens(F.col("text")).alias("tk")).select(
+        "doc_id",
+        "lang",
+        F.coalesce(hs, F.array().cast("array<bigint>")).alias("hs"),
+    )
+
+    def fold(batches):
+        for rb in batches:
+            ids = rb.column(0)
+            langs = rb.column(1)
+            lst = rb.column(2)
+            off_raw = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = lst.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = vals[off_raw[0] : off_raw[-1]]
+            offs = off_raw - off_raw[0]
+            starts, ends = offs[:-1], offs[1:]
+            n = flat.size
+            if n >= w:
+                win = np.lib.stride_tricks.sliding_window_view(flat, w)
+                m = win.min(axis=1)
+                # rightmost occurrence of the window min == the
+                # min(struct(h, -pos)) tie-break
+                ridx = (w - 1) - np.argmin(win[:, ::-1], axis=1)
+                sel_flat = np.arange(len(m), dtype=np.int64) + ridx
+                row_of = np.repeat(
+                    np.arange(len(starts), dtype=np.int64), ends - starts
+                )
+                wend = np.arange(w - 1, n, dtype=np.int64)
+                valid = row_of[wend] == row_of[wend - (w - 1)]
+                r = row_of[wend[valid]]
+                h = m[valid]
+                fpos = sel_flat[valid] - starts[r] + 1  # 1-based in-doc pos
+                order = np.lexsort((fpos, h, r))
+                r, h, fpos = r[order], h[order], fpos[order]
+                keep = np.ones(len(r), dtype=bool)
+                if len(r) > 1:
+                    keep[1:] = (
+                        (np.diff(r) != 0)
+                        | (np.diff(h) != 0)
+                        | (np.diff(fpos) != 0)
+                    )
+                r, h, fpos = r[keep], h[keep], fpos[keep]
+            else:
+                r = np.empty(0, dtype=np.int64)
+                h = np.empty(0, dtype=np.int64)
+                fpos = np.empty(0, dtype=np.int64)
+            take = pa.array(r, type=pa.int64())
+            yield pa.record_batch(
+                [
+                    ids.take(take),
+                    langs.take(take),
+                    pa.array(h, type=pa.int64()),
+                    pa.array(fpos.astype(np.int32), type=pa.int32()),
+                ],
+                names=["doc_id", "lang", "h", "fpos"],
+            )
+
+    return base.mapInArrow(fold, "doc_id long, lang string, h long, fpos int")
+
+
 @register(
     "q_llm_winnow_fingerprint",
     oracle=f"""
@@ -356,36 +445,18 @@ def q_llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering and DuckDB's list ordering are both lexicographic, so the
     selected (hash, position) set is bit-identical by construction.
 
-    Scale shape: one posexplode, ONE doc-partitioned running-min
-    window (doc_id is uniform; per-partition state is the w-row
-    frame), a per-doc distinct, and a self-aggregation on the uniform
-    56-bit hash for the shared-fingerprint rollup. No all-pairs
-    anywhere: cross-doc sharing is detected by hash-groupBy exactly
-    like the span-dedup family, so the plan survives 100 TB."""
-    from pyspark.sql.window import Window
-
+    Scale shape: the fingerprint selection is MAP-ONLY
+    (:func:`_winnow_fp_arrow` — the sliding-window min, tie-break and
+    per-doc distinct fold inside one Arrow stage; the exploded k-gram
+    stream never enters an exchange), followed by a self-aggregation
+    on the uniform 56-bit hash for the shared-fingerprint rollup. No
+    all-pairs anywhere: cross-doc sharing is detected by hash-groupBy
+    exactly like the span-dedup family, so the plan survives 100 TB."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "lang", X.tokens(F.col("text")).alias("tk"))
-    ex = toks.select(
-        "doc_id",
-        "lang",
-        F.posexplode(X.shingles(F.col("tk"), _WIN_K)).alias("pos0", "s"),
-    ).select(
-        "doc_id", "lang", (F.col("pos0") + 1).alias("pos"), X.hash56(F.col("s")).alias("h")
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(-(_WIN_W - 1), Window.currentRow)
-    )
-    sel = ex.withColumn(
-        "m", F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(w)
-    )
-    fp = (
-        sel.where(F.col("pos") >= _WIN_W)
-        .select("doc_id", "lang", F.col("m.h").alias("h"), (-F.col("m.np")).alias("fpos"))
-        .distinct()
-    )
+    # fp feeds BOTH the dup rollup and the final join (no cross-branch
+    # CSE) — checkpoint the density-reduced (~2/(w+1) of k-grams)
+    # fingerprint table so the corpus fold runs once
+    fp = _winnow_fp_arrow(d).localCheckpoint()
     dup = fp.groupBy("h").agg(F.countDistinct("doc_id").alias("nd")).where(
         F.col("nd") >= 2
     ).select("h", F.lit(True).alias("shared"))

@@ -547,3 +547,52 @@ def test_ann_bruteforce_duplicate_embeddings_keep_lowest_ids(spark, tmp_path):
         for r in out.where("query_id = 0").orderBy("rk").collect()
     ]
     assert got == [1, 2, 3, 4, 5], got
+
+
+def test_winnow_fold_matches_window_formulation_on_edges(spark):
+    """The r13 Arrow winnow fold must equal the explode + doc-window +
+    DISTINCT formulation (the oracle's shape) on the hard edges: all-tie
+    windows (identical shingles — the rightmost-position tie-break),
+    docs with fewer than w full windows, tokenless docs, and periodic
+    duplicates that make the per-doc DISTINCT collapse non-trivial."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from cheetah_spark.functions import text as X
+    from cheetah_spark.queries.llm import _WIN_K, _WIN_W, _winnow_fp_arrow
+
+    rows = [
+        (1, "en", "a a a a a a a a"),
+        (2, "en", "b c d e"),
+        (3, "en", "x y z w v u t s r q p o"),
+        (4, "en", ""),
+        (5, "en", "m m n n m m n n m m n n"),
+        (6, "de", "a a a a b a a a a"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    ex = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode(X.shingles(X.tokens(F.col("text")), _WIN_K)).alias("pos0", "s"),
+    ).select(
+        "doc_id", "lang", (F.col("pos0") + 1).alias("pos"), X.hash56(F.col("s")).alias("h")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        -(_WIN_W - 1), Window.currentRow
+    )
+    sel = ex.withColumn(
+        "m", F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(w)
+    )
+    old = (
+        sel.where(F.col("pos") >= _WIN_W)
+        .select("doc_id", "lang", F.col("m.h").alias("h"), (-F.col("m.np")).alias("fpos"))
+        .distinct()
+        .orderBy("doc_id", "h", "fpos")
+        .collect()
+    )
+    new = _winnow_fp_arrow(d).orderBy("doc_id", "h", "fpos").collect()
+    assert [tuple(r) for r in new] == [tuple(r) for r in old]
+    # sanity: the all-ties doc selects the RIGHTMOST position per window
+    doc1 = [r for r in new if r.doc_id == 1]
+    assert [r.fpos for r in doc1] == [4, 5]

@@ -354,21 +354,25 @@ def test_entropy_filter_partial_aggs_no_window(spark, sf_dir):
     assert read_schema and "source" not in read_schema[0], read_schema
 
 
-def test_winnow_fingerprint_single_window_no_allpairs(spark, sf_dir):
-    """q_llm_winnow_fingerprint: exactly ONE window operator (the
-    doc-partitioned running min) and no cartesian/nested-loop join —
-    cross-doc sharing is a hash aggregate, never an all-pairs."""
+def test_winnow_fingerprint_maponly_no_allpairs(spark, sf_dir):
+    """q_llm_winnow_fingerprint: the fingerprint selection is the
+    map-only Arrow fold (r13 — the doc-partitioned running-min window
+    over the exploded k-gram stream is GONE), and no cartesian/
+    nested-loop join — cross-doc sharing is a hash aggregate, never an
+    all-pairs."""
+    from cheetah_spark.catalog import load_table
+    from cheetah_spark.queries.llm import _winnow_fp_arrow
+
     p = plan(_q("q_llm_winnow_fingerprint", spark, sf_dir))
-    # Count the specs, don't just probe for presence (r7 advice): every
-    # windowspecdefinition must be the doc_id-partitioned running min —
-    # a regression adding a DIFFERENT window (e.g. a per-lang rank)
-    # must fail. The same spec legitimately appears twice: the fp
-    # subtree feeds both the fingerprint and dup branches and Spark
-    # does no cross-branch CSE.
-    flat = p.replace(" ", "")
-    total = flat.count("windowspecdefinition(")
-    assert total == flat.count("windowspecdefinition(doc_id") and 1 <= total <= 2, p
+    # the registered plan reads the checkpointed fingerprint table: no
+    # window operator (of any spec) and no all-pairs join survive
+    assert "windowspecdefinition" not in p.replace(" ", ""), p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    # the fold itself: one MapInArrow, zero Exchange, zero Window —
+    # the exploded k-gram stream never enters a shuffle
+    inner = plan(_winnow_fp_arrow(load_table(spark, sf_dir, "documents")))
+    assert "MapInArrow" in inner, inner
+    assert "Exchange" not in inner and "Window" not in inner, inner
 
 
 def test_stream_bloom_probe_is_maponly_before_agg(spark, sf_dir):
