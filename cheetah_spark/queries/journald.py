@@ -162,12 +162,13 @@ def s_journald_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch q_journald_parse (the s_mqtt_live / s_syslog_live
     discipline)."""
     from cheetah_spark.sources.journald_live import JournaldSource
-    from cheetah_spark.streaming import run_stream_to_completion
+    from cheetah_spark.streaming import events_replay_chunk, run_stream_to_completion
 
     src = JournaldSource(
         transport="replay",
         capture_path=journald_capture_dir(spark, sf_dir),
-        chunk_size=10000,
+        # multi-batch admission, scale-derived: 4 offset windows at any SF
+        chunk_size=events_replay_chunk(spark, sf_dir),
     )
     env = run_stream_to_completion(src.read(spark), lambda df: df)
     return _parse_rollup(env, F.col("entry"))

@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 
 from cheetah_spark.catalog import load_table
 from cheetah_spark.registry import register
-from cheetah_spark.streaming import FIXTURE_ROOT, _tag, run_stream_to_completion
+from cheetah_spark.streaming import (
+    FIXTURE_ROOT,
+    _tag,
+    events_replay_chunk,
+    run_stream_to_completion,
+)
 
 _SUBJECT_PATTERN = "ev.click.*"  # wildcard: every user shard of one event type
 
@@ -136,7 +141,8 @@ def s_nats_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         transport="replay",
         capture_path=nats_capture_dir(spark, sf_dir),
         subject=">",
-        chunk_size=10000,  # multi-batch admission: offset windows exercised
+        # multi-batch admission, scale-derived: 4 offset windows at any SF
+        chunk_size=events_replay_chunk(spark, sf_dir),
         streaming=True,
     )
     out = run_stream_to_completion(

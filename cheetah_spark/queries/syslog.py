@@ -210,12 +210,13 @@ def s_syslog_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     Proves the streaming admission path delivers every line
     byte-for-byte (the s_mqtt_live discipline)."""
     from cheetah_spark.sources.syslog_live import SyslogSource
-    from cheetah_spark.streaming import run_stream_to_completion
+    from cheetah_spark.streaming import events_replay_chunk, run_stream_to_completion
 
     src = SyslogSource(
         transport="replay",
         capture_path=syslog_capture_dir(spark, sf_dir),
-        chunk_size=10000,
+        # multi-batch admission, scale-derived: 4 offset windows at any SF
+        chunk_size=events_replay_chunk(spark, sf_dir),
     )
     env = run_stream_to_completion(src.read(spark), lambda df: df)
     return _parse_rollup(env, F.col("raw"))

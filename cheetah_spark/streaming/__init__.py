@@ -133,6 +133,28 @@ def events_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str
     )
 
 
+def events_replay_chunk(spark: SparkSession, sf_dir: str, windows: int = 4) -> int:
+    """Per-trigger admission size for a bounded replay capture derived
+    1:1 from the events table: target a FIXED number of offset windows
+    at every scale (r13, guide §2 — make admission scale-adaptive).
+
+    A constant chunk size is wrong in both directions: at sf0.01
+    (10k events) a 10k constant collapses to a single window — the
+    multi-batch seq-window discipline the replay queries exist to
+    exercise is silently skipped — while at sf0.1+ it fans into
+    dozens of floor-dominated micro-batches (measured: 10 windows
+    5.2 s vs 4 windows 3.7 s for s_amqp_replay at sf0.1, min-of-2
+    same-session). ``windows=4`` keeps >=2 real offset-window
+    boundaries with slack at every SF. In production the equivalent
+    knob is maxOffsetsPerTrigger sized to throughput x latency target,
+    not a constant.
+    """
+    from cheetah_spark.catalog import _table_rows
+
+    n = _table_rows(spark, sf_dir, "events")
+    return max(1, -(-n // windows))
+
+
 @_contextlib.contextmanager
 def staged_replay(spark: SparkSession, sf_dir: str, prefix: str, src_dir: str):
     """Disposable hard-linked copy of a replay fixture, for queries

@@ -420,3 +420,19 @@ def test_eventlog_live_crash_recovery(spark, tmp_path):
     except StreamingQueryException as e:
         q2.stop()
         assert "unrecoverable" in str(e)
+
+
+def test_events_replay_chunk_keeps_multibatch_at_every_sf(spark):
+    """r13: replay admission is scale-derived (4 offset windows at any
+    SF) instead of a 10k constant that collapsed to a single window at
+    sf0.01 and fanned into 10+ floor-dominated micro-batches at sf0.1.
+    The invariant the replay queries exist to exercise is >=2 offset
+    windows — pin it at every fixture scale."""
+    from cheetah_spark.catalog import _table_rows
+    from cheetah_spark.streaming import events_replay_chunk
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        n = _table_rows(spark, sf_dir, "events")
+        chunk = events_replay_chunk(spark, sf_dir)
+        windows = -(-n // chunk)
+        assert 2 <= windows <= 6, (sf_dir, n, chunk, windows)
