@@ -52,14 +52,29 @@ def shingles(toks: Column, k: int = 3) -> Column:
 
     Guarded so docs shorter than k yield an empty array (Spark's
     ``sequence(1, n)`` would otherwise count *down* for n < 1).
-    """
-    n = F.size(toks)
-    return F.when(n < k, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
+
+    ``toks`` is LET-BOUND via a one-element ``transform`` before any
+    per-shingle use (r13): Catalyst re-evaluates expressions referenced
+    inside a higher-order-function lambda once PER ELEMENT — with the
+    previous formulation a caller that inlined ``tokens(text)`` paid a
+    full-text ``regexp_extract_all`` once per shingle index, O(len²)
+    per document (measured 10× on q_llm_span_dedup; the same trap the
+    winnow fold hit). Binding the array as a lambda variable makes the
+    inner ``slice`` reference a NamedLambdaVariable, evaluated once no
+    matter what expression the caller passes. Values are bit-identical
+    (same join/slice over the same array; NULL/short-doc guard
+    unchanged: size(NULL) = -1 < k → empty array)."""
+
+    def _shingles_of(tk: Column) -> Column:
+        n = F.size(tk)
+        return F.when(n < k, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.array_join(F.slice(tk, i, k), " "),
+            )
         )
-    )
+
+    return F.get(F.transform(F.array(toks), _shingles_of), 0)
 
 
 def oracle_shingles(toks_expr: str, k: int = 3) -> str:

@@ -3626,7 +3626,11 @@ def q_llm_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact."""
 
     def pair_counts(fp_col, out_name):
-        srcs = d.select(fp_col.alias("f"), "source").distinct()
+        # the self-join's two aliases would each re-run the corpus
+        # fingerprint scan; materialize the DISTINCT-collapsed
+        # (fp, source) proxy once (≤ |sources| rows per fingerprint —
+        # the §8 small-rows table)
+        srcs = d.select(fp_col.alias("f"), "source").distinct().localCheckpoint()
         a, b = srcs.alias("a"), srcs.alias("b")
         return (
             a.join(b, (F.col("a.f") == F.col("b.f")) & (F.col("a.source") < F.col("b.source")))
