@@ -2873,22 +2873,29 @@ def _c4_noisy_page_expr():
     line / question mark) — and a poison tail keyed on doc_id injects
     the three page-level C4 triggers ('lorem ipsum', a curly brace, a
     badword) at fixed low rates."""
-    toks = X.tokens(F.col("text"))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.floor((n - F.lit(1)) / 4).cast("int"))
+    # the token array is LET-BOUND (the shingles() r13 discipline):
+    # mk_line's slice would otherwise re-run the full-text
+    # regexp_extract_all once per line index — O(len²) per doc
+    def _lines_of(tk):
+        n = F.size(tk)
+        idx = F.sequence(F.lit(0), F.floor((n - F.lit(1)) / 4).cast("int"))
 
-    def mk_line(i):
-        body = F.array_join(F.slice(toks, i * 4 + 1, 4), " ")
-        m = (F.col("doc_id") + i) % 5
-        return (
-            F.when(m == 0, F.concat(body, F.lit(".")))
-            .when(m == 1, F.concat(body, F.lit("!")))
-            .when(m == 2, body)
-            .when(m == 3, F.concat(body, F.lit(" javascript required.")))
-            .otherwise(F.concat(body, F.lit("?")))
+        def mk_line(i):
+            body = F.array_join(F.slice(tk, i * 4 + 1, 4), " ")
+            m = (F.col("doc_id") + i) % 5
+            return (
+                F.when(m == 0, F.concat(body, F.lit(".")))
+                .when(m == 1, F.concat(body, F.lit("!")))
+                .when(m == 2, body)
+                .when(m == 3, F.concat(body, F.lit(" javascript required.")))
+                .otherwise(F.concat(body, F.lit("?")))
+            )
+
+        return F.when(n < 1, F.array().cast("array<string>")).otherwise(
+            F.transform(idx, mk_line)
         )
 
-    lines = F.when(n < 1, F.array().cast("array<string>")).otherwise(F.transform(idx, mk_line))
+    lines = F.get(F.transform(F.array(X.tokens(F.col("text"))), _lines_of), 0)
     empty = F.array().cast("array<string>")
     poison = [
         F.when(F.col("doc_id") % 17 == 0, F.array(F.lit("lorem ipsum dolor sit amet."))).otherwise(empty),
