@@ -1285,9 +1285,14 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholded graph with the orientation-free 3-join (the count is
     orientation-invariant)."""
     e = load_table(spark, sf_dir, "events")
-    pres = e.select(
-        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
-    ).distinct()
+    # the block self-join's two aliases would each re-run the events
+    # scan + DISTINCT; materialize the collapsed co-presence table once
+    # (bounded by distinct (type, hour, user) — far smaller than events)
+    pres = (
+        e.select("event_type", F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+        .localCheckpoint()
+    )
     a, b = pres.alias("a"), pres.alias("b")
     edges = (
         a.join(
