@@ -502,15 +502,19 @@ def q_sec_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_approx_quantile_cd's KLL sketch with this exact plan as the
     verification harness."""
     ev = load_table(spark, sf_dir, "events")
+    # per-type scalars, both referenced twice downstream — checkpoints
+    # hold the event scans at the two-pass minimum exact medians need
+    # (med pass, then |v−med| pass; without them the lazy plan scanned
+    # events 4×)
     med = ev.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).cast(DEC).cast("double").alias("med")
-    )
+    ).localCheckpoint()
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("d")
     )
     mad = dev.groupBy("event_type", "med").agg(
         F.percentile("d", F.lit(0.5)).cast(DEC).cast("double").alias("mad")
-    )
+    ).localCheckpoint()
     return (
         dev.join(F.broadcast(mad.select("event_type", "mad")), "event_type")
         .groupBy("event_type")

@@ -195,10 +195,16 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins corpus-row count), so at 100 TB the joins are key-partitioned
     hash joins AQE can broadcast as the funnel narrows."""
     e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # v and c are per-user anchor rows (the guide-§8 small table), each
+    # referenced by the NEXT stage and by the final left-join — the
+    # eager checkpoints keep the type-filtered event scans at one per
+    # stage (without them the lazy re-derivation scanned events 6×:
+    # v computed 3 times, c twice)
     v = (
         e.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint()
     )
     c = (
         e.where(F.col("event_type") == "click")
@@ -206,6 +212,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint()
     )
     p = (
         e.where(F.col("event_type") == "purchase")
@@ -270,10 +277,13 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id, one final aggregate; every shuffle is keyed by the
     uniformly-distributed user_id or the small (cohort, offset) pair."""
     e = load_table(spark, sf_dir, "events")
+    # (user, week) distinct rows — bounded by users × weeks, tiny next
+    # to raw events; referenced by first_wk AND the retention join, so
+    # the checkpoint keeps the events scan + DISTINCT shuffle at one
     a = e.select(
         "user_id",
         F.floor(F.col("ts").cast("long") / _WEEK_S).cast("bigint").alias("wk"),
-    ).distinct()
+    ).distinct().localCheckpoint()
     first_wk = a.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
     return (
         a.join(first_wk, "user_id")
@@ -1404,16 +1414,25 @@ def q_sec_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_llm_incremental_dedup: yesterday's firsts anti-join today's
     batch, so the daily increment never rescans history."""
     e = load_table(spark, sf_dir, "events")
-    firsts = e.groupBy("user_id", "event_type").agg(F.min("ts").alias("first_ts"))
+    # ONE corpus pass: both rollups fold from the (user, type, day)
+    # pre-aggregate — min-of-min recovers each pair's exact first_ts
+    # and sum-of-count recovers per-day volume, both associative, so
+    # values are identical to the two-scan formulation the oracle
+    # spells. The intermediate is bounded by pairs × days (the §8
+    # small-rows table) and map-side combinable before its one shuffle.
+    g = (
+        e.groupBy("user_id", "event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n"), F.min("ts").alias("min_ts"))
+        .localCheckpoint()
+    )
+    firsts = g.groupBy("user_id", "event_type").agg(F.min("min_ts").alias("first_ts"))
     new_per_day = firsts.groupBy(
         F.date_trunc("day", "first_ts").alias("day")
     ).agg(
         F.count("*").alias("n_new_pairs"),
         F.countDistinct("user_id").alias("n_users_with_new"),
     )
-    per_day = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.count("*").alias("n_events")
-    )
+    per_day = g.groupBy("day").agg(F.sum("n").cast("bigint").alias("n_events"))
     zero = F.lit(0).cast("bigint")
     return per_day.join(new_per_day, "day", "left").select(
         "day",

@@ -1340,7 +1340,10 @@ def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the coverage join."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("lang", F.explode(X.tokens("text")).alias("w"))
-    counts = tok.groupBy("w").agg(F.count("*").alias("n"))
+    # |words| rows, map-side combined before its one shuffle; the
+    # checkpoint keeps the word-count corpus pass out of the coverage
+    # join's broadcast rebuild (the top-V heap stays in the final plan)
+    counts = tok.groupBy("w").agg(F.count("*").alias("n")).localCheckpoint()
     vocab = (
         counts.orderBy(F.col("n").desc(), F.col("w").asc())
         .limit(_VOCAB_V)
@@ -1528,7 +1531,9 @@ def q_llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # SQL shiftleft: the bit count is a per-row column (the python
         # F.shiftleft wrapper only takes a literal int)
         F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")).alias("word")
-    )
+    ).localCheckpoint()  # m/32 rows; each of the k probe joins below
+    # broadcasts its own projection — without the checkpoint every
+    # broadcast re-runs the eval-side shingle+hash build (k eval scans)
 
     # --- probe: each train shingle joins its k word slots (broadcast) ---
     train = tagged.where(~F.col("is_eval")).select("doc_id", "lang", F.explode(shl).alias("s"))
@@ -1820,10 +1825,13 @@ def q_llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates. The 100 TB plan is a single shuffle on the domain key
     with map-side combine."""
     d = load_table(spark, sf_dir, "documents")
+    # |sources| rows; referenced by tot, s, and (via s) z and the final
+    # select — the checkpoint keeps the corpus token-count scan at ONE
+    # (measured: 4 documents scans in the lazy plan)
     per = d.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(X.tokens(F.col("text"), X.TOKEN_RE))).cast("long").alias("n_tokens"),
-    )
+    ).localCheckpoint()
     tot = per.agg(F.sum("n_tokens").cast("long").alias("total"))
     share = F.col("n_tokens").cast("double") / F.col("total").cast("double")
     s = per.crossJoin(F.broadcast(tot)).select(

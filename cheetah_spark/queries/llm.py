@@ -970,7 +970,11 @@ def q_llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exactly the old plan's (and the oracle's, which keeps the
     doc-level DISTINCT-then-WHERE form)."""
     d = load_table(spark, sf_dir, "documents")
-    fp = X.simhash_df(d)
+    # fp feeds FIVE lazy references (grp, da, db, x, y) — without the
+    # eager checkpoint each one re-runs the corpus fingerprint pass
+    # (measured: 6 documents scans in one plan). The proxy is 16 B/row
+    # (doc_id, simh) — the guide-§8 "decide on small rows" table.
+    fp = X.simhash_df(d).localCheckpoint()
     grp = fp.select("simh").distinct()
     mask = (1 << _SH_BLOCK_BITS) - 1
     blocks = grp.select(
@@ -3257,9 +3261,12 @@ def q_llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily, vs re-running q_llm_exact_dedup over everything."""
     idx = spark.read.parquet(_fingerprint_index_dir(spark, sf_dir))
     d = load_table(spark, sf_dir, "documents")
+    # the batch proxy (doc_id, lang, fp) is referenced by both the
+    # anti-join and the per-lang rollup — checkpoint so the md5+norm
+    # corpus pass runs once, not per branch
     incoming = d.where(F.col("doc_id") % _INCR_SPLIT >= 3).select(
         "doc_id", "lang", F.md5(X.norm_text(F.col("text"))).alias("content_fp")
-    )
+    ).localCheckpoint()
     novel = incoming.join(idx, "content_fp", "left_anti")
     batch = incoming.groupBy("lang").agg(F.count("*").alias("n_incoming"))
     new = novel.groupBy("lang").agg(
