@@ -1139,21 +1139,28 @@ def q_llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurs in >= 2 distinct documents is duplicated text even when the
     documents as wholes are unique.
 
-    Scale shape: one explode (spans are NOT recomputed as a sibling
-    column — n_spans is recovered as ``COUNT(*)`` post-join, see
-    q_llm_decontaminate), one map-side-combined groupBy on the uniform
-    span hash, and one shuffle join of the exploded rows against the
-    per-span counts (AQE broadcasts the dup side when small). No
-    windows, no cross joins; every shuffle key is a uniform 56-bit
+    Scale shape: ONE explode pass — per-span occurrence counts ride a
+    count-over-window on the uniform span hash (value-identical to the
+    groupBy+join spelling the oracle keeps, but the exploded stream is
+    derived and shuffled once instead of twice), then one doc-keyed
+    rollup. No cross joins; every shuffle key is a uniform 56-bit
     hash, so no skew at 100 TB."""
     d = load_table(spark, sf_dir, "documents")
     spans = F.array_distinct(X.shingles(X.tokens("text"), _SPAN_K))
     ex = d.select("doc_id", "lang", F.explode(spans).alias("s")).select(
         "doc_id", "lang", X.hash56(F.col("s")).alias("h")
     )
-    span_counts = ex.groupBy("h").agg(F.count("*").alias("n_docs_with"))
+    # count-over-window ≡ the groupBy(h)+self-join spelling the oracle
+    # keeps (each occurrence paired with its span's occurrence count),
+    # but derives the exploded span stream ONCE and shuffles it once —
+    # the join formulation re-ran the tokenize+shingle corpus pass for
+    # both the agg and the probe side and shuffled the stream twice.
+    # Window keys are uniform 56-bit hashes: no skew at any scale.
+    counted = ex.withColumn(
+        "n_docs_with", F.count("*").over(Window.partitionBy("h"))
+    )
     per_doc = (
-        ex.join(span_counts, "h")
+        counted
         .groupBy("doc_id", "lang")
         .agg(
             F.count("*").alias("n_spans"),
@@ -1254,9 +1261,14 @@ def q_llm_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = toks.select(
         "doc_id", F.posexplode(X.shingles(F.col("tk"), _SPAN_K)).alias("spos0", "s")
     ).select("doc_id", (F.col("spos0") + 1).alias("spos"), X.hash56(F.col("s")).alias("h"))
-    dup = ex.groupBy("h").agg(F.count("*").alias("n")).where(F.col("n") >= 2).select("h")
+    # count-over-window ≡ the groupBy(h)+join spelling the oracle keeps
+    # (occurrences of spans seen >= 2 times survive), but the exploded
+    # span stream is derived once and shuffled once — the join
+    # formulation re-ran the tokenize+shingle pass for the dup agg and
+    # the probe side both. Uniform 56-bit window keys: no skew.
     cov = (
-        ex.join(dup, "h")
+        ex.withColumn("n", F.count("*").over(Window.partitionBy("h")))
+        .where(F.col("n") >= 2)
         .select(
             "doc_id",
             F.explode(F.sequence(F.col("spos"), F.col("spos") + (_SPAN_K - 1))).alias("pos"),
