@@ -2287,25 +2287,33 @@ def q_llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python UDF), group fetches by canonical URL, keep-min per page,
     report per-source drop mass.
 
-    Scale shape: one map-only canonicalization pass, one groupBy on
-    the canonical-URL key (uniform after hashing — URL hot-heads are
-    the pathological case and would route through
-    functions/skew.hot_salted_join like any Zipf key), one
-    aggregate-to-aggregate join on the same key (no second shuffle of
-    the fetch rows: AQE broadcasts the page-level side when small).
-    At 100 TB this is exactly the CommonCrawl step-1 plan: nothing
-    touches document text."""
+    Scale shape: one map-only canonicalization pass, then ONE shuffle
+    on the canonical-URL key — keep-min and fetch count ride a
+    curl-partitioned window (value-identical to the groupBy+join
+    spelling the oracle keeps, without re-deriving or re-shuffling the
+    fetch rows). URL hot-heads are the pathological skew case and
+    would route through functions/skew.hot_salted_join like any Zipf
+    key. At 100 TB this is exactly the CommonCrawl step-1 plan:
+    nothing touches document text."""
     d = load_table(spark, sf_dir, "documents")
     urls = d.select("doc_id", "source", _messy_url_expr().alias("url"))
     canon = urls.select(
         "doc_id", "source", _canonical_url_expr(F.col("url")).alias("curl")
     )
-    keep = canon.groupBy("curl").agg(
-        F.min("doc_id").alias("keep_id"),
-        F.count("*").cast("bigint").alias("n_fetches"),
+    # min/count over a curl-partitioned window ≡ the groupBy+join
+    # spelling the oracle keeps (each fetch paired with its page's
+    # keep-min and fetch count), but the regexp-heavy canonicalization
+    # pass runs ONCE and the fetch rows shuffle once — the join
+    # formulation derived canon twice and shuffled it twice when the
+    # page side outgrows broadcast (always, at 100 TB)
+    wc = Window.partitionBy("curl")
+    keyed = canon.select(
+        "doc_id", "source", "curl",
+        F.min("doc_id").over(wc).alias("keep_id"),
+        F.count("*").over(wc).cast("bigint").alias("n_fetches"),
     )
     return (
-        canon.join(keep, "curl")
+        keyed
         .groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
