@@ -239,12 +239,18 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     hr = F.date_trunc("hour", F.col("ts"))
+    # ONE corpus pass: the per-key range folds from the hourly
+    # aggregate itself — date_trunc is monotone, so
+    # date_trunc(hour, MIN(ts)) == MIN(date_trunc(hour, ts)) exactly
+    # (the oracle keeps the two-scan spelling; values identical). The
+    # (type, hour) table is bounded, so it checkpoints as the §8
+    # small-rows proxy both branches read.
     actual = e.groupBy("event_type", hr.alias("h")).agg(
         F.count("*").alias("n_actual"), dsum2("value").alias("sum_value")
-    )
-    rng = e.groupBy("event_type").agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    ).localCheckpoint()
+    rng = actual.groupBy("event_type").agg(
+        F.min("h").alias("h0"),
+        F.max("h").alias("h1"),
     )
     spine = rng.select(
         "event_type",
