@@ -1600,19 +1600,34 @@ def q_llm_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _TOPK)
         .select("query_id", "neighbor_id", "rk")
     )
-    # bit-exact cosine for the k selected pairs (tiny: |Q|×k rows)
-    qv = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
-    cv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
-    return (
-        F.broadcast(sel)
-        .join(qv, "query_id")
-        .join(cv, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            V.cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
-            "rk",
-        )
+    # bit-exact cosine for the selected pairs. The selection is bounded
+    # (|Q|×k rows) and the query embeddings are already driver-side, so
+    # the neighbor embeddings come from ONE vec_id-IN-pruned scan
+    # (pushed to parquet row groups) instead of two additional FULL
+    # corpus scans joined against the broadcast selection — at 100 TB
+    # those were 2 needless corpus passes. float32 values round-trip
+    # collect→createDataFrame exactly, and V.cosine evaluates the same
+    # Catalyst expression on the same float inputs as the join
+    # formulation did.
+    sel_rows = sel.collect()
+    nids = sorted({r.neighbor_id for r in sel_rows})
+    cvrows = (
+        e.where(F.col("vec_id").isin(nids)).select("vec_id", "embedding").collect()
+    )
+    emb = {r.vec_id: r.embedding for r in qrows}
+    emb.update({r.vec_id: r.embedding for r in cvrows})
+    pairs = spark.createDataFrame(
+        [
+            (r.query_id, r.neighbor_id, emb[r.query_id], emb[r.neighbor_id], r.rk)
+            for r in sel_rows
+        ],
+        "query_id long, neighbor_id long, qv array<float>, cv array<float>, rk integer",
+    )
+    return pairs.select(
+        "query_id",
+        "neighbor_id",
+        V.cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        "rk",
     )
 
 
