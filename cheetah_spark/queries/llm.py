@@ -3588,7 +3588,12 @@ def _knn_vote(qdf: DataFrame, train: DataFrame) -> DataFrame:
 
     from pyspark.sql.window import Window
 
-    qrows = qdf.select("vec_id", "embedding").collect()  # bounded query panel
+    # ONE bounded collect serves the Arrow closure AND the final truth
+    # join (previously a second qdf scan); neighbor labels ride the
+    # local-top-k emission itself (train vec_ids are unique, so
+    # carrying the label is exactly the old 1:1 label join — which cost
+    # a third full corpus scan)
+    qrows = qdf.select("vec_id", "embedding", "label").collect()
     qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
     qm = np.array([r.embedding for r in qrows], dtype=np.float64)
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
@@ -3596,6 +3601,7 @@ def _knn_vote(qdf: DataFrame, train: DataFrame) -> DataFrame:
     def local_topk(batches):
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            labels = pdf["label"].to_numpy(dtype=np.int32)
             vm = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             vm /= np.linalg.norm(vm, axis=1, keepdims=True)
             sims = qm @ vm.T
@@ -3613,11 +3619,12 @@ def _knn_vote(qdf: DataFrame, train: DataFrame) -> DataFrame:
                     "query_id": np.repeat(qids, take),
                     "neighbor_id": ids[idx].ravel(),
                     "cos_sim": np.take_along_axis(sims, idx, axis=1).ravel(),
+                    "n_label": labels[idx].ravel(),
                 }
             )
 
-    local = train.select("vec_id", "embedding").mapInPandas(
-        local_topk, schema=_topk_schema()
+    local = train.select("vec_id", "embedding", "label").mapInPandas(
+        local_topk, schema=_topk_schema() + ", n_label integer"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -3625,15 +3632,9 @@ def _knn_vote(qdf: DataFrame, train: DataFrame) -> DataFrame:
     sel = (
         local.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= _KNN_K)
-        .select("query_id", "neighbor_id")
+        .select("query_id", "n_label")
     )
-    lbl = train.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label"))
-    votes = (
-        F.broadcast(sel)
-        .join(lbl, "neighbor_id")
-        .groupBy("query_id", "n_label")
-        .agg(F.count("*").alias("n_votes"))
-    )
+    votes = sel.groupBy("query_id", "n_label").agg(F.count("*").alias("n_votes"))
     vw = Window.partitionBy("query_id").orderBy(
         F.col("n_votes").desc(), F.col("n_label").asc()
     )
@@ -3642,7 +3643,9 @@ def _knn_vote(qdf: DataFrame, train: DataFrame) -> DataFrame:
         .where(F.col("vr") == 1)
         .select("query_id", F.col("n_label").alias("pred_label"), "n_votes")
     )
-    truth = qdf.select("vec_id", F.col("label").alias("true_label"))
+    truth = qdf.sparkSession.createDataFrame(
+        [(r.vec_id, r.label) for r in qrows], "vec_id long, true_label integer"
+    )
     return (
         pick.join(truth, pick.query_id == truth.vec_id)
         .select(
