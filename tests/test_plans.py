@@ -955,3 +955,48 @@ def test_k_anonymity_two_level_partial_agg_no_join(spark, sf_dir):
     tree = p.split("\n\n")[0]
     assert _partial_agg_before_first_exchange(p), p
     assert "Join" not in p and "Window" not in tree and "Expand" not in tree, p
+
+
+def test_span_family_single_derivation_window(spark, sf_dir):
+    """r13 CS13: per-span occurrence counts ride a count-over-window —
+    ONE derivation of the exploded span stream (one documents scan in
+    the plan), no groupBy+join re-derivation."""
+    for name in ("q_llm_span_dedup", "q_llm_span_trim"):
+        p = plan(_q(name, spark, sf_dir))
+        tree = p.split("\n\n")[0]
+        assert tree.count("Scan parquet") == (1 if name == "q_llm_span_dedup" else 2), (
+            name,
+            tree,
+        )
+        assert "Window" in tree, (name, tree)
+
+
+def test_url_dedup_single_canonicalization_pass(spark, sf_dir):
+    """r13 CS14: keep-min/fetch-count ride a curl window — the
+    regexp-heavy canonicalization appears over ONE documents scan."""
+    p = plan(_q("q_llm_url_dedup", spark, sf_dir))
+    tree = p.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Window" in tree, tree
+    assert "Join" not in tree, tree
+
+
+def test_first_seen_single_events_pass(spark, sf_dir):
+    """r13 CS12: both rollups fold from the checkpointed (user, type,
+    day) pre-aggregate — the final plan reads NO parquet (the one
+    events scan lives in the checkpoint-build job)."""
+    p = plan(_q("q_sec_first_seen", spark, sf_dir))
+    tree = p.split("\n\n")[0]
+    assert "Scan parquet" not in tree, tree
+    assert "ExistingRDD" in tree, tree
+
+
+def test_knn_no_label_join_after_local_topk(spark, sf_dir):
+    """r13 CS17: neighbor labels ride the local-top-k emission — no
+    corpus-scan label join downstream of the map stage (exactly one
+    embeddings scan feeds MapInPandas; the truth side is a local
+    relation)."""
+    p = plan(_q("q_llm_knn_classify", spark, sf_dir))
+    tree = p.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert "ExistingRDD" in tree or "LocalTableScan" in tree, tree
