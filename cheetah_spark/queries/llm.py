@@ -3598,10 +3598,14 @@ def _knn_vote(qdf: DataFrame, train: DataFrame) -> DataFrame:
     qm = np.array([r.embedding for r in qrows], dtype=np.float64)
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
 
+    # the helper is label-type-generic (int labels in the fixture,
+    # strings in the semantics tests) — carry the input's own type
+    lbl_type = train.schema["label"].dataType.simpleString()
+
     def local_topk(batches):
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            labels = pdf["label"].to_numpy(dtype=np.int32)
+            labels = pdf["label"].to_numpy()
             vm = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             vm /= np.linalg.norm(vm, axis=1, keepdims=True)
             sims = qm @ vm.T
@@ -3624,7 +3628,7 @@ def _knn_vote(qdf: DataFrame, train: DataFrame) -> DataFrame:
             )
 
     local = train.select("vec_id", "embedding", "label").mapInPandas(
-        local_topk, schema=_topk_schema() + ", n_label integer"
+        local_topk, schema=f"{_topk_schema()}, n_label {lbl_type}"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -3644,7 +3648,7 @@ def _knn_vote(qdf: DataFrame, train: DataFrame) -> DataFrame:
         .select("query_id", F.col("n_label").alias("pred_label"), "n_votes")
     )
     truth = qdf.sparkSession.createDataFrame(
-        [(r.vec_id, r.label) for r in qrows], "vec_id long, true_label integer"
+        [(r.vec_id, r.label) for r in qrows], f"vec_id long, true_label {lbl_type}"
     )
     return (
         pick.join(truth, pick.query_id == truth.vec_id)
