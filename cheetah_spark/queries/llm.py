@@ -3939,6 +3939,10 @@ def dedup_recall_eval_frame(d: DataFrame, panel: int = _EVAL_PANEL) -> DataFrame
     # recompute what a materialized proxy already holds)
     sigs = _minhash_sigs_from_shingles(t).persist()
     cand = _minhash_band_candidates(sigs)
+    # panel-bounded pair set, consumed by TWO actions (the n_hit join
+    # and the n_cand count) — materialize it once or the whole
+    # sigs→banding→distinct job re-runs per action (guide §1.2 step 1;
+    # localCheckpoint so no CacheManager entry outlives the call)
     pcand = (
         cand.where(F.col("doc_id_a") % stride == 0)
         .select(F.col("doc_id_a").alias("query_id"), F.col("doc_id_b").alias("neighbor_id"))
@@ -3947,6 +3951,7 @@ def dedup_recall_eval_frame(d: DataFrame, panel: int = _EVAL_PANEL) -> DataFrame
             .select(F.col("doc_id_b").alias("query_id"), F.col("doc_id_a").alias("neighbor_id"))
         )
         .distinct()
+        .localCheckpoint()
     )
     n_true = true_pairs.count()
     n_hit = F.broadcast(true_pairs).join(pcand, ["query_id", "neighbor_id"]).count()
