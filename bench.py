@@ -239,10 +239,32 @@ def main() -> None:
             # one-time costs (fixture staleness probes, model memos,
             # Python-worker spin-up) and burst noise — observed 4.5×
             # inflation (q_llm_span_dedup 6.2 s cold vs 1.4 s warm).
-            # Spend whatever budget remains on second samples, most
-            # inflated queries first; smaller ones may still fit after
-            # a large one doesn't (hence continue, not break).
-            # samples_per_query in the JSON discloses the mix.
+            # Spend whatever budget remains on second samples — rows
+            # that MOVED vs the committed round-close table first (r13
+            # verdict: a single sample far above its committed min is
+            # either a burst, which the second sample refutes, or a
+            # real regression, which it confirms — both are where a
+            # resample buys information; merely-slowest ordering spends
+            # the budget on heavyweights that were never in doubt),
+            # then rows with no committed baseline by size. Smaller
+            # ones may still fit after a large one doesn't (hence
+            # continue, not break). samples_per_query discloses the mix.
+            committed: dict[str, float] = {}
+            try:
+                _full = json.load(open(Path(__file__).resolve().parent / "BENCH_FULL.json"))
+                if _full.get("provenance", {}).get("sf_dir") == SF_DIR:
+                    committed = {
+                        k: v for k, v in _full.get("queries", {}).items() if v and v > 0
+                    }
+            except Exception:
+                pass  # no committed table: fall back to slowest-first
+
+            def fill_priority(n: str):
+                base = committed.get(n)
+                if base:
+                    return (0, -(timings[n] / base))
+                return (1, -timings[n])
+
             n_fill = 0
             for name in sorted(
                 (
@@ -250,7 +272,7 @@ def main() -> None:
                     for n in names
                     if n not in failed and samples.get(n) == 1 and 0 < timings[n] < 60.0
                 ),
-                key=lambda n: -timings[n],
+                key=fill_priority,
             ):
                 if time.time() - bench_t0 + timings[name] > budget_s * 0.95:
                     continue

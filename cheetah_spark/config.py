@@ -572,13 +572,23 @@ def build_transform(cfg: Mapping[str, Any]) -> Handler:
                         # re-fetch starts a fresh keep-window
                         state.remove()
                         return
-                    rows = pd.concat(list(pdfs), ignore_index=True)
+                    # per-key per-batch body at URL-keyspace call rates
+                    # (~|batch| keys/trigger): single-chunk fast path +
+                    # argmin row take instead of concat + nsmallest
+                    # (guide §4.2 — pandas frame ops cost ~1 ms/key)
+                    chunks = list(pdfs)
+                    rows = (
+                        chunks[0]
+                        if len(chunks) == 1
+                        else pd.concat(chunks, ignore_index=True)
+                    )
                     if state.exists:
                         (n,) = state.get
                         state.update((n + len(rows),))
                     else:
                         state.update((len(rows),))
-                        yield rows.nsmallest(1, id_col).drop(columns=["__curl"])
+                        i = int(rows[id_col].to_numpy().argmin())
+                        yield rows.iloc[[i]].drop(columns=["__curl"])
                     if ttl_ms is not None:
                         state.setTimeoutDuration(ttl_ms)
 
@@ -984,7 +994,7 @@ def build_transform(cfg: Mapping[str, Any]) -> Handler:
                 .select(
                     "query_id",
                     F.col("vec_id").alias("neighbor_id"),
-                    V.cosine(F.col("qv"), F.col("embedding")).alias("cos_sim"),
+                    V.cosine("qv", "embedding", int(C.shape[1])).alias("cos_sim"),
                 )
             )
             packed = cand.groupBy("query_id").agg(

@@ -1303,10 +1303,24 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    a, b = pres.alias("a"), pres.alias("b")
+    # Checkpointed RDD scans carry no size statistics, so every join
+    # below planned SortMergeJoin (16 Exchanges, r13 plan audit) even
+    # though the relations are tiny at fixture scale (99k pres rows /
+    # 138k edges ≈ 3 MB). The counts are free post-checkpoint; under
+    # the row bound (~150 MB built, far inside the guide §3.1 comfort
+    # zone and the 8 GB hard cap) hint broadcast — the wedge stream
+    # then never shuffles. Above the bound (real 100 TB graphs) the
+    # hint is withheld and the SMJ + AQE skew-split path stands.
+    _bc_rows = 2_000_000
+
+    def _bc(df, n):
+        return F.broadcast(df) if n <= _bc_rows else df
+
+    n_pres = pres.count()
+    a = pres.alias("a")
     edges = (
         a.join(
-            b,
+            _bc(pres.alias("b"), n_pres),
             (F.col("a.event_type") == F.col("b.event_type"))
             & (F.col("a.h") == F.col("b.h"))
             & (F.col("a.user_id") < F.col("b.user_id")),
@@ -1321,6 +1335,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # joins; checkpoint once so the blocked pair-join isn't re-run
         .localCheckpoint()
     )
+    n_edges = edges.count()
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -1332,22 +1347,32 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # run widens to a struct comparison)
     dk = (F.col("d").cast("bigint") * F.lit(4294967296) + F.col("node")).alias("dk")
     dnode = deg.select("node", dk)
-    ue = edges.join(dnode.withColumnRenamed("node", "u").withColumnRenamed("dk", "udk"), "u")
-    be = ue.join(dnode.withColumnRenamed("node", "v").withColumnRenamed("dk", "vdk"), "v")
+    # |nodes| <= 2|edges|, so the edge-count gate bounds dnode too
+    ue = edges.join(
+        _bc(dnode.withColumnRenamed("node", "u").withColumnRenamed("dk", "udk"), n_edges), "u"
+    )
+    be = ue.join(
+        _bc(dnode.withColumnRenamed("node", "v").withColumnRenamed("dk", "vdk"), n_edges), "v"
+    )
     oe = be.select(
         F.when(F.col("udk") < F.col("vdk"), F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(F.col("udk") < F.col("vdk"), F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.greatest("udk", "vdk").alias("dst_dk"),
     ).localCheckpoint()
-    e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
+    e1 = oe.alias("e1")
+    # broadcast-hash both enumeration joins: the Sum(outdeg²)-sized
+    # wedge stream stays in its scan partitions end-to-end (zero wedge
+    # bytes shuffled or sorted) and probes the built edge relation
+    # twice — the §2.4/§3.1 shape for a small-relation/large-stream
+    # triangle count
     tri = (
         e1.join(
-            e2,
+            _bc(oe.alias("e2"), n_edges),
             (F.col("e2.src") == F.col("e1.src"))
             & (F.col("e1.dst_dk") < F.col("e2.dst_dk")),
         )
         .join(
-            e3,
+            _bc(oe.alias("e3"), n_edges),
             (F.col("e3.src") == F.col("e1.dst")) & (F.col("e3.dst") == F.col("e2.dst")),
         )
         .agg(F.count("*").alias("n_triangles"))

@@ -2427,10 +2427,14 @@ def url_dedup_live_state(canon_stream: DataFrame, ttl_seconds: int) -> DataFrame
                 }
             )
             return
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        mn = int(rows["doc_id"].min())
-        cnt = int(len(rows))
-        last = int(rows["doc_id"].max())
+        # per-key per-batch body at URL-keyspace call rates: single-
+        # chunk fast path + numpy extrema instead of pandas Series ops
+        chunks = list(pdfs)
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        ids = rows["doc_id"].to_numpy()
+        mn = int(ids.min())
+        cnt = int(len(ids))
+        last = int(ids.max())
         if state.exists:
             pmn, pcnt, plast = state.get
             mn, cnt, last = min(mn, pmn), cnt + pcnt, max(last, plast)

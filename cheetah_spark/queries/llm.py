@@ -2277,7 +2277,7 @@ def ivf_probe_topk(
     cand = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        V.cosine(F.col("qv"), F.col("embedding")).alias("cos_sim"),
+        V.cosine("qv", "embedding", int(C.shape[1])).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -3896,10 +3896,15 @@ def dedup_recall_eval_frame(d: DataFrame, panel: int = _EVAL_PANEL) -> DataFrame
         .persist()
     )
     post = t.select("doc_id", "n_sh", F.explode("sh").alias("s"))
-    df_ = post.groupBy("s").agg(F.count("*").alias("df"))
+    # document frequency as a COUNT over one (s)-partitioned window,
+    # not aggregate + join-back: the join shape shuffles the exploded
+    # posting stream TWICE (agg by s, then the probe side by s again);
+    # the window pays one s-shuffle then reuses the partitioning
+    # (guide §2.4 — the r13 CS13/CS14 span/url-dedup pattern)
+    wc = Window.partitionBy("s")
     wd = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("s").asc())
     prefix = (
-        post.join(df_, "s")
+        post.withColumn("df", F.count("*").over(wc))
         .withColumn("rn", F.row_number().over(wd))
         .where(F.col("rn") <= F.floor(F.col("n_sh") * (1.0 - _NJ_CUT)) + 1)
         .select("doc_id", "s")
@@ -3954,8 +3959,18 @@ def dedup_recall_eval_frame(d: DataFrame, panel: int = _EVAL_PANEL) -> DataFrame
         .localCheckpoint()
     )
     n_true = true_pairs.count()
-    n_hit = F.broadcast(true_pairs).join(pcand, ["query_id", "neighbor_id"]).count()
-    n_cand = pcand.count()
+    # n_cand and n_hit from ONE pass over the checkpointed pair set
+    # (left-join flag + count/sum) instead of two separate actions
+    hitrow = (
+        pcand.join(
+            F.broadcast(true_pairs.withColumn("__hit", F.lit(1))),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .agg(F.count("*").alias("nc"), F.coalesce(F.sum("__hit"), F.lit(0)).alias("nh"))
+        .collect()[0]
+    )
+    n_cand, n_hit = int(hitrow.nc), int(hitrow.nh)
     # the result below is literal scalars — release every reused frame
     # now instead of leaking four CacheManager entries per invocation
     # (guide §5: unpersist when done)

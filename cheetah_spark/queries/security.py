@@ -360,13 +360,22 @@ def brute_force_state_stage(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    _BF_OUT_COLS = ["user_id", "n_bursts", "n_compromised", "max_run_len", "first_burst_s"]
+
     def update(key, pdfs, state):
         if state.exists:
             cur_run, cur_start_s, n_bursts, n_comp, max_run, first_s = state.get
         else:
             cur_run, cur_start_s, n_bursts, n_comp, max_run, first_s = 0, 0, 0, 0, 0, -1
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(["ts", "event_id"])
+        # this body runs once per user per micro-batch (1500 keys/
+        # trigger at sf0.1): pandas frame ops cost ~1 ms/key here, so
+        # everything below stays in numpy — the pandas sort_values path
+        # alone measured 0.7 ms/key (~1 s/trigger) vs 0.07 ms for the
+        # same (ts, event_id) lexsort on extracted arrays (guide §4.2)
+        chunks = list(pdfs)
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        ts_all = rows["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        order = np.lexsort((rows["event_id"].to_numpy(), ts_all))
         # vectorized fold: a non-failure row CLOSES the run of
         # consecutive failures immediately before it; the batch tail
         # leaves an open run that carries into the next batch. Same
@@ -376,8 +385,8 @@ def brute_force_state_stage(
         # it this batch (closes, or stays open and grows) must not
         # count it again.
         carried_counted = cur_run >= min_run
-        ets = rows["event_type"].to_numpy()
-        ts_s = rows["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        ets = rows["event_type"].to_numpy()[order]
+        ts_s = ts_all[order]
         n = len(ets)
         closers = np.flatnonzero(ets != fail)
         if closers.size:
@@ -413,17 +422,21 @@ def brute_force_state_stage(
             lo = int(all_starts.min())
             first_s = lo if first_s < 0 else min(first_s, lo)
         state.update((cur_run, cur_start_s, n_bursts, n_comp, max_run, first_s))
+        # all-int64 1-row emission: building from one ndarray is ~2x
+        # cheaper than the dict-of-lists constructor at this call rate
         yield pd.DataFrame(
-            {
-                "user_id": [int(key[0])],
-                "n_bursts": [n_bursts],
-                "n_compromised": [n_comp],
-                "max_run_len": [max_run],
-                "first_burst_s": [first_s],
-            }
+            np.array(
+                [[int(key[0]), n_bursts, n_comp, max_run, first_s]], dtype=np.int64
+            ),
+            columns=_BF_OUT_COLS,
+            copy=False,
         )
 
-    return df.groupBy("user_id").applyInPandasWithState(
+    # ship only the columns the fold reads across the Python boundary
+    # (guide §4.1) — `value`/`props` never enter the state machine
+    return df.select("user_id", "event_type", "ts", "event_id").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
         update,
         outputStructType=(
             "user_id long, n_bursts long, n_compromised long, "
