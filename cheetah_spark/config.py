@@ -986,15 +986,27 @@ def build_transform(cfg: Mapping[str, Any]) -> Handler:
             from cheetah_spark.functions import vectors as V
             from cheetah_spark.queries.llm import ivf_probe_expand
 
-            probed = ivf_probe_expand(C, nprobe, queries)
-            idx = spark.read.parquet(index_dir)
+            dim = int(C.shape[1])
+            # per-side ||x||² once before the join: one unrolled dot
+            # per candidate instead of three (same floats — norms are
+            # per-vector functions; also a third the generated-code
+            # size, which sets the first trigger's Janino bill)
+            probed = ivf_probe_expand(C, nprobe, queries).withColumn(
+                "nsq_q", V.l2_norm_sq("qv", dim)
+            )
+            idx = spark.read.parquet(index_dir).withColumn(
+                "nsq_c", V.l2_norm_sq("embedding", dim)
+            )
             cand = (
                 probed.join(idx, "cid")
                 .where(F.col("query_id") != F.col("vec_id"))
                 .select(
                     "query_id",
                     F.col("vec_id").alias("neighbor_id"),
-                    V.cosine("qv", "embedding", int(C.shape[1])).alias("cos_sim"),
+                    (
+                        V.dot("qv", "embedding", dim)
+                        / (F.sqrt(F.col("nsq_q")) * F.sqrt(F.col("nsq_c")))
+                    ).alias("cos_sim"),
                 )
             )
             packed = cand.groupBy("query_id").agg(

@@ -2267,7 +2267,19 @@ def ivf_probe_topk(
             F.col("query_id").alias("neighbor_id"),
             F.lit(0.0).alias("cos_sim"),
         ).limit(0)
-    idx = spark.read.parquet(index_dir).where(F.col("cid").isin(cids))
+    dim = int(C.shape[1])
+    # norms are per-VECTOR functions: compute each side's ||x||² once
+    # before the join instead of twice per candidate pair (the cosine
+    # then costs ONE unrolled dot per pair, not three — same floats,
+    # the lsh/similarity_topk nsq discipline; also one third the
+    # generated-code size, which is what the first trigger/invocation
+    # pays Janino for)
+    q = q.withColumn("nsq_q", V.l2_norm_sq("qv", dim))
+    idx = (
+        spark.read.parquet(index_dir)
+        .where(F.col("cid").isin(cids))
+        .withColumn("nsq_c", V.l2_norm_sq("embedding", dim))
+    )
     # broadcast is right for a bounded query panel (the contract shape);
     # a corpus-sized query side (ann_enrich over a whole table) must
     # shuffle-join instead — pass broadcast_queries=False
@@ -2277,7 +2289,10 @@ def ivf_probe_topk(
     cand = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        V.cosine("qv", "embedding", int(C.shape[1])).alias("cos_sim"),
+        (
+            V.dot("qv", "embedding", dim)
+            / (F.sqrt(F.col("nsq_q")) * F.sqrt(F.col("nsq_c")))
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

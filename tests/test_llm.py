@@ -596,3 +596,44 @@ def test_winnow_fold_matches_window_formulation_on_edges(spark):
     # sanity: the all-ties doc selects the RIGHTMOST position per window
     doc1 = [r for r in new if r.doc_id == 1]
     assert [r.fpos for r in doc1] == [4, 5]
+
+
+def test_unrolled_dot_cosine_bit_equal_to_fold(spark):
+    """r14: the dim-unrolled expr-string dot/cosine must be
+    bit-identical to the dimension-agnostic higher-order fold — same
+    left-assoc accumulation order, exact per-element float→double
+    casts — and must fall back to the fold's null-pad semantics on
+    length-mismatched or shorter-than-dim inputs (under ANSI an
+    unguarded element_at would THROW instead)."""
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.functions import vectors as V
+
+    df = (
+        spark.range(1, 2001)
+        .select(
+            "id",
+            F.expr("transform(sequence(1,64), i -> cast(sin(id*i)+2.0 as float))").alias("a"),
+            F.expr("transform(sequence(1,64), i -> cast(cos(id*i)+2.0 as float))").alias("b"),
+        )
+    )
+    rows = df.select(
+        V.cosine(F.col("a"), F.col("b")).alias("hof"),
+        V.cosine("a", "b", 64).alias("unr"),
+        V.dot(F.col("a"), F.col("b")).alias("dhof"),
+        V.dot("a", "b", 64).alias("dunr"),
+    ).collect()
+    import struct
+
+    bits = lambda x: struct.pack("<d", x)
+    assert all(bits(r.hof) == bits(r.unr) for r in rows)
+    assert all(bits(r.dhof) == bits(r.dunr) for r in rows)
+    # mismatched / shorter-than-dim inputs: fold semantics (null), no throw
+    m = spark.createDataFrame(
+        [(1, [1.0] * 8, [2.0] * 8), (2, [1.0] * 8, [2.0] * 64)],
+        "id long, a array<double>, b array<double>",
+    )
+    got = m.select(
+        V.dot("a", "b", 64).alias("unr"), V.dot(F.col("a"), F.col("b")).alias("hof")
+    ).collect()
+    assert [(r.unr, r.hof) for r in got] == [(16.0, 16.0), (None, None)]

@@ -1000,3 +1000,30 @@ def test_knn_no_label_join_after_local_topk(spark, sf_dir):
     tree = p.split("\n\n")[0]
     assert tree.count("Scan parquet") == 1, tree
     assert "ExistingRDD" in tree or "LocalTableScan" in tree, tree
+
+
+def test_triangles_enumeration_uses_broadcast_joins(spark, sf_dir):
+    """r14: the checkpointed pres/edge relations carry no stats, so the
+    enumeration joins planned SortMergeJoin; under the row-count gate
+    every join in the final plan must be broadcast-hash — the wedge
+    stream never shuffles or sorts."""
+    p = plan(_q("q_graph_triangles", spark, sf_dir))
+    tree = p.split("\n\n")[0]
+    assert "SortMergeJoin" not in tree, tree
+    assert tree.count("BroadcastHashJoin") >= 2, tree
+
+
+def test_recall_eval_prefix_df_is_window_not_join(spark, sf_dir):
+    """r14: document frequency rides a COUNT over the (s)-partitioned
+    window instead of aggregate + join-back (one shuffle of the
+    exploded posting stream, not two). Pinned at the helper level —
+    the query itself returns collected scalars."""
+    from pyspark.sql import functions as F
+
+    from cheetah_spark.catalog import load_table
+    from cheetah_spark.queries.llm import dedup_recall_eval_frame
+
+    d = load_table(spark, sf_dir, "documents").limit(200)
+    out = dedup_recall_eval_frame(d, panel=50)
+    row = out.collect()[0]
+    assert row.n_true >= 0 and 0.0 <= row.recall <= 1.0
