@@ -174,37 +174,65 @@ def apply_merges_expr(syms, merges):
 def encode_docs(docs: DataFrame, merges, text_col: str = "text") -> DataFrame:
     """Apply a trained BPE merge list to every document — the
     "tokenize the corpus with the trained tokenizer" step that follows
-    train_bpe in a real pipeline. Map-only (no shuffle): per doc,
-    lowercase-whitespace words are each encoded by :func:`encode_expr`.
+    train_bpe in a real pipeline.
+
+    Shape (r14): encode the DISTINCT-WORD vocabulary once and attach
+    per-word stats back to the occurrences with a broadcast join. The
+    previous map-only form folded every merge through every word
+    OCCURRENCE — |corpus words| x |merges| higher-order folds, which
+    Catalyst evaluates interpreted (CodegenFallback), measured 2.4 s
+    at sf0.1 for 270k occurrences over a 31-word vocabulary, and at
+    100 TB re-encodes each vocab word billions of times. Encoding cost
+    is now O(|vocab| x |merges|) — the word table is exactly
+    train_bpe's own bounded domain (the trainer already aggregates to
+    it), and the per-occurrence cost is one broadcast hash probe. All
+    tokenization stays in the SAME JVM expressions (split/lower/
+    encode_expr), so per-word values are bit-identical to the per-
+    occurrence fold; per-doc sums over the join equal the per-doc
+    array folds term for term (guide §1.2-1 / §4.2).
 
     Emits per-doc accounting chosen to be verifiable:
     ``n_chars`` (symbols before any merge), ``n_tokens_first`` (after
     merge #1 only — SQL-recomputable via ``replace``), ``n_tokens``
     (full merge list), and ``roundtrip_ok`` (concatenating each word's
-    tokens reproduces the word — encode is lossless)."""
+    tokens reproduces the word — encode is lossless). Docs with zero
+    words keep the fold semantics: 0 counts, roundtrip true."""
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != F.lit("")
     )
-    # enc_first duplicates enc_full's first fold; hoisting a shared
-    # enc1 would NOT help — Catalyst does not CSE across higher-order
-    # functions (see minhash_sig_expr), so any shared subexpression
-    # referenced from two outputs re-evaluates anyway. The duplicate
-    # cost is one fold of |merges|+1 total.
-    enc_full = F.transform(words, lambda w: encode_expr(w, merges))
-    enc_first = F.transform(words, lambda w: encode_expr(w, merges[:1]))
-    n_of = lambda arrs: F.aggregate(  # noqa: E731 — local summing helper
-        F.transform(arrs, lambda a: F.size(a)), F.lit(0), lambda acc, x: acc + x
-    ).cast("long")
-    roundtrip = F.zip_with(
-        words, enc_full, lambda w, toks: F.array_join(toks, "") == w
+    ex = docs.select("doc_id", "lang", F.explode(words).alias("word"))
+    enc_full = encode_expr(F.col("word"), merges)
+    enc_first = encode_expr(F.col("word"), merges[:1])
+    # vocab-sized: one distinct shuffle bounded by |vocabulary|; the
+    # encode folds run once per distinct word. Broadcast is the right
+    # attach for a vocabulary (bounded by the language, not the
+    # corpus — real-world vocab tables are 10-100 MB).
+    vstats = (
+        ex.select("word")
+        .distinct()
+        .select(
+            "word",
+            F.length("word").cast("long").alias("w_chars"),
+            F.size(enc_first).cast("long").alias("w_first"),
+            F.size(enc_full).cast("long").alias("w_full"),
+            (F.array_join(enc_full, "") == F.col("word")).alias("w_rt"),
+        )
     )
-    return docs.select(
+    per_doc = (
+        ex.join(F.broadcast(vstats), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w_chars").cast("long").alias("n_chars"),
+            F.sum("w_first").cast("long").alias("n_tokens_first"),
+            F.sum("w_full").cast("long").alias("n_tokens"),
+            F.bool_and("w_rt").alias("roundtrip_ok"),
+        )
+    )
+    return docs.select("doc_id", "lang").join(per_doc, "doc_id", "left").select(
         "doc_id",
         "lang",
-        F.aggregate(
-            F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
-        ).cast("long").alias("n_chars"),
-        n_of(enc_first).alias("n_tokens_first"),
-        n_of(enc_full).alias("n_tokens"),
-        F.aggregate(roundtrip, F.lit(True), lambda a, x: a & x).alias("roundtrip_ok"),
+        F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
+        F.coalesce("n_tokens_first", F.lit(0)).cast("long").alias("n_tokens_first"),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("roundtrip_ok", F.lit(True)).alias("roundtrip_ok"),
     )
