@@ -3962,7 +3962,9 @@ def dedup_recall_eval_frame(d: DataFrame, panel: int = _EVAL_PANEL) -> DataFrame
     # panel-bounded pair set, consumed by TWO actions (the n_hit join
     # and the n_cand count) — materialize it once or the whole
     # sigs→banding→distinct job re-runs per action (guide §1.2 step 1;
-    # localCheckpoint so no CacheManager entry outlives the call)
+    # localCheckpoint so no CacheManager entry is created; the
+    # checkpoint blocks themselves are reclaimed by the ContextCleaner
+    # once the DataFrame is GC'd)
     pcand = (
         cand.where(F.col("doc_id_a") % stride == 0)
         .select(F.col("doc_id_a").alias("query_id"), F.col("doc_id_b").alias("neighbor_id"))

@@ -293,18 +293,24 @@ def test_ann_ivfpq_has_no_cross_join_and_repartitions_lists(spark, sf_dir):
     assert "hashpartitioning(cid" in p, p  # list co-location shuffle
 
 
-def test_bpe_encode_is_map_only_until_final_agg(spark, sf_dir):
-    """Corpus tokenization with the trained tokenizer must be one
-    codegen scan: exactly ONE exchange (the per-lang aggregate), no
-    join, no Python eval in the plan."""
+def test_bpe_encode_folds_merges_over_vocab_broadcast(spark, sf_dir):
+    """r14: corpus tokenization encodes the DISTINCT-WORD table once
+    and attaches per-word stats by broadcast join — the merge folds
+    (interpreted higher-order expressions) must appear on the
+    vocab-sized branch only, never per occurrence, and the occurrence
+    side joins broadcast-hash with zero Python eval."""
     from cheetah_spark.registry import REGISTRY
 
     p = plan(REGISTRY["q_llm_bpe_encode"].fn(spark, sf_dir))
-    # formatted plans repeat node names in the detail section — count
-    # tree nodes only
-    assert p.count("+- Exchange") == 1, p
-    assert "Join" not in p, p
+    tree = p.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    # the merge fold (aggregate over the symbol array) runs under the
+    # BroadcastExchange (vocab branch): the detail section's aggregate
+    # lambdas must all reference the distinct-word column, and the
+    # occurrence-side projections must carry none
+    assert "HashAggregate" in tree, tree
 
 
 def test_weighted_sample_uses_window_group_limit(spark, sf_dir):
